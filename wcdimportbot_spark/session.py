@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]`` (single JVM); the configuration is chosen so
+the same code runs unchanged on a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; AQE coalesces
+  down, and on a real cluster this would be ~2-3x total cores.
+- Arrow enabled for every pandas interchange (the template-extraction UDF
+  is the only Python hot path and it is Arrow-batched).
+- Session timezone pinned to UTC so timestamps compare exactly against the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _export_package_on_pythonpath() -> None:
+    """Make this package importable by executor-side Python workers.
+
+    Driver-side ``sys.path`` edits do not propagate to the Python worker
+    processes Spark forks for UDF/mapInPandas execution; they inherit the
+    JVM's environment. Exporting the repo root on PYTHONPATH before the
+    session is created keeps the template-extraction UDF importable on every
+    executor (on a real cluster this is the same as shipping the package via
+    --py-files / a wheel)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
+
+def get_spark(
+    app_name: str = "wcdimportbot_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    _export_package_on_pythonpath()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
