@@ -1,0 +1,276 @@
+"""Reference normalization: raw templates → typed wide ``references`` rows.
+
+Implements the reference's ``finish_parsing_and_generate_hash`` pipeline
+(``wikipedia_page_reference.py:1168-1183``) as one declarative projection:
+
+    first_parameter (F20) → urls (F6) → fld (F5) → archive detect (J7,
+    intent order — see columns.detect_archive) → IA id (F9) → GB id (F7/F8)
+    → isbn (F10) → persons (F15) → markup cleanup (F11) → lang/place merges
+    (F18/F19) → hashes (F3/F4)
+
+plus the typed date columns (F12) and the rejects side-channel (S11).
+
+Everything is Catalyst expressions over the ``params`` map — a single
+narrow (shuffle-free) stage after extraction. The wide promoted columns are
+the ones downstream consumers (graph emission, analytics, dedup) read; the
+full params map is retained for fidelity and late promotion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wcdimportbot_spark.functions import columns as C
+from wcdimportbot_spark.functions import hashing as H
+from wcdimportbot_spark.functions.template_fields import DATE_FIELDS
+from wcdimportbot_spark.operators.persons import persons_array
+
+#: string params promoted to top-level typed columns (FIXTURES.md §3 core set)
+PROMOTED_STRING_FIELDS = (
+    "title",
+    "website",
+    "publisher",
+    "location",
+    "place",
+    "lang",
+    "language",
+    "periodical",
+    "journal",
+    "magazine",
+    "newspaper",
+    "series",
+    "volume",
+    "issue",
+    "page",
+    "pages",
+    "agency",
+    "doi",
+    "pmid",
+    "pmc",
+    "oclc",
+    "lccn",
+    "s2cid",
+    "jstor",
+    "arxiv",
+    "bibcode",
+    "hdl",
+    "issn",
+    "eissn",
+    "ol",
+    "osti",
+    "rfc",
+    "ssrn",
+    "zbl",
+    "url_status",
+    "trans_title",
+    "vauthors",
+    "authors",
+    "work",
+    "chapter",
+    "edition",
+    "type",
+    "degree",
+    "quote",
+    "first_parameter",
+    "second_parameter",
+    "archive_url",
+    "chapter_url",
+    "conference_url",
+    "lay_url",
+    "transcripturl",
+)
+
+
+def build_references(
+    raw_valid: DataFrame, wikibase_title: str = H.DEFAULT_WIKIBASE_TITLE
+) -> DataFrame:
+    """``raw_templates`` (post key-fix + validation) → wide ``references``.
+
+    One narrow projection; no shuffle, no UDF."""
+    p = F.col("params")
+    df = raw_valid
+
+    # --- promote strings ---------------------------------------------------
+    promote = [p[f].alias(f) for f in PROMOTED_STRING_FIELDS]
+    df = df.select(
+        "page_id", "template_name", "template_ordinal", "params", *promote
+    )
+
+    # --- F20: first-parameter disambiguation -------------------------------
+    tn = F.col("template_name")
+    fp = F.col("first_parameter")
+    df = (
+        df.withColumn(
+            "wikidata_qid",
+            F.when(
+                tn.isin("cite q", "citeq")
+                & fp.isNotNull()
+                & F.lower(F.substring(fp, 1, 1)).eqNullSafe("q"),
+                fp,
+            ),
+        )
+        .withColumn(
+            "url",
+            F.when(tn == "url", F.when(fp.contains("://"), fp)).otherwise(p["url"]),
+        )
+        .withColumn("isbn_raw", F.when(tn == "isbn", fp).otherwise(p["isbn"]))
+    )
+
+    # --- F7: {{google books}} template stored in the url param -------------
+    gb_tpl_id = C.google_books_template_id(F.col("url"))
+    df = df.withColumn("_gb_template_id", gb_tpl_id).withColumn(
+        "url",
+        F.when(
+            F.col("_gb_template_id").isNotNull(),
+            C.canonical_google_books_url(F.col("_gb_template_id")),
+        ).otherwise(F.col("url")),
+    )
+
+    # --- F6/P11: url scheme guard (url only; reference nulls only self.url)
+    df = df.withColumn("_url_missing_scheme", F.col("url").isNotNull() & ~C.has_url_scheme(F.col("url")))
+    df = df.withColumn("url", C.url_with_scheme_or_null(F.col("url")))
+
+    # --- F5: first-level domains ------------------------------------------
+    df = df.withColumn(
+        "first_level_domain_of_url", C.first_level_domain(F.col("url"))
+    ).withColumn(
+        "first_level_domain_of_archive_url",
+        C.first_level_domain(F.col("archive_url")),
+    )
+
+    # --- J7: archive detection (intent order: after fld) -------------------
+    df = df.withColumn(
+        "detected_archive_of_archive_url",
+        C.detect_archive(F.col("first_level_domain_of_archive_url")),
+    ).withColumn(
+        "detected_archive_of_url",
+        C.detect_archive(F.col("first_level_domain_of_url")),
+    )
+
+    # --- F9 / F8: external ids from urls -----------------------------------
+    df = df.withColumn(
+        "internet_archive_id",
+        C.internet_archive_id_from_path(
+            F.col("url"), F.col("first_level_domain_of_url")
+        ),
+    ).withColumn(
+        "google_books_id",
+        F.coalesce(
+            F.col("_gb_template_id"),
+            C.google_books_id_from_query(
+                F.col("url"), F.col("first_level_domain_of_url")
+            ),
+        ),
+    )
+
+    # --- F10: isbn ---------------------------------------------------------
+    isbn_norm = C.isbn_normalized(F.col("isbn_raw"))
+    df = (
+        df.withColumn("isbn", isbn_norm)
+        .withColumn("isbn_13", C.isbn_13(F.col("isbn")))
+        .withColumn("isbn_10", C.isbn_10(F.col("isbn")))
+    )
+
+    # --- F12: dates --------------------------------------------------------
+    for field in DATE_FIELDS:
+        df = df.withColumn(field, C.parse_multiformat_date(p[field]))
+
+    # --- F15: persons ------------------------------------------------------
+    df = df.withColumn("persons", persons_array(p))
+
+    # --- F11: markup cleanup (publisher only) ------------------------------
+    df = df.withColumn("publisher", C.clean_wiki_markup(F.col("publisher")))
+
+    # --- F18/F19: merges ---------------------------------------------------
+    df = (
+        df.withColumn("_lang_conflict", C.merge_conflict(F.col("language"), F.col("lang")))
+        .withColumn("language", C.merge_secondary(F.col("language"), F.col("lang")))
+        .withColumn("_place_conflict", C.merge_conflict(F.col("location"), F.col("place")))
+        .withColumn("location", C.merge_secondary(F.col("location"), F.col("place")))
+    )
+
+    # --- F3/F4: hashes (last, like the reference) --------------------------
+    hash_key = H.reference_hash_key(
+        F.col("doi"),
+        F.col("pmid"),
+        F.col("isbn"),
+        F.col("oclc"),
+        F.col("url"),
+        F.col("first_parameter"),
+    )
+    df = (
+        df.withColumn("md5hash", H.reference_hash(hash_key, wikibase_title))
+        .withColumn("has_hash", F.col("md5hash").isNotNull())
+        .withColumn(
+            "first_level_domain_of_url_hash",
+            H.website_hash(F.col("first_level_domain_of_url"), wikibase_title),
+        )
+        .withColumn(
+            "has_first_level_domain_url_hash",
+            F.col("first_level_domain_of_url_hash").isNotNull(),
+        )
+    )
+    # keep the raw isbn string param out of the public surface
+    return df.drop("isbn_raw", "_gb_template_id")
+
+
+#: S11 — rejects rules derivable from a normalized references row
+def collect_rejects(references: DataFrame) -> DataFrame:
+    """Side-output channel (S11): one row per violated rule, schema per
+    FIXTURES.md §8. The rules mirror the reference's per-rule log files."""
+    key_cols = [F.col("page_id"), F.col("template_ordinal")]
+
+    def channel(cond, rule: str, message):
+        return references.filter(cond).select(
+            F.lit(rule).alias("rule"), message.alias("message"), *key_cols
+        )
+
+    p = F.col("params")
+    channels = [
+        # url_exceptions.log — url present but scheme missing (P11)
+        channel(
+            F.col("_url_missing_scheme"),
+            "url_exceptions",
+            F.concat(F.lit("missing scheme in url: "), F.coalesce(p["url"], F.lit(""))),
+        ),
+        # isbn_exceptions.log — isbn not 10/13 after dash strip (F10)
+        channel(
+            C.isbn_invalid_length(F.col("isbn")),
+            "isbn_exceptions",
+            F.concat(F.lit("isbn not 10 or 13 chars: "), F.col("isbn")),
+        ),
+        # lang.log — both lang and language populated (F18)
+        channel(
+            F.col("_lang_conflict"),
+            "lang",
+            F.concat(F.lit("both lang and language populated: "), p["lang"]),
+        ),
+        # place.log — both place and location populated (F19)
+        channel(
+            F.col("_place_conflict"),
+            "place",
+            F.concat(F.lit("both place and location populated: "), p["place"]),
+        ),
+        # undetected_archive.log — archive_url whose fld is no known archive (J7)
+        channel(
+            F.col("archive_url").isNotNull()
+            & F.col("first_level_domain_of_archive_url").isNotNull()
+            & F.col("detected_archive_of_archive_url").isNull(),
+            "undetected_archive",
+            F.concat(F.lit("no archive detected for "), F.col("archive_url")),
+        ),
+        # hashing not possible (P10) — warning channel
+        channel(
+            ~F.col("has_hash"),
+            "unhashable_reference",
+            F.concat(
+                F.lit("hashing not possible for this instance of "),
+                F.col("template_name"),
+            ),
+        ),
+    ]
+    out = channels[0]
+    for ch in channels[1:]:
+        out = out.unionByName(ch)
+    return out
