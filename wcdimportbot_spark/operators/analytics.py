@@ -1,0 +1,87 @@
+"""Read-side analytics (A1-A8, J2, W3; the reference's --statistics and
+--lookup-md5hash entry points, ``src/__init__.py:42-54,277-303``,
+``crud/read.py``).
+
+All functions take the ``items``/``claims``/``references`` DataFrames
+produced by the pipeline and return DataFrames — no driver-side collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def count_items_by_type(items: DataFrame) -> DataFrame:
+    """A1 — SPARQL ``COUNT(?item) WHERE { ?item instance_of wcd:Q }`` for
+    every item type in one scan (crud/read.py:18-34,101-123)."""
+    return items.groupBy("instance_of").agg(F.count("*").alias("count"))
+
+
+def count_property_usage(claims: DataFrame) -> DataFrame:
+    """A2 — items having any value per property; the whole statistics
+    screen is one aggregation (crud/read.py:144-146, src/__init__.py:42-54)."""
+    return claims.groupBy("property").agg(
+        F.countDistinct("subject_qid").alias("items_with_property")
+    )
+
+
+def page_hash_statistics(references: DataFrame) -> DataFrame:
+    """A3 — per-page reference/hash counts and integer percent
+    (wikipedia_page.py:63-84,476-480: floor of 100*hashed/total)."""
+    return references.groupBy("page_id").agg(
+        F.count("*").alias("number_of_references"),
+        F.count(F.when(F.col("md5hash").isNotNull(), 1)).alias(
+            "number_of_hashed_references"
+        ),
+        F.floor(
+            100
+            * F.count(F.when(F.col("md5hash").isNotNull(), 1))
+            / F.count("*")
+        )
+        .cast("int")
+        .alias("percent_of_hashed_references"),
+    )
+
+
+def corpus_statistics(references: DataFrame) -> DataFrame:
+    """A4 — global sums + percent (src/__init__.py:354-370, commented
+    design)."""
+    return references.agg(
+        F.count("*").alias("total_references"),
+        F.count(F.when(F.col("md5hash").isNotNull(), 1)).alias("total_hashed"),
+        F.floor(
+            100 * F.count(F.when(F.col("md5hash").isNotNull(), 1)) / F.count("*")
+        )
+        .cast("int")
+        .alias("percent_hashed"),
+    )
+
+
+def lookup_qids_for_hash(claims: DataFrame, md5hash: str) -> DataFrame:
+    """J2 — ``?item wcdt:HASH "md5"`` (crud/read.py:126-142)."""
+    return claims.filter(
+        (F.col("property") == "HASH") & (F.col("value_string") == md5hash)
+    ).select("subject_qid")
+
+
+def duplicate_hash_violations(claims: DataFrame) -> DataFrame:
+    """J2 uniqueness assertion — >1 item per hash is an invariant violation
+    (wikipedia_page.py:143-167 raises on multiple QIDs)."""
+    return (
+        claims.filter(F.col("property") == "HASH")
+        .groupBy(F.col("value_string").alias("hash"))
+        .agg(F.countDistinct("subject_qid").alias("n_items"))
+        .filter(F.col("n_items") > 1)
+    )
+
+
+def rinse_items(items: DataFrame, claims: DataFrame, item_types: list[str]) -> tuple[DataFrame, DataFrame]:
+    """S10/U2 — delete-all per item type as anti-join rewrites (the Delta
+    form is two DELETE statements; crud/delete.py:18-68)."""
+    doomed = items.filter(F.col("instance_of").isin(item_types)).select("qid")
+    kept_items = items.join(doomed, "qid", "left_anti")
+    kept_claims = claims.join(
+        doomed.withColumnRenamed("qid", "subject_qid"), "subject_qid", "left_anti"
+    )
+    return kept_items, kept_claims

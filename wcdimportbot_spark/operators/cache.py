@@ -1,0 +1,97 @@
+"""Hash→QID cache and idempotent upload semantics (S6-S9, J1/J4/J6).
+
+The reference uses an SSDB key-value store probed one key at a time
+(``cache.py:16-162``) plus conflict-as-success Wikibase writes
+(``crud/create.py:25-45``). Set-oriented restatement:
+
+- the cache is a ``cache(hash, qid)`` DataFrame persisted as parquet
+  (Delta's MERGE would be the cluster-grade sink; parquet
+  append/overwrite emulates it in this environment — the jars are not in
+  the image);
+- J1 cache lookup  = broadcast left join on ``hash``;
+- J4 upload-if-missing = left-anti join (miss side) / left-semi (hit side);
+- S9/J6 conflict-QID adoption = for hash-derived deterministic QIDs the
+  conflicting write produces the *same* QID, so adoption is a no-op —
+  dedup-before-write (``dropDuplicates("hash")``) plus idempotent MERGE
+  keep exactly-once effects across retries.
+
+Scale: the cache side of J1 can be billions of rows at 100 TB; the join is
+then a shuffle hash join on md5 (near-uniform keys, no salting needed —
+SURVEY §4). ``broadcast=`` lets callers force the broadcast plan when the
+cache is known-small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CACHE_SCHEMA = T.StructType(
+    [
+        T.StructField("hash", T.StringType(), False),
+        T.StructField("qid", T.StringType(), False),
+    ]
+)
+
+
+def empty_cache(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], CACHE_SCHEMA)
+
+
+def read_cache(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.schema(CACHE_SCHEMA).parquet(path)
+    return empty_cache(spark)
+
+
+def lookup(cache: DataFrame, hash_value: str) -> DataFrame:
+    """S6 point lookup — ``cache.filter(hash == h)``; on a sorted/bucketed
+    cache table this prunes to one file via min/max statistics."""
+    return cache.filter(F.col("hash") == F.lit(hash_value))
+
+
+def split_hits_and_misses(
+    entities: DataFrame,
+    cache: DataFrame,
+    hash_col: str = "hash",
+    broadcast: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """J1/J4 — (hits with qid attached, misses to upload)."""
+    cache_side = F.broadcast(cache) if broadcast else cache
+    hits = entities.join(
+        cache_side, entities[hash_col] == cache_side["hash"], "inner"
+    ).drop(cache_side["hash"])
+    misses = entities.join(
+        cache_side, entities[hash_col] == cache_side["hash"], "left_anti"
+    )
+    return hits, misses
+
+
+def merge_into_cache(
+    cache: DataFrame, new_mappings: DataFrame, hash_col: str = "hash"
+) -> DataFrame:
+    """S7 with S9 semantics: insert-if-absent (existing hash keeps its QID —
+    conflict-as-success). Returns the merged cache DataFrame; caller
+    persists with :func:`write_cache`."""
+    deduped = new_mappings.select(
+        F.col(hash_col).alias("hash"), F.col("qid")
+    ).dropDuplicates(["hash"])
+    fresh = deduped.join(cache, "hash", "left_anti")
+    return cache.unionByName(fresh)
+
+
+def write_cache(cache: DataFrame, path: str) -> None:
+    """S7 sink. Overwrite-with-union emulates MERGE on plain parquet; on
+    Delta this is ``MERGE INTO cache USING new ON hash WHEN NOT MATCHED
+    INSERT``."""
+    # materialize before overwriting the path we may have read from
+    staged = cache.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(path)
+
+
+def delete_keys(cache: DataFrame, hashes: DataFrame) -> DataFrame:
+    """S8 — ``DELETE WHERE hash IN (...)`` as an anti-join rewrite."""
+    return cache.join(hashes.select("hash"), "hash", "left_anti")
