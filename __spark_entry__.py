@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — synthesize citation-bearing pages from
+  the sf0.001 ``documents`` table, run the full import pipeline
+  (extract → normalize → hash → dedup), and return the per-page
+  reference/hash statistics (SURVEY §7.2 step 1, the reference's
+  ``__print_hash_statistics__``).
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
+  SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``),
+  each verified against a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +15,80 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ensure_conf(spark: SparkSession) -> None:
+    # driver may hand us a session not built by wcdimportbot_spark.session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import wcdimportbot_spark.session as session
+
+    session._export_package_on_pythonpath()
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap each document in wikitext with citation
+    templates so the real extraction pipeline has real work to do: one
+    hashable cite web (url identity), one cite journal with a DOI shared by
+    every 10th doc (cross-page dedup), one unhashable cite news."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wikitext = F.concat(
+        F.lit("{{cite web |url=https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" |title=Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" |last=Author |first=A. |access-date=2024-01-01}} "),
+        F.substring("text", 1, 200),
+        F.lit(" {{cite journal |title=Shared |doi=10.5555/group."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("}} {{cite news |agency=Wire |title=String citation "),
+        F.col("doc_id").cast("string"),
+        F.lit("}}"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("page_id"),
+        F.concat(F.lit("Document "), F.col("doc_id").cast("string")).alias("title"),
+        F.coalesce(F.col("lang"), F.lit("en")).alias("language_code"),
+        (F.col("doc_id") + 1000).alias("latest_revision_id"),
+        wikitext.alias("wikitext"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full import pipeline on sf0.001 → per-page hash statistics."""
+    _ensure_conf(spark)
+    from wcdimportbot_spark.operators.analytics import page_hash_statistics
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    pages = pages_from_documents(spark, SMOKE_SF_DIR)
+    result = run_import(
+        pages, retrieved_date=F.lit("2026-08-13").cast("date")
+    )
+    return page_hash_statistics(result.references)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from wcdimportbot_spark.plans.benchmark_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_conf(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wcdimportbot_spark.plans.benchmark_queries import QUERIES
+
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

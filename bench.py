@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+    {"metric": "total_headline_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is executed with a count()-style action so results stay
+distributed (no driver collect cost in the measurement); a warmup pass on
+the first query amortizes JVM/codegen startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j3_star_join_revenue",
+    "j1_broadcast_lookup_join",
+    "j4_anti_join_upload_if_missing",
+    "a2_property_usage",
+    "a5_in_group_dedup",
+    "a7_windowed_event_counts",
+    "w2_first_occurrence_dedup",
+    "w3_topk",
+    "f3_f4_identity_hash_chain",
+    "f12_multiformat_date_parse",
+    "f24_claims_melt",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from wcdimportbot_spark import get_spark
+    from wcdimportbot_spark.plans.benchmark_queries import QUERIES
+
+    spark = get_spark(app_name="wcdimportbot-bench")
+
+    # warmup: trigger JVM/codegen/io paths once outside the measurement
+    QUERIES[HEADLINE[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -239,12 +239,12 @@ def find_single_number(col: Column) -> Column:
     """Exactly one digit-run → int; zero → NULL; multiple → NULL (the
     imperative MoreThanOneNumberError becomes a filterable condition via
     :func:`has_multiple_numbers`)."""
-    nums = F.regexp_extract_all(col, F.lit(r"\d+"))
+    nums = F.regexp_extract_all(col, F.lit(r"(\d+)"), 1)
     return F.when(F.size(nums) == 1, F.element_at(nums, 1).cast("int"))
 
 
 def has_multiple_numbers(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(r"\d+"))) > 1
+    return F.size(F.regexp_extract_all(col, F.lit(r"(\d+)"), 1)) > 1
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,783 @@
+"""Operator-inventory queries over the driver's synthetic tables.
+
+Every operator family from SURVEY.md §2 is expressed twice (FIXTURES.md §9):
+domain-shaped (the wikitext pipeline, tested in tests/) and TPC-H-shaped —
+this module — so the driver can verify each against a DuckDB oracle at
+sf0.01 and benchmark it at sf0.1.
+
+Contract per entry: a Spark callable ``(spark, sf_dir) -> DataFrame`` and an
+ANSI-SQL oracle string (``None`` for non-SQL-expressible ops → driver does a
+rows-only check). Column names are aliased identically on both sides; the
+driver sorts columns by name and hashes values order-insensitively.
+
+Determinism rules used throughout:
+- no bare LIMIT without a total order; top-k always carries a tiebreaker;
+- money aggregates go through DECIMAL(18,2) (exact, order-independent) and
+  are cast to double at the end so both engines emit float64;
+- timestamps in outputs are formatted to strings (Spark session is UTC,
+  DuckDB is UTC-naive — formatting removes representation skew).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
+        # long under nanosAsLong; convert to a microsecond timestamp
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+@dataclass
+class QuerySpec:
+    """One verified operator: Spark implementation + DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    survey: str  # SURVEY §2 operator ids this query covers
+    description: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, survey: str, description: str, oracle: Optional[str]):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, survey=survey, description=description)
+        return fn
+
+    return deco
+
+
+def _money(col):
+    """Exact, order-independent money aggregation: decimal in, double out."""
+    return F.col(col).cast("decimal(18,2)") if isinstance(col, str) else col.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# S — scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_scan_pushdown",
+    "S1,S2",
+    "projection+predicate pushdown scan (dump read analog)",
+    """
+    SELECT l_orderkey, l_partkey, CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+      AND l_returnflag = 'R'
+    """,
+)
+def s1_scan_pushdown(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey", "l_partkey", F.col("l_quantity").cast("double").alias("qty")
+        )
+    )
+
+
+@register(
+    "s6_point_lookup",
+    "S6,J2",
+    "cache point lookup by key (hash->qid get analog)",
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey = 42",
+)
+def s6_point_lookup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+@register(
+    "f23_json_decode",
+    "F23,S4",
+    "JSON payload field extraction (event decode analog)",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def f23_json_decode(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P — projections / filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_supported_filter",
+    "P1,P7,P8",
+    "whitelist isin filter (supported-template filter analog)",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_type IN ('click', 'view') AND user_id % 2 = 0
+    """,
+)
+def p1_supported_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view") & (F.col("user_id") % 2 == 0))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "p9_null_presence_guard",
+    "P6,P9,P10",
+    "null/presence predicates gating downstream ops",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE text IS NOT NULL AND n_chars > 200 AND lang IS NOT NULL
+    """,
+)
+def p9_null_presence_guard(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.col("n_chars") > 200)
+            & F.col("lang").isNotNull()
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_broadcast_lookup_join",
+    "J1",
+    "broadcast hash join against a small lookup side (cache probe analog)",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 40
+    """,
+)
+def j1_broadcast_lookup_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand"
+    )
+
+
+@register(
+    "j2_uniqueness_violations",
+    "J2,A8",
+    "hash-uniqueness invariant check (>1 item per key)",
+    """
+    SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+    GROUP BY l_orderkey HAVING COUNT(*) > 5
+    """,
+)
+def j2_uniqueness_violations(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") > 5)
+    )
+
+
+@register(
+    "j3_star_join_revenue",
+    "J3,J5,A1",
+    "multi-hop FK star join with broadcast dims (ref->website->domain analog)",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def j3_star_join_revenue(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_money("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "j4_anti_join_upload_if_missing",
+    "J4,P12",
+    "left-anti join: entities missing from the cache",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j4_anti_join_upload_if_missing(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j4b_semi_join_cache_hits",
+    "J4",
+    "left-semi join: cache-hit side",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def j4b_semi_join_cache_hits(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j7_dimension_join",
+    "J7",
+    "tiny dimension broadcast join with miss side-output semantics",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j7_dimension_join(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left").select(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    )
+
+
+@register(
+    "j8_recursive_closure",
+    "J8,S3",
+    "iterative transitive closure (category-recursion analog): driver-side "
+    "fixpoint loop of joins, verified against a recursive CTE",
+    """
+    WITH RECURSIVE closure(root, node) AS (
+        SELECT r_name, r_name FROM region
+        UNION
+        SELECT c.root, n.n_name
+        FROM closure c JOIN nation n
+          ON n.n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = c.node)
+    )
+    SELECT root, node FROM closure WHERE root <> node
+    """,
+)
+def j8_recursive_closure(spark, sf_dir):
+    # edges: region -> nation (2-level hierarchy; the loop is generic and
+    # terminates at fixpoint, same as src/__init__.py:229-254 recursion)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    edges = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("parent"), F.col("n_name").alias("child"))
+    )
+    frontier = r.select(F.col("r_name").alias("root"), F.col("r_name").alias("node"))
+    closure = frontier
+    for _ in range(10):  # bounded fixpoint; converges after 1 hop here
+        nxt = (
+            closure.join(edges, closure.node == edges.parent)
+            .select("root", F.col("child").alias("node"))
+        )
+        new_closure = closure.unionByName(nxt).dropDuplicates(["root", "node"])
+        if new_closure.count() == closure.count():
+            closure = new_closure
+            break
+        closure = new_closure
+    return closure.filter(F.col("root") != F.col("node"))
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_count_by_type",
+    "A1",
+    "COUNT by instance-of (statistics screen)",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
+)
+def a1_count_by_type(spark, sf_dir):
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a2_property_usage",
+    "A2",
+    "COUNT DISTINCT subjects per property",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+)
+def a2_property_usage(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "a3_per_group_hash_stats",
+    "A3",
+    "per-page reference/hash statistics analog: counts + integer percent",
+    """
+    SELECT l_orderkey,
+           COUNT(*) AS n_refs,
+           COUNT(*) FILTER (WHERE l_returnflag = 'N') AS n_hashed,
+           CAST(FLOOR(100 * (COUNT(*) FILTER (WHERE l_returnflag = 'N')) / COUNT(*)) AS INT) AS pct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a3_per_group_hash_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    hashed = F.count(F.when(F.col("l_returnflag") == "N", 1))
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_refs"),
+        hashed.alias("n_hashed"),
+        F.floor(100 * hashed / F.count("*")).cast("int").alias("pct"),
+    )
+
+
+@register(
+    "a4_corpus_stats",
+    "A4",
+    "global corpus statistics",
+    """
+    SELECT COUNT(*) AS total_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    """,
+)
+def a4_corpus_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(_money("l_quantity")).cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "a5_in_group_dedup",
+    "A5,A6",
+    "dropDuplicates on key columns (in-page dedup analog)",
+    "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem",
+)
+def a5_in_group_dedup(spark, sf_dir):
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+
+
+@register(
+    "a7_windowed_event_counts",
+    "A7,§2.8",
+    "tumbling-window event counts (batch twin of the streaming aggregation)",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a7_windowed_event_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_money("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    "A1-A4 composite",
+    "TPC-H Q1 pricing summary (headline aggregation benchmark)",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W — windows / sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_ordinal_sequencing",
+    "W1",
+    "row_number ordinals within a group (person sequencing analog)",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS ordinal
+    FROM lineitem
+    """,
+)
+def w1_ordinal_sequencing(spark, sf_dir):
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("ordinal"))
+    )
+
+
+@register(
+    "w2_first_occurrence_dedup",
+    "W2",
+    "first event per key by time (stream session dedup analog)",
+    """
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w2_first_occurrence_dedup(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "w3_topk",
+    "W3",
+    "deterministic top-k (LIMIT with total order)",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def w3_topk(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("total"))
+    )
+
+
+@register(
+    "w4_label_truncation",
+    "W4",
+    "string truncation with ellipsis marker (wikibase label rule)",
+    """
+    SELECT p_partkey,
+           CASE WHEN length(p_name) > 10 THEN substring(p_name, 1, 9) || '…'
+                ELSE p_name END AS label
+    FROM part
+    """,
+)
+def w4_label_truncation(spark, sf_dir):
+    from wcdimportbot_spark.functions.columns import shorten
+
+    return load(spark, sf_dir, "part").select(
+        "p_partkey", shorten(F.col("p_name"), 10).alias("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_distinct",
+    "U1,U2",
+    "union of filtered subsets, deduplicated",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def u1_union_distinct(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# F — scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f3_f4_identity_hash_chain",
+    "F3,F4",
+    "md5 identity hash with the reference's normalize-then-hash rule",
+    """
+    SELECT doc_id,
+           md5('sandbox.wiki' || lower(replace(substring(text, 1, 64), ' ', ''))) AS md5hash
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def f3_f4_identity_hash_chain(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit("sandbox.wiki"),
+                    F.lower(F.regexp_replace(F.substring("text", 1, 64), " ", "")),
+                )
+            ).alias("md5hash"),
+        )
+    )
+
+
+@register(
+    "f4_coalesce_priority_chain",
+    "F4,F18,F19",
+    "coalesce priority chain with nullif guards (merge semantics)",
+    """
+    SELECT doc_id, coalesce(nullif(lang, ''), nullif(source, ''), 'unknown') AS resolved
+    FROM documents
+    """,
+)
+def f4_coalesce_priority_chain(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(
+            F.nullif("lang", F.lit("")), F.nullif("source", F.lit("")), F.lit("unknown")
+        ).alias("resolved"),
+    )
+
+
+@register(
+    "f12_multiformat_date_parse",
+    "F12,F13",
+    "multi-format date strings parsed via a coalesce of try-parsers, "
+    "emitted in wikibase time format",
+    """
+    WITH formatted AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE l_linenumber % 3
+                    WHEN 0 THEN strftime(l_shipdate, '%Y-%m-%d')
+                    WHEN 1 THEN strftime(l_shipdate, '%b %d, %Y')
+                    ELSE strftime(l_shipdate, '%d %b %Y')
+               END AS datestr
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           '+' || strftime(coalesce(
+               try_strptime(datestr, '%Y-%m-%d'),
+               try_strptime(datestr, '%b %d, %Y'),
+               try_strptime(datestr, '%d %b %Y')
+           ), '%Y-%m-%d') || 'T00:00:00Z' AS wikibase_time
+    FROM formatted
+    """,
+)
+def f12_multiformat_date_parse(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    datestr = (
+        F.when(F.col("l_linenumber") % 3 == 0, F.date_format("l_shipdate", "yyyy-MM-dd"))
+        .when(F.col("l_linenumber") % 3 == 1, F.date_format("l_shipdate", "MMM dd, yyyy"))
+        .otherwise(F.date_format("l_shipdate", "dd MMM yyyy"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("datestr"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(F.col("datestr"), F.lit("MMM dd, yyyy")),
+        F.try_to_timestamp(F.col("datestr"), F.lit("dd MMM yyyy")),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", datestr.alias("datestr"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat(
+                F.lit("+"), F.date_format(parsed, "yyyy-MM-dd"), F.lit("T00:00:00Z")
+            ).alias("wikibase_time"),
+        )
+    )
+
+
+@register(
+    "f5_f6_hostname_fld",
+    "F5,F6,F21",
+    "URL construction, host extraction, first-level-domain derivation",
+    """
+    SELECT c_custkey,
+           lower(regexp_replace(c_name, '[^a-zA-Z0-9]+', '-', 'g')) || '.shop.example.co.uk' AS host,
+           'example.co.uk' AS fld
+    FROM customer
+    """,
+)
+def f5_f6_hostname_fld(spark, sf_dir):
+    from wcdimportbot_spark.functions.columns import first_level_domain, hostname
+
+    c = load(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_replace("c_name", "[^a-zA-Z0-9]+", "-")),
+        F.lit(".shop.example.co.uk/path?q=1"),
+    )
+    return c.select(
+        "c_custkey",
+        hostname(url).alias("host"),
+        first_level_domain(url).alias("fld"),
+    )
+
+
+@register(
+    "f14_number_extraction",
+    "F14",
+    "single-number extraction from strings (ordinal parsing)",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN length(regexp_extract(o_orderpriority, '(\\d+)', 1)) > 0
+                     THEN regexp_extract(o_orderpriority, '(\\d+)', 1) END AS INT) AS priority_number
+    FROM orders
+    """,
+)
+def f14_number_extraction(spark, sf_dir):
+    from wcdimportbot_spark.functions.columns import find_single_number
+
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", find_single_number(F.col("o_orderpriority")).alias("priority_number")
+    )
+
+
+@register(
+    "f15_unpivot_person_columns",
+    "F15",
+    "unpivot wide columns to long key/value rows (person-column melt)",
+    """
+    SELECT c_custkey, 'name' AS attr, c_name AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'segment' AS attr, c_mktsegment AS value FROM customer
+    """,
+)
+def f15_unpivot_person_columns(spark, sf_dir):
+    return load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "stack(2, 'name', c_name, 'segment', c_mktsegment) AS (attr, value)",
+    )
+
+
+@register(
+    "f24_claims_melt",
+    "F24,F26",
+    "wide row -> long typed claims rows (claim emission shape)",
+    """
+    SELECT o_orderkey AS subject, 'STATUS' AS property, 'string' AS datatype,
+           o_orderstatus AS value_string, NULL AS value_quantity
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'TOTAL_PRICE', 'quantity', NULL,
+           CAST(o_totalprice AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'PRIORITY', 'string', o_orderpriority, NULL FROM orders
+    """,
+)
+def f24_claims_melt(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    claims = F.array(
+        F.struct(
+            F.lit("STATUS").alias("property"),
+            F.lit("string").alias("datatype"),
+            F.col("o_orderstatus").alias("value_string"),
+            F.lit(None).cast("double").alias("value_quantity"),
+        ),
+        F.struct(
+            F.lit("TOTAL_PRICE").alias("property"),
+            F.lit("quantity").alias("datatype"),
+            F.lit(None).cast("string").alias("value_string"),
+            F.col("o_totalprice").cast("double").alias("value_quantity"),
+        ),
+        F.struct(
+            F.lit("PRIORITY").alias("property"),
+            F.lit("string").alias("datatype"),
+            F.col("o_orderpriority").alias("value_string"),
+            F.lit(None).cast("double").alias("value_quantity"),
+        ),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("subject"), F.explode(claims).alias("c")
+    ).select(
+        "subject",
+        "c.property",
+        "c.datatype",
+        "c.value_string",
+        "c.value_quantity",
+    )
