@@ -32,6 +32,11 @@ HEADLINE = [
     "f3_f4_identity_hash_chain",
     "f12_multiformat_date_parse",
     "f24_claims_melt",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "text_profile",
 ]
 
 

@@ -1,0 +1,155 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions over the ``documents`` table — no UDFs, no
+shuffles beyond the final aggregates; each has a DuckDB oracle twin
+(generated from the same constants, so the heuristics cannot drift apart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wcdimportbot_spark.operators.text_dedup import TOKEN_SPLIT_RE, tokens
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic (a real deployment swaps in fastText/CLD3 via a pandas UDF —
+#: same column contract)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "para", "en"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "für", "mit", "auf"),
+}
+
+_QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct token count (the BPE-ish proxy: alnum runs)."""
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = _QUALITY_STOPWORDS) -> Column:
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return F.when(F.size(t) > 0, F.round(hits / F.size(t).cast("double"), 4)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    return F.when(
+        F.length(text) > 0,
+        F.round(F.length(stripped) / F.length(text).cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality proxy: length band + low punctuation +
+    healthy stopword density (C4/Gopher-style rule scoring, simplified)."""
+    n_tok = token_count(text)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(length_ok + punct_ok + stop_ok, 4)
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-vote language heuristic: the language whose stopword list
+    scores the most token hits wins; ties break alphabetically; zero hits →
+    'und' (undetermined)."""
+    t = tokens(text)
+
+    def stopword_filter(stoplist: tuple[str, ...]):
+        # single-parameter lambda required: pyspark treats a second
+        # (even defaulted) parameter as the array-index argument
+        return lambda x: x.isin(*stoplist)
+
+    scored = None
+    for lang in sorted(LANG_STOPWORDS):
+        hits = F.size(F.filter(t, stopword_filter(LANG_STOPWORDS[lang])))
+        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        scored = F.array(entry) if scored is None else F.concat(scored, F.array(entry))
+    # max by (hits, reversed-lang): array_max on struct compares fieldwise;
+    # to break ties toward the alphabetically-first lang we sort descending
+    # by hits then take the first element of the sorted array
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    ).getItem(0)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — canonicalization-style near-dup key (word order and
+    repetition invariant)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def document_profile(docs: DataFrame) -> DataFrame:
+    """One-pass profile: (doc_id, n_tokens, quality, detected_lang,
+    fingerprint)."""
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        quality_score(text).alias("quality"),
+        detect_language(text).alias("detected_lang"),
+        fingerprint(text).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generators (shared constants)
+# ---------------------------------------------------------------------------
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"list_filter(string_split_regex(lower({col}), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(ts, x -> x IN ({lst})))"
+
+
+def document_profile_sql(table: str) -> str:
+    lang_cases = []
+    # mirror: sort (hits desc, lang asc), take first with hits > 0
+    pairs = ", ".join(
+        f"{{'neg': -{_sql_stop_hits(lang)}, 'lang': '{lang}'}}" for lang in sorted(LANG_STOPWORDS)
+    )
+    en_stop = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_sql_tokens()} AS ts FROM {table}
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(ts) AS n_tokens,
+               CASE WHEN length(text) > 0
+                    THEN round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE), 4)
+                    ELSE 0.0 END AS punct,
+               CASE WHEN len(ts) > 0
+                    THEN round(len(list_filter(ts, x -> x IN ({en_stop}))) / CAST(len(ts) AS DOUBLE), 4)
+                    ELSE 0.0 END AS stopr,
+               list_sort([{pairs}]) AS scored,
+               md5(list_aggregate(list_sort(list_distinct(ts)), 'string_agg', ' ')) AS fp
+        FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           round((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN punct < 0.2 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN stopr >= 0.05 THEN 0.3 ELSE 0.0 END), 4) AS quality,
+           CASE WHEN scored[1]['neg'] < 0 THEN scored[1]['lang'] ELSE 'und' END AS detected_lang,
+           fp AS fingerprint
+    FROM feat
+    """

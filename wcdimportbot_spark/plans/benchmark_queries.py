@@ -781,3 +781,175 @@ def f24_claims_melt(spark, sf_dir):
         "c.value_string",
         "c.value_quantity",
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM data-pipeline operators (dedup / similarity / text analysis /
+# multimodal) — BASELINE.json north-star additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    "A6+ (exact dedup)",
+    "exact duplicate groups by content hash",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(load(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle():
+    from wcdimportbot_spark.operators.text_dedup import minhash_lsh_sql
+
+    return minhash_lsh_sql("documents", num_hashes=16, bands=4)
+
+
+@register(
+    "dedup_minhash_lsh",
+    "A6+ (near dedup)",
+    "MinHash+LSH near-duplicate candidate pairs (16 hashes, 4 bands)",
+    None,  # oracle attached below (generated SQL)
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"), num_hashes=16, bands=4)
+
+
+QUERIES["dedup_minhash_lsh"].oracle = _minhash_oracle()
+
+
+def _simhash_oracle():
+    from wcdimportbot_spark.operators.text_dedup import simhash_sql
+
+    return simhash_sql("documents", bits=16)
+
+
+@register(
+    "dedup_simhash",
+    "A6+ (near dedup)",
+    "16-bit SimHash fingerprints over the token multiset",
+    None,
+)
+def dedup_simhash(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+QUERIES["dedup_simhash"].oracle = _simhash_oracle()
+
+
+def _jaccard_oracle():
+    from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_sql
+
+    return ngram_jaccard_sql("documents", threshold=0.5, max_gram_df=50)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "A6+ (near dedup)",
+    "word-bigram Jaccard pairs via inverted-index join (df-capped)",
+    None,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, max_gram_df=50
+    )
+
+
+QUERIES["dedup_ngram_jaccard"].oracle = _jaccard_oracle()
+
+
+def _cosine_oracle():
+    from wcdimportbot_spark.operators.similarity import cosine_topk_sql
+
+    return cosine_topk_sql("embeddings", num_queries=10, k=5, dim=64)
+
+
+@register(
+    "sim_cosine_topk",
+    "similarity search (exact baseline)",
+    "brute-force cosine top-5 neighbours for 10 query vectors",
+    None,
+)
+def sim_cosine_topk(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(
+        load(spark, sf_dir, "embeddings"), num_queries=10, k=5
+    )
+
+
+QUERIES["sim_cosine_topk"].oracle = _cosine_oracle()
+
+
+@register(
+    "sim_ann_lsh",
+    "similarity search (scale path)",
+    "LSH random-hyperplane bucketed ANN top-k (approximate; no SQL oracle — "
+    "bucket recall is the tunable, verified rows-only)",
+    None,
+)
+def sim_ann_lsh(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        load(spark, sf_dir, "embeddings"), num_queries=10, k=5, planes=4, num_tables=8
+    )
+
+
+def _profile_oracle():
+    from wcdimportbot_spark.operators.text_analysis import document_profile_sql
+
+    return document_profile_sql("documents")
+
+
+@register(
+    "text_profile",
+    "text analysis (lang-id, quality, tokens, fingerprint)",
+    "one-pass document profile: token count, quality score, language "
+    "heuristic, content fingerprint",
+    None,
+)
+def text_profile(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_analysis import document_profile
+
+    return document_profile(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_profile"].oracle = _profile_oracle()
+
+
+@register(
+    "multimodal_feature_stats",
+    "multimodal columns (binary payload plumbing)",
+    "binary media payloads → mapInPandas feature extraction → per-modality "
+    "stats (decode stubbed deterministically; plumbing real)",
+    """
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           COUNT(*) AS n_media,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS distinct_payloads
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_feature_stats(spark, sf_dir):
+    from wcdimportbot_spark.operators.multimodal import (
+        extract_media_features,
+        media_feature_stats,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return media_feature_stats(extract_media_features(media, fake=True))
