@@ -37,6 +37,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "text_profile",
+    "domain_page_hash_stats",  # full wikitext import pipeline end-to-end
 ]
 
 

@@ -177,3 +177,36 @@ def test_rinse(result):
     types = {r["instance_of"] for r in items2.select("instance_of").distinct().collect()}
     assert "WIKIPEDIA_REFERENCE" not in types
     assert claims2.filter(F.col("property") == "TEMPLATE_NAME").count() == 0
+
+
+def test_sinks_partitioned_merge(spark, result, tmp_path):
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+
+    items_path = str(tmp_path / "items")
+    claims_path = str(tmp_path / "claims")
+    rejects_path = str(tmp_path / "rejects")
+    sinks.write_items(result.items, items_path)
+    sinks.write_claims(result.claims, claims_path)
+    sinks.write_rejects(result.rejects, rejects_path)
+    # partition directories exist per type/property/rule
+    assert any(d.startswith("instance_of=") for d in os.listdir(items_path))
+    assert any(d.startswith("property=") for d in os.listdir(claims_path))
+    assert sinks.read_items(spark, items_path).count() == result.items.count()
+    # merge is idempotent: re-merging the same items adds nothing
+    merged = sinks.merge_items(spark, result.items, items_path)
+    assert merged.count() == result.items.count()
+    # a genuinely new item is inserted; a conflicting hash keeps the old row
+    first_hash = result.items.select("hash").limit(1).collect()[0][0]
+    newcomers = spark.createDataFrame(
+        [
+            ("QNEW", "WEBSITE_ITEM", "new.example", "d", "brandnewhash"),
+            ("QCONFLICT", "WEBSITE_ITEM", "conflict", "d", first_hash),
+        ],
+        result.items.schema,
+    )
+    merged2 = sinks.merge_items(spark, newcomers, items_path)
+    assert merged2.count() == result.items.count() + 1
+    kept = merged2.filter(F.col("hash") == first_hash).collect()[0]
+    assert kept["qid"] != "QCONFLICT"

@@ -953,3 +953,109 @@ def multimodal_feature_stats(spark, sf_dir):
 
     media = media_from_documents(load(spark, sf_dir, "documents"))
     return media_feature_stats(extract_media_features(media, fake=True))
+
+
+# ---------------------------------------------------------------------------
+# Domain pipeline under the oracle gate: pages are synthesized
+# deterministically from `documents` (__spark_entry__.pages_from_documents),
+# so a closed-form SQL oracle can predict the output of the FULL
+# extract → normalize → hash → graph pipeline.
+# Synthesized wikitext per doc: 1 hashable cite web (unique url),
+# 1 hashable cite journal (doi shared by every 10th doc), 1 unhashable
+# cite news → per-page stats are constant; item counts are closed-form.
+# All cite-web urls share first-level domain example.com → exactly 1 website.
+# ---------------------------------------------------------------------------
+
+
+def _domain_pages(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.pages_from_documents(spark, sf_dir)
+
+
+@register(
+    "domain_page_hash_stats",
+    "F1-F4,P1-P5,A3,A5 end-to-end",
+    "FULL import pipeline per-page hash statistics vs closed-form oracle",
+    """
+    SELECT doc_id AS page_id,
+           3 AS number_of_references,
+           2 AS number_of_hashed_references,
+           66 AS percent_of_hashed_references
+    FROM documents
+    """,
+)
+def domain_page_hash_stats(spark, sf_dir):
+    from wcdimportbot_spark.operators.analytics import page_hash_statistics
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    res = run_import(
+        _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
+    )
+    return page_hash_statistics(res.references)
+
+
+@register(
+    "domain_item_counts",
+    "F3,A6,S9 end-to-end",
+    "graph item counts by type vs closed-form oracle (N pages, N unique "
+    "cite-web urls + 10 shared DOIs references, distinct source domains)",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of, COUNT(*) AS n FROM documents
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE', COUNT(*) + 10 FROM documents
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT)
+    """,
+)
+def domain_item_counts(spark, sf_dir):
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    res = run_import(
+        _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
+    )
+    return res.items.groupBy("instance_of").agg(F.count("*").alias("n"))
+
+
+@register(
+    "domain_citation_edges",
+    "J5,A5 end-to-end",
+    "citation edges per page (in-page dedup) vs closed-form oracle",
+    """
+    SELECT 'CITATIONS' AS property, CAST(2 * COUNT(*) AS BIGINT) AS n_edges,
+           COUNT(DISTINCT doc_id) AS n_pages
+    FROM documents
+    """,
+)
+def domain_citation_edges(spark, sf_dir):
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    res = run_import(
+        _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
+    )
+    edges = res.claims.filter(F.col("property") == "CITATIONS")
+    return edges.groupBy("property").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("subject_qid").alias("n_pages"),
+    )
+
+
+@register(
+    "domain_string_citations",
+    "F25 end-to-end",
+    "string-citation claims for unhashable references vs closed-form oracle",
+    """
+    SELECT 'cite news' AS value_string, COUNT(*) AS n FROM documents
+    """,
+)
+def domain_string_citations(spark, sf_dir):
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    res = run_import(
+        _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
+    )
+    return (
+        res.claims.filter(F.col("property") == "STRING_CITATIONS")
+        .groupBy("value_string")
+        .agg(F.count("*").alias("n"))
+    )
