@@ -1059,3 +1059,96 @@ def domain_string_citations(spark, sf_dir):
         .groupBy("value_string")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "a1_cube_statistics",
+    "A1,A2 (cube extension)",
+    "statistics screen as one cube over (type, status) — SURVEY §2.4 notes "
+    "the A1+A2 screen is a natural cube in the rebuild",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a1_cube_statistics(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    "J3,A1,W3 composite",
+    "TPC-H Q3-style: selective join + aggregate + deterministic top-k",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-06-15'
+      AND l.l_shipdate > TIMESTAMP '1995-06-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-06-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-06-15")
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "domain_person_claims",
+    "F15-F17,F24 end-to-end",
+    "person claims through the full pipeline vs closed-form oracle (each "
+    "synthesized cite web carries last=Author/first=A.)",
+    """
+    SELECT 'A. Author' AS full_name, COUNT(*) AS n FROM documents
+    """,
+)
+def domain_person_claims(spark, sf_dir):
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    res = run_import(
+        _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
+    )
+    return (
+        res.claims.filter(F.col("property") == "FULL_NAME_STRING")
+        .groupBy(F.col("value_string").alias("full_name"))
+        .agg(F.count("*").alias("n"))
+    )
