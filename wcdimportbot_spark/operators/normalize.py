@@ -176,8 +176,15 @@ def build_references(
     for field in DATE_FIELDS:
         df = df.withColumn(field, C.parse_multiformat_date(p[field]))
 
-    # --- F15: persons ------------------------------------------------------
-    df = df.withColumn("persons", persons_array(p))
+    # --- F15: persons (canonical key map materialized as its own column —
+    # see persons.canonicalize_person_keys) --------------------------------
+    from wcdimportbot_spark.operators.persons import canonicalize_person_keys
+
+    df = (
+        df.withColumn("_pcanon", canonicalize_person_keys(p))
+        .withColumn("persons", persons_array(F.col("_pcanon")))
+        .drop("_pcanon")
+    )
 
     # --- F11: markup cleanup (publisher only) ------------------------------
     df = df.withColumn("publisher", C.clean_wiki_markup(F.col("publisher")))
