@@ -132,3 +132,62 @@ def test_category_closure_with_cycle(spark):
     assert members == {"Science", "Physics", "Quantum", "Biology"}
     depths = {r["member"]: r["depth"] for r in closure.collect()}
     assert depths["Quantum"] == 2
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState: sessions split on the inactivity gap, state
+    carries across micro-batches."""
+    import json
+
+    from wcdimportbot_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "sess-in"
+    src.mkdir()
+    # batch 0: user 1 has two events 10s apart, then a 2h gap inside the
+    # same file -> first session closes when the later event arrives
+    rows0 = [
+        {"user_id": 1, "ts": "2026-01-01T10:00:00.000Z"},
+        {"user_id": 1, "ts": "2026-01-01T10:00:10.000Z"},
+        {"user_id": 1, "ts": "2026-01-01T12:30:00.000Z"},
+        {"user_id": 2, "ts": "2026-01-01T10:05:00.000Z"},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows0))
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    events = raw.select(
+        F.from_json(F.col("value"), schema).alias("e")
+    ).select("e.*")
+    sessions = sessionize_stream(events, gap_seconds=1800.0)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "sess-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # user 1's first session (2 events) closed by the post-gap event;
+    # user 2's session and user 1's second remain open (no output yet)
+    assert got == {(1, 2)}
+
+    # batch 1: user 2 sends a post-gap event -> closes their first session
+    (src / "b1.json").write_text(
+        json.dumps({"user_id": 2, "ts": "2026-01-01T13:00:00.000Z"})
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got == {(1, 2), (2, 1)}

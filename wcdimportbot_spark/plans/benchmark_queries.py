@@ -1152,3 +1152,114 @@ def domain_person_claims(spark, sf_dir):
         .groupBy(F.col("value_string").alias("full_name"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "a8_sessionization",
+    "A7,W1 extension (§2.8 stateful analog)",
+    "gaps-and-islands sessionization: 30-min inactivity gap splits sessions "
+    "(batch twin of the stateful streaming operator)",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def a8_sessionization(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    "A6+ (embedding near-dup)",
+    "embedding-cosine near-duplicate pairs above a threshold (blocked query "
+    "set to bound the pair space; ANN buckets are the scale path)",
+    """
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+               SQRT(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS na,
+               SQRT(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS nb
+        FROM embeddings a, embeddings b, UNNEST(range(1, 65)) AS t(i)
+        WHERE a.vec_id < 200 AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(dot / (na * nb), 4) AS cosine
+    FROM pairs WHERE round(dot / (na * nb), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = F.broadcast(a).crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    sims = pairs.withColumn(
+        "cosine",
+        F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4),
+    )
+    return sims.filter(F.col("cosine") >= 0.4).select("vec_a", "vec_b", "cosine")
+
+
+@register(
+    "text_token_stats",
+    "text analysis (token counting)",
+    "whitespace vs BPE-ish subword token counting per document",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_words,
+           len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]')) AS n_subwords
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    # BPE-ish proxy: greedy ≤4-char alpha chunks, digit runs, single punct —
+    # a stand-in with the shape of a subword tokenizer (real BPE is a pandas
+    # UDF with a vocab; same column contract)
+    subwords = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"([a-z]{1,4}|[0-9]+|[^a-z0-9\s])"), 1
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_words"),
+        F.size(subwords).alias("n_subwords"),
+    )
