@@ -1,0 +1,212 @@
+"""CLI entry point with the reference's command surface
+(``wcdimportbot.py`` / ``src/__init__.py:57-137,323-352``), driving the
+Spark pipelines against a local store directory of parquet tables
+(items/claims/cache/rejects).
+
+    python -m wcdimportbot_spark.cli --store /tmp/wcd --import-title "Easter Island"
+    python -m wcdimportbot_spark.cli --store /tmp/wcd --import-pages dump.parquet
+    python -m wcdimportbot_spark.cli --store /tmp/wcd --max-range 5 --pages dump.parquet
+    python -m wcdimportbot_spark.cli --store /tmp/wcd --category "World War II" \
+        --category-links links.parquet --pages dump.parquet
+    python -m wcdimportbot_spark.cli --store /tmp/wcd --lookup-md5hash e98adc...
+    python -m wcdimportbot_spark.cli --store /tmp/wcd --statistics
+    python -m wcdimportbot_spark.cli --store /tmp/wcd --rinse
+    python -m wcdimportbot_spark.cli --store /tmp/wcd --delete-page "Easter Island"
+
+Differences from the reference, by design: the sink is the local graph
+store (not a live Wikibase); ``--import-title`` fetches over MediaWiki REST
+only when ``requests`` is importable and ``--live`` is passed, else uses
+the deterministic offline stub (sources/pages.py); batch imports read page
+dumps instead of crawling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _store_paths(store: str) -> dict[str, str]:
+    return {name: os.path.join(store, name) for name in ("items", "claims", "cache", "rejects")}
+
+
+def _read_or_none(spark, path):
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return None
+
+
+def _write_graph(spark, result, paths) -> None:
+    from wcdimportbot_spark.operators import cache as cache_ops
+    from wcdimportbot_spark.operators import sinks
+
+    merged_items = sinks.merge_items(spark, result.items, paths["items"])
+    merged_items = merged_items.localCheckpoint(eager=True)
+    sinks.write_items(merged_items, paths["items"])
+    # claims for freshly-merged items only would need a diff; idempotent
+    # overwrite keeps one claims row-set per item generation
+    existing_claims = _read_or_none(spark, paths["claims"])
+    claims = result.claims
+    if existing_claims is not None:
+        claims = existing_claims.unionByName(claims).dropDuplicates(
+            ["subject_qid", "property", "value_string", "value_qid", "value_time"]
+        )
+    claims = claims.localCheckpoint(eager=True)
+    sinks.write_claims(claims, paths["claims"])
+    cache = cache_ops.read_cache(spark, paths["cache"])
+    cache_ops.write_cache(
+        cache_ops.merge_into_cache(cache, result.items.select("hash", "qid")),
+        paths["cache"],
+    )
+    sinks.write_rejects(result.rejects, paths["rejects"])
+
+
+def _import_pages(spark, pages, paths) -> None:
+    from wcdimportbot_spark.operators import cache as cache_ops
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    cache = cache_ops.read_cache(spark, paths["cache"])
+    result = run_import(pages, cache=cache)
+    # materialize counts BEFORE the writers overwrite the store paths these
+    # lazy plans still reference (read-then-overwrite-then-reread trap)
+    n_new = result.new_cache_mappings.count()
+    n_pages = pages.count()
+    _write_graph(spark, result, paths)
+    print(f"imported: {n_pages} pages, {n_new} new items")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="wcdimportbot-spark",
+        description="PySpark-native WCD import bot (reference command surface)",
+    )
+    parser.add_argument("--store", required=True, help="graph store directory (parquet tables)")
+    parser.add_argument("-i", "--import-title", help="import one page by title")
+    parser.add_argument("--import-pages", help="import a page dump (parquet)")
+    parser.add_argument("--pages", help="page dump for --max-range/--category")
+    parser.add_argument("-c", "--category", help="import pages in a category, recursively")
+    parser.add_argument("--category-links", help="category_links(parent, child) parquet")
+    parser.add_argument("--page-categories", help="page_categories(page_id, category) parquet")
+    parser.add_argument("-r", "--max-range", type=int, help="import max range of pages")
+    parser.add_argument("-l", "--lookup-md5hash", help="lookup a hash in cache and claims")
+    parser.add_argument("-d", "--delete-page", help="delete one page item by title")
+    parser.add_argument("--rinse", action="store_true", help="delete all items and flush the cache")
+    parser.add_argument("-s", "--statistics", action="store_true", help="print graph statistics")
+    parser.add_argument("--live", action="store_true", help="fetch titles over MediaWiki REST")
+    args = parser.parse_args(argv)
+
+    from wcdimportbot_spark import get_spark
+
+    spark = get_spark(app_name="wcdimportbot-cli")
+    paths = _store_paths(args.store)
+
+    if args.import_title:
+        from wcdimportbot_spark.sources.pages import fetch_pages_by_title
+
+        titles = spark.createDataFrame([(args.import_title,)], ["title"])
+        pages = fetch_pages_by_title(titles, live=args.live)
+        _import_pages(spark, pages, paths)
+
+    elif args.import_pages or args.max_range or args.category:
+        from wcdimportbot_spark.sources.pages import range_scan, read_page_dump
+
+        dump = args.import_pages or args.pages
+        if not dump:
+            parser.error("--max-range/--category need --pages <dump.parquet>")
+        pages = read_page_dump(spark, dump)
+        if args.category:
+            if not (args.category_links and args.page_categories):
+                parser.error("--category needs --category-links and --page-categories")
+            from wcdimportbot_spark.sources.category import (
+                articles_in_category,
+                category_closure,
+            )
+
+            links = spark.read.parquet(args.category_links)
+            page_cats = spark.read.parquet(args.page_categories)
+            roots = spark.createDataFrame([(args.category,)], ["category"])
+            closure = category_closure(links, roots)
+            pages = articles_in_category(closure, pages, page_cats).drop("root")
+        if args.max_range:
+            pages = range_scan(pages, max_count=args.max_range)
+        _import_pages(spark, pages, paths)
+
+    elif args.lookup_md5hash:
+        from wcdimportbot_spark.operators import cache as cache_ops
+        from wcdimportbot_spark.operators.analytics import lookup_qids_for_hash
+
+        cache = cache_ops.read_cache(spark, paths["cache"])
+        hits = cache_ops.lookup(cache, args.lookup_md5hash).collect()
+        print(f"cache: {[r['qid'] for r in hits]}")
+        claims = _read_or_none(spark, paths["claims"])
+        if claims is not None:
+            qids = lookup_qids_for_hash(claims, args.lookup_md5hash).collect()
+            print(f"claims: {[r['subject_qid'] for r in qids]}")
+
+    elif args.statistics:
+        from wcdimportbot_spark.operators.analytics import (
+            count_items_by_type,
+            count_property_usage,
+        )
+
+        items = _read_or_none(spark, paths["items"])
+        claims = _read_or_none(spark, paths["claims"])
+        stats = {"items": {}, "properties": {}}
+        if items is not None:
+            stats["items"] = {
+                r["instance_of"]: r["count"] for r in count_items_by_type(items).collect()
+            }
+        if claims is not None:
+            stats["properties"] = {
+                r["property"]: r["items_with_property"]
+                for r in count_property_usage(claims).collect()
+            }
+        print(json.dumps(stats, indent=2, sort_keys=True))
+
+    elif args.rinse:
+        import shutil
+
+        for p in paths.values():
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        print("rinsed: all items, claims, cache, rejects")
+
+    elif args.delete_page:
+        from wcdimportbot_spark.functions.hashing import page_hash
+        from wcdimportbot_spark.operators.analytics import rinse_items
+
+        items = _read_or_none(spark, paths["items"])
+        claims = _read_or_none(spark, paths["claims"])
+        if items is None:
+            print("store is empty")
+            return 1
+        # page qid is deterministic from (title, language, page_id); the
+        # store may hold several language editions — match by label
+        doomed = items.filter(
+            (F.col("instance_of") == "WIKIPEDIA_PAGE")
+            & (F.col("label") == args.delete_page)
+        ).select("qid")
+        n = doomed.count()
+        kept_items = items.join(doomed, "qid", "left_anti").localCheckpoint(eager=True)
+        from wcdimportbot_spark.operators import sinks
+
+        sinks.write_items(kept_items, paths["items"])
+        if claims is not None:
+            kept_claims = claims.join(
+                doomed.withColumnRenamed("qid", "subject_qid"), "subject_qid", "left_anti"
+            ).localCheckpoint(eager=True)
+            sinks.write_claims(kept_claims, paths["claims"])
+        print(f"deleted {n} page item(s) titled {args.delete_page!r}")
+
+    else:
+        parser.print_help()
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
