@@ -36,6 +36,9 @@ def _store_paths(store: str) -> dict[str, str]:
 
 def _read_or_none(spark, path):
     if os.path.exists(path):
+        # a long-lived session caches file listings per path; the store is
+        # rewritten between commands, so invalidate before reading
+        spark.catalog.refreshByPath(path)
         return spark.read.parquet(path)
     return None
 
@@ -186,10 +189,16 @@ def main(argv=None) -> int:
             return 1
         # page qid is deterministic from (title, language, page_id); the
         # store may hold several language editions — match by label
-        doomed = items.filter(
-            (F.col("instance_of") == "WIKIPEDIA_PAGE")
-            & (F.col("label") == args.delete_page)
-        ).select("qid")
+        doomed = (
+            items.filter(
+                (F.col("instance_of") == "WIKIPEDIA_PAGE")
+                & (F.col("label") == args.delete_page)
+            )
+            .select("qid")
+            # materialize: this plan is reused by the claims anti-join AFTER
+            # write_items has replaced the files it reads
+            .localCheckpoint(eager=True)
+        )
         n = doomed.count()
         kept_items = items.join(doomed, "qid", "left_anti").localCheckpoint(eager=True)
         from wcdimportbot_spark.operators import sinks

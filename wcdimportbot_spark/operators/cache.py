@@ -43,6 +43,9 @@ def empty_cache(spark: SparkSession) -> DataFrame:
 
 def read_cache(spark: SparkSession, path: str) -> DataFrame:
     if os.path.exists(path):
+        # invalidate any cached file listing: the cache path is routinely
+        # overwritten by write_cache within one session
+        spark.catalog.refreshByPath(path)
         return spark.read.schema(CACHE_SCHEMA).parquet(path)
     return empty_cache(spark)
 

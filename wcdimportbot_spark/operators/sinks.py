@@ -33,10 +33,14 @@ def write_claims(claims: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_items(spark: SparkSession, path: str) -> DataFrame:
+    # the store paths are rewritten in place; drop any stale file-listing
+    # cache a long-lived session may hold for them
+    spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)
 
 
 def read_claims(spark: SparkSession, path: str) -> DataFrame:
+    spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)
 
 
