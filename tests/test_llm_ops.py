@@ -131,3 +131,29 @@ def test_multimodal_fake_features_deterministic(docs):
         assert a[k]["features"] == b[k]["features"]
         assert len(a[k]["features"]) == 4
         assert a[k]["n_bytes"] > 0
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, num_queries=5, k=3).collect()
+    }
+    lo = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, num_queries=5, k=3, num_clusters=8, nprobe=2).collect()
+    }
+    hi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, num_queries=5, k=3, num_clusters=8, nprobe=6).collect()
+    }
+    recall_lo = len(exact & lo) / len(exact)
+    recall_hi = len(exact & hi) / len(exact)
+    assert recall_hi >= 0.5, f"high-probe IVF recall too low: {recall_hi}"
+    # more probes must not reduce recall (monotone candidate superset)
+    assert recall_hi >= recall_lo

@@ -1323,3 +1323,23 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "sim_ann_ivf",
+    "similarity search (scale path #2)",
+    "IVF ANN: k-means coarse quantizer, nprobe-cluster search, exact "
+    "re-rank (approximate + training-dependent; no SQL oracle — verified "
+    "rows-only, recall pinned in tests)",
+    None,
+)
+def sim_ann_ivf(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"),
+        num_queries=10,
+        k=5,
+        num_clusters=16,
+        nprobe=4,
+    )
