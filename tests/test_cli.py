@@ -47,3 +47,46 @@ def test_cli_statistics_empty_store(tmp_path, capsys):
     assert main(["--store", str(tmp_path / "none"), "--statistics"]) == 0
     stats = json.loads(capsys.readouterr().out)
     assert stats == {"items": {}, "properties": {}}
+
+
+def test_cli_delete_page_with_long_title(spark, tmp_path, capsys):
+    """Stored page labels are truncated to 250 chars; delete-by-title must
+    apply the same truncation or long-titled pages become undeletable."""
+    store = str(tmp_path / "store")
+    long_title = "Llanfairpwllgwyngyll " * 20  # ~420 chars, word-delimited
+    long_title = long_title.strip()
+
+    assert main(["--store", store, "--import-title", long_title]) == 0
+    assert "imported: 1 pages" in capsys.readouterr().out
+    assert main(["--store", store, "--delete-page", long_title]) == 0
+    assert "deleted 1 page item(s)" in capsys.readouterr().out
+
+    items = spark.read.parquet(store + "/items")
+    assert items.filter(items.instance_of == "WIKIPEDIA_PAGE").count() == 0
+
+
+def test_cli_reimport_preserves_qualifier_distinct_claims(spark, tmp_path, capsys):
+    """Claims differing only in qualifiers (or value_quantity) must survive a
+    re-import: merge is conflict-as-success per subject, never row-level
+    dedup across imports."""
+    store = str(tmp_path / "store")
+    assert main(["--store", store, "--import-title", "Easter Island"]) == 0
+    capsys.readouterr()
+
+    claims_path = store + "/claims"
+    spark.catalog.refreshByPath(claims_path)
+    claims = spark.read.parquet(claims_path)
+    n0 = claims.count()
+
+    # forge a twin of an existing claim differing only in value_quantity —
+    # a column the old dropDuplicates key ignored, so the pair collapsed
+    from pyspark.sql import functions as F
+
+    twin = claims.limit(1).withColumn("value_quantity", F.lit(99.0))
+    forged = claims.unionByName(twin).localCheckpoint(eager=True)
+    forged.write.mode("overwrite").partitionBy("property").parquet(claims_path)
+
+    assert main(["--store", store, "--import-title", "Easter Island"]) == 0
+    assert "0 new items" in capsys.readouterr().out
+    spark.catalog.refreshByPath(claims_path)
+    assert spark.read.parquet(claims_path).count() == n0 + 1

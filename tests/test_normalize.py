@@ -227,3 +227,62 @@ def test_persons_both_digit_positions(spark):
     assert editors[1]["name_string"] == "Ed Two" and editors[1]["ordinal"] == 2
     # translator_link alone: unnumbered person with any-field rule
     assert by_role["translator"][0]["link"] == "TL"
+
+
+def test_shorten_matches_textwrap(spark):
+    """shorten() replicates textwrap.shorten(placeholder='...') on
+    space-delimited text (crud/__init__.py:194,270,615); hyphen-breaking is
+    a documented deviation and excluded here."""
+    import textwrap
+
+    from wcdimportbot_spark.functions.columns import shorten
+
+    samples = [
+        "goldenrod lavender spring chocolate lace",
+        "hello world this is",
+        "hello  world",
+        "longsingleword",
+        "abc def ghij",
+        "abcdefg hi",
+        "abcdefgh",
+        "ab cdefghij",
+        "  padded   words  here  ",
+        "x",
+        "",
+    ]
+    for width in (10, 20, 240):
+        df = spark.createDataFrame([(s,) for s in samples], "s string")
+        got = [r["t"] for r in df.select(shorten(F.col("s"), width).alias("t")).collect()]
+        want = [textwrap.shorten(s, width, placeholder="...") for s in samples]
+        assert got == want, f"width={width}: {got} != {want}"
+
+
+def test_map_key_dedup_is_config_independent(spark):
+    """Renames/canonicalization that collide keys must not depend on
+    spark.sql.mapKeyDedupPolicy=LAST_WIN being set by the session factory."""
+    from wcdimportbot_spark.operators.persons import canonicalize_person_keys
+
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        # both alias variants present -> same key after rename
+        pages = spark.createDataFrame(
+            [(1, "{{cite web |accessdate=2020-01-01 |access_date=2021-02-02 "
+                 "|url=https://e.com/ |title=K}}")],
+            "page_id long, wikitext string",
+        )
+        raw = fix_param_keys(filter_supported_templates(extract_raw_templates(pages)))
+        params = raw.collect()[0]["params"]
+        assert params["access_date"] == "2021-02-02"  # last wins
+
+        # both digit positions present -> same key after canonicalization
+        df = spark.createDataFrame(
+            [({"author2_first": "MidDigit", "author_first2": "TrailDigit"},)],
+            "params map<string,string>",
+        )
+        out = df.select(
+            canonicalize_person_keys(F.col("params")).alias("p")
+        ).collect()[0]["p"]
+        assert out == {"author_first2": "TrailDigit"}  # last wins
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)

@@ -50,14 +50,17 @@ def _write_graph(spark, result, paths) -> None:
     merged_items = sinks.merge_items(spark, result.items, paths["items"])
     merged_items = merged_items.localCheckpoint(eager=True)
     sinks.write_items(merged_items, paths["items"])
-    # claims for freshly-merged items only would need a diff; idempotent
-    # overwrite keeps one claims row-set per item generation
+    # conflict-as-success at claim level, matching merge_items: a subject
+    # already in the store keeps its existing claim rows verbatim (first
+    # write wins, crud/create.py:39-45); only claims of NEW subjects are
+    # inserted. Row-level dedup would collapse claims differing only in
+    # qualifiers/value_quantity — never dedup across imports.
     existing_claims = _read_or_none(spark, paths["claims"])
     claims = result.claims
     if existing_claims is not None:
-        claims = existing_claims.unionByName(claims).dropDuplicates(
-            ["subject_qid", "property", "value_string", "value_qid", "value_time"]
-        )
+        existing_subjects = existing_claims.select("subject_qid").distinct()
+        fresh = claims.join(existing_subjects, "subject_qid", "left_anti")
+        claims = existing_claims.unionByName(fresh)
     claims = claims.localCheckpoint(eager=True)
     sinks.write_claims(claims, paths["claims"])
     cache = cache_ops.read_cache(spark, paths["cache"])
@@ -179,20 +182,23 @@ def main(argv=None) -> int:
         print("rinsed: all items, claims, cache, rejects")
 
     elif args.delete_page:
-        from wcdimportbot_spark.functions.hashing import page_hash
-        from wcdimportbot_spark.operators.analytics import rinse_items
+        from wcdimportbot_spark.functions.columns import shorten
 
         items = _read_or_none(spark, paths["items"])
         claims = _read_or_none(spark, paths["claims"])
         if items is None:
             print("store is empty")
             return 1
-        # page qid is deterministic from (title, language, page_id); the
-        # store may hold several language editions — match by label
+        # page qid is deterministic from (title, language, page_id); the CLI
+        # only knows the title, so match by label — but stored labels are
+        # shortened to 250 chars (graph.page_items), so apply the SAME
+        # truncation to the requested title or >250-char pages could never
+        # be deleted. The store may hold several language editions; all are
+        # deleted, like the reference's per-title delete.
         doomed = (
             items.filter(
                 (F.col("instance_of") == "WIKIPEDIA_PAGE")
-                & (F.col("label") == args.delete_page)
+                & (F.col("label") == shorten(F.lit(args.delete_page), 250))
             )
             .select("qid")
             # materialize: this plan is reused by the claims anti-join AFTER

@@ -271,11 +271,48 @@ def person_full_name(name_string: Column, given: Column, surname: Column) -> Col
 
 
 def shorten(col: Column, width: int) -> Column:
-    """textwrap.shorten-style: truncate to ``width`` with a ``…`` marker
-    (reference uses placeholder="…")."""
-    return F.when(
-        F.length(col) > width, F.concat(F.substring(col, 1, width - 1), F.lit("…"))
-    ).otherwise(col)
+    """``textwrap.shorten(col, width, placeholder="...")`` as a Column
+    expression (reference: crud/__init__.py:194,270,615): collapse whitespace
+    runs to single spaces; if the collapsed text fits in ``width`` return it,
+    else keep the longest whole-word prefix that fits together with the
+    3-char ``...`` placeholder (the placeholder alone when no word fits).
+
+    Documented deviation: textwrap's ``break_on_hyphens`` (a hyphenated word
+    may be split, keeping ``aaa-...``) is not modeled — we treat
+    space-delimited words as atomic, yielding ``...`` for that case."""
+    collapsed = F.trim(F.regexp_replace(col, r"\s+", " "))
+    # peek one char past the word budget (width-3): a space there means the
+    # budget-filling prefix ends exactly on a word boundary
+    peek = F.substring(collapsed, 1, width - 2)
+    kept = F.regexp_replace(peek, r"\s*\S*$", "")
+    return F.when(F.length(collapsed) <= width, collapsed).otherwise(
+        F.when(kept == "", F.lit("...")).otherwise(F.concat(kept, F.lit("...")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# map key dedup, independent of session config
+# ---------------------------------------------------------------------------
+
+
+def dedup_map_last_wins(m: Column) -> Column:
+    """Rebuild a map keeping the LAST entry per key. ``transform_keys`` can
+    produce duplicate keys (e.g. ``accessdate`` → ``access_date`` when both
+    were present), which throws DUPLICATE_MAP_KEY unless the session happens
+    to set ``spark.sql.mapKeyDedupPolicy=LAST_WIN``; this expression encodes
+    last-wins explicitly so operators do not depend on session config.
+    O(n²) per row in map size — maps here are template params (≲ dozens of
+    keys)."""
+    entries = F.map_entries(m)
+    return F.map_from_entries(
+        F.filter(
+            entries,
+            lambda e, i: ~F.exists(
+                F.slice(entries, i + F.lit(2), F.size(entries)),
+                lambda later: later["key"] == e["key"],
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

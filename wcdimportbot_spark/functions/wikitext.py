@@ -26,11 +26,20 @@ of the engine. It is deliberately dependency-free and allocation-light: one
 linear scan finds all template spans, one linear scan per template splits
 parameters.
 
-Known deviation: MediaWiki triple-brace arguments (``{{{x}}}``) are not
-modeled (mwparserfromhell parses them as Argument nodes; we may misparse
-them as a template named ``{x``). Citation wikitext does not contain
-template arguments, and the reference's own test corpus never exercises
-them.
+Known deviations:
+
+- MediaWiki triple-brace arguments (``{{{x}}}``) are not modeled
+  (mwparserfromhell parses them as Argument nodes; we may misparse them as
+  a template named ``{x``). Citation wikitext does not contain template
+  arguments, and the reference's own test corpus never exercises them.
+- ``remove_comments`` removes each ``<!-- ... -->`` non-greedily across
+  lines. The reference (template_extraction.py:19-37) applies a GREEDY
+  per-line regex line-by-line and re-joins without newlines: on a line with
+  two comments it eats the text between them (ref ``'a<!--x-->b<!--y-->c'``
+  → ``'ac'``, repo → ``'abc'``), and multi-line input loses its newlines.
+  We implement the evident intent (excise each comment, keep everything
+  else); the reference behavior is a greedy-regex artifact its own tests
+  never pin.
 """
 
 from __future__ import annotations

@@ -60,9 +60,16 @@ def split_hits_and_misses(
     entities: DataFrame,
     cache: DataFrame,
     hash_col: str = "hash",
-    broadcast: bool = True,
+    broadcast: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """J1/J4 — (hits with qid attached, misses to upload)."""
+    """J1/J4 — (hits with qid attached, misses to upload).
+
+    The default leaves join-strategy choice to Catalyst/AQE: at 100 TB the
+    cache is the BIG side (billions of hash→qid rows), so a forced
+    broadcast would be the wrong unmarked path. Pass ``broadcast=True``
+    only when the cache is known-small (local harness, bootstrap runs) —
+    AQE picks broadcast automatically anyway when the runtime size is
+    under the threshold."""
     cache_side = F.broadcast(cache) if broadcast else cache
     hits = entities.join(
         cache_side, entities[hash_col] == cache_side["hash"], "inner"

@@ -96,8 +96,10 @@ def fix_param_keys(raw: DataFrame) -> DataFrame:
     Order matches ``__fix_keys__`` (class → aliases → dashes), then the
     marshmallow data_key renames 1/2 → first/second_parameter. Duplicate keys
     produced by a rename (e.g. both ``accessdate`` and ``access_date``
-    present) resolve last-wins via ``spark.sql.mapKeyDedupPolicy=LAST_WIN``
-    (set by the session factory), matching dict-overwrite semantics."""
+    present) resolve last-wins explicitly via
+    :func:`~wcdimportbot_spark.functions.columns.dedup_map_last_wins` —
+    matching dict-overwrite semantics without depending on the session's
+    ``spark.sql.mapKeyDedupPolicy``."""
     renames = {}
     renames.update(RESERVED_KEY_RENAMES)
     renames.update(KEY_ALIASES)
@@ -111,8 +113,13 @@ def fix_param_keys(raw: DataFrame) -> DataFrame:
             expr = F.when(k == old, F.lit(new)).otherwise(expr)
         return expr
 
+    from wcdimportbot_spark.functions.columns import dedup_map_last_wins
+
     return raw.withColumn(
-        "params", F.transform_keys("params", lambda k, _v: rename_expr(k))
+        "params",
+        dedup_map_last_wins(
+            F.transform_keys("params", lambda k, _v: rename_expr(k))
+        ),
     )
 
 

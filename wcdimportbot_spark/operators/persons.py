@@ -100,12 +100,20 @@ def canonicalize_person_keys(params: Column) -> Column:
     to :func:`persons_array` — inlining it makes Catalyst re-evaluate the
     whole map transform for every lookup (no common-subexpression sharing
     inside lambda bodies)."""
+    from wcdimportbot_spark.functions.columns import dedup_map_last_wins
+
     roles_alt = "|".join(PERSON_ROLES)
-    return F.transform_keys(
-        params,
-        lambda k, _v: F.regexp_replace(
-            k, f"^({roles_alt})(\\d+)_(first|last|link|mask)$", "$1_$3$2"
-        ),
+    # a params map holding BOTH digit positions for the same person part
+    # (author2_first + author_first2) canonicalizes to a duplicate key;
+    # dedup explicitly (last wins) instead of relying on the session's
+    # spark.sql.mapKeyDedupPolicy
+    return dedup_map_last_wins(
+        F.transform_keys(
+            params,
+            lambda k, _v: F.regexp_replace(
+                k, f"^({roles_alt})(\\d+)_(first|last|link|mask)$", "$1_$3$2"
+            ),
+        )
     )
 
 

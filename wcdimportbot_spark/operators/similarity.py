@@ -202,21 +202,30 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_train_vectors: int = 262_144,
 ):
     """Train the IVF coarse quantizer (MLlib k-means) and assign every
     vector to its nearest centroid — the inverted-file partitioning.
 
     Returns (assigned_df with a ``cluster`` column, centroids list). At
-    100 TB the assignment is one narrow pass; training samples a fraction
-    (k-means on a ~1M-vector sample is representative). Unlike LSH this
-    needs a training pass, but probes adapt to the data distribution."""
+    100 TB the assignment is one narrow pass; training runs on a bounded
+    sample (k-means centroids from ≤ ``max_train_vectors`` vectors are
+    representative — a full-table fit would shuffle the whole corpus into
+    the driver-coordinated Lloyd iterations). Unlike LSH this needs a
+    training pass, but probes adapt to the data distribution."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     vecs = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+    train = vecs
+    n = vecs.count()
+    if n > max_train_vectors:
+        train = vecs.sample(
+            withReplacement=False, fraction=max_train_vectors / n, seed=seed
+        )
     model = KMeans(
         k=num_clusters, seed=seed, featuresCol="_features", predictionCol="cluster"
-    ).fit(vecs)
+    ).fit(train)
     assigned = model.transform(vecs).drop("_features")
     centroids = [c.tolist() for c in model.clusterCenters()]
     return assigned, centroids

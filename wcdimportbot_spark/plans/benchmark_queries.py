@@ -536,12 +536,21 @@ def w3_topk(spark, sf_dir):
 @register(
     "w4_label_truncation",
     "W4",
-    "string truncation with ellipsis marker (wikibase label rule)",
-    """
+    "textwrap.shorten-style word-boundary truncation (wikibase label rule)",
+    r"""
     SELECT p_partkey,
-           CASE WHEN length(p_name) > 10 THEN substring(p_name, 1, 9) || '…'
-                ELSE p_name END AS label
-    FROM part
+           CASE WHEN length(t) <= 10 THEN t
+                WHEN v = '' THEN '...'
+                ELSE v || '...' END AS label
+    FROM (
+      SELECT p_partkey, t,
+             regexp_replace(substring(t, 1, 8), '\s*\S*$', '') AS v
+      FROM (
+        SELECT p_partkey,
+               trim(regexp_replace(p_name, '\s+', ' ', 'g')) AS t
+        FROM part
+      )
+    )
     """,
 )
 def w4_label_truncation(spark, sf_dir):
