@@ -191,3 +191,49 @@ def test_stateful_sessionization(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sessions_out").collect()
     }
     assert got == {(1, 2), (2, 1)}
+
+
+def test_stream_stops_at_max_events(spark, tmp_path):
+    """The max_events stop condition terminates the query itself
+    (event_stream.py:67-75): 100 events with max_events=10 → the query
+    stops after the exhausting micro-batch, and at most one raced extra
+    batch is observed (skipped, never processed)."""
+    from wcdimportbot_spark.streaming.events import (
+        StreamCounters,
+        parse_event_stream,
+        run_event_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for f in range(10):
+        rows = [
+            {"server_name": "en.wikipedia.org", "namespace": 0,
+             "title": f"T{f}_{i}", "bot": False, "type": "edit",
+             "ts": "2026-01-01T10:00:00.000Z"}
+            for i in range(10)
+        ]
+        (src / f"b{f}.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    processed = []
+    counters = StreamCounters(max_events=10)
+
+    def process(batch_df, epoch_id):
+        processed.append(batch_df.count())
+
+    query = run_event_stream(
+        parse_event_stream(raw),
+        process,
+        counters,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    query.awaitTermination(120)
+    assert not query.isActive, "query should have stopped itself"
+    assert counters.events == 10  # exactly the exhausting batch, no more
+    assert counters.batches <= 2
+    assert sum(processed) == 10

@@ -92,29 +92,59 @@ def run_event_stream(
     counters: StreamCounters | None = None,
     watermark: str = "10 minutes",
     checkpoint_dir: str | None = None,
+    stop_poll_seconds: float = 0.1,
 ):
     """Wire the stream: filter → watermark dedup → foreachBatch(batch
-    pipeline + counters + stop condition). Returns the StreamingQuery."""
+    pipeline + counters + stop condition). Returns the StreamingQuery.
+
+    ``max_events`` stop (event_stream.py:67-75): ``StreamingQuery.stop()``
+    from inside ``foreachBatch`` deadlocks, so a daemon monitor thread
+    watches the counters and stops the query as soon as they are exhausted.
+    At most one extra micro-batch may be *observed* before the stop lands —
+    it is skipped, not processed (the reference likewise finishes the event
+    in flight and breaks out of its consumer loop)."""
+    import threading
+
     counters = counters if counters is not None else StreamCounters()
     deduped = dedup_titles_with_watermark(filter_events(events), watermark)
 
-    query_holder = {}
+    exhausted_signal = threading.Event()
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if counters.exhausted():
+            # stop already requested; a batch that raced the monitor thread
+            # is dropped unprocessed
+            exhausted_signal.set()
+            return
         n = batch_df.count()
         counters.events += n
         counters.batches += 1
         if n:
             process_batch(batch_df, epoch_id)
-        if counters.exhausted() and "query" in query_holder:
-            # stop asynchronously: StreamingQuery.stop() from inside
-            # foreachBatch deadlocks; processAllAvailable callers check
-            # counters.exhausted() instead (event_stream.py:67-75 semantics)
-            pass
+        if counters.exhausted():
+            # signal only AFTER process_batch returns — the monitor must
+            # never stop the query while the exhausting batch is in flight
+            exhausted_signal.set()
 
     writer = deduped.writeStream.outputMode("append").foreachBatch(handle)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     query = writer.start()
-    query_holder["query"] = query
+
+    if counters.max_events is not None:
+        if counters.exhausted():  # pre-exhausted counters: stop immediately
+            exhausted_signal.set()
+
+        def monitor() -> None:
+            while query.isActive:
+                # act only on the explicit signal (set after the exhausting
+                # batch fully processed) — polling counters.exhausted() here
+                # would stop the query mid-batch
+                if exhausted_signal.wait(timeout=stop_poll_seconds):
+                    query.stop()
+                    return
+
+        threading.Thread(
+            target=monitor, daemon=True, name="wcd-max-events-stop"
+        ).start()
     return query
