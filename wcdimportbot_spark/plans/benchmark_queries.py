@@ -1070,6 +1070,77 @@ def domain_string_citations(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# S5 — SPARQL-shaped read surface: the reference's SPARQL reads
+# (crud/read.py:36-99) restated as spark.sql over registered graph views.
+# Same closed-form oracles as the domain queries (the claims table is the
+# triple store; see operators/sparql.py).
+# ---------------------------------------------------------------------------
+
+
+def _domain_graph_views(spark, sf_dir):
+    from wcdimportbot_spark.operators import sparql
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    res = run_import(
+        _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
+    )
+    sparql.register_graph_views(spark, res.items, res.claims)
+
+
+@register(
+    "sparql_item_counts",
+    "S5,A1",
+    "SPARQL statistics screen as spark.sql over the registered items view",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of, COUNT(*) AS count FROM documents
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE', COUNT(*) + 10 FROM documents
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT)
+    """,
+)
+def sparql_item_counts(spark, sf_dir):
+    from wcdimportbot_spark.operators import sparql
+
+    _domain_graph_views(spark, sf_dir)
+    return sparql.count_items_by_type_sql(spark)
+
+
+@register(
+    "sparql_page_qids",
+    "S5",
+    "SPARQL get-all-items twin: page QIDs via spark.sql; the oracle "
+    "recomputes the deterministic page hash (title+lang+page_id md5) in SQL",
+    """
+    SELECT 'Q' || md5('sandbox.wiki' || coalesce(lang, 'en')
+                      || CAST(doc_id AS VARCHAR)) AS item
+    FROM documents
+    """,
+)
+def sparql_page_qids(spark, sf_dir):
+    from wcdimportbot_spark.operators import sparql
+
+    _domain_graph_views(spark, sf_dir)
+    return sparql.all_items_of_type(spark, "WIKIPEDIA_PAGE")
+
+
+@register(
+    "sparql_statistic_count",
+    "S5,A1",
+    "SPARQL COUNT(?item) WHERE { ?item INSTANCE_OF wcd:V } twin over the "
+    "claims triple view",
+    """
+    SELECT COUNT(*) + 10 AS count FROM documents
+    """,
+)
+def sparql_statistic_count(spark, sf_dir):
+    from wcdimportbot_spark.operators import sparql
+
+    _domain_graph_views(spark, sf_dir)
+    return sparql.statistic_count(spark, "INSTANCE_OF", "WIKIPEDIA_REFERENCE")
+
+
 @register(
     "a1_cube_statistics",
     "A1,A2 (cube extension)",
