@@ -295,24 +295,34 @@ def shorten(col: Column, width: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def dedup_map_last_wins(m: Column) -> Column:
-    """Rebuild a map keeping the LAST entry per key. ``transform_keys`` can
-    produce duplicate keys (e.g. ``accessdate`` → ``access_date`` when both
-    were present), which throws DUPLICATE_MAP_KEY unless the session happens
-    to set ``spark.sql.mapKeyDedupPolicy=LAST_WIN``; this expression encodes
-    last-wins explicitly so operators do not depend on session config.
-    O(n²) per row in map size — maps here are template params (≲ dozens of
-    keys)."""
-    entries = F.map_entries(m)
-    return F.map_from_entries(
-        F.filter(
-            entries,
-            lambda e, i: ~F.exists(
-                F.slice(entries, i + F.lit(2), F.size(entries)),
-                lambda later: later["key"] == e["key"],
-            ),
-        )
+def transform_keys_last_wins(m: Column, key_fn) -> Column:
+    """``transform_keys`` with explicit last-wins dedup of colliding keys.
+
+    ``transform_keys`` itself builds its output map through the session's
+    ``spark.sql.mapKeyDedupPolicy`` (default EXCEPTION), so a rename that
+    collides keys (e.g. ``accessdate`` → ``access_date`` when both were
+    present) throws DUPLICATE_MAP_KEY before any after-the-fact cleanup can
+    run. This helper renames on the ENTRIES ARRAY instead, drops all but the
+    last entry per key, and only then materializes a map — dict-overwrite
+    semantics independent of session config. O(n²) per row in map size;
+    maps here are template params (≲ dozens of keys)."""
+    renamed = F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(key_fn(e["key"]).alias("key"), e["value"].alias("value")),
     )
+    # fold entries left→right, evicting an earlier entry when its key
+    # reappears: lambda variables (acc, e) are materialized values, so the
+    # rename transform above evaluates exactly ONCE per row (referencing
+    # `renamed` inside a lambda body instead would re-evaluate the whole
+    # rename chain per element — measured as a pipeline-level regression)
+    deduped = F.aggregate(
+        renamed,
+        F.array().cast("array<struct<key:string,value:string>>"),
+        lambda acc, e: F.concat(
+            F.filter(acc, lambda a: a["key"] != e["key"]), F.array(e)
+        ),
+    )
+    return F.map_from_entries(deduped)
 
 
 # ---------------------------------------------------------------------------

@@ -113,13 +113,10 @@ def fix_param_keys(raw: DataFrame) -> DataFrame:
             expr = F.when(k == old, F.lit(new)).otherwise(expr)
         return expr
 
-    from wcdimportbot_spark.functions.columns import dedup_map_last_wins
+    from wcdimportbot_spark.functions.columns import transform_keys_last_wins
 
     return raw.withColumn(
-        "params",
-        dedup_map_last_wins(
-            F.transform_keys("params", lambda k, _v: rename_expr(k))
-        ),
+        "params", transform_keys_last_wins(F.col("params"), rename_expr)
     )
 
 

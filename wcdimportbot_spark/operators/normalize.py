@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from wcdimportbot_spark.functions import columns as C
 from wcdimportbot_spark.functions import hashing as H
 from wcdimportbot_spark.functions.template_fields import DATE_FIELDS
-from wcdimportbot_spark.operators.persons import persons_array
+from wcdimportbot_spark.operators.persons import (
+    parsed_person_entries,
+    persons_from_parsed,
+    sorted_person_pairs,
+)
 
 #: string params promoted to top-level typed columns (FIXTURES.md §3 core set)
 PROMOTED_STRING_FIELDS = (
@@ -85,141 +89,133 @@ PROMOTED_STRING_FIELDS = (
 def build_references(
     raw_valid: DataFrame, wikibase_title: str = H.DEFAULT_WIKIBASE_TITLE
 ) -> DataFrame:
-    """``raw_templates`` (post key-fix + validation) → wide ``references``.
+    """``raw_templates`` (post key-fix + validation) -> wide ``references``.
 
-    One narrow projection; no shuffle, no UDF."""
+    One narrow projection; no shuffle, no UDF.
+
+    Structured as FIVE batched passes (one ``select`` + four ``withColumns``)
+    instead of one ``withColumn`` per derived field: every Dataset
+    transformation runs the JVM analyzer eagerly over the whole accumulated
+    plan, and with ~35 chained ``withColumn`` calls on this wide plan the
+    analysis alone cost multiple seconds per query -- more than executing
+    it. Within a batch every expression resolves against the batch's INPUT,
+    so each pass may only reference columns produced by earlier passes;
+    short-lived intermediates (the F20-resolved url, the google-books
+    rewrite) are inlined rather than materialized, trading a few duplicated
+    cheap regex evaluations for an order of magnitude fewer analyzer runs."""
     p = F.col("params")
-    df = raw_valid
 
-    # --- promote strings ---------------------------------------------------
-    promote = [p[f].alias(f) for f in PROMOTED_STRING_FIELDS]
-    df = df.select(
-        "page_id", "template_name", "template_ordinal", "params", *promote
-    )
-
-    # --- F20: first-parameter disambiguation -------------------------------
+    # --- pass 1 (select): promote strings + F20 disambiguation -------------
     tn = F.col("template_name")
-    fp = F.col("first_parameter")
-    df = (
-        df.withColumn(
-            "wikidata_qid",
-            F.when(
-                tn.isin("cite q", "citeq")
-                & fp.isNotNull()
-                & F.lower(F.substring(fp, 1, 1)).eqNullSafe("q"),
-                fp,
-            ),
-        )
-        .withColumn(
-            "url",
-            F.when(tn == "url", F.when(fp.contains("://"), fp)).otherwise(p["url"]),
-        )
-        .withColumn("isbn_raw", F.when(tn == "isbn", fp).otherwise(p["isbn"]))
-    )
-
-    # --- F7: {{google books}} template stored in the url param -------------
-    gb_tpl_id = C.google_books_template_id(F.col("url"))
-    df = df.withColumn("_gb_template_id", gb_tpl_id).withColumn(
-        "url",
+    fp = p["first_parameter"]
+    # F20: {{url}} first parameter is the url (if it looks like one)
+    url0 = F.when(tn == "url", F.when(fp.contains("://"), fp)).otherwise(p["url"])
+    promote = [p[f].alias(f) for f in PROMOTED_STRING_FIELDS if f != "url"]
+    df = raw_valid.select(
+        "page_id",
+        "template_name",
+        "template_ordinal",
+        "params",
+        *promote,
+        url0.alias("url"),
+        # F20: {{cite q}} first parameter is a wikidata qid
         F.when(
-            F.col("_gb_template_id").isNotNull(),
-            C.canonical_google_books_url(F.col("_gb_template_id")),
-        ).otherwise(F.col("url")),
+            tn.isin("cite q", "citeq")
+            & fp.isNotNull()
+            & F.lower(F.substring(fp, 1, 1)).eqNullSafe("q"),
+            fp,
+        ).alias("wikidata_qid"),
+        # F20: {{isbn}} first parameter is the isbn
+        F.when(tn == "isbn", fp).otherwise(p["isbn"]).alias("isbn_raw"),
     )
 
-    # --- F6/P11: url scheme guard (url only; reference nulls only self.url)
-    df = df.withColumn("_url_missing_scheme", F.col("url").isNotNull() & ~C.has_url_scheme(F.col("url")))
-    df = df.withColumn("url", C.url_with_scheme_or_null(F.col("url")))
-
-    # --- F5: first-level domains ------------------------------------------
-    df = df.withColumn(
-        "first_level_domain_of_url", C.first_level_domain(F.col("url"))
-    ).withColumn(
-        "first_level_domain_of_archive_url",
-        C.first_level_domain(F.col("archive_url")),
+    # --- pass 2: F7 google-books url rewrite + F6/P11 scheme guard ---------
+    gb_tpl_id = C.google_books_template_id(F.col("url"))
+    url1 = F.when(
+        gb_tpl_id.isNotNull(), C.canonical_google_books_url(gb_tpl_id)
+    ).otherwise(F.col("url"))
+    df = df.withColumns(
+        {
+            "_gb_template_id": gb_tpl_id,
+            "_url_missing_scheme": url1.isNotNull() & ~C.has_url_scheme(url1),
+            # reference nulls only self.url on a missing scheme (F6/P11)
+            "url": C.url_with_scheme_or_null(url1),
+        }
     )
 
-    # --- J7: archive detection (intent order: after fld) -------------------
-    df = df.withColumn(
-        "detected_archive_of_archive_url",
-        C.detect_archive(F.col("first_level_domain_of_archive_url")),
-    ).withColumn(
-        "detected_archive_of_url",
-        C.detect_archive(F.col("first_level_domain_of_url")),
-    )
-
-    # --- F9 / F8: external ids from urls -----------------------------------
-    df = df.withColumn(
-        "internet_archive_id",
-        C.internet_archive_id_from_path(
-            F.col("url"), F.col("first_level_domain_of_url")
+    # --- pass 3: flds (F5), isbn (F10), dates (F12), publisher markup
+    # (F11), lang/place merges (F18/F19), person-key parse (F15) ------------
+    pass3 = {
+        "first_level_domain_of_url": C.first_level_domain(F.col("url")),
+        "first_level_domain_of_archive_url": C.first_level_domain(
+            F.col("archive_url")
         ),
-    ).withColumn(
-        "google_books_id",
-        F.coalesce(
-            F.col("_gb_template_id"),
-            C.google_books_id_from_query(
+        "isbn": C.isbn_normalized(F.col("isbn_raw")),
+        "publisher": C.clean_wiki_markup(F.col("publisher")),
+        # conflicts read the INPUT columns (pre-merge), matching the
+        # original compute-conflict-then-merge order
+        "_lang_conflict": C.merge_conflict(F.col("language"), F.col("lang")),
+        "language": C.merge_secondary(F.col("language"), F.col("lang")),
+        "_place_conflict": C.merge_conflict(F.col("location"), F.col("place")),
+        "location": C.merge_secondary(F.col("location"), F.col("place")),
+        "_pparsed": parsed_person_entries(p),
+    }
+    for field in DATE_FIELDS:
+        pass3[field] = C.parse_multiformat_date(p[field])
+    df = df.withColumns(pass3)
+
+    # --- pass 4: archive detect (J7), external ids (F8/F9), isbn split,
+    # persons assembly (F15), hashes (F3/F4, last like the reference) -------
+    df = df.withColumns(
+        {
+            "detected_archive_of_archive_url": C.detect_archive(
+                F.col("first_level_domain_of_archive_url")
+            ),
+            "detected_archive_of_url": C.detect_archive(
+                F.col("first_level_domain_of_url")
+            ),
+            "internet_archive_id": C.internet_archive_id_from_path(
                 F.col("url"), F.col("first_level_domain_of_url")
             ),
-        ),
+            "google_books_id": F.coalesce(
+                F.col("_gb_template_id"),
+                C.google_books_id_from_query(
+                    F.col("url"), F.col("first_level_domain_of_url")
+                ),
+            ),
+            "isbn_13": C.isbn_13(F.col("isbn")),
+            "isbn_10": C.isbn_10(F.col("isbn")),
+            "persons": persons_from_parsed(
+                F.col("_pparsed"), sorted_person_pairs(F.col("_pparsed"))
+            ),
+            "md5hash": H.reference_hash(
+                H.reference_hash_key(
+                    F.col("doi"),
+                    F.col("pmid"),
+                    F.col("isbn"),
+                    F.col("oclc"),
+                    F.col("url"),
+                    F.col("first_parameter"),
+                ),
+                wikibase_title,
+            ),
+            "first_level_domain_of_url_hash": H.website_hash(
+                F.col("first_level_domain_of_url"), wikibase_title
+            ),
+        }
     )
 
-    # --- F10: isbn ---------------------------------------------------------
-    isbn_norm = C.isbn_normalized(F.col("isbn_raw"))
-    df = (
-        df.withColumn("isbn", isbn_norm)
-        .withColumn("isbn_13", C.isbn_13(F.col("isbn")))
-        .withColumn("isbn_10", C.isbn_10(F.col("isbn")))
+    # --- pass 5: presence flags (P9/P10) -----------------------------------
+    df = df.withColumns(
+        {
+            "has_hash": F.col("md5hash").isNotNull(),
+            "has_first_level_domain_url_hash": F.col(
+                "first_level_domain_of_url_hash"
+            ).isNotNull(),
+        }
     )
-
-    # --- F12: dates --------------------------------------------------------
-    for field in DATE_FIELDS:
-        df = df.withColumn(field, C.parse_multiformat_date(p[field]))
-
-    # --- F15: persons (canonical key map materialized as its own column —
-    # see persons.canonicalize_person_keys) --------------------------------
-    from wcdimportbot_spark.operators.persons import canonicalize_person_keys
-
-    df = (
-        df.withColumn("_pcanon", canonicalize_person_keys(p))
-        .withColumn("persons", persons_array(F.col("_pcanon")))
-        .drop("_pcanon")
-    )
-
-    # --- F11: markup cleanup (publisher only) ------------------------------
-    df = df.withColumn("publisher", C.clean_wiki_markup(F.col("publisher")))
-
-    # --- F18/F19: merges ---------------------------------------------------
-    df = (
-        df.withColumn("_lang_conflict", C.merge_conflict(F.col("language"), F.col("lang")))
-        .withColumn("language", C.merge_secondary(F.col("language"), F.col("lang")))
-        .withColumn("_place_conflict", C.merge_conflict(F.col("location"), F.col("place")))
-        .withColumn("location", C.merge_secondary(F.col("location"), F.col("place")))
-    )
-
-    # --- F3/F4: hashes (last, like the reference) --------------------------
-    hash_key = H.reference_hash_key(
-        F.col("doi"),
-        F.col("pmid"),
-        F.col("isbn"),
-        F.col("oclc"),
-        F.col("url"),
-        F.col("first_parameter"),
-    )
-    df = (
-        df.withColumn("md5hash", H.reference_hash(hash_key, wikibase_title))
-        .withColumn("has_hash", F.col("md5hash").isNotNull())
-        .withColumn(
-            "first_level_domain_of_url_hash",
-            H.website_hash(F.col("first_level_domain_of_url"), wikibase_title),
-        )
-        .withColumn(
-            "has_first_level_domain_url_hash",
-            F.col("first_level_domain_of_url_hash").isNotNull(),
-        )
-    )
-    # keep the raw isbn string param out of the public surface
-    return df.drop("isbn_raw", "_gb_template_id")
+    # keep the raw isbn string param and parse scratch out of the surface
+    return df.drop("isbn_raw", "_gb_template_id", "_pparsed")
 
 
 #: S11 — rejects rules derivable from a normalized references row

@@ -4,13 +4,25 @@ The reference scans every non-null attribute of the wide record and
 assembles Person objects per role with ordinals 1..13
 (``wikipedia_page_reference.py:716-858,972-1071``). The natural Spark
 translations are (a) unpivot → regex → groupBy → collect_list, or (b) a
-pure per-row expression over the params map. We use (b): all information for
-one reference's persons lives in a single row's ``params`` column, so a
-shuffle-free ``transform(sequence(1,13), ...)`` expression builds the
-persons array in whole-stage codegen — at 100 TB this saves an entire
-shuffle of the exploded key-value stream that (a) would require.
+pure per-row expression over the params map. We use (b): all information
+for one reference's persons lives in a single row's ``params`` column, so
+a shuffle-free expression builds the persons array — at 100 TB this saves
+an entire shuffle of the exploded key-value stream that (a) would require.
 
-Key grammar (post key-fixing, so dashes are underscores):
+Within (b) there are two shapes. The first implementation PROBED every
+possible key: 6 roles × (1 unnumbered + 13 ordinals) × 5 parts ≈ 550 map
+lookups per row, a large codegen tree (multi-second JIT per query) and
+~0.4 ms/row interpreted evaluation. This implementation PARSES the keys
+that are actually present instead: one pass over ``map_entries`` with a
+single anchored regex classifies each key into (role, ordinal, field), a
+distinct+sort yields the (role, ordinal) person slots, and each person is
+assembled by filtering the handful of parsed entries. Cost is
+O(present person keys) ≈ 3-10 per row instead of O(possible keys) = 550.
+
+Key grammar (post key-fixing, so dashes are underscores; BOTH digit
+positions accepted directly by the parse regex —
+``__get_numbered_person__`` handles e.g. ``author2_first`` and
+``author_first2``):
 
 - roleless:  ``first``/``last``, ``first{N}``/``last{N}``  → role ``unknown``
   (``__parse_roleless_persons__``, numbered range 1..13)
@@ -19,8 +31,6 @@ Key grammar (post key-fixing, so dashes are underscores):
   - ``{r}_{part}``     → part ∈ first|last|link|mask (unnumbered)
   - ``{r}{N}``         → name_string
   - ``{r}_{part}{N}`` and ``{r}{N}_{part}`` — both digit positions
-    (``__get_numbered_person__`` handles e.g. ``author2_first`` and
-    ``author_first2``)
 
 Guards: numbered persons require (given AND surname) OR name_string
 (``wikipedia_page_reference.py:781-790``); unnumbered persons require any
@@ -29,6 +39,10 @@ SURVEY §1.4: numbered persons carry their actual role (the reference
 hardcodes AUTHOR for all numbered known-role persons,
 ``wikipedia_page_reference.py:1008``: ``role=...AUTHOR`` regardless of the
 ``search_string``).
+
+Output ordering matches the reference's scan order: roles in
+``PERSON_ROLES`` order, within a role the unnumbered person first then
+ordinals ascending, roleless (``unknown``) persons last.
 """
 
 from __future__ import annotations
@@ -51,26 +65,13 @@ PERSON_STRUCT_FIELDS = (
     "mask",
 )
 
-
-def _person_struct(
-    role: Column | str,
-    ordinal: Column,
-    given: Column,
-    surname: Column,
-    name_string: Column,
-    link: Column,
-    mask: Column,
-) -> Column:
-    role_col = F.lit(role) if isinstance(role, str) else role
-    return F.struct(
-        role_col.alias("role"),
-        ordinal.cast("int").alias("ordinal"),
-        given.alias("given"),
-        surname.alias("surname"),
-        name_string.alias("name_string"),
-        link.alias("link"),
-        mask.alias("mask"),
-    )
+#: anchored person-key classifier; groups: (role token, middle digits,
+#: part, trailing digits). Non-person params (title, url, ...) fail the
+#: anchor and are dropped before any further work.
+_PERSON_KEY_RE = (
+    "^(author|editor|host|interviewer|translator|first|last)"
+    "([0-9]{0,2})(?:_(first|last|link|mask))?([0-9]{0,2})$"
+)
 
 
 def _numbered_guard(p: Column) -> Column:
@@ -91,114 +92,141 @@ def _any_field(p: Column) -> Column:
 
 def canonicalize_person_keys(params: Column) -> Column:
     """Rewrite middle-digit person keys to the trailing-digit form
-    (``author2_first`` → ``author_first2``). The reference accepts both
-    positions; canonicalizing once halves the lookup tree in
-    :func:`persons_array` (which otherwise needs a two-variant coalesce per
-    part — measured as a large codegen JIT cost).
-
-    IMPORTANT: materialize the result as its own column before passing it
-    to :func:`persons_array` — inlining it makes Catalyst re-evaluate the
-    whole map transform for every lookup (no common-subexpression sharing
-    inside lambda bodies)."""
-    from wcdimportbot_spark.functions.columns import dedup_map_last_wins
+    (``author2_first`` → ``author_first2``), deduping collisions last-wins
+    independent of ``spark.sql.mapKeyDedupPolicy``. No longer in the hot
+    path (the parse regex accepts both digit positions directly); retained
+    for callers that want a canonical params map."""
+    from wcdimportbot_spark.functions.columns import transform_keys_last_wins
 
     roles_alt = "|".join(PERSON_ROLES)
-    # a params map holding BOTH digit positions for the same person part
-    # (author2_first + author_first2) canonicalizes to a duplicate key;
-    # dedup explicitly (last wins) instead of relying on the session's
-    # spark.sql.mapKeyDedupPolicy
-    return dedup_map_last_wins(
-        F.transform_keys(
-            params,
-            lambda k, _v: F.regexp_replace(
-                k, f"^({roles_alt})(\\d+)_(first|last|link|mask)$", "$1_$3$2"
-            ),
-        )
-    )
-
-
-def persons_array(params: Column) -> Column:
-    """Build the ordered persons array for one reference row, from its
-    params map (keys pre-canonicalized via
-    :func:`canonicalize_person_keys`). Pure Catalyst expression — no UDF,
-    no shuffle."""
-    null_s = F.lit(None).cast("string")
-    null_i = F.lit(None).cast("int")
-    role_arrays = []
-    for role in PERSON_ROLES:
-        unnumbered = _person_struct(
-            role,
-            null_i,
-            params[f"{role}_first"],
-            params[f"{role}_last"],
-            params[role],
-            params[f"{role}_link"],
-            params[f"{role}_mask"],
-        )
-        def numbered_person(r: str):
-            # NB: the transform lambda must take exactly one parameter —
-            # pyspark treats a second parameter (even defaulted) as the
-            # array-index argument
-            def build(n: Column) -> Column:
-                ns = n.cast("string")
-
-                def part(suffix: str) -> Column:
-                    # canonical trailing-digit key only (see transform_keys
-                    # canonicalization above)
-                    return params[F.concat(F.lit(f"{r}_{suffix}"), ns)]
-
-                return _person_struct(
-                    r,
-                    n,
-                    part("first"),
-                    part("last"),
-                    params[F.concat(F.lit(r), ns)],
-                    part("link"),
-                    part("mask"),
-                )
-
-            return build
-
-        numbered = F.transform(
-            F.sequence(F.lit(1), F.lit(MAX_PERSON_ORDINAL)), numbered_person(role)
-        )
-        role_arrays.append(
-            F.concat(
-                F.filter(F.array(unnumbered), _any_field),
-                F.filter(numbered, _numbered_guard),
-            )
-        )
-    roleless_unnumbered = _person_struct(
-        "unknown", null_i, params["first"], params["last"], null_s, null_s, null_s
-    )
-    roleless_numbered = F.transform(
-        F.sequence(F.lit(1), F.lit(MAX_PERSON_ORDINAL)),
-        lambda n: _person_struct(
-            "unknown",
-            n,
-            params[F.concat(F.lit("first"), n.cast("string"))],
-            params[F.concat(F.lit("last"), n.cast("string"))],
-            null_s,
-            null_s,
-            null_s,
+    return transform_keys_last_wins(
+        params,
+        lambda k: F.regexp_replace(
+            k, f"^({roles_alt})(\\d+)_(first|last|link|mask)$", "$1_$3$2"
         ),
     )
-    role_arrays.append(
-        F.concat(
-            F.filter(F.array(roleless_unnumbered), _any_field),
-            F.filter(roleless_numbered, _numbered_guard),
+
+
+def parsed_person_entries(params: Column) -> Column:
+    """One pass over the params map: keep person keys, classify each into
+    ``struct(role, ordinal, field, value)``. ``field`` is the person-struct
+    slot the value fills (given|surname|name_string|link|mask)."""
+    person_entries = F.filter(
+        F.map_entries(params),
+        lambda e: e["key"].rlike(_PERSON_KEY_RE) & e["value"].isNotNull(),
+    )
+
+    def classify(e: Column) -> Column:
+        key = e["key"]
+        tok = F.regexp_extract(key, _PERSON_KEY_RE, 1)
+        d_mid = F.regexp_extract(key, _PERSON_KEY_RE, 2)
+        part = F.regexp_extract(key, _PERSON_KEY_RE, 3)
+        d_tail = F.regexp_extract(key, _PERSON_KEY_RE, 4)
+        ordinal = F.coalesce(
+            F.nullif(d_mid, F.lit("")), F.nullif(d_tail, F.lit(""))
+        ).cast("int")
+        role = F.when(tok.isin("first", "last"), F.lit("unknown")).otherwise(tok)
+        field = (
+            F.when(tok == "first", F.lit("given"))
+            .when(tok == "last", F.lit("surname"))
+            .when(part == "first", F.lit("given"))
+            .when(part == "last", F.lit("surname"))
+            .when(part == "link", F.lit("link"))
+            .when(part == "mask", F.lit("mask"))
+            .otherwise(F.lit("name_string"))
+        )
+        return F.struct(
+            role.alias("role"),
+            ordinal.alias("ordinal"),
+            field.alias("field"),
+            e["value"].alias("value"),
+        )
+
+    parsed = F.transform(person_entries, classify)
+    # reference scan range is 1..13 (wikipedia_page_reference.py:855);
+    # out-of-range ordinals are ignored exactly as the probe loop ignored them
+    return F.filter(
+        parsed,
+        lambda x: x["ordinal"].isNull()
+        | ((x["ordinal"] >= 1) & (x["ordinal"] <= MAX_PERSON_ORDINAL)),
+    )
+
+
+def _slot_rank(pr: Column) -> Column:
+    """Scalar sort key reproducing the probe order: PERSON_ROLES order,
+    unnumbered (NULL ordinal) before numbered, roleless last."""
+    pos = F.array_position(F.array(*[F.lit(r) for r in PERSON_ROLES]), pr["role"])
+    role_rank = F.when(pos == 0, F.lit(len(PERSON_ROLES) + 1)).otherwise(pos)
+    return role_rank * 100 + F.coalesce(pr["ordinal"], F.lit(0))
+
+
+def sorted_person_pairs(parsed: Column) -> Column:
+    """Distinct (role, ordinal) person slots present in the params, in
+    reference scan order."""
+    pairs = F.array_distinct(
+        F.transform(
+            parsed,
+            lambda e: F.struct(e["role"].alias("role"), e["ordinal"].alias("ordinal")),
         )
     )
-    return F.concat(*role_arrays)
+    return F.array_sort(
+        pairs,
+        lambda x, y: F.when(_slot_rank(x) < _slot_rank(y), F.lit(-1))
+        .when(_slot_rank(x) > _slot_rank(y), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def persons_from_parsed(parsed: Column, pairs: Column) -> Column:
+    """Assemble one guarded person struct per (role, ordinal) slot from the
+    parsed entries. Pass MATERIALIZED columns (see :func:`with_persons`) —
+    inlining the parse expression here would re-evaluate it per field."""
+
+    def pick(pr: Column, field: str) -> Column:
+        matches = F.filter(
+            parsed,
+            lambda e: (e["role"] == pr["role"])
+            & e["ordinal"].eqNullSafe(pr["ordinal"])
+            & (e["field"] == F.lit(field)),
+        )
+        # -1 = last occurrence: both digit positions present for the same
+        # slot resolve last-wins, matching dict-overwrite semantics
+        return F.try_element_at(matches, F.lit(-1))["value"]
+
+    def build(pr: Column) -> Column:
+        return F.struct(
+            pr["role"].alias("role"),
+            pr["ordinal"].alias("ordinal"),
+            pick(pr, "given").alias("given"),
+            pick(pr, "surname").alias("surname"),
+            pick(pr, "name_string").alias("name_string"),
+            pick(pr, "link").alias("link"),
+            pick(pr, "mask").alias("mask"),
+        )
+
+    persons = F.transform(pairs, build)
+    return F.filter(
+        persons,
+        lambda p: F.when(p["ordinal"].isNull(), _any_field(p)).otherwise(
+            _numbered_guard(p)
+        ),
+    )
 
 
 def with_persons(references: DataFrame, params_col: str = "params") -> DataFrame:
+    """Attach the ``persons`` array column. The parse and slot arrays are
+    materialized as their own columns first: Catalyst does no
+    common-subexpression elimination inside lambda bodies, so inlining
+    would re-run the parse for every one of the 5 field picks."""
     return (
         references.withColumn(
-            "_pcanon", canonicalize_person_keys(F.col(params_col))
+            "_pparsed", parsed_person_entries(F.col(params_col))
         )
-        .withColumn("persons", persons_array(F.col("_pcanon")))
-        .drop("_pcanon")
+        .withColumn("_ppairs", sorted_person_pairs(F.col("_pparsed")))
+        .withColumn(
+            "persons", persons_from_parsed(F.col("_pparsed"), F.col("_ppairs"))
+        )
+        .drop("_pparsed", "_ppairs")
     )
 
 

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from wcdimportbot_spark.functions.partitioning import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -50,6 +52,7 @@ def cosine_topk_bruteforce(
     (query set = vec_id < num_queries; self-matches excluded).
 
     Returns (query_id, neighbor_id, rank, cosine)."""
+    embeddings = fan_out(embeddings, id_col)
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
@@ -111,12 +114,7 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Sign bit of <vec, h_plane> where h_plane[i] = ±1 derived from
     md5(plane:i) parity — deterministic, stateless, identical on every
     executor."""
-    import hashlib
-
-    signs = [
-        1 if int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest(), 16) % 2 == 0 else -1
-        for i in range(dim)
-    ]
+    signs = _plane_signs(plane, dim)
     terms = F.aggregate(
         F.zip_with(
             vec,
@@ -127,6 +125,57 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
         lambda acc, v: acc + v,
     )
     return F.when(terms >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def _plane_signs(plane: int, dim: int) -> list[int]:
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest(), 16) % 2 == 0 else -1
+        for i in range(dim)
+    ]
+
+
+def _table_buckets(
+    vec: Column, planes: int, num_tables: int, dim: int
+) -> Column:
+    """All ``num_tables`` LSH bucket ids for one vector, as an array.
+
+    One 2-D ±1 literal matrix + nested higher-order functions instead of
+    ``num_tables*planes`` inlined zip_with/aggregate trees: HOFs evaluate
+    via small interpreted lambdas, so the expression tree (and its Janino
+    compile) stays tiny — the inlined variant spent ~7 s per session
+    JIT-compiling the 32-plane projection at identical runtime."""
+    matrix = F.array(
+        *[
+            F.array(*[F.lit(float(s)) for s in _plane_signs(p, dim)])
+            for p in range(num_tables * planes)
+        ]
+    )
+    signs = F.transform(
+        matrix,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return signs
+
+
+def _buckets_from_signs(signs: Column, planes: int, num_tables: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_tables - 1)),
+        lambda t: F.concat(
+            t.cast("string"),
+            F.lit("#"),
+            F.array_join(F.slice(signs, t * planes + F.lit(1), planes), ""),
+        ),
+    )
 
 
 def ann_lsh_topk(
@@ -146,20 +195,22 @@ def ann_lsh_topk(
     recall amplifier (P[collide in ≥1 table] = 1-(1-p^planes)^tables).
     Vectors sharing no bucket with the query are never compared — the
     candidate set is Σ|bucket| instead of N."""
-    tables = []
-    for t in range(num_tables):
-        sig = F.concat(
-            F.lit(f"{t}#"),
-            *[
-                _hyperplane_sign(F.col(vec_col), t * planes + p, dim)
-                for p in range(planes)
-            ],
+    bucketed = (
+        fan_out(embeddings, id_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            # materialize signs before slicing them into buckets (no CSE
+            # inside lambda bodies)
+            _table_buckets(F.col(vec_col), planes, num_tables, dim).alias("_signs"),
         )
-        tables.append(sig)
-    bucketed = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(F.array(*tables)).alias("bucket"),
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                _buckets_from_signs(F.col("_signs"), planes, num_tables)
+            ).alias("bucket"),
+        )
     )
     queries = (
         bucketed.filter(F.col(id_col) < num_queries)
@@ -216,7 +267,9 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+    vecs = fan_out(embeddings, id_col).withColumn(
+        "_features", array_to_vector(F.col(vec_col))
+    )
     train = vecs
     n = vecs.count()
     if n > max_train_vectors:

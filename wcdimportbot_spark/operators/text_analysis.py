@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wcdimportbot_spark.functions.partitioning import fan_out
+
 from wcdimportbot_spark.operators.text_dedup import TOKEN_SPLIT_RE, tokens
 
 #: tiny per-language stopword lists for the n-gram/stopword language
@@ -98,7 +100,7 @@ def document_profile(docs: DataFrame) -> DataFrame:
     """One-pass profile: (doc_id, n_tokens, quality, detected_lang,
     fingerprint)."""
     text = F.col("text")
-    return docs.select(
+    return fan_out(docs, "doc_id").select(
         "doc_id",
         token_count(text).alias("n_tokens"),
         quality_score(text).alias("quality"),

@@ -16,8 +16,13 @@ each designed for the 100 TB path:
   posting-list blowup on hot grams — at 100 TB this cap is the difference
   between an index join and a cartesian explosion.
 
-All hashing is md5-hex (portable across engines, verified against DuckDB
-oracles); min-over-hex-strings is the min-hash total order.
+All hashing is anchored on md5-hex (portable across engines, verified
+against DuckDB oracles). The MinHash family is ONE md5 per shingle reduced
+to a 60-bit integer, then K universal-hash permutations
+``(a_i*x + b_i) mod P`` over it — K integer ops instead of K md5 digests
+per shingle (the md5-per-permutation variant spent most of its runtime in
+digest computation). Coefficients come from a fixed LCG so the Spark
+operator and the generated DuckDB oracle share the exact family.
 """
 
 from __future__ import annotations
@@ -25,7 +30,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wcdimportbot_spark.functions.partitioning import fan_out
+
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: Mersenne prime 2^31-1; permutation arithmetic stays < 2^62 (no overflow)
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients, from a fixed
+    LCG so every engine (and every run) derives the identical family."""
+    x = 123456789
+    out = []
+    for _ in range(num_hashes):
+        x = (1103515245 * x + 12345) % (2**31)
+        a = x % (MINHASH_PRIME - 1) + 1
+        x = (1103515245 * x + 12345) % (2**31)
+        b = x % MINHASH_PRIME
+        out.append((a, b))
+    return out
 
 
 def tokens(col: Column) -> Column:
@@ -95,23 +119,26 @@ def minhash_signatures(
     """K-column min-hash signature in one aggregation pass, over the word
     ``shingle_n``-gram shingle set.
 
-    Hash family: h_i(shingle) = md5('<i>:' || shingle); the minimum hex
-    string over the doc's shingle set is the signature component (hex
-    ordering is a total order, identical across engines).
+    Hash family: x = first 60 bits of md5(shingle) as an integer, then
+    h_i(shingle) = (a_i*(x mod P) + b_i) mod P with P = 2^31-1 and fixed
+    LCG coefficients (:func:`minhash_coeffs`) — one digest + K integer ops
+    per shingle instead of K digests.
 
     MIN is duplicate-insensitive, so the shingle multiset is NOT
     deduplicated first — that removes an entire shuffle; the one remaining
-    shuffle (groupBy doc) is map-side combinable. The input is
-    repartitioned before the explode so a few large input files cannot
-    serialize the shingling work."""
-    spark = docs.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
-    long = docs.repartition(parallelism, id_col).select(
-        id_col, F.explode(shingles(F.col("text"), shingle_n)).alias("token")
+    shuffle (groupBy doc) is map-side combinable. The input is fanned out
+    before the explode so a few large input files cannot serialize the
+    shingling work."""
+    base = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME
     )
+    long = fan_out(docs, id_col).select(
+        id_col, F.explode(shingles(F.col("text"), shingle_n)).alias("token")
+    ).select(id_col, base.alias("_hx"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("_hx") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return long.groupBy(id_col).agg(*aggs)
 
@@ -123,7 +150,7 @@ def lsh_bands(
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
         band_cols.append(
             F.struct(
                 F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")
@@ -148,15 +175,20 @@ def lsh_candidate_pairs(
     bucket with m members contributes m(m-1)/2 pairs, so one hot bucket can
     dominate the whole job. Dropped buckets are the explicit recall/cost
     trade (same role as the gram-df cap in :func:`ngram_jaccard_pairs`)."""
+    from pyspark.sql.window import Window
+
     b = lsh_bands(
         minhash_signatures(docs, num_hashes, id_col, shingle_n), num_hashes, bands, id_col
     )
-    sized = b.join(
-        b.groupBy("band", "bucket")
-        .agg(F.count("*").alias("_bsz"))
-        .filter(F.col("_bsz") <= max_bucket_size),
-        ["band", "bucket"],
-    ).select(id_col, "band", "bucket")
+    # bucket-size cap as a window count: one shuffle on (band, bucket) that
+    # the self-join below reuses, instead of a groupBy + join back
+    sized = (
+        b.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .select(id_col, "band", "bucket")
+    )
     left = sized.withColumnRenamed(id_col, "doc_a")
     right = sized.withColumnRenamed(id_col, "doc_b")
     return (
@@ -178,13 +210,16 @@ def minhash_lsh_sql(
     parameters so both engines share shingling, hash family, banding, and
     the bucket-size cap)."""
     rows = num_hashes // bands
+    P = MINHASH_PRIME
+    base = f"(('0x' || substring(md5(token), 1, 15))::BIGINT % {P})"
     mh_exprs = ",\n               ".join(
-        f"min(md5('{i}:' || token)) AS mh{i}" for i in range(num_hashes)
+        f"min(({a} * {base} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     sep = " || '|' || "
     band_selects = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {b} AS band, "
-        f"md5({sep.join(f'mh{b * rows + r}' for r in range(rows))}) AS bucket FROM sigs"
+        f"md5({sep.join(f'CAST(mh{b * rows + r} AS VARCHAR)' for r in range(rows))}) AS bucket FROM sigs"
         for b in range(bands)
     )
     shingle_expr = sep.join(f"ts[i + {j}]" for j in range(shingle_n)).replace(
@@ -234,7 +269,7 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFram
     """b-bit SimHash over the token multiset: bit j is set iff the weighted
     sum of (bit j of md5(token)) * 2 - 1 over all token occurrences is
     positive. Ties (sum == 0) resolve to 0."""
-    toks = docs.select(
+    toks = fan_out(docs, id_col).select(
         id_col, F.explode(tokens(F.col("text"))).alias("token")
     ).groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
     h = F.md5(F.col("token"))
@@ -307,7 +342,8 @@ def ngram_jaccard_pairs(
     hot are missed; that is the standard recall/cost trade and the cap is an
     explicit parameter."""
     grams = (
-        docs.select(id_col, F.explode(word_bigrams(F.col("text"))).alias("g"))
+        fan_out(docs, id_col)
+        .select(id_col, F.explode(word_bigrams(F.col("text"))).alias("g"))
         .dropDuplicates([id_col, "g"])
     )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))

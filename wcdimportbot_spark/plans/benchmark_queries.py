@@ -998,8 +998,13 @@ def domain_page_hash_stats(spark, sf_dir):
     from wcdimportbot_spark.operators.analytics import page_hash_statistics
     from wcdimportbot_spark.plans.pipeline import run_import
 
+    # single consumer of references -> no persist (skips the in-memory
+    # cache build; ImportResult builds items/claims lazily so this query
+    # never constructs graph-emission plans at all)
     res = run_import(
-        _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
+        _domain_pages(spark, sf_dir),
+        retrieved_date=F.lit("2026-08-13").cast("date"),
+        persist=False,
     )
     return page_hash_statistics(res.references)
 

@@ -11,7 +11,7 @@ the plan SURVEY §3.1 calls for.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from functools import cached_property
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -28,14 +28,68 @@ from wcdimportbot_spark.operators.graph import build_graph, qid_from_hash
 from wcdimportbot_spark.operators.normalize import build_references, collect_rejects
 
 
-@dataclass
 class ImportResult:
-    references: DataFrame
-    items: DataFrame
-    claims: DataFrame
-    rejects: DataFrame
-    new_cache_mappings: DataFrame
-    extra: dict = field(default_factory=dict)
+    """Pipeline outputs, built LAZILY: constructing the items/claims plans
+    costs seconds of driver-side expression building + analysis (hundreds of
+    claim-struct expressions), so single-output consumers (the hash
+    statistics screen reads only ``references``) should not pay for graph
+    emission they never trigger. Each property is a DataFrame plan; caching
+    keeps repeated access cheap and plan-identical."""
+
+    def __init__(
+        self,
+        references: DataFrame,
+        pages: DataFrame,
+        schema_rejects: DataFrame,
+        wikibase_title: str,
+        retrieved_date: Column | None,
+        cache: DataFrame | None,
+    ):
+        self.references = references
+        self._pages = pages
+        self._schema_rejects = schema_rejects
+        self._wikibase_title = wikibase_title
+        self._retrieved_date = retrieved_date
+        self._cache = cache
+        self._items: DataFrame | None = None
+        self._claims: DataFrame | None = None
+
+    @cached_property
+    def _graph(self) -> tuple[DataFrame, DataFrame]:
+        return build_graph(
+            self._pages, self.references, self._wikibase_title, self._retrieved_date
+        )
+
+    @property
+    def items(self) -> DataFrame:
+        if self._items is None:
+            self._items = self._graph[0]
+        return self._items
+
+    @items.setter
+    def items(self, df: DataFrame) -> None:
+        self._items = df
+
+    @property
+    def claims(self) -> DataFrame:
+        if self._claims is None:
+            self._claims = self._graph[1]
+        return self._claims
+
+    @claims.setter
+    def claims(self, df: DataFrame) -> None:
+        self._claims = df
+
+    @cached_property
+    def rejects(self) -> DataFrame:
+        return collect_rejects(self.references).unionByName(self._schema_rejects)
+
+    @cached_property
+    def new_cache_mappings(self) -> DataFrame:
+        new_items = self.items
+        if self._cache is not None:
+            new_items = new_items.join(self._cache, "hash", "left_anti")
+        return new_items.select(F.col("hash"), F.col("qid"))
 
 
 def run_import(
@@ -54,6 +108,14 @@ def run_import(
     from it — without persistence each branch would re-run the Python
     extraction UDF. On a cluster this is the natural stage boundary to
     checkpoint; disable only for single-output plans."""
+    # mapInPandas parallelism equals input partitioning: a small dump read
+    # (one parquet file) would run the whole extraction on ONE core. Fan out
+    # under-partitioned inputs to the cluster's parallelism; at scale the
+    # source already has >= cores partitions and this is a no-op (no shuffle
+    # of a 100 TB corpus just to please local mode).
+    target = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target, "page_id")
     raw = extract_raw_templates(pages)
     raw = filter_supported_templates(raw)
     raw = fix_param_keys(raw)
@@ -65,19 +127,13 @@ def run_import(
     )
     if persist:
         refs = refs.persist()
-    rejects = collect_rejects(refs).unionByName(schema_rejects)
-    items, claims = build_graph(pages, refs, wikibase_title, retrieved_date)
-
-    # J4 — only entities missing from the cache are new uploads
-    new_items = items
-    if cache is not None:
-        cache_as_items = cache.withColumnRenamed("hash", "hash")
-        new_items = items.join(cache_as_items, "hash", "left_anti")
-    new_cache = new_items.select(F.col("hash"), F.col("qid"))
+    # graph emission (items/claims), rejects, and the J4 cache anti-join are
+    # built lazily on first access — see ImportResult
     return ImportResult(
         references=refs,
-        items=items,
-        claims=claims,
-        rejects=rejects,
-        new_cache_mappings=new_cache,
+        pages=pages,
+        schema_rejects=schema_rejects,
+        wikibase_title=wikibase_title,
+        retrieved_date=retrieved_date,
+        cache=cache,
     )
