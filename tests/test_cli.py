@@ -84,9 +84,81 @@ def test_cli_reimport_preserves_qualifier_distinct_claims(spark, tmp_path, capsy
 
     twin = claims.limit(1).withColumn("value_quantity", F.lit(99.0))
     forged = claims.unionByName(twin).localCheckpoint(eager=True)
-    forged.write.mode("overwrite").partitionBy("property").parquet(claims_path)
+    forged.write.mode("overwrite").partitionBy("property", "hb").parquet(claims_path)
 
     assert main(["--store", store, "--import-title", "Easter Island"]) == 0
     assert "0 new items" in capsys.readouterr().out
     spark.catalog.refreshByPath(claims_path)
     assert spark.read.parquet(claims_path).count() == n0 + 1
+
+
+def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys):
+    """Importing one page over a populated store must rewrite EXACTLY the
+    ``(instance_of, hb)`` partitions that gain rows — not the whole store —
+    and a re-import of an already-stored page must write NOTHING (VERDICT:
+    incremental MERGE sink)."""
+    import glob
+    import os
+
+    store = str(tmp_path / "store")
+    for i in range(12):
+        assert main(["--store", store, "--import-title", f"Page Number {i}"]) == 0
+    capsys.readouterr()
+
+    def snapshot(sub):
+        out = {}
+        for f in glob.glob(os.path.join(store, sub, "**", "*.parquet"), recursive=True):
+            st = os.stat(f)
+            out[f] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    def changed_dirs(before, after):
+        touched = {
+            f for f, meta in after.items() if before.get(f) != meta
+        } | (set(before) - set(after))
+        return {os.path.dirname(f) for f in touched}
+
+    def rows(sub, cols):
+        spark.catalog.refreshByPath(os.path.join(store, sub))
+        df = spark.read.parquet(os.path.join(store, sub))
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    before_items = snapshot("items")
+    before_claims = snapshot("claims")
+    before_item_rows = rows("items", ["hash", "instance_of", "hb"])
+    before_claim_rows = rows("claims", ["subject_qid", "property", "hb"])
+    assert len(before_items) > 6, "store should span several bucket partitions"
+
+    assert main(["--store", store, "--import-title", "One More Page"]) == 0
+    capsys.readouterr()
+
+    # the rewritten partition dirs must be exactly the dirs of the new rows
+    def expect_dirs(sub, new_rows, col1):
+        return {
+            os.path.join(store, sub, f"{col1}={a}", f"hb={b}")
+            for (_, a, b) in new_rows
+        }
+
+    new_item_rows = rows("items", ["hash", "instance_of", "hb"]) - before_item_rows
+    new_claim_rows = rows("claims", ["subject_qid", "property", "hb"]) - before_claim_rows
+    assert new_item_rows, "a new page must add items"
+
+    ch_items = changed_dirs(before_items, snapshot("items"))
+    ch_claims = changed_dirs(before_claims, snapshot("claims"))
+    assert ch_items == expect_dirs("items", new_item_rows, "instance_of")
+    assert ch_claims == expect_dirs("claims", new_claim_rows, "property")
+    assert len(ch_items) < len({os.path.dirname(f) for f in before_items}), (
+        "must not rewrite the whole store"
+    )
+
+    # re-importing a stored page adds nothing and must write NOTHING
+    mid_items, mid_claims = snapshot("items"), snapshot("claims")
+    assert main(["--store", store, "--import-title", "One More Page"]) == 0
+    out = capsys.readouterr().out
+    assert "0 new items" in out
+    assert changed_dirs(mid_items, snapshot("items")) == set()
+    assert changed_dirs(mid_claims, snapshot("claims")) == set()
+
+    # store contents still correct: 13 pages worth of items
+    items = spark.read.parquet(store + "/items")
+    assert items.filter(items.instance_of == "WIKIPEDIA_PAGE").count() == 13

@@ -44,29 +44,22 @@ def _read_or_none(spark, path):
 
 
 def _write_graph(spark, result, paths) -> None:
+    """Incremental MERGE of one import batch into the store: each sink
+    reads and rewrites only the hash buckets the batch touches
+    (conflict-as-success per item / per claim subject — see
+    operators/sinks.py). A re-import of 1 page over an N-page store
+    rewrites O(1) bucket partitions, not the store."""
     from wcdimportbot_spark.operators import cache as cache_ops
     from wcdimportbot_spark.operators import sinks
 
-    merged_items = sinks.merge_items(spark, result.items, paths["items"])
-    merged_items = merged_items.localCheckpoint(eager=True)
-    sinks.write_items(merged_items, paths["items"])
-    # conflict-as-success at claim level, matching merge_items: a subject
-    # already in the store keeps its existing claim rows verbatim (first
-    # write wins, crud/create.py:39-45); only claims of NEW subjects are
-    # inserted. Row-level dedup would collapse claims differing only in
-    # qualifiers/value_quantity — never dedup across imports.
-    existing_claims = _read_or_none(spark, paths["claims"])
-    claims = result.claims
-    if existing_claims is not None:
-        existing_subjects = existing_claims.select("subject_qid").distinct()
-        fresh = claims.join(existing_subjects, "subject_qid", "left_anti")
-        claims = existing_claims.unionByName(fresh)
-    claims = claims.localCheckpoint(eager=True)
-    sinks.write_claims(claims, paths["claims"])
-    cache = cache_ops.read_cache(spark, paths["cache"])
-    cache_ops.write_cache(
-        cache_ops.merge_into_cache(cache, result.items.select("hash", "qid")),
-        paths["cache"],
+    # materialize the batch once: the merge writers overwrite store
+    # partitions their own inputs may lazily read
+    new_items = result.items.localCheckpoint(eager=True)
+    new_claims = result.claims.localCheckpoint(eager=True)
+    sinks.merge_write_items(spark, new_items, paths["items"])
+    sinks.merge_write_claims(spark, new_claims, paths["claims"])
+    cache_ops.merge_write_cache(
+        spark, new_items.select("hash", "qid"), paths["cache"]
     )
     sinks.write_rejects(result.rejects, paths["rejects"])
 

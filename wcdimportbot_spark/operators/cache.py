@@ -42,12 +42,21 @@ def empty_cache(spark: SparkSession) -> DataFrame:
 
 
 def read_cache(spark: SparkSession, path: str) -> DataFrame:
+    """Public cache read — always the stable ``(hash, qid)`` schema; the
+    ``hb`` bucket partition column is a storage detail kept out of the
+    pipeline (it would pollute join outputs in split_hits_and_misses)."""
     if os.path.exists(path):
         # invalidate any cached file listing: the cache path is routinely
-        # overwritten by write_cache within one session
+        # rewritten by the cache writers within one session
         spark.catalog.refreshByPath(path)
-        return spark.read.schema(CACHE_SCHEMA).parquet(path)
+        return spark.read.parquet(path).select("hash", "qid")
     return empty_cache(spark)
+
+
+def _read_cache_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Storage-layout read (includes the ``hb`` partition column)."""
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
 
 
 def lookup(cache: DataFrame, hash_value: str) -> DataFrame:
@@ -94,12 +103,57 @@ def merge_into_cache(
 
 
 def write_cache(cache: DataFrame, path: str) -> None:
-    """S7 sink. Overwrite-with-union emulates MERGE on plain parquet; on
-    Delta this is ``MERGE INTO cache USING new ON hash WHEN NOT MATCHED
-    INSERT``."""
+    """S7 full-overwrite sink (bootstrap / flush paths); hash-bucketed like
+    the graph stores. The incremental import path is
+    :func:`merge_write_cache`."""
+    from wcdimportbot_spark.operators import sinks
+
     # materialize before overwriting the path we may have read from
-    staged = cache.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").parquet(path)
+    staged = sinks.with_bucket(cache, "hash").localCheckpoint(eager=True)
+    staged.write.mode("overwrite").partitionBy(sinks.BUCKET_COL).parquet(path)
+
+
+def merge_write_cache(
+    spark: SparkSession, new_mappings: DataFrame, path: str
+) -> None:
+    """S7+S9 incremental MERGE: insert-if-absent by hash (existing mapping
+    wins — conflict-as-success), reading and rewriting only the hash
+    buckets the new mappings touch (dynamic partition overwrite). Delta
+    form: MERGE INTO cache USING new ON hash WHEN NOT MATCHED INSERT."""
+    from wcdimportbot_spark.operators import sinks
+
+    new_b = sinks.with_bucket(
+        new_mappings.select("hash", "qid").dropDuplicates(["hash"]), "hash"
+    )
+    if not os.path.exists(path):
+        new_b.write.mode("overwrite").partitionBy(sinks.BUCKET_COL).parquet(path)
+        return
+    buckets = [
+        r[sinks.BUCKET_COL] for r in new_b.select(sinks.BUCKET_COL).distinct().collect()
+    ]
+    # hash determines the bucket — probing only touched buckets is exact
+    existing = _read_cache_raw(spark, path).filter(
+        F.col(sinks.BUCKET_COL).isin(buckets)
+    )
+    fresh = new_b.join(existing.select("hash"), "hash", "left_anti").localCheckpoint(
+        eager=True
+    )
+    fresh_buckets = [
+        r[sinks.BUCKET_COL] for r in fresh.select(sinks.BUCKET_COL).distinct().collect()
+    ]
+    if not fresh_buckets:
+        return
+    staged = (
+        existing.filter(F.col(sinks.BUCKET_COL).isin(fresh_buckets))
+        .unionByName(fresh)
+        .localCheckpoint(eager=True)
+    )
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(sinks.BUCKET_COL)
+        .parquet(path)
+    )
 
 
 def delete_keys(cache: DataFrame, hashes: DataFrame) -> DataFrame:
