@@ -1,0 +1,83 @@
+"""F5 full-PSL first-level-domain parity tests.
+
+Mirrors the reference's own fld cases
+(``tests/test_english_wikipedia_page_reference.py:129-163,225-236``:
+stereogum.com, archive.org, bad-url → None) and exercises the PSL rule
+classes the curated round-1 list could not express: deep ccTLD suffixes,
+wildcard rules (``*.ck``), exception rules (``!www.ck``), and the private
+section (``blogspot.com``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wcdimportbot_spark.functions.columns import first_level_domain
+from wcdimportbot_spark.functions.psl import load_psl
+
+CASES = [
+    # reference test corpus
+    ("https://www.stereogum.com/2033090/turnstile-glow-on/", "stereogum.com"),
+    (
+        "https://web.archive.org/web/20100715195638/http://www.ine.cl/x.php",
+        "archive.org",
+    ),
+    ("https://books.google.com/books?id=9HRodACJLOoC", "google.com"),
+    # TldBadUrl fallback: scheme-less archive URL has no parseable host
+    ("web.archive.org/web/2010/http://www.kmk.a.se/x.pdf", "archive.org"),
+    ("not a url at all", None),
+    # classic two-part suffixes
+    ("https://shop.example.co.uk/p", "example.co.uk"),
+    ("https://example.com.do/", "example.com.do"),
+    ("https://portal.example.gov.in/x", "example.gov.in"),
+    ("https://example.co.ke", "example.co.ke"),
+    # three-label suffix (act.edu.au is on the PSL)
+    ("https://www.example.act.edu.au/", "example.act.edu.au"),
+    # wildcard *.ck → one extra suffix label
+    ("https://a.b.ck/", "a.b.ck"),
+    # exception !www.ck cancels the wildcard
+    ("https://www.ck/", "www.ck"),
+    ("https://sub.www.ck/", "www.ck"),
+    # private-section suffix (tld.get_fld default searches private domains)
+    ("https://someone.blogspot.com/post", "someone.blogspot.com"),
+    # host IS a public suffix → no registrable domain
+    ("https://co.uk/", None),
+    ("https://com/", None),
+    # unknown TLD (tld raises TldDomainNotFound; we surface NULL)
+    ("https://example.notarealtld2026/", None),
+    # IP hosts have no registrable domain
+    ("http://192.168.1.1/admin", None),
+    # nested web.archive.org with full scheme resolves via PSL, not fallback
+    ("https://web.archive.org/web/2019/https://example.com", "archive.org"),
+    ("https://deep.sub.domain.example.com/a/b", "example.com"),
+]
+
+
+def test_psl_loads_full_list():
+    rules = load_psl()
+    n_rules = sum(len(s) for s in rules["normal"].values())
+    assert n_rules > 8000, "expected the full Mozilla PSL, not a curated list"
+    assert "co.uk" in rules["normal"][2]
+    assert "blogspot.com" in rules["normal"][2]  # private section included
+    assert "ck" in rules["wild"][1]
+    assert "www.ck" in rules["exc"][2]
+
+
+@pytest.mark.parametrize("url,expected", CASES, ids=[c[0][:40] for c in CASES])
+def test_first_level_domain(spark, url, expected):
+    row = (
+        spark.createDataFrame([(url,)], ["url"])
+        .select(first_level_domain(F.col("url")).alias("fld"))
+        .collect()[0]
+    )
+    assert row["fld"] == expected
+
+
+def test_fld_batch_plan_is_single_project(spark):
+    """The PSL match must stay a pure expression (InSet probes), not a
+    join: one Project over the scan, no shuffle."""
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"]).select(
+        first_level_domain(F.col("url")).alias("fld")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -66,40 +66,23 @@ def has_url_scheme(col: Column) -> Column:
 # F5 — first-level domain extraction (wikipedia_page_reference.py:695-714)
 # ---------------------------------------------------------------------------
 
-# The reference uses the `tld` library (full public-suffix list). We keep the
-# extraction JVM-side with a pragmatic suffix model: hostname last-two labels,
-# except for a set of common two-part public suffixes where we take three
-# labels. The reference's own special case (web.archive.org → archive.org)
-# falls out naturally. For full-PSL parity at scale, swap in a broadcast PSL
-# dimension join (same column contract).
-_TWO_PART_SUFFIXES = (
-    "co.uk ac.uk gov.uk org.uk me.uk net.uk com.au net.au org.au edu.au gov.au "
-    "co.jp ne.jp or.jp ac.jp go.jp com.br net.br org.br gov.br com.cn net.cn "
-    "org.cn gov.cn com.mx org.mx com.ar com.tr com.tw com.hk com.sg com.my "
-    "co.in net.in org.in co.nz org.nz net.nz co.za org.za co.kr or.kr com.co "
-    "com.ve com.pe com.eg com.sa com.ua in.ua com.pl edu.pl org.pl waw.pl "
-    "co.il org.il ac.il com.ng com.gh com.pk com.bd com.np com.vn com.ph"
-).split()
-
 
 def hostname(url: Column) -> Column:
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    # try_parse_url: malformed URLs yield NULL instead of failing the task
+    # (reference wraps get_fld in try/except TldBadUrl — same contract)
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def first_level_domain(url: Column) -> Column:
-    """Registrable-domain extraction. NULL for unparseable hosts; URLs whose
-    host cannot be derived but contain ``web.archive.org`` map to
-    ``archive.org`` (reference TldBadUrl fallback)."""
-    host = hostname(url)
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    fld = F.when(n >= 3, F.when(last2.isin(*_TWO_PART_SUFFIXES), last3).otherwise(last2)).otherwise(
-        F.when(n == 2, last2)
-    )
+    """Registrable-domain extraction with the FULL public suffix list
+    (``tld.get_fld`` parity — ICANN + private sections; see functions/psl.py
+    for the PSL→Catalyst encoding and documented deviations). NULL for
+    unparseable hosts and unknown TLDs; URLs whose host cannot be derived
+    but contain ``web.archive.org`` map to ``archive.org`` (the reference's
+    TldBadUrl fallback)."""
+    from wcdimportbot_spark.functions.psl import registrable_domain
+
+    fld = registrable_domain(hostname(url))
     archive_fallback = F.when(
         url.contains("web.archive.org"), F.lit("archive.org")
     )
@@ -136,7 +119,7 @@ def google_books_id_from_query(url: Column, fld: Column) -> Column:
     (__detect_google_books_id__)."""
     return F.when(
         fld.contains("google.") & url.contains("/books.google."),
-        F.parse_url(url, F.lit("QUERY"), F.lit("id")),
+        F.try_parse_url(url, F.lit("QUERY"), F.lit("id")),
     )
 
 
