@@ -129,6 +129,9 @@ def test_google_books_template_in_url(refs):
     assert r["google_books_id"] == "CDJpAAAAMAAJ"
     assert r["url"] == "https://books.google.com/books?id=CDJpAAAAMAAJ"
     assert r["md5hash"] == md5("sandbox.wiki", "https://books.google.com/books?id=CDJpAAAAMAAJ")
+    # the GoogleBooks entity hash (google_books.py:47-54): template-parsed
+    # ids get their own md5(wikibase_title + id) alongside the reference hash
+    assert r["google_books_hash"] == md5("sandbox.wiki", "CDJpAAAAMAAJ")
 
 
 def test_internet_archive_id(refs):
@@ -141,6 +144,9 @@ def test_google_books_id_from_query(refs):
     r = refs["refs"]["GBQ"]
     assert r["google_books_id"] == "on0TaPqFXbcC"
     assert r["first_level_domain_of_url"] == "google.ca"
+    # query-param-detected ids are NOT hashed (the reference only builds a
+    # GoogleBooks entity from the {{google books}} template, not from ?id=)
+    assert r["google_books_hash"] is None
 
 
 def test_place_lang_merge(refs):

@@ -183,6 +183,13 @@ def build_references(
                     F.col("url"), F.col("first_level_domain_of_url")
                 ),
             ),
+            # the reference builds a GoogleBooks entity (with its own
+            # md5hash, google_books.py:47-54) ONLY for template-parsed ids
+            # (__parse_google_books_template__) — ids detected from the
+            # ?id= query param (__detect_google_books_id__) stay unhashed
+            "google_books_hash": H.google_books_hash(
+                F.col("_gb_template_id"), wikibase_title
+            ),
             "isbn_13": C.isbn_13(F.col("isbn")),
             "isbn_10": C.isbn_10(F.col("isbn")),
             "persons": persons_from_parsed(
