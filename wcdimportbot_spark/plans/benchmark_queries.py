@@ -1428,3 +1428,160 @@ def sim_ann_ivf(spark, sf_dir):
         num_clusters=16,
         nprobe=4,
     )
+
+
+@register(
+    "q7_volume_shipping",
+    "J3,A1 composite (TPC-H Q7 shape)",
+    "bilateral trade volume: supplier-nation ↔ customer-nation pairs by year",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two big-fact joins (lineitem⋈orders) with four
+    broadcast dims; the nation-pair predicate lands on the two broadcast
+    joins so Catalyst prunes before the fact shuffle. At 100 TB the only
+    shuffles are lineitem⋈orders on orderkey and the final 3-key agg."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    "J3,A1,F14 composite (TPC-H Q9 shape)",
+    "profit by supplier nation and year over a part-name filter (partsupp "
+    "absent in the corpus: supply cost proxied by p_retailprice — exact "
+    "decimal math throughout, no double rounding)",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: fact⋈part with a part-name LIKE filter applied on
+    the broadcast side before the join, so the fact scan only keeps
+    matching partkeys (broadcast semi-pruning via AQE at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cost = _money("p_retailprice")
+    profit = _money("l_extendedprice") * (F.lit(1) - _money("l_discount")) - cost * _money(
+        "l_quantity"
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    "J2,W3 composite (TPC-H Q2 shape)",
+    "correlated-min subquery: per part, the supplier(s) selling it at the "
+    "minimum observed price (partsupp absent: lineitem prices stand in)",
+    """
+    WITH min_price AS (
+        SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           n.n_name AS nation, CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN min_price m ON m.l_partkey = l.l_partkey
+                    AND l.l_extendedprice = m.min_price
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 10 AND p.p_type = 'SMALL'
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated scalar subquery → self-join against a
+    groupBy-min, the standard decorrelation). The min table aggregates the
+    FULL fact then joins back on (partkey, price): both sides shuffle on
+    l_partkey once and AQE can reuse the exchange. Ties (several suppliers
+    at the min price) are all returned — no arbitrary pick — so the result
+    is deterministic without ordering."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    min_price = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            min_price,
+            (li.l_partkey == min_price.l_partkey)
+            & (li.l_extendedprice == min_price.min_price),
+        )
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+    )
