@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q2_min_cost_supplier",
     "j3_star_join_revenue",
     "j1_broadcast_lookup_join",
     "j4_anti_join_upload_if_missing",

@@ -110,7 +110,10 @@ def write_cache(cache: DataFrame, path: str) -> None:
 
     # materialize before overwriting the path we may have read from
     staged = sinks.with_bucket(cache, "hash").localCheckpoint(eager=True)
-    staged.write.mode("overwrite").partitionBy(sinks.BUCKET_COL).parquet(path)
+    # sorted-on-hash output: parquet min/max stats prune point lookups (S6)
+    staged.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
+        sinks.BUCKET_COL
+    ).parquet(path)
 
 
 def merge_write_cache(
@@ -126,7 +129,9 @@ def merge_write_cache(
         new_mappings.select("hash", "qid").dropDuplicates(["hash"]), "hash"
     )
     if not os.path.exists(path):
-        new_b.write.mode("overwrite").partitionBy(sinks.BUCKET_COL).parquet(path)
+        new_b.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
+            sinks.BUCKET_COL
+        ).parquet(path)
         return
     buckets = [
         r[sinks.BUCKET_COL] for r in new_b.select(sinks.BUCKET_COL).distinct().collect()
@@ -149,7 +154,8 @@ def merge_write_cache(
         .localCheckpoint(eager=True)
     )
     (
-        staged.write.mode("overwrite")
+        staged.sortWithinPartitions("hash")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(sinks.BUCKET_COL)
         .parquet(path)

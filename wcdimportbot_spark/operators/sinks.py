@@ -62,18 +62,25 @@ def _overwrite_dynamic(df: DataFrame, path: str, partitions: list[str]) -> None:
     )
 
 
+def _sorted_on(df: DataFrame, key: str) -> DataFrame:
+    """Sort within output tasks on the lookup key: parquet row-group
+    min/max statistics then prune point lookups (S6/J2) to one row group
+    instead of scanning the bucket."""
+    return df.sortWithinPartitions(key)
+
+
 def write_items(items: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Full (static) overwrite — bootstrap and delete paths."""
-    with_bucket(items, "hash").write.mode(mode).partitionBy(
+    _sorted_on(with_bucket(items, "hash"), "hash").write.mode(mode).partitionBy(
         "instance_of", BUCKET_COL
     ).parquet(path)
 
 
 def write_claims(claims: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Full (static) overwrite — bootstrap and delete paths."""
-    with_bucket(claims, "subject_qid").write.mode(mode).partitionBy(
-        "property", BUCKET_COL
-    ).parquet(path)
+    _sorted_on(with_bucket(claims, "subject_qid"), "subject_qid").write.mode(
+        mode
+    ).partitionBy("property", BUCKET_COL).parquet(path)
 
 
 def read_items(spark: SparkSession, path: str) -> DataFrame:
@@ -134,7 +141,7 @@ def merge_write_items(
     )
     # materialize before overwriting partitions this plan reads from
     staged = merged.localCheckpoint(eager=True)
-    _overwrite_dynamic(staged, path, ["instance_of", BUCKET_COL])
+    _overwrite_dynamic(_sorted_on(staged, "hash"), path, ["instance_of", BUCKET_COL])
 
 
 def merge_write_claims(
@@ -165,7 +172,9 @@ def merge_write_claims(
         return
     merged = existing.filter(_partition_predicate(pairs, "property")).unionByName(fresh)
     staged = merged.localCheckpoint(eager=True)
-    _overwrite_dynamic(staged, path, ["property", BUCKET_COL])
+    _overwrite_dynamic(
+        _sorted_on(staged, "subject_qid"), path, ["property", BUCKET_COL]
+    )
 
 
 def merge_items(
