@@ -128,13 +128,19 @@ def _fld_sql_body() -> str:
 
 def ensure_registered(spark: SparkSession) -> None:
     """Register the PSL SQL function in this session (idempotent; the
-    ~150 KB rule text crosses the py4j bridge exactly once)."""
+    ~150 KB rule text crosses the py4j bridge once per session).
+
+    The fast path keys on the Python wrapper id; the slow path asks the
+    catalog, because streaming microbatches hand callbacks a fresh wrapper
+    around a CLONED session whose registry may or may not have the
+    function depending on when the clone was taken."""
     if id(spark) in _registered:
         return
-    spark.sql(
-        f"CREATE OR REPLACE TEMPORARY FUNCTION {FN_NAME}(host STRING) "
-        f"RETURNS STRING RETURN {_fld_sql_body()}"
-    )
+    if not spark.catalog.functionExists(FN_NAME):
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {FN_NAME}(host STRING) "
+            f"RETURNS STRING RETURN {_fld_sql_body()}"
+        )
     _registered.add(id(spark))
 
 

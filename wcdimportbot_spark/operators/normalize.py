@@ -103,6 +103,13 @@ def build_references(
     short-lived intermediates (the F20-resolved url, the google-books
     rewrite) are inlined rather than materialized, trading a few duplicated
     cheap regex evaluations for an order of magnitude fewer analyzer runs."""
+    from wcdimportbot_spark.functions.psl import ensure_registered
+
+    # F5 needs the PSL SQL function on the session that ANALYZES this plan —
+    # inside foreachBatch that is a clone of the main session, not the
+    # thread-active one, so register on the input's own session explicitly
+    ensure_registered(raw_valid.sparkSession)
+
     p = F.col("params")
 
     # --- pass 1 (select): promote strings + F20 disambiguation -------------

@@ -66,4 +66,10 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # register session-scoped SQL functions up front: streaming microbatches
+    # run on a CLONE of this session taken at query start, and clones inherit
+    # the function registry only if registration happened before the start
+    from wcdimportbot_spark.functions.psl import ensure_registered
+
+    ensure_registered(spark)
     return spark
