@@ -81,3 +81,57 @@ def test_fld_batch_plan_is_single_project(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def _py_fld(host, rules):
+    """Independent pure-Python PSL matcher (test oracle)."""
+    labels = host.lower().rstrip(".").split(".")
+    n = len(labels)
+    best = 0
+    for k in range(1, min(n, 5) + 1):
+        if ".".join(labels[n - k:]) in rules["normal"].get(k, ()):
+            best = max(best, k)
+    for k, w in rules["wild"].items():
+        if n >= k and ".".join(labels[n - k:]) in w:
+            exc = rules["exc"].get(k + 1, frozenset())
+            if n >= k + 1 and ".".join(labels[n - k - 1:]) in exc:
+                best = max(best, k)
+            else:
+                best = max(best, k + 1)
+    if best == 0 or n <= best:
+        return None
+    return ".".join(labels[n - best - 1:])
+
+
+def test_psl_matrix_vs_python_oracle(spark):
+    """Batched randomized parity: sample suffixes from every rule class in
+    the real PSL, build hosts with 0-3 extra labels, and compare the Spark
+    expression against an independent Python matcher."""
+    import random
+
+    from wcdimportbot_spark.functions.psl import registrable_domain
+
+    rules = load_psl()
+    rng = random.Random(20260813)
+    suffixes = []
+    for k, s in rules["normal"].items():
+        suffixes += rng.sample(sorted(s), min(60, len(s)))
+    for k, w in rules["wild"].items():
+        for base in rng.sample(sorted(w), min(20, len(w))):
+            suffixes.append("anylabel." + base)
+    for k, e in rules["exc"].items():
+        suffixes += sorted(e)  # all 8 exceptions
+    hosts = []
+    for suf in suffixes:
+        depth = rng.randint(0, 3)
+        prefix = [rng.choice(["www", "a", "sub1", "x9", "deep"]) for _ in range(depth)]
+        hosts.append(".".join(prefix + [suf]))
+    expected = {h: _py_fld(h, rules) for h in hosts}
+
+    got = dict(
+        spark.createDataFrame([(h,) for h in hosts], ["host"])
+        .select("host", registrable_domain(F.col("host")).alias("fld"))
+        .collect()
+    )
+    mismatches = {h: (got[h], expected[h]) for h in hosts if got[h] != expected[h]}
+    assert not mismatches, f"{len(mismatches)} PSL mismatches, e.g. {list(mismatches.items())[:5]}"

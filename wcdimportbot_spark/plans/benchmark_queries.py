@@ -1585,3 +1585,48 @@ def q2_min_cost_supplier(spark, sf_dir):
             F.col("l_extendedprice").cast("double").alias("price"),
         )
     )
+
+
+@register(
+    "f5_psl_rule_classes",
+    "F5 (full PSL)",
+    "first-level-domain over every PSL rule class: plain TLD, two-part "
+    "suffix, deep suffix, private-section suffix, wildcard (*.er), "
+    "exception (!www.ck) — closed-form oracle per class",
+    """
+    SELECT c_custkey,
+           CASE c_custkey % 6
+                WHEN 0 THEN 'example.co.uk'
+                WHEN 1 THEN 'example.com.do'
+                WHEN 2 THEN 'example.gov.in'
+                WHEN 3 THEN 'example.blogspot.com'
+                WHEN 4 THEN 'example.b.er'
+                ELSE 'www.ck' END AS fld
+    FROM customer
+    """,
+)
+def f5_psl_rule_classes(spark, sf_dir):
+    """Each host exercises a different PSL rule class; the oracle knows the
+    registrable domain in closed form. ``b.er`` matches the wildcard rule
+    ``*.er`` (suffix = b.er → fld one label up); ``www.ck`` matches the
+    exception rule ``!www.ck`` (the exception name IS the fld, however
+    deep the host)."""
+    from wcdimportbot_spark.functions.columns import first_level_domain
+
+    c = load(spark, sf_dir, "customer")
+    suffix = (
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("example.co.uk"))
+        .when(F.col("c_custkey") % 6 == 1, F.lit("example.com.do"))
+        .when(F.col("c_custkey") % 6 == 2, F.lit("example.gov.in"))
+        .when(F.col("c_custkey") % 6 == 3, F.lit("example.blogspot.com"))
+        .when(F.col("c_custkey") % 6 == 4, F.lit("example.b.er"))
+        .otherwise(F.lit("deep.www.ck"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_replace("c_name", "[^a-zA-Z0-9]+", "-")),
+        F.lit(".shop."),
+        suffix,
+        F.lit("/path?q=1"),
+    )
+    return c.select("c_custkey", first_level_domain(url).alias("fld"))
