@@ -1,0 +1,66 @@
+"""Skew-handling primitives: exactness and plan-shape checks."""
+
+from pyspark.sql import functions as F
+
+from wcdimportbot_spark.functions.skew import (
+    replicate_salted_join,
+    salted_distinct_count,
+)
+
+
+def _zipf_df(spark):
+    """One pathologically hot key ('hot' has 5000 rows, 500 distinct
+    values), plus uniform cold keys."""
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 500).alias("v")
+    )
+    cold = spark.range(2000).select(
+        F.concat(F.lit("cold"), (F.col("id") % 20).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_distinct_count_is_exact(spark):
+    df = _zipf_df(spark)
+    expected = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    got = {
+        (r["k"], r["n_distinct"])
+        for r in salted_distinct_count(df, ["k"], "v", buckets=16).collect()
+    }
+    assert got == expected
+    assert ("hot", 500) in got
+
+
+def test_salted_distinct_splits_hot_key_state(spark):
+    """Phase-1 output must hold the hot key on many reducers: ~buckets rows
+    for 'hot', each with a disjoint share of the distinct values."""
+    df = _zipf_df(spark)
+    partial = (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("v")), F.lit(16))
+        )
+        .groupBy("k", "_salt")
+        .agg(F.count_distinct("v").alias("c"))
+        .filter(F.col("k") == "hot")
+        .collect()
+    )
+    assert len(partial) == 16
+    assert sum(r["c"] for r in partial) == 500
+    assert max(r["c"] for r in partial) < 500 / 2
+
+
+def test_replicate_salted_join_matches_plain_join(spark):
+    df = _zipf_df(spark).repartition(8, "v")  # hot key spans partitions
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"cold{i}", f"C{i}") for i in range(20)],
+        ["k", "tag"],
+    )
+    plain = df.join(dim, "k").groupBy("k", "tag").count()
+    salted = replicate_salted_join(df, dim, "k", buckets=8).groupBy(
+        "k", "tag"
+    ).count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}

@@ -1630,3 +1630,24 @@ def f5_psl_rule_classes(spark, sf_dir):
         F.lit("/path?q=1"),
     )
     return c.select("c_custkey", first_level_domain(url).alias("fld"))
+
+
+@register(
+    "a10_salted_distinct_count",
+    "A1-A4 (skew-safe variant)",
+    "EXACT distinct-count via value-derived salting: hot keys split their "
+    "distinct-state across `buckets` reducers (two-phase, disjoint partials)",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_salted_distinct_count(spark, sf_dir):
+    """Skew-safe twin of COUNT(DISTINCT): same answer, bounded per-task
+    state. With only a handful of event_type keys, EVERY key is a hot key —
+    the un-salted plan holds each type's full user set on one reducer."""
+    from wcdimportbot_spark.functions.skew import salted_distinct_count
+
+    return salted_distinct_count(
+        load(spark, sf_dir, "events"), ["event_type"], "user_id", buckets=16
+    )
