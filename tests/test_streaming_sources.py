@@ -237,3 +237,49 @@ def test_stream_stops_at_max_events(spark, tmp_path):
     assert counters.events == 10  # exactly the exhausting batch, no more
     assert counters.batches <= 2
     assert sum(processed) == 10
+
+
+def test_stream_import_to_store_exactly_once(spark, tmp_path):
+    """S4→S9 end-to-end: the event stream imports into the MERGE store, and
+    replaying the same events (fresh stream, no checkpoint) writes NOTHING
+    — effects-exactly-once from the idempotent content-hash merge, no
+    transactional sink required."""
+    import glob
+    import os
+
+    from wcdimportbot_spark.plans.store_import import store_import_batch_fn
+    from wcdimportbot_spark.streaming.events import (
+        parse_event_stream,
+        run_event_stream,
+    )
+
+    events = [
+        {"server_name": "en.wikipedia.org", "namespace": 0, "title": t,
+         "bot": False, "type": "edit", "ts": "2026-01-01T10:00:00.000Z"}
+        for t in ("Stream Alpha", "Stream Beta")
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in events))
+    store = str(tmp_path / "store")
+
+    def run_once():
+        raw = spark.readStream.format("text").load(str(src))
+        q = run_event_stream(parse_event_stream(raw), store_import_batch_fn(store))
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    items = spark.read.parquet(store + "/items")
+    assert items.filter(items.instance_of == "WIKIPEDIA_PAGE").count() == 2
+
+    def snapshot(sub):
+        return {
+            f: (os.stat(f).st_mtime_ns, os.stat(f).st_size)
+            for f in glob.glob(os.path.join(store, sub, "**", "*.parquet"), recursive=True)
+        }
+
+    before = {s: snapshot(s) for s in ("items", "claims", "cache")}
+    run_once()  # replay the identical batch
+    for s in ("items", "claims", "cache"):
+        assert snapshot(s) == before[s], f"{s} store must be untouched on replay"

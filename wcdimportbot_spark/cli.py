@@ -30,10 +30,6 @@ import sys
 from pyspark.sql import functions as F
 
 
-def _store_paths(store: str) -> dict[str, str]:
-    return {name: os.path.join(store, name) for name in ("items", "claims", "cache", "rejects")}
-
-
 def _read_or_none(spark, path):
     if os.path.exists(path):
         # a long-lived session caches file listings per path; the store is
@@ -43,38 +39,13 @@ def _read_or_none(spark, path):
     return None
 
 
-def _write_graph(spark, result, paths) -> None:
-    """Incremental MERGE of one import batch into the store: each sink
-    reads and rewrites only the hash buckets the batch touches
-    (conflict-as-success per item / per claim subject — see
-    operators/sinks.py). A re-import of 1 page over an N-page store
-    rewrites O(1) bucket partitions, not the store."""
-    from wcdimportbot_spark.operators import cache as cache_ops
-    from wcdimportbot_spark.operators import sinks
-
-    # materialize the batch once: the merge writers overwrite store
-    # partitions their own inputs may lazily read
-    new_items = result.items.localCheckpoint(eager=True)
-    new_claims = result.claims.localCheckpoint(eager=True)
-    sinks.merge_write_items(spark, new_items, paths["items"])
-    sinks.merge_write_claims(spark, new_claims, paths["claims"])
-    cache_ops.merge_write_cache(
-        spark, new_items.select("hash", "qid"), paths["cache"]
-    )
-    sinks.write_rejects(result.rejects, paths["rejects"])
-
-
 def _import_pages(spark, pages, paths) -> None:
-    from wcdimportbot_spark.operators import cache as cache_ops
-    from wcdimportbot_spark.plans.pipeline import run_import
+    """Incremental MERGE of one import batch into the store (shared with
+    the streaming sink — plans/store_import.py): only the hash buckets the
+    batch touches are rewritten; a re-import writes nothing."""
+    from wcdimportbot_spark.plans.store_import import import_pages_to_store
 
-    cache = cache_ops.read_cache(spark, paths["cache"])
-    result = run_import(pages, cache=cache)
-    # materialize counts BEFORE the writers overwrite the store paths these
-    # lazy plans still reference (read-then-overwrite-then-reread trap)
-    n_new = result.new_cache_mappings.count()
-    n_pages = pages.count()
-    _write_graph(spark, result, paths)
+    n_pages, n_new = import_pages_to_store(spark, pages, paths)
     print(f"imported: {n_pages} pages, {n_new} new items")
 
 
@@ -101,7 +72,9 @@ def main(argv=None) -> int:
     from wcdimportbot_spark import get_spark
 
     spark = get_spark(app_name="wcdimportbot-cli")
-    paths = _store_paths(args.store)
+    from wcdimportbot_spark.plans.store_import import store_paths
+
+    paths = store_paths(args.store)
 
     if args.import_title:
         from wcdimportbot_spark.sources.pages import fetch_pages_by_title
