@@ -24,6 +24,8 @@ HEADLINE = [
     "q7_volume_shipping",
     "q9_product_type_profit",
     "q2_min_cost_supplier",
+    "q8_market_share",
+    "q10_returned_item_ranking",
     "j3_star_join_revenue",
     "j1_broadcast_lookup_join",
     "j4_anti_join_upload_if_missing",
