@@ -162,3 +162,34 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys
     # store contents still correct: 13 pages worth of items
     items = spark.read.parquet(store + "/items")
     assert items.filter(items.instance_of == "WIKIPEDIA_PAGE").count() == 13
+
+
+def test_empty_import_does_not_poison_store(spark, tmp_path, capsys):
+    """An import that selects zero pages must leave the store readable
+    (writers skip empty batches; readers treat data-less dirs as absent)
+    and a later real import must still work."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("page_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("language_code", T.StringType()),
+            T.StructField("latest_revision_id", T.LongType()),
+            T.StructField("wikitext", T.StringType()),
+        ]
+    )
+    dump = str(tmp_path / "empty_dump.parquet")
+    spark.createDataFrame([], schema).write.parquet(dump)
+    store = str(tmp_path / "store")
+
+    assert main(["--store", store, "--import-pages", dump]) == 0
+    assert "0 new items" in capsys.readouterr().out
+    # empty store: statistics and lookup must not raise schema errors
+    assert main(["--store", store, "--statistics"]) == 0
+    capsys.readouterr()
+
+    assert main(["--store", store, "--import-title", "Fresh Page"]) == 0
+    capsys.readouterr()
+    assert main(["--store", store, "--statistics"]) == 0
+    assert '"WIKIPEDIA_PAGE": 1' in capsys.readouterr().out

@@ -234,9 +234,32 @@ def test_stream_stops_at_max_events(spark, tmp_path):
     )
     query.awaitTermination(120)
     assert not query.isActive, "query should have stopped itself"
-    assert counters.events == 10  # exactly the exhausting batch, no more
+    # the exhausting batch, plus at most one racing batch (processed, never
+    # dropped: a dropped-but-committed epoch would lose events on resume)
+    assert 10 <= counters.events <= 20
     assert counters.batches <= 2
-    assert sum(processed) == 10
+    assert sum(processed) == counters.events
+
+    # no event loss: a batch that raced the stop was dropped UNCOMMITTED,
+    # so resuming from the same checkpoint (no limit) redelivers it and
+    # processes everything that remains of the 100 events
+    from wcdimportbot_spark.streaming.events import StreamCounters as SC
+
+    resumed = SC()
+    q2 = run_event_stream(
+        parse_event_stream(
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        ),
+        process,
+        resumed,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    # exactly-once across stop/resume: no event lost, none double-processed
+    assert sum(processed) == 100
 
 
 def test_stream_import_to_store_exactly_once(spark, tmp_path):

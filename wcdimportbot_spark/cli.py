@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 
 def _read_or_none(spark, path):
-    if os.path.exists(path):
+    from wcdimportbot_spark.operators.sinks import has_parquet_data
+
+    # data-file check, not exists(): a directory holding only _SUCCESS
+    # (0-row write) must read as "no store", not a schema-inference error
+    if has_parquet_data(path):
         # a long-lived session caches file listings per path; the store is
         # rewritten between commands, so invalidate before reading
         spark.catalog.refreshByPath(path)

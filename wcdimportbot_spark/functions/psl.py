@@ -43,21 +43,43 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
-PSL_PATH = "/usr/share/publicsuffix/public_suffix_list.dat"
+#: candidate PSL locations, first hit wins; override with $WCD_PSL_PATH.
+#: All are the distro-packaged Mozilla list (public data, MPL 2.0).
+PSL_CANDIDATE_PATHS = (
+    "/usr/share/publicsuffix/public_suffix_list.dat",
+    "/usr/share/publicsuffix/effective_tld_names.dat",
+    "/etc/java-17-openjdk/security/public_suffix_list.dat",
+)
 
 FN_NAME = "psl_registrable_domain"
 
 _rules_cache: dict | None = None
-_registered: set[int] = set()
 
 
-def load_psl(path: str = PSL_PATH) -> dict:
+def resolve_psl_path() -> str:
+    import os
+
+    override = os.environ.get("WCD_PSL_PATH")
+    candidates = (override,) + PSL_CANDIDATE_PATHS if override else PSL_CANDIDATE_PATHS
+    for p in candidates:
+        if p and os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        "no public suffix list found; install the distro 'publicsuffix' "
+        f"package or set $WCD_PSL_PATH (tried {candidates})"
+    )
+
+
+def load_psl(path: str | None = None) -> dict:
     """Parse the PSL into ``{"normal": {k: frozenset}, "wild": {k:
     frozenset}, "exc": {k: frozenset}}`` keyed by label count (wildcards
     keyed by the label count of their base, i.e. ``*.ck`` → k=1)."""
     global _rules_cache
-    if _rules_cache is not None and path == PSL_PATH:
-        return _rules_cache
+    default = path is None
+    if default:
+        if _rules_cache is not None:
+            return _rules_cache
+        path = resolve_psl_path()
     normal: dict[int, set] = {}
     wild: dict[int, set] = {}
     exc: dict[int, set] = {}
@@ -79,7 +101,7 @@ def load_psl(path: str = PSL_PATH) -> dict:
         "wild": {k: frozenset(v) for k, v in wild.items()},
         "exc": {k: frozenset(v) for k, v in exc.items()},
     }
-    if path == PSL_PATH:
+    if default:
         _rules_cache = rules
     return rules
 
@@ -130,18 +152,16 @@ def ensure_registered(spark: SparkSession) -> None:
     """Register the PSL SQL function in this session (idempotent; the
     ~150 KB rule text crosses the py4j bridge once per session).
 
-    The fast path keys on the Python wrapper id; the slow path asks the
-    catalog, because streaming microbatches hand callbacks a fresh wrapper
-    around a CLONED session whose registry may or may not have the
-    function depending on when the clone was taken."""
-    if id(spark) in _registered:
-        return
+    Always consults the catalog (one cheap RPC): caching on the Python
+    wrapper id would false-positive when a new session object reuses a
+    gc'd wrapper's address, and streaming microbatches hand callbacks
+    fresh wrappers around CLONED sessions whose registries may or may not
+    have the function depending on when the clone was taken."""
     if not spark.catalog.functionExists(FN_NAME):
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {FN_NAME}(host STRING) "
             f"RETURNS STRING RETURN {_fld_sql_body()}"
         )
-    _registered.add(id(spark))
 
 
 def registrable_domain(host: Column) -> Column:

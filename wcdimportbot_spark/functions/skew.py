@@ -71,7 +71,17 @@ def replicate_salted_join(
 
     ``spark_partition_id() % buckets`` spreads a hot key across as many
     salts as the partitions its rows occupy — deterministic for a given
-    input partitioning, no RNG in the plan."""
+    input partitioning, no RNG in the plan.
+
+    Only join types that never emit unmatched SMALL-side rows are allowed:
+    the small side is replicated ``buckets``×, so right/full/outer would
+    duplicate every unmatched small-side row once per salt."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"replicate_salted_join supports inner/left/left_semi/left_anti, "
+            f"got {how!r}: the replicated small side would emit unmatched "
+            f"rows {buckets} times under {how}"
+        )
     s = skewed.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(buckets)))
     r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

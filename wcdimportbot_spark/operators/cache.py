@@ -44,8 +44,12 @@ def empty_cache(spark: SparkSession) -> DataFrame:
 def read_cache(spark: SparkSession, path: str) -> DataFrame:
     """Public cache read — always the stable ``(hash, qid)`` schema; the
     ``hb`` bucket partition column is a storage detail kept out of the
-    pipeline (it would pollute join outputs in split_hits_and_misses)."""
-    if os.path.exists(path):
+    pipeline (it would pollute join outputs in split_hits_and_misses).
+    A path without parquet data files (missing, or a 0-row write that left
+    only ``_SUCCESS``) reads as the empty cache, never a schema error."""
+    from wcdimportbot_spark.operators import sinks
+
+    if sinks.has_parquet_data(path):
         # invalidate any cached file listing: the cache path is routinely
         # rewritten by the cache writers within one session
         spark.catalog.refreshByPath(path)
@@ -120,45 +124,26 @@ def merge_write_cache(
     spark: SparkSession, new_mappings: DataFrame, path: str
 ) -> None:
     """S7+S9 incremental MERGE: insert-if-absent by hash (existing mapping
-    wins — conflict-as-success), reading and rewriting only the hash
-    buckets the new mappings touch (dynamic partition overwrite). Delta
-    form: MERGE INTO cache USING new ON hash WHEN NOT MATCHED INSERT."""
+    wins — conflict-as-success) via the shared bucket-MERGE engine in
+    operators/sinks.py. Delta form: MERGE INTO cache USING new ON hash
+    WHEN NOT MATCHED INSERT."""
     from wcdimportbot_spark.operators import sinks
 
-    new_b = sinks.with_bucket(
-        new_mappings.select("hash", "qid").dropDuplicates(["hash"]), "hash"
-    )
-    if not os.path.exists(path):
-        new_b.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
+    def write_fn(df: DataFrame, p: str) -> None:
+        df.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
             sinks.BUCKET_COL
-        ).parquet(path)
-        return
-    buckets = [
-        r[sinks.BUCKET_COL] for r in new_b.select(sinks.BUCKET_COL).distinct().collect()
-    ]
-    # hash determines the bucket — probing only touched buckets is exact
-    existing = _read_cache_raw(spark, path).filter(
-        F.col(sinks.BUCKET_COL).isin(buckets)
-    )
-    fresh = new_b.join(existing.select("hash"), "hash", "left_anti").localCheckpoint(
-        eager=True
-    )
-    fresh_buckets = [
-        r[sinks.BUCKET_COL] for r in fresh.select(sinks.BUCKET_COL).distinct().collect()
-    ]
-    if not fresh_buckets:
-        return
-    staged = (
-        existing.filter(F.col(sinks.BUCKET_COL).isin(fresh_buckets))
-        .unionByName(fresh)
-        .localCheckpoint(eager=True)
-    )
-    (
-        staged.sortWithinPartitions("hash")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(sinks.BUCKET_COL)
-        .parquet(path)
+        ).parquet(p)
+
+    sinks._merge_write(
+        spark,
+        new_mappings.select("hash", "qid"),
+        path,
+        bucket_key="hash",
+        anti_key="hash",
+        partitions=[sinks.BUCKET_COL],
+        dedup_key="hash",
+        read_fn=_read_cache_raw,
+        write_fn=write_fn,
     )
 
 

@@ -11,13 +11,14 @@ contract on plain parquet:
 - ``claims`` partitioned by ``(property, hb)`` with ``hb`` from
   ``subject_qid`` → property queries (A2, J2) prune to their partition, and
   a subject's claims co-locate in one bucket;
-- **incremental merge** (:func:`merge_write_items`,
-  :func:`merge_write_claims`): only the buckets TOUCHED by the incoming
-  batch are read, merged (insert-if-absent: conflict-as-success S9, the
-  existing row wins, mirroring ``crud/create.py:39-45``), and rewritten via
-  dynamic partition overwrite. Re-importing one page over an N-page store
-  rewrites O(pages-in-batch) buckets, not the whole store — the plain-
-  parquet equivalent of a MERGE touching only matching files.
+- **incremental merge** (one shared engine, :func:`_merge_write`): only the
+  buckets TOUCHED by the incoming batch are read for the insert-if-absent
+  anti-join (exact — the anti-join key determines the bucket), only the
+  partitions that actually GAIN rows are rewritten (dynamic partition
+  overwrite), and a batch that adds nothing writes nothing. Conflict =
+  success: the existing row wins, mirroring ``crud/create.py:39-45``.
+- files are written sorted on the lookup key so parquet row-group min/max
+  statistics prune point lookups (S6/J2) to one row group.
 
 Deletes (``--delete-page``, ``--rinse``) use the full-overwrite writers: a
 dynamic overwrite cannot clear a partition that ends up empty, so deletion
@@ -44,21 +45,23 @@ N_BUCKETS = 16
 BUCKET_COL = "hb"
 
 
+def has_parquet_data(path: str) -> bool:
+    """True when ``path`` holds at least one parquet data file. A bare
+    ``os.path.exists`` is not enough: a 0-row partitioned write leaves a
+    directory with only ``_SUCCESS``, and schema inference on it would
+    poison every later read (UNABLE_TO_INFER_SCHEMA)."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def with_bucket(df: DataFrame, key: str) -> DataFrame:
     """Attach the deterministic hash bucket for ``key`` (idempotent)."""
     if BUCKET_COL in df.columns:
         return df
     return df.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS))
-    )
-
-
-def _overwrite_dynamic(df: DataFrame, path: str, partitions: list[str]) -> None:
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partitions)
-        .parquet(path)
     )
 
 
@@ -95,53 +98,83 @@ def read_claims(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _touched_buckets(df: DataFrame) -> list[int]:
-    return [r[BUCKET_COL] for r in df.select(BUCKET_COL).distinct().collect()]
-
-
-def _partition_predicate(pairs, first_col: str):
-    """OR of (first_col, hb) equality pairs — a driver-side list bounded by
-    the import batch size, never the store size."""
+def _partition_values_predicate(rows, cols: list[str]):
+    """OR of partition-tuple equalities — a driver-side list bounded by the
+    partition SCHEMA (types × buckets / properties × buckets), never by the
+    batch or store size."""
     cond = F.lit(False)
-    for a, b in pairs:
-        cond = cond | ((F.col(first_col) == F.lit(a)) & (F.col(BUCKET_COL) == F.lit(b)))
+    for r in rows:
+        match = F.lit(True)
+        for c in cols:
+            match = match & (F.col(c) == F.lit(r[c]))
+        cond = cond | match
     return cond
+
+
+def _merge_write(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    *,
+    bucket_key: str,
+    anti_key: str,
+    partitions: list[str],
+    dedup_key: str | None,
+    read_fn,
+    write_fn,
+) -> None:
+    """Shared bucket-level MERGE engine (insert-if-absent, existing rows
+    win). ``anti_key`` must determine the bucket (it does for all three
+    stores: hash / subject_qid / hash) so probing only touched buckets is
+    exact. A batch with nothing fresh writes NOTHING."""
+    if dedup_key is not None:
+        new_df = new_df.dropDuplicates([dedup_key])
+    new_b = with_bucket(new_df, bucket_key)
+    if not has_parquet_data(path):
+        if not new_b.isEmpty():
+            write_fn(new_b, path)
+        return
+    buckets = [
+        r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
+    ]
+    existing = read_fn(spark, path).filter(F.col(BUCKET_COL).isin(buckets))
+    fresh = new_b.join(
+        existing.select(anti_key).distinct(), anti_key, "left_anti"
+    ).localCheckpoint(eager=True)
+    pairs = fresh.select(*partitions).distinct().collect()
+    if not pairs:
+        return
+    merged = existing.filter(
+        _partition_values_predicate(pairs, partitions)
+    ).unionByName(fresh)
+    # materialize before overwriting partitions this plan reads from
+    staged = merged.localCheckpoint(eager=True)
+    (
+        _sorted_on(staged, bucket_key)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partitions)
+        .parquet(path)
+    )
 
 
 def merge_write_items(
     spark: SparkSession, new_items: DataFrame, path: str
 ) -> None:
     """S9 incremental MERGE — insert-if-absent by hash; existing items keep
-    their row (conflict-as-success). Reads ONLY the hash buckets the new
-    batch touches and rewrites ONLY the ``(instance_of, hb)`` partitions
-    that actually gain rows; a re-import with nothing new writes nothing.
-
-    Delta form: MERGE INTO items USING new ON items.hash = new.hash
-    WHEN NOT MATCHED THEN INSERT *."""
-    new_b = with_bucket(new_items.dropDuplicates(["hash"]), "hash")
-    if not os.path.exists(path):
-        write_items(new_b, path)
-        return
-    buckets = _touched_buckets(new_b)
-    # hash determines the bucket, so an existing duplicate can only live in
-    # the same bucket — pruning the anti-join probe to touched buckets is
-    # exact, not approximate
-    existing = read_items(spark, path).filter(F.col(BUCKET_COL).isin(buckets))
-    fresh = new_b.join(existing.select("hash"), "hash", "left_anti").localCheckpoint(
-        eager=True
+    their row (conflict-as-success). Delta form: MERGE INTO items USING new
+    ON items.hash = new.hash WHEN NOT MATCHED THEN INSERT *."""
+    _merge_write(
+        spark,
+        new_items,
+        path,
+        bucket_key="hash",
+        anti_key="hash",
+        partitions=["instance_of", BUCKET_COL],
+        dedup_key="hash",
+        read_fn=read_items,
+        write_fn=write_items,
     )
-    pairs = [
-        (r["instance_of"], r[BUCKET_COL])
-        for r in fresh.select("instance_of", BUCKET_COL).distinct().collect()
-    ]
-    if not pairs:
-        return
-    merged = existing.filter(_partition_predicate(pairs, "instance_of")).unionByName(
-        fresh
-    )
-    # materialize before overwriting partitions this plan reads from
-    staged = merged.localCheckpoint(eager=True)
-    _overwrite_dynamic(_sorted_on(staged, "hash"), path, ["instance_of", BUCKET_COL])
 
 
 def merge_write_claims(
@@ -149,31 +182,22 @@ def merge_write_claims(
 ) -> None:
     """Claim-level conflict-as-success, bucket-incrementally: a subject
     already in the store keeps its existing claim rows verbatim (first
-    write wins, like the item row); only claims of NEW subjects are
-    inserted, and only their ``(property, hb)`` partitions are rewritten.
-    Never row-level dedup — claims differing only in qualifiers or
-    value_quantity must both survive."""
-    new_b = with_bucket(new_claims, "subject_qid")
-    if not os.path.exists(path):
-        write_claims(new_b, path)
-        return
-    buckets = _touched_buckets(new_b)
-    # subject_qid determines the bucket: touched-bucket pruning is exact
-    existing = read_claims(spark, path).filter(F.col(BUCKET_COL).isin(buckets))
-    existing_subjects = existing.select("subject_qid").distinct()
-    fresh = new_b.join(existing_subjects, "subject_qid", "left_anti").localCheckpoint(
-        eager=True
-    )
-    pairs = [
-        (r["property"], r[BUCKET_COL])
-        for r in fresh.select("property", BUCKET_COL).distinct().collect()
-    ]
-    if not pairs:
-        return
-    merged = existing.filter(_partition_predicate(pairs, "property")).unionByName(fresh)
-    staged = merged.localCheckpoint(eager=True)
-    _overwrite_dynamic(
-        _sorted_on(staged, "subject_qid"), path, ["property", BUCKET_COL]
+    write wins, like the item row — the reference skips already-uploaded
+    pages wholesale, ``wikipedia_page.py:375-408``; the page-level guard in
+    plans/store_import.py enforces that upstream, this anti-join is the
+    store-side backstop). Never row-level dedup — claims differing only in
+    qualifiers or value_quantity must both survive (duplicate-page batches
+    are deduped on page_id before the pipeline, not here)."""
+    _merge_write(
+        spark,
+        new_claims,
+        path,
+        bucket_key="subject_qid",
+        anti_key="subject_qid",
+        partitions=["property", BUCKET_COL],
+        dedup_key=None,
+        read_fn=read_claims,
+        write_fn=write_claims,
     )
 
 
@@ -185,7 +209,7 @@ def merge_items(
     path should prefer :func:`merge_write_items`, which rewrites only
     touched buckets."""
     deduped = new_items.dropDuplicates(["hash"])
-    if os.path.exists(path):
+    if has_parquet_data(path):
         existing = read_items(spark, path)
         fresh = deduped.join(existing.select("hash"), "hash", "left_anti")
         merged = existing.drop(BUCKET_COL).unionByName(fresh)
@@ -196,5 +220,8 @@ def merge_items(
 
 def write_rejects(rejects: DataFrame, base_path: str) -> None:
     """S11 — one directory per rule (the reference's per-rule log files),
-    written in a single partitioned pass (badRecordsPath pattern)."""
+    written in a single partitioned pass (badRecordsPath pattern). Log
+    semantics: append, at-least-once; empty batches write nothing."""
+    if rejects.isEmpty():
+        return
     rejects.write.mode("append").partitionBy("rule").parquet(base_path)

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from wcdimportbot_spark.functions.hashing import DEFAULT_WIKIBASE_TITLE
+from wcdimportbot_spark.functions.partitioning import fan_out
 from wcdimportbot_spark.operators import cache as cache_ops
 from wcdimportbot_spark.operators.extract import (
     extract_raw_templates,
@@ -109,13 +110,8 @@ def run_import(
     extraction UDF. On a cluster this is the natural stage boundary to
     checkpoint; disable only for single-output plans."""
     # mapInPandas parallelism equals input partitioning: a small dump read
-    # (one parquet file) would run the whole extraction on ONE core. Fan out
-    # under-partitioned inputs to the cluster's parallelism; at scale the
-    # source already has >= cores partitions and this is a no-op (no shuffle
-    # of a 100 TB corpus just to please local mode).
-    target = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < target:
-        pages = pages.repartition(target, "page_id")
+    # (one parquet file) would run the whole extraction on ONE core
+    pages = fan_out(pages, "page_id")
     raw = extract_raw_templates(pages)
     raw = filter_supported_templates(raw)
     raw = fix_param_keys(raw)

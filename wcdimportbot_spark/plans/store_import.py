@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def store_paths(store: str) -> dict[str, str]:
@@ -38,11 +39,25 @@ def import_pages_to_store(
     Each sink reads and rewrites only the hash buckets the batch touches
     (operators/sinks.py); a re-import of already-stored pages writes
     nothing."""
+    from wcdimportbot_spark.functions.hashing import page_hash
     from wcdimportbot_spark.operators import cache as cache_ops
     from wcdimportbot_spark.operators import sinks
     from wcdimportbot_spark.plans.pipeline import run_import
 
     cache = cache_ops.read_cache(spark, paths["cache"])
+    # P12 page-level already-uploaded guard (wikipedia_page.py:375-408):
+    # the reference checks the page hash against the cache and SKIPS the
+    # whole page when present — so a re-import of an already-stored page
+    # contributes no items AND no claims, wholesale. Also dedup the batch
+    # on page_id: a dump with repeated page rows must not emit its claim
+    # set twice (items dedup by hash, claims have no row identity).
+    pages = pages.dropDuplicates(["page_id"]).withColumn(
+        "_page_hash",
+        page_hash(F.col("title"), F.col("language_code"), F.col("page_id")),
+    )
+    pages = pages.join(
+        cache.select(F.col("hash").alias("_page_hash")), "_page_hash", "left_anti"
+    ).drop("_page_hash")
     result = run_import(pages, cache=cache)
     # materialize counts BEFORE the writers overwrite the store paths these
     # lazy plans still reference (read-then-overwrite-then-reread trap)

@@ -99,31 +99,38 @@ def run_event_stream(
 
     ``max_events`` stop (event_stream.py:67-75): ``StreamingQuery.stop()``
     from inside ``foreachBatch`` deadlocks, so a daemon monitor thread
-    watches the counters and stops the query as soon as they are exhausted.
-    At most one extra micro-batch may be *observed* before the stop lands —
-    it is skipped, not processed (the reference likewise finishes the event
-    in flight and breaks out of its consumer loop)."""
+    watches the counters and stops the query after the exhausting epoch
+    COMMITS. At most one extra micro-batch may race in before the stop
+    lands; it is processed and counted like any other (the stateful dedup
+    requires every delivered batch to be fully consumed — Spark validates
+    state-store commits per epoch — and a processed-but-uncommitted batch
+    would be silently lost on restart). Net contract across stop/resume:
+    every event is processed exactly once, and the counter overshoots
+    ``max_events`` by at most one batch (the reference likewise finishes
+    work in flight before breaking out of its consumer loop)."""
     import threading
 
     counters = counters if counters is not None else StreamCounters()
     deduped = dedup_titles_with_watermark(filter_events(events), watermark)
 
     exhausted_signal = threading.Event()
+    exhausting_epoch: list[int | None] = [None]
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if counters.exhausted():
-            # stop already requested; a batch that raced the monitor thread
-            # is dropped unprocessed
-            exhausted_signal.set()
-            return
+        # every delivered batch is fully processed, even one racing the
+        # stop: the stateful dedup upstream requires all partitions
+        # consumed (Spark validates per-epoch state commits), and an
+        # unprocessed-but-committed epoch would lose its events on resume
         n = batch_df.count()
         counters.events += n
         counters.batches += 1
         if n:
             process_batch(batch_df, epoch_id)
         if counters.exhausted():
-            # signal only AFTER process_batch returns — the monitor must
-            # never stop the query while the exhausting batch is in flight
+            # signal only AFTER process_batch returns; the monitor further
+            # waits for THIS epoch to commit before stopping, so the
+            # exhausting batch is never replayed
+            exhausting_epoch[0] = epoch_id
             exhausted_signal.set()
 
     writer = deduped.writeStream.outputMode("append").foreachBatch(handle)
@@ -136,11 +143,29 @@ def run_event_stream(
             exhausted_signal.set()
 
         def monitor() -> None:
+            import time
+
             while query.isActive:
                 # act only on the explicit signal (set after the exhausting
                 # batch fully processed) — polling counters.exhausted() here
                 # would stop the query mid-batch
                 if exhausted_signal.wait(timeout=stop_poll_seconds):
+                    # wait (bounded) for the exhausting epoch to COMMIT:
+                    # lastProgress reports the last completed micro-batch,
+                    # so stopping before it covers the exhausting epoch
+                    # would discard that batch's checkpoint entry and
+                    # replay already-processed events on resume
+                    target = exhausting_epoch[0]
+                    deadline = time.monotonic() + 30.0
+                    while (
+                        target is not None
+                        and query.isActive
+                        and time.monotonic() < deadline
+                    ):
+                        progress = query.lastProgress
+                        if progress is not None and progress["batchId"] >= target:
+                            break
+                        time.sleep(stop_poll_seconds)
                     query.stop()
                     return
 
