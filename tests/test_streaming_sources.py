@@ -306,3 +306,63 @@ def test_stream_import_to_store_exactly_once(spark, tmp_path):
     run_once()  # replay the identical batch
     for s in ("items", "claims", "cache"):
         assert snapshot(s) == before[s], f"{s} store must be untouched on replay"
+
+
+def test_windowed_counts_drop_late_events(spark, tmp_path):
+    """A7 streaming: a window is emitted once, when the watermark passes
+    its end, and a late event for an already-finalized window is dropped —
+    it can neither change the emitted count nor resurrect the window.
+    (Spark guarantees drops only for evicted windows; earlier lateness is
+    best-effort, so the test asserts the guaranteed contract.)"""
+    import time as _t
+
+    from wcdimportbot_spark.streaming.events import (
+        parse_event_stream,
+        windowed_event_counts_stream,
+    )
+
+    def ev(title, ts):
+        return {"server_name": "en.wikipedia.org", "namespace": 0,
+                "title": title, "bot": False, "type": "edit", "ts": ts}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batches = [
+        # window [10:00,10:05): two events; 11:00 advances the watermark
+        [ev("E1", "2026-01-01T10:00:00.000Z"),
+         ev("E2", "2026-01-01T10:01:00.000Z"),
+         ev("E3", "2026-01-01T11:00:00.000Z")],
+        # 12:00 → watermark 11:50: the 10:00 window is finalized+evicted
+        [ev("E4", "2026-01-01T12:00:00.000Z")],
+        # LATE is behind the watermark AND its window is evicted → dropped
+        [ev("LATE", "2026-01-01T10:02:00.000Z"),
+         ev("E5", "2026-01-01T13:00:00.000Z")],
+    ]
+    for i, rows_ in enumerate(batches):
+        (src / f"f{i}.json").write_text("\n".join(json.dumps(e) for e in rows_))
+        _t.sleep(1.1)  # distinct mtimes → stable file->batch order
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    counts = windowed_event_counts_stream(parse_event_stream(raw))
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = [
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    ]
+    # finalized once with the on-time events only; LATE neither bumped the
+    # count nor produced a second row for the window
+    assert rows.count(("2026-01-01T10:00:00", 2)) == 1
+    assert not any(w == "2026-01-01T10:00:00" and n != 2 for w, n in rows)
+    assert ("2026-01-01T11:00:00", 1) in rows

@@ -73,6 +73,33 @@ def dedup_titles_with_watermark(
     return events.withWatermark("ts", watermark).dropDuplicates(["title"])
 
 
+def windowed_event_counts_stream(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """A7 streaming twin: tumbling-window counts per event type with a
+    late-data bound. In append output a window row is emitted exactly once,
+    when the watermark passes its end (the window is FINAL); events arriving
+    later than the watermark are dropped from their window — the documented
+    late-data policy (the batch twin ``a7_windowed_event_counts`` sees the
+    full history instead). State is bounded by ``watermark``: one window per
+    (window, type) newer than ``max(ts) - watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("type").alias("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 @dataclass
 class StreamCounters:
     """A7 — the reference's running totals (event_stream.py:26-33),
