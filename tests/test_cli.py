@@ -193,3 +193,30 @@ def test_empty_import_does_not_poison_store(spark, tmp_path, capsys):
     capsys.readouterr()
     assert main(["--store", store, "--statistics"]) == 0
     assert '"WIKIPEDIA_PAGE": 1' in capsys.readouterr().out
+
+
+def test_cli_import_events_stream(spark, tmp_path, capsys):
+    """--import-events consumes a JSON event directory into the store via
+    the streaming sink; re-running on the same checkpoint is a no-op."""
+    src = tmp_path / "events"
+    src.mkdir()
+    events = [
+        {"server_name": "en.wikipedia.org", "namespace": 0, "title": t,
+         "bot": False, "type": "edit", "ts": "2026-01-01T10:00:00.000Z"}
+        for t in ("CLI Stream A", "CLI Stream B")
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in events))
+    store = str(tmp_path / "store")
+
+    assert main(["--store", store, "--import-events", str(src)]) == 0
+    assert "2 events" in capsys.readouterr().out
+    assert main(["--store", store, "--statistics"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["items"]["WIKIPEDIA_PAGE"] == 2
+
+    # same checkpoint → nothing redelivered, store unchanged
+    assert main(["--store", store, "--import-events", str(src)]) == 0
+    assert "0 events" in capsys.readouterr().out
+    assert main(["--store", store, "--statistics"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["items"]["WIKIPEDIA_PAGE"] == 2

@@ -66,6 +66,17 @@ def main(argv=None) -> int:
     parser.add_argument("--category-links", help="category_links(parent, child) parquet")
     parser.add_argument("--page-categories", help="page_categories(page_id, category) parquet")
     parser.add_argument("-r", "--max-range", type=int, help="import max range of pages")
+    parser.add_argument(
+        "--import-events",
+        help="consume a JSON event-stream directory into the store "
+        "(the reference's event_stream consumer; file source, one JSON "
+        "event per line)",
+    )
+    parser.add_argument(
+        "--max-events",
+        type=int,
+        help="stop the event stream after this many events (event_stream.py:67-75)",
+    )
     parser.add_argument("-l", "--lookup-md5hash", help="lookup a hash in cache and claims")
     parser.add_argument("-d", "--delete-page", help="delete one page item by title")
     parser.add_argument("--rinse", action="store_true", help="delete all items and flush the cache")
@@ -110,6 +121,34 @@ def main(argv=None) -> int:
         if args.max_range:
             pages = range_scan(pages, max_count=args.max_range)
         _import_pages(spark, pages, paths)
+
+    elif args.import_events:
+        from wcdimportbot_spark.plans.store_import import store_import_batch_fn
+        from wcdimportbot_spark.streaming.events import (
+            StreamCounters,
+            parse_event_stream,
+            run_event_stream,
+        )
+
+        raw = spark.readStream.format("text").load(args.import_events)
+        counters = StreamCounters(max_events=args.max_events)
+        query = run_event_stream(
+            parse_event_stream(raw),
+            store_import_batch_fn(args.store),
+            counters,
+            checkpoint_dir=os.path.join(args.store, "_checkpoint"),
+        )
+        if args.max_events:
+            # stops itself at max_events (monitor thread)
+            query.awaitTermination()
+        else:
+            # drain what is currently in the directory, then exit —
+            # a long-running daemon would awaitTermination() instead
+            query.processAllAvailable()
+            query.stop()
+        print(
+            f"stream: {counters.events} events in {counters.batches} batches"
+        )
 
     elif args.lookup_md5hash:
         from wcdimportbot_spark.operators import cache as cache_ops
