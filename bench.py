@@ -26,6 +26,8 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "q10_returned_item_ranking",
+    "q12_shipmode_priority",
+    "q14_promo_revenue_share",
     "j3_star_join_revenue",
     "j1_broadcast_lookup_join",
     "j4_anti_join_upload_if_missing",

@@ -1761,3 +1761,82 @@ def q8_market_share(spark, sf_dir):
             ).alias("mkt_share")
         )
     )
+
+
+@register(
+    "q12_shipmode_priority",
+    "A1,F14 composite (TPC-H Q12 shape)",
+    "conditional two-way counts by line status over a date-bounded scan "
+    "(CASE-in-aggregate, no join fan-out)",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: the date predicate pushes into the lineitem scan;
+    priority classification is a CASE inside the aggregate — one shuffle
+    on the join key, one on the single-column groupBy."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    "J1,A1 composite (TPC-H Q14 shape)",
+    "share of revenue from one part type in one month "
+    "(conditional numerator over a broadcast part join)",
+    """
+    SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+              AS DOUBLE) AS promo_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: month-bounded fact scan, broadcast part join,
+    conditional numerator and denominator in ONE aggregation; sums stay
+    decimal so the final double division sees identical operands in both
+    engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load(spark, sf_dir, "part")
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_share"
+            )
+        )
+    )
