@@ -220,3 +220,36 @@ def test_cli_import_events_stream(spark, tmp_path, capsys):
     assert main(["--store", store, "--statistics"]) == 0
     stats = json.loads(capsys.readouterr().out)
     assert stats["items"]["WIKIPEDIA_PAGE"] == 2
+
+
+def test_cli_import_events_cap_and_rinse(spark, tmp_path, capsys):
+    """--max-events larger than the available events must drain and exit
+    (cap is a ceiling, not a wait target); --rinse clears the streaming
+    checkpoint so the same events can be re-imported afterwards."""
+    src = tmp_path / "events"
+    src.mkdir()
+    events = [
+        {"server_name": "en.wikipedia.org", "namespace": 0, "title": t,
+         "bot": False, "type": "edit", "ts": "2026-01-01T10:00:00.000Z"}
+        for t in ("Cap A", "Cap B")
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in events))
+    store = str(tmp_path / "store")
+
+    # cap above available: drains 2 events and exits (no hang)
+    assert main(["--store", store, "--import-events", str(src),
+                 "--max-events", "100"]) == 0
+    assert "2 events" in capsys.readouterr().out
+
+    # zero cap: processes nothing, deterministically
+    assert main(["--store", store, "--import-events", str(src),
+                 "--max-events", "0"]) == 0
+    assert "0 events in 0 batches" in capsys.readouterr().out
+
+    # rinse clears the checkpoint too → the same directory re-imports
+    assert main(["--store", store, "--rinse"]) == 0
+    capsys.readouterr()
+    assert main(["--store", store, "--import-events", str(src)]) == 0
+    assert "2 events" in capsys.readouterr().out
+    assert main(["--store", store, "--statistics"]) == 0
+    assert json.loads(capsys.readouterr().out)["items"]["WIKIPEDIA_PAGE"] == 2

@@ -75,7 +75,8 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--max-events",
         type=int,
-        help="stop the event stream after this many events (event_stream.py:67-75)",
+        help="cap the event stream at this many events (counted post-filter/"
+        "dedup, like the reference's consumer — event_stream.py:67-75)",
     )
     parser.add_argument("-l", "--lookup-md5hash", help="lookup a hash in cache and claims")
     parser.add_argument("-d", "--delete-page", help="delete one page item by title")
@@ -130,6 +131,11 @@ def main(argv=None) -> int:
             run_event_stream,
         )
 
+        if args.max_events == 0:
+            # a zero cap means "process nothing" — don't start a stream
+            # that would race its own immediate stop
+            print("stream: 0 events in 0 batches")
+            return 0
         raw = spark.readStream.format("text").load(args.import_events)
         counters = StreamCounters(max_events=args.max_events)
         query = run_event_stream(
@@ -138,13 +144,18 @@ def main(argv=None) -> int:
             counters,
             checkpoint_dir=os.path.join(args.store, "_checkpoint"),
         )
-        if args.max_events:
-            # stops itself at max_events (monitor thread)
-            query.awaitTermination()
-        else:
-            # drain what is currently in the directory, then exit —
-            # a long-running daemon would awaitTermination() instead
+        # drain what is currently available, capped by --max-events: the
+        # monitor thread stops the query mid-drain when the cap is hit,
+        # which surfaces here as the drain call ending early. A directory
+        # with fewer events than the cap still exits after the drain — the
+        # cap is a ceiling, not a wait target (a long-running daemon would
+        # awaitTermination() instead).
+        try:
             query.processAllAvailable()
+        except Exception:
+            if query.isActive:  # not the monitor's stop — re-raise
+                raise
+        if query.isActive:
             query.stop()
         print(
             f"stream: {counters.events} events in {counters.batches} batches"
@@ -185,7 +196,13 @@ def main(argv=None) -> int:
     elif args.rinse:
         import shutil
 
-        for p in paths.values():
+        # include the streaming checkpoint: a surviving checkpoint would
+        # make a post-rinse --import-events of the same directory a silent
+        # no-op (source files already marked processed)
+        doomed_paths = list(paths.values()) + [
+            os.path.join(args.store, "_checkpoint")
+        ]
+        for p in doomed_paths:
             if os.path.exists(p):
                 shutil.rmtree(p)
         print("rinsed: all items, claims, cache, rejects")
