@@ -58,29 +58,38 @@ def main() -> None:
     spark = get_spark(app_name="wcdimportbot-bench")
 
     # warmup: trigger JVM/codegen/io paths once outside the measurement
-    QUERIES[HEADLINE[0]].fn(spark, sf_dir).count()
+    try:
+        QUERIES[HEADLINE[0]].fn(spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001 - warmup failure must not kill the run
+        print(f"# warmup failed: {exc}", file=sys.stderr)
 
+    # One failing query must never abort the run: record the error, keep
+    # timing the rest, and always emit the final JSON summary line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        try:
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

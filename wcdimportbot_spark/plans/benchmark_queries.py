@@ -33,11 +33,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
-        # long under nanosAsLong; convert to a microsecond timestamp
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # events.ts arrives in whichever encoding the testdata generator used:
+        # TIMESTAMP(NANOS) surfaces as a nanos-since-epoch long (under
+        # nanosAsLong), TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+        # TIMESTAMP_NTZ. Normalize both to a session-TZ (UTC) timestamp so
+        # every downstream query sees one type.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
