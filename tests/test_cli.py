@@ -253,3 +253,46 @@ def test_cli_import_events_cap_and_rinse(spark, tmp_path, capsys):
     assert "2 events" in capsys.readouterr().out
     assert main(["--store", store, "--statistics"]) == 0
     assert json.loads(capsys.readouterr().out)["items"]["WIKIPEDIA_PAGE"] == 2
+
+
+def test_cli_delete_page_allows_reimport(spark, tmp_path, capsys):
+    """Deleting a page must also remove its hash from the cache (the
+    reference deletes the cache key, src/__init__.py:181) — otherwise the
+    P12 already-uploaded guard skips the page forever."""
+    store = str(tmp_path / "store")
+    assert main(["--store", store, "--import-title", "Phoenix Page"]) == 0
+    capsys.readouterr()
+    assert main(["--store", store, "--delete-page", "Phoenix Page"]) == 0
+    assert "deleted 1 page item(s)" in capsys.readouterr().out
+
+    # re-import must actually import the page again, not silently no-op
+    assert main(["--store", store, "--import-title", "Phoenix Page"]) == 0
+    assert "1 pages, 1 new items" in capsys.readouterr().out
+    assert main(["--store", store, "--statistics"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["items"]["WIKIPEDIA_PAGE"] == 1
+
+
+def test_cli_import_events_surfaces_stream_failure(spark, tmp_path, monkeypatch):
+    """A stream killed by a foreachBatch error is INACTIVE — the CLI must
+    still re-raise (query.exception() check), not exit 0."""
+    import pytest
+
+    from wcdimportbot_spark.plans import store_import
+
+    def poisoned_batch_fn(store):
+        def process(batch_df, epoch_id):
+            raise RuntimeError("poisoned batch")
+
+        return process
+
+    monkeypatch.setattr(store_import, "store_import_batch_fn", poisoned_batch_fn)
+    src = tmp_path / "events"
+    src.mkdir()
+    event = {"server_name": "en.wikipedia.org", "namespace": 0,
+             "title": "Poisoned", "bot": False, "type": "edit",
+             "ts": "2026-01-01T10:00:00.000Z"}
+    (src / "b.json").write_text(json.dumps(event))
+    store = str(tmp_path / "store")
+    with pytest.raises(Exception):
+        main(["--store", store, "--import-events", str(src)])

@@ -11,7 +11,7 @@ section (``blogspot.com``).
 import pytest
 from pyspark.sql import functions as F
 
-from wcdimportbot_spark.functions.columns import first_level_domain
+from wcdimportbot_spark.functions.columns import with_first_level_domain
 from wcdimportbot_spark.functions.psl import load_psl
 
 CASES = [
@@ -64,23 +64,23 @@ def test_psl_loads_full_list():
 
 @pytest.mark.parametrize("url,expected", CASES, ids=[c[0][:40] for c in CASES])
 def test_first_level_domain(spark, url, expected):
-    row = (
-        spark.createDataFrame([(url,)], ["url"])
-        .select(first_level_domain(F.col("url")).alias("fld"))
-        .collect()[0]
-    )
+    df = spark.createDataFrame([(url,)], ["url"])
+    row = with_first_level_domain(df, "url", "fld").collect()[0]
     assert row["fld"] == expected
 
 
-def test_fld_batch_plan_is_single_project(spark):
-    """The PSL match must stay a pure expression (InSet probes), not a
-    join: one Project over the scan, no shuffle."""
-    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"]).select(
-        first_level_domain(F.col("url")).alias("fld")
-    )
+def test_fld_plan_is_broadcast_joins_no_shuffle(spark):
+    """The PSL match must be per-arity BROADCAST joins: no shuffle
+    exchange on the fact side, no sort-merge join, and the plan must not
+    inline the rule set (a 9k-literal expression tree OOMs streaming
+    micro-batches — round-3 regression)."""
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    df = with_first_level_domain(df, "url", "fld")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert len(plan) < 200_000, "plan inlines the PSL rule set"
 
 
 def _py_fld(host, rules):
@@ -109,7 +109,7 @@ def test_psl_matrix_vs_python_oracle(spark):
     expression against an independent Python matcher."""
     import random
 
-    from wcdimportbot_spark.functions.psl import registrable_domain
+    from wcdimportbot_spark.functions.psl import with_registrable_domain
 
     rules = load_psl()
     rng = random.Random(20260813)
@@ -129,8 +129,10 @@ def test_psl_matrix_vs_python_oracle(spark):
     expected = {h: _py_fld(h, rules) for h in hosts}
 
     got = dict(
-        spark.createDataFrame([(h,) for h in hosts], ["host"])
-        .select("host", registrable_domain(F.col("host")).alias("fld"))
+        with_registrable_domain(
+            spark.createDataFrame([(h,) for h in hosts], ["host"]), "host", "fld"
+        )
+        .select("host", "fld")
         .collect()
     )
     mismatches = {h: (got[h], expected[h]) for h in hosts if got[h] != expected[h]}

@@ -153,10 +153,16 @@ def main(argv=None) -> int:
         try:
             query.processAllAvailable()
         except Exception:
-            if query.isActive:  # not the monitor's stop — re-raise
+            # a query the monitor stopped at the cap is inactive with NO
+            # exception; a query killed by a foreachBatch error is ALSO
+            # inactive — distinguish on query.exception(), not isActive,
+            # or real stream failures exit 0
+            if query.isActive or query.exception() is not None:
                 raise
         if query.isActive:
             query.stop()
+        elif query.exception() is not None:
+            raise query.exception()
         print(
             f"stream: {counters.events} events in {counters.batches} batches"
         )
@@ -226,21 +232,39 @@ def main(argv=None) -> int:
                 (F.col("instance_of") == "WIKIPEDIA_PAGE")
                 & (F.col("label") == shorten(F.lit(args.delete_page), 250))
             )
-            .select("qid")
+            .select("qid", "hash")
             # materialize: this plan is reused by the claims anti-join AFTER
             # write_items has replaced the files it reads
             .localCheckpoint(eager=True)
         )
         n = doomed.count()
-        kept_items = items.join(doomed, "qid", "left_anti").localCheckpoint(eager=True)
+        kept_items = items.join(doomed.select("qid"), "qid", "left_anti").localCheckpoint(
+            eager=True
+        )
+        from wcdimportbot_spark.operators import cache as cache_ops
         from wcdimportbot_spark.operators import sinks
 
         sinks.write_items(kept_items, paths["items"])
         if claims is not None:
             kept_claims = claims.join(
-                doomed.withColumnRenamed("qid", "subject_qid"), "subject_qid", "left_anti"
+                doomed.select(F.col("qid").alias("subject_qid")),
+                "subject_qid",
+                "left_anti",
             ).localCheckpoint(eager=True)
             sinks.write_claims(kept_claims, paths["claims"])
+        # the reference also deletes the page hash from the cache
+        # (src/__init__.py:181); without this the import path's P12
+        # already-uploaded anti-join sees the stale hash and a deleted page
+        # can never be re-imported ("0 new items" forever)
+        if n > 0:
+            from wcdimportbot_spark.operators.sinks import has_parquet_data
+
+            if has_parquet_data(paths["cache"]):
+                cache = cache_ops.read_cache(spark, paths["cache"])
+                kept_cache = cache_ops.delete_keys(
+                    cache, doomed.select("hash")
+                ).localCheckpoint(eager=True)
+                cache_ops.write_cache(kept_cache, paths["cache"])
         print(f"deleted {n} page item(s) titled {args.delete_page!r}")
 
     else:

@@ -73,20 +73,22 @@ def hostname(url: Column) -> Column:
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
-def first_level_domain(url: Column) -> Column:
+def with_first_level_domain(df, url: Column | str, out: str):
     """Registrable-domain extraction with the FULL public suffix list
-    (``tld.get_fld`` parity — ICANN + private sections; see functions/psl.py
-    for the PSL→Catalyst encoding and documented deviations). NULL for
+    (``tld.get_fld`` parity — ICANN + private sections): appends ``out`` =
+    fld of ``url`` via per-arity broadcast suffix-table joins (see
+    functions/psl.py for the design and documented deviations). NULL for
     unparseable hosts and unknown TLDs; URLs whose host cannot be derived
     but contain ``web.archive.org`` map to ``archive.org`` (the reference's
-    TldBadUrl fallback)."""
-    from wcdimportbot_spark.functions.psl import registrable_domain
+    TldBadUrl fallback, ``wikipedia_page_reference.py:704-707``)."""
+    from wcdimportbot_spark.functions.psl import with_registrable_domain
 
-    fld = registrable_domain(hostname(url))
-    archive_fallback = F.when(
-        url.contains("web.archive.org"), F.lit("archive.org")
-    )
-    return F.coalesce(fld, archive_fallback)
+    u = F.col(url) if isinstance(url, str) else url
+    tmp = f"__fldhost_{out}"
+    df = df.withColumn(tmp, hostname(u))
+    df = with_registrable_domain(df, tmp, out)
+    archive_fallback = F.when(u.contains("web.archive.org"), F.lit("archive.org"))
+    return df.withColumn(out, F.coalesce(F.col(out), archive_fallback)).drop(tmp)
 
 
 # ---------------------------------------------------------------------------

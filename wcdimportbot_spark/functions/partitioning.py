@@ -14,14 +14,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: inputs below this size are assumed to scan into fewer splits than the
+#: cluster has cores (one spark.sql.files.maxPartitionBytes worth of data)
+_SMALL_INPUT_BYTES = 128 * 1024 * 1024
+
 
 def fan_out(df: DataFrame, *hash_cols: str) -> DataFrame:
     """Repartition ``df`` to the cluster's default parallelism when its
-    input partitioning is narrower; no-op otherwise. Pass key column(s) for
-    a deterministic hash repartition (recommended); without keys Spark uses
-    round-robin."""
+    input is small enough to scan into fewer splits; no-op otherwise. Pass
+    key column(s) for a deterministic hash repartition (recommended);
+    without keys Spark uses round-robin.
+
+    The decision reads the optimizer's size statistics (file-listing
+    based) instead of ``df.rdd.getNumPartitions()``: translating the plan
+    to an RDD runs full physical planning + DAG construction per call,
+    which showed up as sub-second per-query regressions in benchmarks.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < _SMALL_INPUT_BYTES:
         if hash_cols:
             return df.repartition(target, *[F.col(c) for c in hash_cols])
         return df.repartition(target)

@@ -5,26 +5,30 @@ The reference derives the registrable domain with ``tld.get_fld``
 Suffix List — ICANN *and* private sections (``get_fld`` defaults to
 ``search_private=True``, so e.g. ``x.blogspot.com`` is its own fld).
 
-This module re-expresses the PSL match as a pure Catalyst expression,
-registered once per session as a SQL scalar function:
+This module re-expresses the PSL match as a chain of per-arity
+**broadcast dimension joins** — the scale-correct plan shape:
 
 - the PSL (``/usr/share/publicsuffix/public_suffix_list.dat``, the
   distro-packaged Mozilla list — public data) is parsed once per process
-  into rule sets keyed by label count;
-- the match is compiled to ONE ``CREATE TEMPORARY FUNCTION`` statement
-  (Spark 4 SQL UDF): candidate suffixes (last 1..5 labels of the host)
-  probed with ``IN`` lists. Above ``inSetConversionThreshold`` Catalyst
-  compiles each list to a single ``InSet`` hash-set probe — one
-  expression node per rule arity, NOT one per rule, so whole-stage
-  codegen stays compact;
-- building the predicate as one SQL string matters: the naive
-  ``Column.isin(*9500_literals)`` constructs every literal through py4j
-  (~13 s of driver time PER QUERY, measured at sf0.1); the SQL string
-  crosses the bridge once at registration and each use is a single
-  ``call_function`` that the analyzer inlines JVM-side;
-- the longest matching rule wins (PSL algorithm); wildcard rules
-  (``*.ck``) extend the suffix one label; exception rules (``!www.ck``)
-  cancel the wildcard they pair with.
+  into rule sets keyed by label count (arity k = 1..5);
+- for each arity k a tiny dimension table ``(suffix, is_n, is_w, is_x)``
+  is built once per session (~9.5k rows total across all arities) and
+  broadcast; the fact side derives the candidate suffix (last k labels of
+  the host) and LEFT-joins it — an equi-key BroadcastHashJoin, no
+  shuffle, no row multiplication (suffixes are unique per arity);
+- the longest matching rule wins (PSL algorithm), computed as one
+  ``greatest`` over the per-arity match flags; wildcard rules (``*.ck``)
+  extend the suffix one label; exception rules (``!www.ck``) cancel the
+  wildcard they pair with.
+
+Why a join and not a generated IN-list expression: an expression carrying
+all 9,391 rules as literals is macro-inlined into EVERY calling plan —
+measured 69 MiB task binaries, and inside streaming micro-batches (whose
+plans embed the batch pipeline repeatedly) JVM heap exhaustion. A
+broadcast variable ships the rule set to each executor ONCE, outside the
+plan, and the plan itself stays a few KB. At 100 TB this is the only
+shape that survives: the fact table never shuffles, the dimension is
+broadcast, and the probe is a hash-map lookup per arity.
 
 Semantics matched to ``tld.get_fld`` rather than the raw PSL spec:
 
@@ -40,7 +44,9 @@ Semantics matched to ``tld.get_fld`` rather than the raw PSL spec:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, SparkSession
+import weakref
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: candidate PSL locations, first hit wins; override with $WCD_PSL_PATH.
@@ -50,8 +56,6 @@ PSL_CANDIDATE_PATHS = (
     "/usr/share/publicsuffix/effective_tld_names.dat",
     "/etc/java-17-openjdk/security/public_suffix_list.dat",
 )
-
-FN_NAME = "psl_registrable_domain"
 
 _rules_cache: dict | None = None
 
@@ -106,70 +110,109 @@ def load_psl(path: str | None = None) -> dict:
     return rules
 
 
-def _in_list(values) -> str:
-    return ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(values))
-
-
-def _fld_sql_body() -> str:
-    """The registrable-domain match as one SQL expression over ``host``.
-
-    Structure mirrors the PSL algorithm: per rule arity an IN-probe arm
-    yields its suffix length; ``greatest`` picks the longest match; the
-    suffix length is bound ONCE as a lambda variable (``transform`` over a
-     1-element array) so its big expression isn't duplicated."""
+def _rule_rows() -> dict[int, list[tuple[str, bool, bool, bool]]]:
+    """Flatten the parsed PSL into one row per distinct suffix string,
+    grouped by arity: ``(suffix, is_normal, is_wild_base, is_exception)``.
+    A string can carry several flags (a wildcard base may also be a plain
+    rule), so flags are merged — the join side stays unique per arity."""
     rules = load_psl()
-    # SQL '\\.' → regex \. (Spark SQL string literals are backslash-escaped)
-    parts = "split(host, '\\\\.')"
-    n = f"size({parts})"
+    merged: dict[str, list[bool]] = {}
 
-    def last(k: int) -> str:
-        return f"array_join(slice({parts}, {n} - {k} + 1, {k}), '.')"
+    def add(strings, pos):
+        for s in strings:
+            merged.setdefault(s, [False, False, False])[pos] = True
 
-    arms = []
-    for k, s in sorted(rules["normal"].items()):
-        arms.append(f"CASE WHEN {n} >= {k} AND {last(k)} IN ({_in_list(s)}) THEN {k} END")
-    for k, w in sorted(rules["wild"].items()):
-        base = f"{n} >= {k} AND {last(k)} IN ({_in_list(w)})"
-        exc = rules["exc"].get(k + 1)
-        if exc:
-            is_exc = f"{n} >= {k + 1} AND {last(k + 1)} IN ({_in_list(exc)})"
-            # exception: the (k+1)-label name is NOT a suffix — the suffix
-            # stays at the wildcard base, making the exception name itself
-            # the registrable domain
-            arms.append(f"CASE WHEN ({base}) AND ({is_exc}) THEN {k} END")
-            arms.append(f"CASE WHEN ({base}) AND NOT coalesce({is_exc}, false) THEN {k + 1} END")
-        else:
-            arms.append(f"CASE WHEN {base} THEN {k + 1} END")
-    slen = f"greatest({', '.join(arms)})"
-    return (
-        "element_at(transform(array(" + slen + "), s -> "
-        f"CASE WHEN s IS NOT NULL AND {n} > s "
-        f"THEN array_join(slice({parts}, {n} - s, s + 1), '.') END), 1)"
-    )
+    for strings in rules["normal"].values():
+        add(strings, 0)
+    for strings in rules["wild"].values():
+        add(strings, 1)
+    for strings in rules["exc"].values():
+        add(strings, 2)
+    by_k: dict[int, list[tuple[str, bool, bool, bool]]] = {}
+    for s, (n, w, x) in merged.items():
+        by_k.setdefault(s.count(".") + 1, []).append((s, n, w, x))
+    return {k: sorted(v) for k, v in by_k.items()}
 
 
-def ensure_registered(spark: SparkSession) -> None:
-    """Register the PSL SQL function in this session (idempotent; the
-    ~150 KB rule text crosses the py4j bridge once per session).
+#: per-session suffix dimension tables; weakly keyed so dead sessions
+#: (streaming clones, test fixtures) don't pin DataFrames forever, and an
+#: id()-reuse after gc can't serve another session's tables.
+_tables_cache: dict[int, tuple[weakref.ref, dict[int, DataFrame]]] = {}
 
-    Always consults the catalog (one cheap RPC): caching on the Python
-    wrapper id would false-positive when a new session object reuses a
-    gc'd wrapper's address, and streaming microbatches hand callbacks
-    fresh wrappers around CLONED sessions whose registries may or may not
-    have the function depending on when the clone was taken."""
-    if not spark.catalog.functionExists(FN_NAME):
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY FUNCTION {FN_NAME}(host STRING) "
-            f"RETURNS STRING RETURN {_fld_sql_body()}"
+
+def suffix_tables(spark: SparkSession) -> dict[int, DataFrame]:
+    """The PSL as per-arity dimension DataFrames
+    ``{k: (suffix, is_n, is_w, is_x)}``, built once per session."""
+    ent = _tables_cache.get(id(spark))
+    if ent is not None and ent[0]() is spark:
+        return ent[1]
+    tables = {
+        k: spark.createDataFrame(
+            rows, "suffix string, is_n boolean, is_w boolean, is_x boolean"
         )
+        for k, rows in _rule_rows().items()
+    }
+    for dead in [k for k, (ref, _) in _tables_cache.items() if ref() is None]:
+        del _tables_cache[dead]
+    _tables_cache[id(spark)] = (weakref.ref(spark), tables)
+    return tables
 
 
-def registrable_domain(host: Column) -> Column:
-    """PSL first-level domain of an already-extracted (lowercase) host
-    column; NULL when the host has no registrable domain."""
-    spark = SparkSession.getActiveSession()
-    if spark is None:  # pragma: no cover - expressions are built in queries
-        raise RuntimeError("registrable_domain needs an active SparkSession")
-    ensure_registered(spark)
-    # strip one trailing dot (FQDN form) before the match
-    return F.call_function(FN_NAME, F.regexp_replace(host, r"\.$", ""))
+def with_registrable_domain(
+    df: DataFrame, host: Column | str, out: str
+) -> DataFrame:
+    """Append the PSL registrable domain of ``host`` as column ``out``.
+
+    One LEFT BroadcastHashJoin per rule arity (5 for the current PSL)
+    against the per-arity suffix dimension; the longest match wins. NULL
+    when the host is NULL, has an unknown TLD, or IS a public suffix. A
+    trailing dot (FQDN form) is stripped before matching."""
+    spark = df.sparkSession
+    tabs = suffix_tables(spark)
+    rules = load_psl()
+    hcol = F.col(host) if isinstance(host, str) else host
+    pre = f"__psl_{out}_"
+    hname = pre + "h"
+    df = df.withColumn(hname, F.regexp_replace(hcol, r"\.$", ""))
+    parts = F.split(F.col(hname), r"\.")
+    n = F.size(parts)
+    # candidate join keys: the last k labels of the host, NULL when the
+    # host is too short (NULL keys fall out of the equi-join, row kept)
+    df = df.withColumns(
+        {
+            f"{pre}c{k}": F.when(
+                n >= k, F.array_join(F.slice(parts, n - k + 1, k), ".")
+            )
+            for k in sorted(tabs)
+        }
+    )
+    for k in sorted(tabs):
+        ck = f"{pre}c{k}"
+        dim = tabs[k].select(
+            F.col("suffix").alias(ck),
+            F.col("is_n").alias(f"{pre}n{k}"),
+            F.col("is_w").alias(f"{pre}w{k}"),
+            F.col("is_x").alias(f"{pre}x{k}"),
+        )
+        df = df.join(F.broadcast(dim), on=ck, how="left")
+    # longest-match: each arity/rule-class contributes its suffix length
+    arms = []
+    for k in sorted(rules["normal"]):
+        arms.append(F.when(F.col(f"{pre}n{k}"), F.lit(k)))
+    for k in sorted(rules["wild"]):
+        w = F.col(f"{pre}w{k}")
+        if (k + 1) in rules["exc"]:
+            # exception: the (k+1)-label name is NOT a suffix — the
+            # suffix stays at the wildcard base, making the exception
+            # name itself the registrable domain
+            x = F.coalesce(F.col(f"{pre}x{k + 1}"), F.lit(False))
+            arms.append(F.when(w & x, F.lit(k)))
+            arms.append(F.when(w & ~x, F.lit(k + 1)))
+        else:
+            arms.append(F.when(w, F.lit(k + 1)))
+    s = F.greatest(*arms)
+    fld = F.when(
+        s.isNotNull() & (n > s), F.array_join(F.slice(parts, n - s, s + 1), ".")
+    )
+    df = df.withColumn(out, fld)
+    return df.drop(hname, *[f"{pre}{p}{k}" for k in sorted(tabs) for p in "cnwx"])

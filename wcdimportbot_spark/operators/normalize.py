@@ -102,14 +102,10 @@ def build_references(
     so each pass may only reference columns produced by earlier passes;
     short-lived intermediates (the F20-resolved url, the google-books
     rewrite) are inlined rather than materialized, trading a few duplicated
-    cheap regex evaluations for an order of magnitude fewer analyzer runs."""
-    from wcdimportbot_spark.functions.psl import ensure_registered
+    cheap regex evaluations for an order of magnitude fewer analyzer runs.
 
-    # F5 needs the PSL SQL function on the session that ANALYZES this plan —
-    # inside foreachBatch that is a clone of the main session, not the
-    # thread-active one, so register on the input's own session explicitly
-    ensure_registered(raw_valid.sparkSession)
-
+    The only non-projection steps are the F5 broadcast suffix-table joins
+    (functions/psl.py) — still shuffle-free."""
     p = F.col("params")
 
     # --- pass 1 (select): promote strings + F20 disambiguation -------------
@@ -150,13 +146,15 @@ def build_references(
         }
     )
 
-    # --- pass 3: flds (F5), isbn (F10), dates (F12), publisher markup
-    # (F11), lang/place merges (F18/F19), person-key parse (F15) ------------
+    # --- pass 2b: flds (F5) — per-arity broadcast suffix joins -------------
+    df = C.with_first_level_domain(df, "url", "first_level_domain_of_url")
+    df = C.with_first_level_domain(
+        df, "archive_url", "first_level_domain_of_archive_url"
+    )
+
+    # --- pass 3: isbn (F10), dates (F12), publisher markup (F11),
+    # lang/place merges (F18/F19), person-key parse (F15) -------------------
     pass3 = {
-        "first_level_domain_of_url": C.first_level_domain(F.col("url")),
-        "first_level_domain_of_archive_url": C.first_level_domain(
-            F.col("archive_url")
-        ),
         "isbn": C.isbn_normalized(F.col("isbn_raw")),
         "publisher": C.clean_wiki_markup(F.col("publisher")),
         # conflicts read the INPUT columns (pre-merge), matching the

@@ -197,9 +197,11 @@ def p9_null_presence_guard(spark, sf_dir):
     """,
 )
 def j1_broadcast_lookup_join(spark, sf_dir):
+    # no explicit broadcast hint: the filtered lookup side scales with the
+    # data, so AQE's runtime size estimate decides broadcast vs shuffle
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_size") > 40)
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    return li.join(part, li.l_partkey == part.p_partkey).select(
         "l_orderkey", "l_linenumber", "p_brand"
     )
 
@@ -243,7 +245,7 @@ def j3_star_join_revenue(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -699,7 +701,7 @@ def f12_multiformat_date_parse(spark, sf_dir):
     """,
 )
 def f5_f6_hostname_fld(spark, sf_dir):
-    from wcdimportbot_spark.functions.columns import first_level_domain, hostname
+    from wcdimportbot_spark.functions.columns import hostname, with_first_level_domain
 
     c = load(spark, sf_dir, "customer")
     url = F.concat(
@@ -707,11 +709,8 @@ def f5_f6_hostname_fld(spark, sf_dir):
         F.lower(F.regexp_replace("c_name", "[^a-zA-Z0-9]+", "-")),
         F.lit(".shop.example.co.uk/path?q=1"),
     )
-    return c.select(
-        "c_custkey",
-        hostname(url).alias("host"),
-        first_level_domain(url).alias("fld"),
-    )
+    df = c.select("c_custkey", url.alias("__url"), hostname(url).alias("host"))
+    return with_first_level_domain(df, "__url", "fld").drop("__url")
 
 
 @register(
@@ -1211,7 +1210,7 @@ def q3_shipping_priority(spark, sf_dir):
     rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select(
@@ -1406,7 +1405,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
@@ -1479,7 +1478,7 @@ def q7_volume_shipping(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
         .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
@@ -1525,7 +1524,7 @@ def q9_product_type_profit(spark, sf_dir):
         "l_quantity"
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .groupBy(
@@ -1575,7 +1574,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         F.min("l_extendedprice").alias("min_price")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
             min_price,
             (li.l_partkey == min_price.l_partkey)
@@ -1618,7 +1617,7 @@ def f5_psl_rule_classes(spark, sf_dir):
     ``*.er`` (suffix = b.er → fld one label up); ``www.ck`` matches the
     exception rule ``!www.ck`` (the exception name IS the fld, however
     deep the host)."""
-    from wcdimportbot_spark.functions.columns import first_level_domain
+    from wcdimportbot_spark.functions.columns import with_first_level_domain
 
     c = load(spark, sf_dir, "customer")
     suffix = (
@@ -1636,7 +1635,8 @@ def f5_psl_rule_classes(spark, sf_dir):
         suffix,
         F.lit("/path?q=1"),
     )
-    return c.select("c_custkey", first_level_domain(url).alias("fld"))
+    df = c.select("c_custkey", url.alias("__url"))
+    return with_first_level_domain(df, "__url", "fld").drop("__url")
 
 
 @register(
@@ -1683,8 +1683,9 @@ def a10_salted_distinct_count(spark, sf_dir):
 )
 def q10_returned_item_ranking(spark, sf_dir):
     """TPC-H Q10 shape: date + returnflag predicates push into the fact
-    scans before the orderkey shuffle; customer/nation broadcast; global
-    top-k via TakeOrderedAndProject (no full sort)."""
+    scans before the orderkey shuffle; nation broadcast, customer left to
+    AQE (fact-scale at 100x); global top-k via TakeOrderedAndProject (no
+    full sort)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -1694,7 +1695,7 @@ def q10_returned_item_ranking(spark, sf_dir):
     rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -1755,7 +1756,7 @@ def q8_market_share(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
         .join(F.broadcast(r), r.r_regionkey == F.col("cn_region"))
         .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
@@ -1827,10 +1828,10 @@ def q12_shipmode_priority(spark, sf_dir):
     """,
 )
 def q14_promo_revenue_share(spark, sf_dir):
-    """TPC-H Q14 shape: month-bounded fact scan, broadcast part join,
-    conditional numerator and denominator in ONE aggregation; sums stay
-    decimal so the final double division sees identical operands in both
-    engines."""
+    """TPC-H Q14 shape: month-bounded fact scan, part join left to AQE
+    (part is fact-scale at 100x), conditional numerator and denominator in
+    ONE aggregation; sums stay decimal so the final double division sees
+    identical operands in both engines."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -1840,7 +1841,7 @@ def q14_promo_revenue_share(spark, sf_dir):
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .agg(
             (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
                 "promo_share"

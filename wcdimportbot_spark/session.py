@@ -66,17 +66,4 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    # register session-scoped SQL functions up front: streaming microbatches
-    # run on a CLONE of this session taken at query start, and clones inherit
-    # the function registry only if registration happened before the start.
-    # Best-effort: a host without a PSL file can still run everything that
-    # never parses URLs; F5 users get a clear error at first use instead.
-    from wcdimportbot_spark.functions.psl import ensure_registered
-
-    try:
-        ensure_registered(spark)
-    except FileNotFoundError as err:
-        import warnings
-
-        warnings.warn(f"PSL function not registered: {err}", stacklevel=2)
     return spark
