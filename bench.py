@@ -27,11 +27,13 @@ HEADLINE = [
     "q8_market_share",
     "q10_returned_item_ranking",
     "q12_shipmode_priority",
+    "q13_customer_distribution",
     "q14_promo_revenue_share",
+    "q19_disjunctive_pushdown",
     "j3_star_join_revenue",
     "j1_broadcast_lookup_join",
     "j4_anti_join_upload_if_missing",
-    "a2_property_usage",
+    "a1_count_by_type",
     "a5_in_group_dedup",
     "a7_windowed_event_counts",
     "w2_first_occurrence_dedup",

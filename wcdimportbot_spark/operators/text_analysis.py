@@ -96,17 +96,29 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
-def document_profile(docs: DataFrame) -> DataFrame:
+#: BPE-ish subword proxy: greedy ≤4-char alpha chunks, digit runs, single
+#: punct — the shape of a subword tokenizer (real BPE is a pandas UDF with a
+#: vocab; same column contract)
+SUBWORD_RE = r"([a-z]{1,4}|[0-9]+|[^a-z0-9\s])"
+
+
+def subword_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(SUBWORD_RE), 1))
+
+
+def document_profile(docs: DataFrame, include_subwords: bool = False) -> DataFrame:
     """One-pass profile: (doc_id, n_tokens, quality, detected_lang,
-    fingerprint)."""
+    fingerprint[, n_subwords])."""
     text = F.col("text")
-    return fan_out(docs, "doc_id").select(
-        "doc_id",
+    cols = [
         token_count(text).alias("n_tokens"),
         quality_score(text).alias("quality"),
         detect_language(text).alias("detected_lang"),
         fingerprint(text).alias("fingerprint"),
-    )
+    ]
+    if include_subwords:
+        cols.append(subword_count(text).alias("n_subwords"))
+    return fan_out(docs, "doc_id").select("doc_id", *cols)
 
 
 # ---------------------------------------------------------------------------
@@ -123,13 +135,18 @@ def _sql_stop_hits(lang: str) -> str:
     return f"len(list_filter(ts, x -> x IN ({lst})))"
 
 
-def document_profile_sql(table: str) -> str:
+def document_profile_sql(table: str, include_subwords: bool = False) -> str:
     lang_cases = []
     # mirror: sort (hits desc, lang asc), take first with hits > 0
     pairs = ", ".join(
         f"{{'neg': -{_sql_stop_hits(lang)}, 'lang': '{lang}'}}" for lang in sorted(LANG_STOPWORDS)
     )
     en_stop = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+    subword_col = (
+        ",\n           len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]')) AS n_subwords"
+        if include_subwords
+        else ""
+    )
     return f"""
     WITH tok AS (
         SELECT doc_id, text, {_sql_tokens()} AS ts FROM {table}
@@ -144,7 +161,7 @@ def document_profile_sql(table: str) -> str:
                     THEN round(len(list_filter(ts, x -> x IN ({en_stop}))) / CAST(len(ts) AS DOUBLE), 4)
                     ELSE 0.0 END AS stopr,
                list_sort([{pairs}]) AS scored,
-               md5(list_aggregate(list_sort(list_distinct(ts)), 'string_agg', ' ')) AS fp
+               md5(list_aggregate(list_sort(list_distinct(ts)), 'string_agg', ' ')) AS fp{subword_col}
         FROM tok
     )
     SELECT doc_id, n_tokens,
@@ -152,6 +169,6 @@ def document_profile_sql(table: str) -> str:
                  + (CASE WHEN punct < 0.2 THEN 0.3 ELSE 0.0 END)
                  + (CASE WHEN stopr >= 0.05 THEN 0.3 ELSE 0.0 END), 4) AS quality,
            CASE WHEN scored[1]['neg'] < 0 THEN scored[1]['lang'] ELSE 'und' END AS detected_lang,
-           fp AS fingerprint
+           fp AS fingerprint{", n_subwords" if include_subwords else ""}
     FROM feat
     """
