@@ -29,7 +29,11 @@ HEADLINE = [
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
     "q19_disjunctive_pushdown",
+    "q20_semi_join_chain",
+    "q21_exists_not_exists",
+    "q22_anti_join_global_threshold",
     "j3_star_join_revenue",
     "j1_broadcast_lookup_join",
     "j4_anti_join_upload_if_missing",

@@ -27,7 +27,9 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
     assert stats["properties"]["CITATIONS"] == 1
 
     # lookup an existing hash via the cache
-    h = spark.read.parquet(store + "/cache").collect()[0]["hash"]
+    from wcdimportbot_spark.operators.sinks import read_snapshot
+
+    h = read_snapshot(spark, store + "/cache").collect()[0]["hash"]
     assert main(["--store", store, "--lookup-md5hash", h]) == 0
     out = capsys.readouterr().out
     assert f"Q{h}" in out
@@ -61,7 +63,9 @@ def test_cli_delete_page_with_long_title(spark, tmp_path, capsys):
     assert main(["--store", store, "--delete-page", long_title]) == 0
     assert "deleted 1 page item(s)" in capsys.readouterr().out
 
-    items = spark.read.parquet(store + "/items")
+    from wcdimportbot_spark.operators.sinks import read_snapshot
+
+    items = read_snapshot(spark, store + "/items")
     assert items.filter(items.instance_of == "WIKIPEDIA_PAGE").count() == 0
 
 
@@ -69,36 +73,45 @@ def test_cli_reimport_preserves_qualifier_distinct_claims(spark, tmp_path, capsy
     """Claims differing only in qualifiers (or value_quantity) must survive a
     re-import: merge is conflict-as-success per subject, never row-level
     dedup across imports."""
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.sinks import read_snapshot
+
     store = str(tmp_path / "store")
     assert main(["--store", store, "--import-title", "Easter Island"]) == 0
     capsys.readouterr()
 
     claims_path = store + "/claims"
-    spark.catalog.refreshByPath(claims_path)
-    claims = spark.read.parquet(claims_path)
+    claims = read_snapshot(spark, claims_path)
     n0 = claims.count()
 
     # forge a twin of an existing claim differing only in value_quantity —
-    # a column the old dropDuplicates key ignored, so the pair collapsed
+    # a column the old dropDuplicates key ignored, so the pair collapsed —
+    # by publishing a new snapshot version holding the forged table
     from pyspark.sql import functions as F
 
     twin = claims.limit(1).withColumn("value_quantity", F.lit(99.0))
     forged = claims.unionByName(twin).localCheckpoint(eager=True)
-    forged.write.mode("overwrite").partitionBy("property", "hb").parquet(claims_path)
+    version, vdir = versioned.stage_new(claims_path)
+    forged.write.mode("overwrite").partitionBy("property", "hb").parquet(vdir)
+    versioned.publish(claims_path, version)
 
     assert main(["--store", store, "--import-title", "Easter Island"]) == 0
     assert "0 new items" in capsys.readouterr().out
-    spark.catalog.refreshByPath(claims_path)
-    assert spark.read.parquet(claims_path).count() == n0 + 1
+    assert read_snapshot(spark, claims_path).count() == n0 + 1
 
 
 def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys):
     """Importing one page over a populated store must rewrite EXACTLY the
-    ``(instance_of, hb)`` partitions that gain rows — not the whole store —
-    and a re-import of an already-stored page must write NOTHING (VERDICT:
-    incremental MERGE sink)."""
+    ``(instance_of, hb)`` partitions that gain rows — every other file of
+    the new snapshot must be a HARDLINK of the previous version's file
+    (same inode, no data copied) — and a re-import of an already-stored
+    page must publish NO new snapshot (VERDICT: incremental MERGE sink +
+    atomic versioned publish)."""
     import glob
     import os
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.sinks import read_snapshot
 
     store = str(tmp_path / "store")
     for i in range(12):
@@ -106,10 +119,14 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys
     capsys.readouterr()
 
     def snapshot(sub):
+        """Current-version files keyed by snapshot-relative path; hardlinks
+        carry the previous inode+mtime, so unchanged files compare equal
+        across versions."""
+        base = versioned.data_dir(os.path.join(store, sub))
         out = {}
-        for f in glob.glob(os.path.join(store, sub, "**", "*.parquet"), recursive=True):
+        for f in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True):
             st = os.stat(f)
-            out[f] = (st.st_mtime_ns, st.st_size)
+            out[os.path.relpath(f, base)] = (st.st_ino, st.st_mtime_ns, st.st_size)
         return out
 
     def changed_dirs(before, after):
@@ -119,8 +136,7 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys
         return {os.path.dirname(f) for f in touched}
 
     def rows(sub, cols):
-        spark.catalog.refreshByPath(os.path.join(store, sub))
-        df = spark.read.parquet(os.path.join(store, sub))
+        df = read_snapshot(spark, os.path.join(store, sub))
         return {tuple(r) for r in df.select(*cols).collect()}
 
     before_items = snapshot("items")
@@ -133,11 +149,8 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys
     capsys.readouterr()
 
     # the rewritten partition dirs must be exactly the dirs of the new rows
-    def expect_dirs(sub, new_rows, col1):
-        return {
-            os.path.join(store, sub, f"{col1}={a}", f"hb={b}")
-            for (_, a, b) in new_rows
-        }
+    def expect_dirs(new_rows, col1):
+        return {os.path.join(f"{col1}={a}", f"hb={b}") for (_, a, b) in new_rows}
 
     new_item_rows = rows("items", ["hash", "instance_of", "hb"]) - before_item_rows
     new_claim_rows = rows("claims", ["subject_qid", "property", "hb"]) - before_claim_rows
@@ -145,22 +158,24 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys
 
     ch_items = changed_dirs(before_items, snapshot("items"))
     ch_claims = changed_dirs(before_claims, snapshot("claims"))
-    assert ch_items == expect_dirs("items", new_item_rows, "instance_of")
-    assert ch_claims == expect_dirs("claims", new_claim_rows, "property")
+    assert ch_items == expect_dirs(new_item_rows, "instance_of")
+    assert ch_claims == expect_dirs(new_claim_rows, "property")
     assert len(ch_items) < len({os.path.dirname(f) for f in before_items}), (
         "must not rewrite the whole store"
     )
 
-    # re-importing a stored page adds nothing and must write NOTHING
+    # re-importing a stored page adds nothing and must publish NO snapshot
+    mid_ver = versioned.current_version(os.path.join(store, "items"))
     mid_items, mid_claims = snapshot("items"), snapshot("claims")
     assert main(["--store", store, "--import-title", "One More Page"]) == 0
     out = capsys.readouterr().out
     assert "0 new items" in out
+    assert versioned.current_version(os.path.join(store, "items")) == mid_ver
     assert changed_dirs(mid_items, snapshot("items")) == set()
     assert changed_dirs(mid_claims, snapshot("claims")) == set()
 
     # store contents still correct: 13 pages worth of items
-    items = spark.read.parquet(store + "/items")
+    items = read_snapshot(spark, store + "/items")
     assert items.filter(items.instance_of == "WIKIPEDIA_PAGE").count() == 13
 
 

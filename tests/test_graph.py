@@ -190,9 +190,18 @@ def test_sinks_partitioned_merge(spark, result, tmp_path):
     sinks.write_items(result.items, items_path)
     sinks.write_claims(result.claims, claims_path)
     sinks.write_rejects(result.rejects, rejects_path)
-    # partition directories exist per type/property/rule
-    assert any(d.startswith("instance_of=") for d in os.listdir(items_path))
-    assert any(d.startswith("property=") for d in os.listdir(claims_path))
+    # partition directories exist per type/property/rule in the published
+    # snapshot version
+    from wcdimportbot_spark.operators import versioned
+
+    assert any(
+        d.startswith("instance_of=")
+        for d in os.listdir(versioned.data_dir(items_path))
+    )
+    assert any(
+        d.startswith("property=")
+        for d in os.listdir(versioned.data_dir(claims_path))
+    )
     assert sinks.read_items(spark, items_path).count() == result.items.count()
     # merge is idempotent: re-merging the same items adds nothing
     merged = sinks.merge_items(spark, result.items, items_path)

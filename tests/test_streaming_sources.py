@@ -292,14 +292,18 @@ def test_stream_import_to_store_exactly_once(spark, tmp_path):
         q.processAllAvailable()
         q.stop()
 
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.sinks import read_snapshot
+
     run_once()
-    items = spark.read.parquet(store + "/items")
+    items = read_snapshot(spark, store + "/items")
     assert items.filter(items.instance_of == "WIKIPEDIA_PAGE").count() == 2
 
     def snapshot(sub):
+        base = versioned.data_dir(os.path.join(store, sub))
         return {
-            f: (os.stat(f).st_mtime_ns, os.stat(f).st_size)
-            for f in glob.glob(os.path.join(store, sub, "**", "*.parquet"), recursive=True)
+            os.path.relpath(f, base): (os.stat(f).st_mtime_ns, os.stat(f).st_size)
+            for f in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
         }
 
     before = {s: snapshot(s) for s in ("items", "claims", "cache")}

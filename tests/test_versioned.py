@@ -1,0 +1,115 @@
+"""Atomic snapshot publication (operators/versioned.py): a reader resolved
+before a write keeps seeing its snapshot; a reader resolved after sees the
+whole new state; the pointer flip is the only mutation readers observe."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from wcdimportbot_spark.operators import cache as cache_ops
+from wcdimportbot_spark.operators import sinks, versioned
+
+
+def _items(spark, rows):
+    return spark.createDataFrame(
+        rows, "qid string, instance_of string, label string, description string, hash string"
+    )
+
+
+def test_snapshot_isolation_read_during_merge(spark, tmp_path):
+    """The torn-read scenario the in-place dynamic overwrite allowed: a
+    plan resolved against the store BEFORE a merge must return exactly the
+    pre-merge rows AFTER the merge rewrote its partitions — never a mix,
+    never FAILED_READ_FILE on deleted files."""
+    path = str(tmp_path / "items")
+    base = _items(
+        spark, [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(8)]
+    )
+    sinks.write_items(base, path)
+
+    reader_before = sinks.read_items(spark, path)  # resolves v1
+
+    extra = _items(spark, [("Q100", "WIKIPEDIA_PAGE", "new", "d", "hash100")])
+    sinks.merge_write_items(spark, extra, path)  # publishes v2
+
+    # the pre-merge reader sees its full, immutable snapshot
+    assert reader_before.count() == 8
+    assert set(r["qid"] for r in reader_before.select("qid").collect()) == {
+        f"Q{i}" for i in range(8)
+    }
+    # a fresh reader sees the complete new state
+    after = sinks.read_items(spark, path)
+    assert after.count() == 9
+
+
+def test_merge_hardlinks_untouched_files(spark, tmp_path):
+    """Files of partitions the merge does not touch must be hardlinks of
+    the previous version (same inode — no data copied)."""
+    path = str(tmp_path / "items")
+    rows = [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(64)]
+    sinks.write_items(_items(spark, rows), path)
+    v1 = versioned.data_dir(path)
+
+    def inodes(base):
+        out = {}
+        for root, _d, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, base)] = os.stat(p).st_ino
+        return out
+
+    before = inodes(v1)
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q900", "WEBSITE_ITEM", "w", "d", "hash900")]), path
+    )
+    v2 = versioned.data_dir(path)
+    assert v2 != v1
+    after = inodes(v2)
+    shared = {p for p in before if after.get(p) == before[p]}
+    assert shared, "untouched partitions must be hardlinked, not rewritten"
+    # 64 hashes spread over WIKIPEDIA_PAGE buckets; the merge touched only
+    # WEBSITE_ITEM partitions, so every page file must be shared
+    assert all(p in shared for p in before if "instance_of=WIKIPEDIA_PAGE" in p)
+
+
+def test_noop_merge_publishes_no_version(spark, tmp_path):
+    path = str(tmp_path / "items")
+    base = _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p", "d", "hash1")])
+    sinks.write_items(base, path)
+    v = versioned.current_version(path)
+    sinks.merge_write_items(spark, base, path)  # same hash: nothing fresh
+    assert versioned.current_version(path) == v
+
+
+def test_publish_is_pointer_flip_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "cache")
+    df = spark.createDataFrame([("h1", "Q1")], "hash string, qid string")
+    cache_ops.write_cache(df, path)
+    cache_ops.write_cache(df.union(spark.createDataFrame([("h2", "Q2")], df.schema)), path)
+    cache_ops.write_cache(df, path)
+    versions = sorted(d for d in os.listdir(path) if versioned.is_version_name(d))
+    assert len(versions) == versioned.KEEP_VERSIONS
+    assert versioned.current_version(path) == versions[-1]
+    assert cache_ops.read_cache(spark, path).count() == 1
+
+
+def test_legacy_unversioned_store_migrates(spark, tmp_path):
+    """A store written before versioning (partition dirs at the root, no
+    _CURRENT) must stay readable, and its first merge publishes a proper
+    snapshot version."""
+    path = str(tmp_path / "items")
+    legacy = sinks.with_bucket(
+        _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p", "d", "hash1")]), "hash"
+    )
+    legacy.write.mode("overwrite").partitionBy("instance_of", sinks.BUCKET_COL).parquet(
+        path
+    )
+    assert versioned.current_version(path) is None
+    assert sinks.read_items(spark, path).count() == 1
+
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q2", "WEBSITE_ITEM", "w", "d", "hash2")]), path
+    )
+    assert versioned.current_version(path) is not None
+    assert sinks.read_items(spark, path).count() == 2

@@ -31,15 +31,12 @@ from pyspark.sql import functions as F
 
 
 def _read_or_none(spark, path):
-    from wcdimportbot_spark.operators.sinks import has_parquet_data
+    from wcdimportbot_spark.operators.sinks import has_parquet_data, read_snapshot
 
     # data-file check, not exists(): a directory holding only _SUCCESS
     # (0-row write) must read as "no store", not a schema-inference error
     if has_parquet_data(path):
-        # a long-lived session caches file listings per path; the store is
-        # rewritten between commands, so invalidate before reading
-        spark.catalog.refreshByPath(path)
-        return spark.read.parquet(path)
+        return read_snapshot(spark, path)
     return None
 
 

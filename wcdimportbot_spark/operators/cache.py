@@ -50,17 +50,15 @@ def read_cache(spark: SparkSession, path: str) -> DataFrame:
     from wcdimportbot_spark.operators import sinks
 
     if sinks.has_parquet_data(path):
-        # invalidate any cached file listing: the cache path is routinely
-        # rewritten by the cache writers within one session
-        spark.catalog.refreshByPath(path)
-        return spark.read.parquet(path).select("hash", "qid")
+        return sinks.read_snapshot(spark, path).select("hash", "qid")
     return empty_cache(spark)
 
 
 def _read_cache_raw(spark: SparkSession, path: str) -> DataFrame:
     """Storage-layout read (includes the ``hb`` partition column)."""
-    spark.catalog.refreshByPath(path)
-    return spark.read.parquet(path)
+    from wcdimportbot_spark.operators import sinks
+
+    return sinks.read_snapshot(spark, path)
 
 
 def lookup(cache: DataFrame, hash_value: str) -> DataFrame:
@@ -107,17 +105,19 @@ def merge_into_cache(
 
 
 def write_cache(cache: DataFrame, path: str) -> None:
-    """S7 full-overwrite sink (bootstrap / flush paths); hash-bucketed like
-    the graph stores. The incremental import path is
-    :func:`merge_write_cache`."""
-    from wcdimportbot_spark.operators import sinks
+    """S7 full-rewrite sink (bootstrap / flush paths) as a fresh published
+    snapshot; hash-bucketed like the graph stores. The incremental import
+    path is :func:`merge_write_cache`."""
+    from wcdimportbot_spark.operators import sinks, versioned
 
-    # materialize before overwriting the path we may have read from
+    # materialize before writing: the plan may read the current snapshot
     staged = sinks.with_bucket(cache, "hash").localCheckpoint(eager=True)
+    version, vdir = versioned.stage_new(path)
     # sorted-on-hash output: parquet min/max stats prune point lookups (S6)
     staged.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
         sinks.BUCKET_COL
-    ).parquet(path)
+    ).parquet(vdir)
+    versioned.publish(path, version)
 
 
 def merge_write_cache(
@@ -127,12 +127,14 @@ def merge_write_cache(
     wins — conflict-as-success) via the shared bucket-MERGE engine in
     operators/sinks.py. Delta form: MERGE INTO cache USING new ON hash
     WHEN NOT MATCHED INSERT."""
-    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.operators import sinks, versioned
 
     def write_fn(df: DataFrame, p: str) -> None:
+        version, vdir = versioned.stage_new(p)
         df.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
             sinks.BUCKET_COL
-        ).parquet(p)
+        ).parquet(vdir)
+        versioned.publish(p, version)
 
     sinks._merge_write(
         spark,

@@ -25,6 +25,11 @@ dynamic overwrite cannot clear a partition that ends up empty, so deletion
 correctness requires the static rewrite. Deletes are rare and explicitly
 user-initiated; imports are the hot path.
 
+Every write — merge or full — publishes an immutable **snapshot version**
+flipped atomically via a ``_CURRENT`` pointer (operators/versioned.py), so
+a concurrent reader sees the pre-write or post-write store, never partial
+state.
+
 At 100 TB: raise ``N_BUCKETS`` so a bucket fits an executor (the layout is
 ``O(types × buckets)`` directories, independent of data volume), or swap
 the writers for Delta MERGE — the function contracts are unchanged.
@@ -37,6 +42,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wcdimportbot_spark.operators import versioned
+
 #: store-level hash-bucket fanout; sized so local test stores stay readable.
 #: At 100 TB pick buckets ≈ store_size / executor-comfortable-chunk.
 N_BUCKETS = 16
@@ -46,11 +53,17 @@ BUCKET_COL = "hb"
 
 
 def has_parquet_data(path: str) -> bool:
-    """True when ``path`` holds at least one parquet data file. A bare
-    ``os.path.exists`` is not enough: a 0-row partitioned write leaves a
-    directory with only ``_SUCCESS``, and schema inference on it would
-    poison every later read (UNABLE_TO_INFER_SCHEMA)."""
-    for root, _dirs, files in os.walk(path):
+    """True when the CURRENT snapshot of ``path`` holds at least one
+    parquet data file. A bare ``os.path.exists`` is not enough: a 0-row
+    partitioned write leaves a directory with only ``_SUCCESS``, and
+    schema inference on it would poison every later read
+    (UNABLE_TO_INFER_SCHEMA)."""
+    base = versioned.data_dir(path)
+    for root, dirs, files in os.walk(base):
+        if root == base:
+            # legacy-root resolution must not count data of an
+            # unpublished (crashed-writer) staged version
+            dirs[:] = [d for d in dirs if not versioned.is_version_name(d)]
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
@@ -72,30 +85,44 @@ def _sorted_on(df: DataFrame, key: str) -> DataFrame:
     return df.sortWithinPartitions(key)
 
 
-def write_items(items: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Full (static) overwrite — bootstrap and delete paths."""
-    _sorted_on(with_bucket(items, "hash"), "hash").write.mode(mode).partitionBy(
-        "instance_of", BUCKET_COL
-    ).parquet(path)
+def write_items(items: DataFrame, path: str) -> None:
+    """Full (static) rewrite as a fresh snapshot — bootstrap and delete
+    paths. The new version is built beside the current one and published
+    with an atomic pointer flip."""
+    version, vdir = versioned.stage_new(path)
+    _sorted_on(with_bucket(items, "hash"), "hash").write.mode(
+        "overwrite"
+    ).partitionBy("instance_of", BUCKET_COL).parquet(vdir)
+    versioned.publish(path, version)
 
 
-def write_claims(claims: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Full (static) overwrite — bootstrap and delete paths."""
+def write_claims(claims: DataFrame, path: str) -> None:
+    """Full (static) rewrite as a fresh snapshot — bootstrap and delete
+    paths."""
+    version, vdir = versioned.stage_new(path)
     _sorted_on(with_bucket(claims, "subject_qid"), "subject_qid").write.mode(
-        mode
-    ).partitionBy("property", BUCKET_COL).parquet(path)
+        "overwrite"
+    ).partitionBy("property", BUCKET_COL).parquet(vdir)
+    versioned.publish(path, version)
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read the CURRENT published snapshot of a store table. Resolution
+    happens here, once: the returned plan references the immutable version
+    directory, so concurrent writers can publish without tearing it."""
+    p = versioned.data_dir(path)
+    # versioned snapshots are immutable, but a legacy (unversioned) store
+    # is rewritten in place — drop any stale file-listing cache
+    spark.catalog.refreshByPath(p)
+    return spark.read.parquet(p)
 
 
 def read_items(spark: SparkSession, path: str) -> DataFrame:
-    # the store paths are rewritten in place; drop any stale file-listing
-    # cache a long-lived session may hold for them
-    spark.catalog.refreshByPath(path)
-    return spark.read.parquet(path)
+    return read_snapshot(spark, path)
 
 
 def read_claims(spark: SparkSession, path: str) -> DataFrame:
-    spark.catalog.refreshByPath(path)
-    return spark.read.parquet(path)
+    return read_snapshot(spark, path)
 
 
 def _partition_values_predicate(rows, cols: list[str]):
@@ -134,6 +161,7 @@ def _merge_write(
         if not new_b.isEmpty():
             write_fn(new_b, path)
         return
+    current_dir = versioned.data_dir(path)
     buckets = [
         r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
     ]
@@ -147,15 +175,21 @@ def _merge_write(
     merged = existing.filter(
         _partition_values_predicate(pairs, partitions)
     ).unionByName(fresh)
-    # materialize before overwriting partitions this plan reads from
+    # materialize before writing: the plan reads the current snapshot
     staged = merged.localCheckpoint(eager=True)
+    # next snapshot = hardlinks of every current file (metadata-only), with
+    # the touched partitions dynamically overwritten; publish is an atomic
+    # pointer flip, so concurrent readers see old or new, never partial
+    version, vdir = versioned.stage_new(path)
+    versioned.link_tree(current_dir, vdir)
     (
         _sorted_on(staged, bucket_key)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partitions)
-        .parquet(path)
+        .parquet(vdir)
     )
+    versioned.publish(path, version)
 
 
 def merge_write_items(

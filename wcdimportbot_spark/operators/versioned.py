@@ -1,0 +1,117 @@
+"""Atomic snapshot publication for the parquet store tables.
+
+Dynamic partition overwrite deletes-then-writes files in place, so a
+concurrent reader listing the store directory can observe partial state
+(some partitions old, some new, some missing). The reference's sink gives
+per-write atomicity — an item write either lands or the existing item is
+adopted, never a torn record (``crud/create.py:25-45``). This module adds
+the table-level equivalent for the local parquet stores:
+
+    items/_CURRENT                  -> "v00000003"
+    items/v00000003/instance_of=.../hb=.../part-*.parquet
+
+- **Writers** stage the next version directory, hardlink every unchanged
+  file from the current version (a metadata operation — no data copy,
+  same inode), write the changed partitions into it, then atomically flip
+  ``_CURRENT`` (write-temp + ``os.replace``).
+- **Readers** resolve ``_CURRENT`` once and then read an immutable tree:
+  they see the snapshot taken at resolution time — old or new, never a
+  mix. Files of superseded versions are never modified, only pruned after
+  ``KEEP_VERSIONS`` newer snapshots exist.
+
+At cluster scale this contract is a transactional table format (Delta /
+Iceberg: manifest-listed immutable files + atomic pointer swap — jars not
+present in this image, SURVEY §7.4); the layout here is the plain-parquet
+emulation with local-FS hardlinks standing in for manifest reuse of
+unchanged files. A store written before versioning existed (no
+``_CURRENT``) keeps reading from the root; its first versioned write
+migrates it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+CURRENT_FILE = "_CURRENT"
+
+#: versions kept after a publish (current + history for in-flight readers)
+KEEP_VERSIONS = 2
+
+_VERSION_RE = re.compile(r"^v\d{8}$")
+
+
+def is_version_name(name: str) -> bool:
+    return bool(_VERSION_RE.match(name))
+
+
+def current_version(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, CURRENT_FILE), encoding="ascii") as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
+
+
+def data_dir(path: str) -> str:
+    """Directory holding the readable snapshot: the published version, or
+    ``path`` itself for pre-versioning (legacy) stores."""
+    cur = current_version(path)
+    return os.path.join(path, cur) if cur else path
+
+
+def stage_new(path: str) -> tuple[str, str]:
+    """Create (but do not publish) the next version directory."""
+    cur = current_version(path)
+    n = int(cur[1:]) + 1 if cur else 1
+    version = f"v{n:08d}"
+    vdir = os.path.join(path, version)
+    os.makedirs(vdir, exist_ok=True)
+    return version, vdir
+
+
+def publish(path: str, version: str) -> None:
+    """Atomically flip ``_CURRENT`` to ``version`` and prune old
+    snapshots. ``os.replace`` is atomic on POSIX: a concurrent reader sees
+    either the previous pointer or the new one, never a torn file."""
+    tmp = os.path.join(path, CURRENT_FILE + ".tmp")
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, CURRENT_FILE))
+    _prune(path, version)
+
+
+def _prune(path: str, current: str) -> None:
+    versions = sorted(
+        d for d in os.listdir(path) if _VERSION_RE.match(d) and d <= current
+    )
+    for stale in versions[:-KEEP_VERSIONS]:
+        shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+
+
+def link_tree(src: str, dst: str) -> None:
+    """Populate ``dst`` with hardlinks to every data file under ``src``
+    (version bookkeeping entries are skipped, so a legacy store root is a
+    valid source). Hardlinks share the inode: no data is copied, and the
+    original version's files are untouched when a later dynamic overwrite
+    replaces links in ``dst``. Falls back to a copy when the filesystem
+    refuses to link (e.g. cross-device)."""
+    src = os.path.abspath(src)
+    for root, dirs, files in os.walk(src):
+        if root == src:
+            dirs[:] = [d for d in dirs if not _VERSION_RE.match(d)]
+            files = [
+                f for f in files if not f.startswith(CURRENT_FILE)
+            ]
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            target = os.path.join(out, f)
+            try:
+                os.link(os.path.join(root, f), target)
+            except OSError:
+                shutil.copy2(os.path.join(root, f), target)
