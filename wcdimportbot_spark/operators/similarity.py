@@ -110,24 +110,9 @@ def cosine_topk_sql(table: str, num_queries: int = 10, k: int = 5, dim: int = 64
 # ---------------------------------------------------------------------------
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane[i] = ±1 derived from
-    md5(plane:i) parity — deterministic, stateless, identical on every
-    executor."""
-    signs = _plane_signs(plane, dim)
-    terms = F.aggregate(
-        F.zip_with(
-            vec,
-            F.array(*[F.lit(s) for s in signs]),
-            lambda x, s: x.cast("double") * s.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return F.when(terms >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-
 def _plane_signs(plane: int, dim: int) -> list[int]:
+    """±1 hyperplane components derived from md5(plane:i) parity —
+    deterministic, stateless, identical on every executor."""
     import hashlib
 
     return [
@@ -136,23 +121,31 @@ def _plane_signs(plane: int, dim: int) -> list[int]:
     ]
 
 
-def _table_buckets(
-    vec: Column, planes: int, num_tables: int, dim: int
-) -> Column:
-    """All ``num_tables`` LSH bucket ids for one vector, as an array.
+def _plane_matrix_df(spark, planes: int, num_tables: int, dim: int):
+    """The full ±1 hyperplane matrix as a ONE-ROW DataFrame for a
+    broadcast cross join. Keeping the matrix out of the projection
+    expression matters twice at scale: as inline literals it is re-planned
+    and shipped inside every task binary and grows with ``dim`` (a
+    1024-dim × 32-plane matrix is ~32k literal nodes); as a broadcast
+    local relation it ships to each executor once and the plan stays O(1)
+    in dimensionality. (An earlier variant with per-plane inlined
+    zip_with/aggregate trees also paid ~7 s of Janino JIT per session —
+    higher-order functions over one matrix column keep the expression tree
+    tiny.)"""
+    from pyspark.sql import types as T
 
-    One 2-D ±1 literal matrix + nested higher-order functions instead of
-    ``num_tables*planes`` inlined zip_with/aggregate trees: HOFs evaluate
-    via small interpreted lambdas, so the expression tree (and its Janino
-    compile) stays tiny — the inlined variant spent ~7 s per session
-    JIT-compiling the 32-plane projection at identical runtime."""
-    matrix = F.array(
-        *[
-            F.array(*[F.lit(float(s)) for s in _plane_signs(p, dim)])
-            for p in range(num_tables * planes)
-        ]
+    matrix = [
+        [float(s) for s in _plane_signs(p, dim)] for p in range(num_tables * planes)
+    ]
+    schema = T.StructType(
+        [T.StructField("_planes", T.ArrayType(T.ArrayType(T.DoubleType())))]
     )
-    signs = F.transform(
+    return spark.createDataFrame([(matrix,)], schema)
+
+
+def _signs_against(vec: Column, matrix: Column) -> Column:
+    """Sign bits of <vec, h> for every hyperplane row of ``matrix``."""
+    return F.transform(
         matrix,
         lambda plane: F.when(
             F.aggregate(
@@ -164,7 +157,6 @@ def _table_buckets(
             F.lit("1"),
         ).otherwise(F.lit("0")),
     )
-    return signs
 
 
 def _buckets_from_signs(signs: Column, planes: int, num_tables: int) -> Column:
@@ -195,14 +187,18 @@ def ann_lsh_topk(
     recall amplifier (P[collide in ≥1 table] = 1-(1-p^planes)^tables).
     Vectors sharing no bucket with the query are never compared — the
     candidate set is Σ|bucket| instead of N."""
+    planes_df = _plane_matrix_df(
+        embeddings.sparkSession, planes, num_tables, dim
+    )
     bucketed = (
         fan_out(embeddings, id_col)
+        .crossJoin(F.broadcast(planes_df))
         .select(
             F.col(id_col),
             F.col(vec_col),
             # materialize signs before slicing them into buckets (no CSE
             # inside lambda bodies)
-            _table_buckets(F.col(vec_col), planes, num_tables, dim).alias("_signs"),
+            _signs_against(F.col(vec_col), F.col("_planes")).alias("_signs"),
         )
         .select(
             F.col(id_col),
