@@ -21,15 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q9_product_type_profit",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q10_returned_item_ranking",
+    "q11_important_stock",
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_distinct_suppliers_not_in",
     "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
     "q19_disjunctive_pushdown",
     "q20_semi_join_chain",
     "q21_exists_not_exists",

@@ -2066,6 +2066,240 @@ def q22_anti_join_global_threshold(spark, sf_dir):
     )
 
 
+@register(
+    "q4_order_priority_exists",
+    "J4,A1 composite (TPC-H Q4 shape)",
+    "EXISTS-driven priority counts: date-bounded orders having at least "
+    "one returned line — semi join, then a tiny groupBy",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS plans as a left-semi join; the date window
+    prunes the orders scan BEFORE the join, the returnflag filter prunes
+    the lineitem build side."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    "S1,A4 composite (TPC-H Q6 shape)",
+    "pure scan aggregate: date + discount-band + quantity predicates all "
+    "pushed into one lineitem pass, no join",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the whole query is one scan whose predicates reach
+    the parquet reader (PushedFilters on date, discount, quantity) and one
+    partial-aggregable SUM — the canonical 'is pushdown working' probe."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_money("l_extendedprice") * _money("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q11_important_stock",
+    "A2,J1 composite (TPC-H Q11 shape)",
+    "grouped value share vs a global scalar threshold: supplier-nation "
+    "stock value, kept when above a fraction of the total",
+    """
+    WITH value_by_supp AS (
+      SELECT s.s_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS supp_value
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY s.s_suppkey
+    )
+    SELECT s_suppkey, CAST(supp_value AS DOUBLE) AS total_value
+    FROM value_by_supp
+    WHERE supp_value > (SELECT SUM(supp_value) * 0.04 FROM value_by_supp)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (partsupp-free restatement): the HAVING threshold
+    is a scalar over the SAME aggregate — computed once, broadcast as a
+    1-row relation, never a re-aggregation of the base table. The grouped
+    aggregate is localCheckpointed so the two consumers (rows + total)
+    share one computation."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    by_supp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("s_suppkey")
+        .agg(F.sum(_money("l_extendedprice")).alias("supp_value"))
+        .localCheckpoint(eager=True)
+    )
+    threshold = by_supp.agg(
+        (F.sum("supp_value") * F.lit(0.04)).alias("threshold")
+    )
+    return (
+        by_supp.crossJoin(F.broadcast(threshold))
+        .filter(F.col("supp_value") > F.col("threshold"))
+        .select(
+            "s_suppkey", F.col("supp_value").cast("double").alias("total_value")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    "A1,W1 composite (TPC-H Q15 shape)",
+    "derived revenue view + max-of-view self-reference: suppliers whose "
+    "quarterly revenue equals the maximum",
+    """
+    WITH revenue_view AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue_view r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue_view)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the view is referenced twice (rows + MAX);
+    localCheckpoint materializes it once, the MAX arrives as a broadcast
+    1-row relation. Exact decimal revenue keeps the equality comparison
+    engine-identical (double summation order could differ)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_money("l_extendedprice") * (F.lit(1) - _money("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q16_distinct_suppliers_not_in",
+    "A2,J4 composite (TPC-H Q16 shape)",
+    "COUNT DISTINCT suppliers per part attribute with a NOT-IN exclusion "
+    "list (anti join against low-balance suppliers)",
+    """
+    SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 14, 23, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q16_distinct_suppliers_not_in(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp-free restatement): NOT IN over a
+    never-NULL key plans as a left-anti join; the size IN-list reaches the
+    part scan. The final distinct count is per (brand, type) — partial
+    aggregation applies."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 14, 23, 45))
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(
+            F.broadcast(bad.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    "A3,J4 composite (TPC-H Q18 shape)",
+    "IN over a grouped-HAVING subquery: customers whose single orders "
+    "exceed a quantity threshold, with the order totals re-joined",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(big.total_qty AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 280) big
+      ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: the IN(grouped-HAVING) subquery is the join spine
+    — aggregate lineitem once on orderkey, filter, then join orders and
+    customer. The per-order aggregate is partial-combinable; no row of
+    lineitem is carried past the HAVING."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_money("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 280)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(big, big.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registry entries, so the window below puts one green-able row in front of
