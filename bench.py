@@ -56,6 +56,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "text_profile",
+    "curation_pipeline",
     "domain_page_hash_stats",  # full wikitext import pipeline end-to-end
 ]
 

@@ -2066,6 +2066,70 @@ def q22_anti_join_global_threshold(spark, sf_dir):
     )
 
 
+def _curation_oracle():
+    from wcdimportbot_spark.operators.text_analysis import document_profile_sql
+
+    profile = document_profile_sql("documents")
+    return f"""
+    WITH profile AS ({profile}),
+    deduped AS (
+      SELECT d.doc_id, p.quality, p.detected_lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN profile p ON p.doc_id = d.doc_id
+    )
+    SELECT detected_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_dup,
+           CAST(SUM(CASE WHEN rn = 1 AND quality < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_quality
+    FROM deduped GROUP BY detected_lang
+    """
+
+
+@register(
+    "curation_pipeline",
+    "LLM-ops end-to-end (dedup + quality + lang-id)",
+    "training-data curation pass: exact-dedup by content hash (first doc "
+    "wins), quality-score gate, per-language yield accounting — the "
+    "composition a 100 TB pretraining pipeline runs nightly",
+    None,  # oracle generated from the same constants, attached below
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation in ONE pass over documents: the profile
+    columns (quality, language) are computed in the same projection as the
+    content hash, the exact-dedup winner is a row_number window on the
+    hash, and yields are one grouped aggregate. Scale: narrow until the
+    hash window (one shuffle on md5(text) — near-uniform), then a tiny
+    per-language aggregate. No joins, no collect."""
+    from wcdimportbot_spark.operators.text_analysis import (
+        detect_language,
+        quality_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    profiled = docs.select(
+        "doc_id",
+        F.md5(text).alias("_text_hash"),
+        quality_score(text).alias("quality"),
+        detect_language(text).alias("detected_lang"),
+    )
+    w = W.partitionBy("_text_hash").orderBy("doc_id")
+    ranked = profiled.withColumn("rn", F.row_number().over(w))
+    kept = (F.col("rn") == 1) & (F.col("quality") >= 0.7)
+    return ranked.groupBy("detected_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped_dup"),
+        F.sum(((F.col("rn") == 1) & (F.col("quality") < 0.7)).cast("long")).alias(
+            "n_dropped_quality"
+        ),
+    )
+
+
+QUERIES["curation_pipeline"].oracle = _curation_oracle()
+
+
 @register(
     "q4_order_priority_exists",
     "J4,A1 composite (TPC-H Q4 shape)",
