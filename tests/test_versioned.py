@@ -113,3 +113,28 @@ def test_legacy_unversioned_store_migrates(spark, tmp_path):
     )
     assert versioned.current_version(path) is not None
     assert sinks.read_items(spark, path).count() == 2
+
+
+def test_crashed_stage_does_not_leak_into_next_attempt(spark, tmp_path):
+    """A writer that crashed after staging (unpublished version dir with
+    partial files) must not contaminate the next write: stage_new clears
+    the orphan before reuse."""
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p", "d", "hash1")]), path
+    )
+    # simulate a crashed merge: the next version dir exists, half-written
+    cur = versioned.current_version(path)
+    orphan = os.path.join(path, f"v{int(cur[1:]) + 1:08d}")
+    os.makedirs(os.path.join(orphan, "instance_of=WIKIPEDIA_PAGE", "hb=0"))
+    with open(
+        os.path.join(orphan, "instance_of=WIKIPEDIA_PAGE", "hb=0", "stale.parquet"),
+        "wb",
+    ) as f:
+        f.write(b"not a real parquet footer")
+
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q2", "WEBSITE_ITEM", "w", "d", "hash2")]), path
+    )
+    df = sinks.read_items(spark, path)
+    assert df.count() == 2  # stale file neither counted nor breaking the read

@@ -62,12 +62,19 @@ def data_dir(path: str) -> str:
 
 
 def stage_new(path: str) -> tuple[str, str]:
-    """Create (but do not publish) the next version directory."""
+    """Create (but do not publish) the next version directory.
+
+    A writer that crashed mid-stage leaves an unpublished directory with
+    this same next-version name; its partial files must not leak into the
+    new attempt (hardlinked current files + stale partials would double
+    rows), so any orphan is cleared first."""
     cur = current_version(path)
     n = int(cur[1:]) + 1 if cur else 1
     version = f"v{n:08d}"
     vdir = os.path.join(path, version)
-    os.makedirs(vdir, exist_ok=True)
+    if os.path.exists(vdir):
+        shutil.rmtree(vdir)
+    os.makedirs(vdir)
     return version, vdir
 
 
