@@ -1128,9 +1128,10 @@ def sparql_page_qids(spark, sf_dir):
 
 @register(
     "a1_cube_statistics",
-    "A1,A2 (cube extension)",
+    "A1,A2,A4 (cube extension)",
     "statistics screen as one cube over (type, status) — SURVEY §2.4 notes "
-    "the A1+A2 screen is a natural cube in the rebuild",
+    "the A1+A2 screen is a natural cube in the rebuild; the ('ALL','ALL') "
+    "grand-total row is the A4 corpus-level aggregate",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
