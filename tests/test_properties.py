@@ -118,3 +118,115 @@ def test_date_parse_total_python_model(value):
         except (ValueError, TypeError):
             continue
     assert result is None or isinstance(result, datetime)
+
+
+# ---------------------------------------------------------------------------
+# token-scan scanners ≡ the character-scanner specification
+# ---------------------------------------------------------------------------
+# The production scanners jump between tokens with compiled-regex search
+# (functions/wikitext.py); these reference implementations advance one
+# character at a time — trivially auditable, too slow for production. The
+# differential property keeps the optimization honest on the exact corner
+# cases (brace runs, unclosed comments, overlapping closers).
+
+
+def _spec_find_template_spans(text):
+    spans, stack = [], []
+    i, n = 0, len(text)
+    while i < n - 1:
+        if text[i:i + 4] == "<!--":
+            close = text.find("-->", i + 4)
+            i = n if close < 0 else close + 3
+            continue
+        two = text[i:i + 2]
+        if two == "{{":
+            stack.append(i)
+            i += 2
+        elif two == "}}" and stack:
+            spans.append((stack.pop(), i + 2))
+            i += 2
+        else:
+            i += 1
+    spans.sort(key=lambda s: s[0])
+    return spans
+
+
+def _spec_split_top_level(content, seps="|"):
+    parts, buf_start, tdepth, ldepth = [], 0, 0, 0
+    i, n = 0, len(content)
+    while i < n:
+        if content[i:i + 4] == "<!--":
+            close = content.find("-->", i + 4)
+            i = n if close < 0 else close + 3
+            continue
+        two = content[i:i + 2]
+        if two == "{{":
+            tdepth += 1
+            i += 2
+        elif two == "}}" and tdepth > 0:
+            tdepth -= 1
+            i += 2
+        elif two == "[[":
+            ldepth += 1
+            i += 2
+        elif two == "]]" and ldepth > 0:
+            ldepth -= 1
+            i += 2
+        else:
+            if tdepth == 0 and ldepth == 0 and content[i] in seps:
+                parts.append(content[buf_start:i])
+                buf_start = i + 1
+            i += 1
+    parts.append(content[buf_start:])
+    return parts
+
+
+def _spec_first_top_level_eq(segment):
+    tdepth = ldepth = 0
+    i, n = 0, len(segment)
+    while i < n:
+        if segment[i:i + 4] == "<!--":
+            close = segment.find("-->", i + 4)
+            i = n if close < 0 else close + 3
+            continue
+        two = segment[i:i + 2]
+        if two == "{{":
+            tdepth += 1
+            i += 2
+        elif two == "}}" and tdepth > 0:
+            tdepth -= 1
+            i += 2
+        elif two == "[[":
+            ldepth += 1
+            i += 2
+        elif two == "]]" and ldepth > 0:
+            ldepth -= 1
+            i += 2
+        else:
+            if tdepth == 0 and ldepth == 0 and segment[i] == "=":
+                return i
+            i += 1
+    return -1
+
+
+scanner_text = st.lists(
+    st.sampled_from(
+        ["{{", "}}", "[[", "]]", "|", "=", "<!--", "-->", "a", "b ",
+         "cite web ", "url", " ", "{", "}", "[", "]", "<!-", "-", "x=y"]
+    ),
+    max_size=40,
+).map("".join)
+
+
+@given(scanner_text)
+@settings(max_examples=500, deadline=None)
+def test_token_scanners_match_char_scanner_spec(s):
+    from wcdimportbot_spark.functions.wikitext import (
+        _find_template_spans,
+        _first_top_level_eq,
+        _split_top_level,
+    )
+
+    assert _find_template_spans(s) == _spec_find_template_spans(s)
+    assert _split_top_level(s) == _spec_split_top_level(s)
+    assert _first_top_level_eq(s) == _spec_first_top_level_eq(s)
