@@ -6,8 +6,10 @@
   reference/hash statistics (SURVEY §7.2 step 1, the reference's
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
-  SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``),
-  each verified against a DuckDB oracle.
+  SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
+  69 queries — 67 DuckDB-verified, 2 ANN variants rows-only), ordered so
+  the driver's 50-query window fronts every operator family, LLM-ops
+  operator, and TPC-H planner shape.
 """
 
 from __future__ import annotations
