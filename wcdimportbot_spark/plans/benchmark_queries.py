@@ -2132,6 +2132,52 @@ QUERIES["curation_pipeline"].oracle = _curation_oracle()
 
 
 @register(
+    "a11_sketch_accuracy",
+    "A1,A2 (sketch extension)",
+    "approximate aggregates with a verifiable accuracy contract: HLL++ "
+    "distinct count and KLL-style quantile sketch, each emitted as a "
+    "within-tolerance flag next to the exact value",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           true AS hll_within_5pct,
+           true AS quantile_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def a11_sketch_accuracy(spark, sf_dir):
+    """Sketch support with a testable contract: an approximate result
+    cannot hash-match an oracle, so the query emits the EXACT values plus
+    booleans asserting each sketch landed within its tolerance — the
+    oracle predicts the exact values and all-true flags. At 100 TB the
+    sketches are the point (HLL++ distinct state is O(kB) per group vs the
+    unbounded exact distinct-set; mergeable across partitions), and this
+    row proves they track truth on real data."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_n_approx"),
+        F.percentile(F.col("value"), F.lit(0.5)).alias("_p50"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50_approx"),
+    )
+    return g.select(
+        "event_type",
+        "n_exact",
+        F.round("_p50", 4).alias("p50"),
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("_p50_approx") - F.col("_p50"))
+            <= F.abs(F.col("_p50")) * 0.05 + 1e-9
+        ).alias("quantile_within_5pct"),
+    )
+
+
+@register(
     "q4_order_priority_exists",
     "J4,A1 composite (TPC-H Q4 shape)",
     "EXISTS-driven priority counts: date-bounded orders having at least "
