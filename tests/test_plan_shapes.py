@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: the scale-critical plan properties the
+round audits verified with `.explain`, pinned so refactors cannot silently
+lose them. Analysis-only — no query executes."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    from wcdimportbot_spark.plans.benchmark_queries import QUERIES
+
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    """Q6 is the pushdown probe: all three predicates must appear as data
+    filters on the lineitem scan, not post-scan Filter-only."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l)
+    for fragment in ("l_shipdate", "l_discount", "l_quantity"):
+        assert fragment in scan, f"{fragment} not pushed to the lineitem scan"
+
+
+def test_q19_or_branches_derive_single_side_filters(spark):
+    """The OR-of-ANDs spans both join sides; Catalyst must still derive
+    the single-side implications and push them into BOTH scans."""
+    plan = _plan(spark, "q19_disjunctive_pushdown")
+    lines = plan.splitlines()
+    part_scan = next(l for l in lines if "FileScan" in l and "p_brand" in l)
+    li_scan = next(l for l in lines if "FileScan" in l and "l_quantity" in l)
+    assert "Brand#12" in part_scan
+    assert "l_quantity" in li_scan
+
+
+def test_domain_pipeline_single_python_stage(spark):
+    """The import pipeline's only Python is the Arrow-batched template
+    extraction: one mapInPandas stage, never a row-at-a-time
+    BatchEvalPython, and no shuffle before extraction beyond the fan_out
+    repartition."""
+    import __spark_entry__ as em
+    from wcdimportbot_spark.operators.analytics import page_hash_statistics
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    res = run_import(em.pages_from_documents(spark, SF), persist=False)
+    plan = page_hash_statistics(res.references)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF crept into the hot path"
+
+
+def test_psl_joins_are_broadcast_in_pipeline(spark):
+    """F5 inside the full pipeline must stay per-arity broadcast joins —
+    no sort-merge join, no shuffle introduced by the PSL match."""
+    import __spark_entry__ as em
+    from wcdimportbot_spark.operators.analytics import page_hash_statistics
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    res = run_import(em.pages_from_documents(spark, SF), persist=False)
+    plan = page_hash_statistics(res.references)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(plan) < 500_000, "plan re-inlined a large literal set"
+
+
+def test_ann_plan_carries_no_literal_matrix(spark):
+    from wcdimportbot_spark.plans.benchmark_queries import QUERIES
+
+    df = QUERIES["sim_ann_lsh"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("1.0,") < 200, "hyperplane matrix inlined into the plan again"
+
+
+def test_no_cartesian_in_tpch_joins(spark):
+    """Every TPC-H shape must plan equi-joins (broadcast or shuffle), with
+    the only nested-loop joins being deliberate 1-row scalar broadcasts."""
+    for name in (
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q13_customer_distribution",
+        "q18_large_volume_customers",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
