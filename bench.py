@@ -44,6 +44,7 @@ HEADLINE = [
     "j1_broadcast_lookup_join",
     "j4_anti_join_upload_if_missing",
     "a1_count_by_type",
+    "a11_sketch_accuracy",
     "a5_in_group_dedup",
     "a7_windowed_event_counts",
     "w2_first_occurrence_dedup",
