@@ -8,8 +8,17 @@ SF = "/root/testdata/sf0.001"
 def _plan(spark, name):
     from wcdimportbot_spark.plans.benchmark_queries import QUERIES
 
-    df = QUERIES[name].fn(spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+    # FileScan metadata (DataFilters/PushedFilters) is truncated to
+    # spark.sql.maxMetadataStringLength chars (default 100); expression ids
+    # grow with session age, so a filter literal can fall past the cutoff
+    # depending on test order — raise the limit while rendering the plan
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "50000")
+    try:
+        df = QUERIES[name].fn(spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 def test_q6_predicates_reach_the_scan(spark):
