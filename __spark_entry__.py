@@ -7,9 +7,12 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  69 queries — 67 DuckDB-verified, 2 ANN variants rows-only), ordered so
-  the driver's 50-query window fronts every operator family, LLM-ops
-  operator, and TPC-H planner shape.
+  70 queries, all DuckDB-verified — the two ANN variants emit an
+  epsilon-recall accuracy contract the oracle predicts in closed form),
+  ordered so the driver's 50-query window fronts every operator family,
+  LLM-ops operator, and TPC-H planner shape.
+  ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
+  count so the docs cannot drift from ``len(QUERIES)`` again.
 """
 
 from __future__ import annotations

@@ -105,6 +105,113 @@ def cosine_topk_sql(table: str, num_queries: int = 10, k: int = 5, dim: int = 64
     """
 
 
+def ann_recall_report(
+    embeddings: DataFrame,
+    approx_topk: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    epsilon: float = 0.05,
+    recall_floor: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Verifiable accuracy contract for an ANN result (the a11-sketch
+    pattern applied to similarity search).
+
+    An approximate top-k cannot hash-match a SQL oracle — the candidate set
+    depends on LSH buckets / k-means clusters no SQL engine reproduces. What
+    CAN be verified in closed form is (a) the exact side of the contract and
+    (b) a tolerance assertion. Per query point this emits the *exact*
+    nearest neighbour (id + rounded cosine, which DuckDB computes by brute
+    force), the *exact* k-th-best cosine, the contract constants, and
+    ``recall_within_tolerance`` = (ε-recall@k >= recall_floor), where
+    ε-recall@k is the fraction of the ANN's k results whose cosine is
+    within ``epsilon`` of the exact k-th cosine — the standard
+    ann-benchmarks quality metric, robust to ties at the k boundary (on
+    near-random vectors set-intersection recall punishes neighbours that
+    are equally good to 4 decimals). The oracle predicts the exact values
+    and all-true flags; any query point whose ANN quality dips below the
+    floor flips its flag and breaks the value hash, and an ANN that returns
+    fewer than the expected query points breaks the row count. The numeric
+    recall itself is deliberately NOT emitted — it is exactly the quantity
+    no closed-form oracle can predict; the flag is its hashable projection.
+
+    Plan shape: the O(|Q|·N·d) brute-force scan appears ONCE (collapsed to
+    a 10-row per-query aggregate, broadcast onto the ANN output), then one
+    tiny groupBy computes the ε-good counts. At 100 TB this verification
+    runs over a sampled slice next to the production ANN path, not over the
+    full corpus — it is the accuracy monitor, not the serving query."""
+    exact = cosine_topk_bruteforce(
+        embeddings, num_queries=num_queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    ex_agg = exact.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias("exact_top1_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("exact_top1_cosine"),
+        F.max(F.when(F.col("rank") == k, F.col("cosine"))).alias("exact_kth_cosine"),
+    )
+    good = (F.col("cosine") >= F.col("exact_kth_cosine") - epsilon).cast("int")
+    report = (
+        approx_topk.select("query_id", "cosine")
+        .join(F.broadcast(ex_agg), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.max("exact_top1_id").alias("exact_top1_id"),
+            F.max("exact_top1_cosine").alias("exact_top1_cosine"),
+            F.max("exact_kth_cosine").alias("exact_kth_cosine"),
+            F.sum(good).alias("_good"),
+        )
+    )
+    return report.select(
+        "query_id",
+        "exact_top1_id",
+        F.round("exact_top1_cosine", 4).alias("exact_top1_cosine"),
+        F.round("exact_kth_cosine", 4).alias("exact_kth_cosine"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(float(recall_floor)).alias("recall_floor"),
+        (F.col("_good") / float(k) >= recall_floor).alias("recall_within_tolerance"),
+    )
+
+
+def ann_recall_report_sql(
+    table: str,
+    num_queries: int = 10,
+    k: int = 5,
+    epsilon: float = 0.05,
+    recall_floor: float = 0.6,
+    dim: int = 64,
+) -> str:
+    """Closed-form DuckDB oracle for :func:`ann_recall_report`: exact top-1
+    and k-th cosine per query point by brute force, the contract constants,
+    and all-true tolerance flags."""
+    return f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS dot,
+               SQRT(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS qn,
+               SQRT(SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) AS vn
+        FROM {table} q, {table} v, UNNEST(range(1, {dim + 1})) AS t(i)
+        WHERE q.vec_id < {num_queries} AND v.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY round(dot / (qn * vn), 4) DESC, neighbor_id) AS rank,
+               round(dot / (qn * vn), 4) AS cosine
+        FROM pairs
+    )
+    SELECT query_id,
+           MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS exact_top1_id,
+           MAX(CASE WHEN rank = 1 THEN cosine END) AS exact_top1_cosine,
+           MAX(CASE WHEN rank = {k} THEN cosine END) AS exact_kth_cosine,
+           CAST({epsilon} AS DOUBLE) AS epsilon,
+           CAST({recall_floor} AS DOUBLE) AS recall_floor,
+           TRUE AS recall_within_tolerance
+    FROM ranked WHERE rank IN (1, {k})
+    GROUP BY query_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path; Spark-only, rows-only correctness check)
 # ---------------------------------------------------------------------------
