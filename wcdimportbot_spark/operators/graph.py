@@ -534,6 +534,36 @@ def page_claims(
     return citation_claims.unionByName(string_claims).unionByName(single_claims)
 
 
+def build_items(
+    pages: DataFrame,
+    refs: DataFrame,
+    wikibase_title: str = DEFAULT_WIKIBASE_TITLE,
+) -> DataFrame:
+    """Item emission only. Kept separate from :func:`build_claims` because
+    the claims plan is hundreds of typed claim-struct expressions whose
+    driver-side construction/analysis costs seconds — items-only consumers
+    (item counts, the cache-mapping sink) must not pay for it."""
+    return (
+        page_items(pages, wikibase_title)
+        .unionByName(reference_items(refs))
+        .unionByName(website_items(refs))
+    )
+
+
+def build_claims(
+    pages: DataFrame,
+    refs: DataFrame,
+    wikibase_title: str = DEFAULT_WIKIBASE_TITLE,
+    retrieved_date: Column | None = None,
+) -> DataFrame:
+    """Claim emission only (see :func:`build_items` for why it is split)."""
+    return (
+        page_claims(pages, refs, wikibase_title, retrieved_date)
+        .unionByName(reference_claims(refs, retrieved_date))
+        .unionByName(website_claims(refs, retrieved_date))
+    )
+
+
 def build_graph(
     pages: DataFrame,
     refs: DataFrame,
@@ -541,14 +571,7 @@ def build_graph(
     retrieved_date: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full graph emission: (items, claims)."""
-    items = (
-        page_items(pages, wikibase_title)
-        .unionByName(reference_items(refs))
-        .unionByName(website_items(refs))
+    return (
+        build_items(pages, refs, wikibase_title),
+        build_claims(pages, refs, wikibase_title, retrieved_date),
     )
-    claims = (
-        page_claims(pages, refs, wikibase_title, retrieved_date)
-        .unionByName(reference_claims(refs, retrieved_date))
-        .unionByName(website_claims(refs, retrieved_date))
-    )
-    return items, claims

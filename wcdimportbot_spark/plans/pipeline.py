@@ -25,7 +25,11 @@ from wcdimportbot_spark.operators.extract import (
     fix_param_keys,
     split_valid_and_rejects,
 )
-from wcdimportbot_spark.operators.graph import build_graph, qid_from_hash
+from wcdimportbot_spark.operators.graph import (
+    build_claims,
+    build_items,
+    qid_from_hash,
+)
 from wcdimportbot_spark.operators.normalize import build_references, collect_rejects
 
 
@@ -55,16 +59,12 @@ class ImportResult:
         self._items: DataFrame | None = None
         self._claims: DataFrame | None = None
 
-    @cached_property
-    def _graph(self) -> tuple[DataFrame, DataFrame]:
-        return build_graph(
-            self._pages, self.references, self._wikibase_title, self._retrieved_date
-        )
-
     @property
     def items(self) -> DataFrame:
         if self._items is None:
-            self._items = self._graph[0]
+            self._items = build_items(
+                self._pages, self.references, self._wikibase_title
+            )
         return self._items
 
     @items.setter
@@ -74,7 +74,12 @@ class ImportResult:
     @property
     def claims(self) -> DataFrame:
         if self._claims is None:
-            self._claims = self._graph[1]
+            self._claims = build_claims(
+                self._pages,
+                self.references,
+                self._wikibase_title,
+                self._retrieved_date,
+            )
         return self._claims
 
     @claims.setter
