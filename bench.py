@@ -1,13 +1,24 @@
-"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+"""Benchmark runner: EVERY registry query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints exactly ONE JSON line:
     {"metric": "total_headline_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "headline39_sec": M, "sf": 0.1}
+
+All 70 registry queries are timed (HEADLINE order first — stable across
+rounds for like-for-like per-query comparison — then the remaining
+registry entries in registry order), so a regression in ANY query is
+visible in the per-query map. ``headline39_sec`` is the round-4-and-
+earlier subtotal over the original HEADLINE list, kept for cross-round
+continuity of the old headline number.
 
 Each query is executed with a count()-style action so results stay
 distributed (no driver collect cost in the measurement); a warmup pass on
 the first query amortizes JVM/codegen startup out of per-query numbers.
+
+A failing query can never improve the headline: any error nulls out
+``value`` and the run exits non-zero (the per-query timings and the error
+map are still emitted for diagnosis).
 """
 
 from __future__ import annotations
@@ -78,10 +89,13 @@ def main() -> None:
         print(f"# warmup failed: {exc}", file=sys.stderr)
 
     # One failing query must never abort the run: record the error, keep
-    # timing the rest, and always emit the final JSON summary line.
+    # timing the rest, and always emit the final JSON summary line. But a
+    # failing query must also never IMPROVE the run: errors null the
+    # headline value and force a non-zero exit.
+    order = HEADLINE + [n for n in QUERIES if n not in HEADLINE]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in order:
         spec = QUERIES[name]
         t0 = time.time()
         try:
@@ -92,18 +106,28 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        # measurements must be independent: several pipeline queries persist
+        # their references stage internally; left in place they accumulate
+        # across 70 queries and later queries pay their GC bill (and could
+        # silently reuse a prior query's cache)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_headline_sec",
-        "value": total,
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
+        "headline39_sec": round(
+            sum(timings.get(n, 0.0) for n in HEADLINE), 3
+        ),
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

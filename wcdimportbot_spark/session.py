@@ -62,7 +62,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs driver+executor in ONE JVM: all N concurrent tasks'
+        # shuffle/broadcast/cache memory comes out of this heap. 8g GC-
+        # thrashed on long sessions (a 70-query bench degraded pipeline
+        # queries 5-8x by the time they ran); on a real cluster this is
+        # spark.executor.memory sized per-node instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
