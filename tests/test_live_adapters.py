@@ -80,6 +80,22 @@ def test_bridge_rolls_complete_files_and_caps(tmp_path):
     assert not [f for f in os.listdir(spool) if f.endswith(".tmp")]
 
 
+def test_bridge_restart_never_reuses_filenames(tmp_path):
+    """A restarted bridge must seed its counter past existing spool files:
+    Spark's file source tracks seen filenames and will not re-read a
+    replaced file, so a colliding name loses events on both sides."""
+    spool = str(tmp_path / "spool")
+    bridge_events([{"title": f"A{i}"} for i in range(20)], spool, events_per_file=10)
+    bridge_events([{"title": f"B{i}"} for i in range(20)], spool, events_per_file=10)
+    files = sorted(os.listdir(spool))
+    assert files == [f"bridge-{i:08d}.json" for i in range(4)]
+    titles = []
+    for f in files:
+        with open(os.path.join(spool, f), encoding="utf-8") as fh:
+            titles += [json.loads(line)["title"] for line in fh if line.strip()]
+    assert titles == [f"A{i}" for i in range(20)] + [f"B{i}" for i in range(20)]
+
+
 def test_bridge_feeds_the_event_stream_pipeline(spark, tmp_path):
     """Bridged events are consumable by the same parse used by
     --import-events (one pipeline for live and replayed events)."""

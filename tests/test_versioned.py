@@ -138,3 +138,42 @@ def test_crashed_stage_does_not_leak_into_next_attempt(spark, tmp_path):
     )
     df = sinks.read_items(spark, path)
     assert df.count() == 2  # stale file neither counted nor breaking the read
+
+
+def test_writer_lock_blocks_live_holder_and_steals_dead(tmp_path):
+    """One writer at a time: a second acquisition under a LIVE holder pid
+    times out; a lock left by a DEAD pid is stolen so a crashed writer
+    never wedges the store."""
+    import pytest
+
+    path = str(tmp_path / "store")
+    with versioned.writer_lock(path):
+        lock = os.path.join(path, versioned.LOCK_FILE)
+        assert os.path.exists(lock)
+        with pytest.raises(TimeoutError):
+            with versioned.writer_lock(path, timeout=0.3):
+                pass
+    # released on exit
+    assert not os.path.exists(lock)
+
+    # stale lock from a dead pid (use an impossible pid)
+    with open(lock, "w", encoding="ascii") as f:
+        f.write("99999999")
+    with versioned.writer_lock(path, timeout=1.0):
+        with open(lock, encoding="ascii") as f:
+            assert f.read() == str(os.getpid())
+    assert not os.path.exists(lock)
+
+
+def test_writer_lock_file_not_hardlinked_into_snapshots(spark, tmp_path):
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p", "d", "hash1")]), path
+    )
+    # leave a lock behind (simulating an in-flight writer elsewhere), then
+    # merge: the staged snapshot must not inherit the lock file
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q2", "WEBSITE_ITEM", "w", "d", "hash2")]), path
+    )
+    cur = versioned.current_version(path)
+    assert versioned.LOCK_FILE not in os.listdir(os.path.join(path, cur))

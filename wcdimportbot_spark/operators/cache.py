@@ -112,12 +112,13 @@ def write_cache(cache: DataFrame, path: str) -> None:
 
     # materialize before writing: the plan may read the current snapshot
     staged = sinks.with_bucket(cache, "hash").localCheckpoint(eager=True)
-    version, vdir = versioned.stage_new(path)
-    # sorted-on-hash output: parquet min/max stats prune point lookups (S6)
-    staged.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
-        sinks.BUCKET_COL
-    ).parquet(vdir)
-    versioned.publish(path, version)
+    with versioned.writer_lock(path):
+        version, vdir = versioned.stage_new(path)
+        # sorted-on-hash output: parquet min/max stats prune point lookups (S6)
+        staged.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
+            sinks.BUCKET_COL
+        ).parquet(vdir)
+        versioned.publish(path, version)
 
 
 def merge_write_cache(
@@ -130,11 +131,12 @@ def merge_write_cache(
     from wcdimportbot_spark.operators import sinks, versioned
 
     def write_fn(df: DataFrame, p: str) -> None:
-        version, vdir = versioned.stage_new(p)
-        df.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
-            sinks.BUCKET_COL
-        ).parquet(vdir)
-        versioned.publish(p, version)
+        with versioned.writer_lock(p):
+            version, vdir = versioned.stage_new(p)
+            df.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
+                sinks.BUCKET_COL
+            ).parquet(vdir)
+            versioned.publish(p, version)
 
     sinks._merge_write(
         spark,

@@ -89,21 +89,23 @@ def write_items(items: DataFrame, path: str) -> None:
     """Full (static) rewrite as a fresh snapshot — bootstrap and delete
     paths. The new version is built beside the current one and published
     with an atomic pointer flip."""
-    version, vdir = versioned.stage_new(path)
-    _sorted_on(with_bucket(items, "hash"), "hash").write.mode(
-        "overwrite"
-    ).partitionBy("instance_of", BUCKET_COL).parquet(vdir)
-    versioned.publish(path, version)
+    with versioned.writer_lock(path):
+        version, vdir = versioned.stage_new(path)
+        _sorted_on(with_bucket(items, "hash"), "hash").write.mode(
+            "overwrite"
+        ).partitionBy("instance_of", BUCKET_COL).parquet(vdir)
+        versioned.publish(path, version)
 
 
 def write_claims(claims: DataFrame, path: str) -> None:
     """Full (static) rewrite as a fresh snapshot — bootstrap and delete
     paths."""
-    version, vdir = versioned.stage_new(path)
-    _sorted_on(with_bucket(claims, "subject_qid"), "subject_qid").write.mode(
-        "overwrite"
-    ).partitionBy("property", BUCKET_COL).parquet(vdir)
-    versioned.publish(path, version)
+    with versioned.writer_lock(path):
+        version, vdir = versioned.stage_new(path)
+        _sorted_on(with_bucket(claims, "subject_qid"), "subject_qid").write.mode(
+            "overwrite"
+        ).partitionBy("property", BUCKET_COL).parquet(vdir)
+        versioned.publish(path, version)
 
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
@@ -179,17 +181,21 @@ def _merge_write(
     staged = merged.localCheckpoint(eager=True)
     # next snapshot = hardlinks of every current file (metadata-only), with
     # the touched partitions dynamically overwritten; publish is an atomic
-    # pointer flip, so concurrent readers see old or new, never partial
-    version, vdir = versioned.stage_new(path)
-    versioned.link_tree(current_dir, vdir)
-    (
-        _sorted_on(staged, bucket_key)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partitions)
-        .parquet(vdir)
-    )
-    versioned.publish(path, version)
+    # pointer flip, so concurrent readers see old or new, never partial.
+    # The writer lock keeps a concurrent writer from clobbering the staging
+    # dir; MERGE read-your-writes serializability is still the caller's
+    # single-writer contract (see operators/versioned.py docstring)
+    with versioned.writer_lock(path):
+        version, vdir = versioned.stage_new(path)
+        versioned.link_tree(current_dir, vdir)
+        (
+            _sorted_on(staged, bucket_key)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partitions)
+            .parquet(vdir)
+        )
+        versioned.publish(path, version)
 
 
 def merge_write_items(

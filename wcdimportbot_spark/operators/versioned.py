@@ -26,18 +26,80 @@ emulation with local-FS hardlinks standing in for manifest reuse of
 unchanged files. A store written before versioning existed (no
 ``_CURRENT``) keeps reading from the root; its first versioned write
 migrates it.
+
+**Concurrency contract.** One writer per table at a time: concurrent
+writers would compute the same next version and clobber each other's
+staging directories, so every stage→publish sequence runs under
+:func:`writer_lock` (an O_EXCL pid lock file; a lock whose owner pid is
+dead is stolen, so a crashed writer never wedges the store). Readers
+take no lock — they resolve ``_CURRENT`` once and read an immutable
+tree. Staleness bound: a resolved snapshot survives at least
+``KEEP_VERSIONS - 1`` subsequent publishes before pruning can delete it;
+a reader must re-resolve rather than hold one snapshot across many
+writes. Cross-process on one host only (pid liveness is local) — the
+cluster-scale answer is the table format's own commit protocol.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import shutil
+import time
 
 CURRENT_FILE = "_CURRENT"
+LOCK_FILE = "_WRITER.lock"
 
 #: versions kept after a publish (current + history for in-flight readers)
 KEEP_VERSIONS = 2
+
+
+@contextlib.contextmanager
+def writer_lock(path: str, timeout: float = 120.0, poll: float = 0.1):
+    """Advisory single-writer lock for one store table.
+
+    O_CREAT|O_EXCL is atomic on POSIX: exactly one process creates the
+    lock file. The holder's pid is written into it so a contender can
+    distinguish a live writer (wait, then ``TimeoutError``) from a
+    crashed one (lock stolen by unlink + retry; the subsequent O_EXCL
+    race between multiple stealers again has exactly one winner)."""
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, LOCK_FILE)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode("ascii"))
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                with open(lock, encoding="ascii") as f:
+                    pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            alive = False
+            if pid:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except OSError:
+                    alive = False
+            if not alive:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+                continue
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"store writer lock held by live pid {pid}: {lock}"
+                )
+            time.sleep(poll)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
 
 _VERSION_RE = re.compile(r"^v\d{8}$")
 
@@ -111,7 +173,9 @@ def link_tree(src: str, dst: str) -> None:
         if root == src:
             dirs[:] = [d for d in dirs if not _VERSION_RE.match(d)]
             files = [
-                f for f in files if not f.startswith(CURRENT_FILE)
+                f
+                for f in files
+                if not f.startswith(CURRENT_FILE) and f != LOCK_FILE
             ]
         rel = os.path.relpath(root, src)
         out = dst if rel == "." else os.path.join(dst, rel)

@@ -65,10 +65,25 @@ def bridge_events(
     (write to ``.tmp``, then ``os.replace``) — Spark's file source lists
     completed files, so a half-written batch is never consumed. Returns
     the number of events spooled. Stop conditions mirror the reference's
-    consumer: an event cap and/or a wall-clock budget."""
+    consumer: an event cap and/or a wall-clock budget.
+
+    Restart-safe: the file counter seeds from the existing spool contents.
+    Spark's file source tracks seen FILENAMES and never re-reads a
+    replaced file, so a restarted bridge that reused ``bridge-00000000``
+    would both destroy unconsumed events and silently drop its own — rolled
+    names must never collide across runs."""
     os.makedirs(spool_dir, exist_ok=True)
     n = 0
-    file_idx = 0
+    existing = [
+        name
+        for name in os.listdir(spool_dir)
+        if name.startswith("bridge-") and name.endswith(".json")
+    ]
+    file_idx = (
+        max(int(name[len("bridge-") : -len(".json")]) for name in existing) + 1
+        if existing
+        else 0
+    )
     buf: list[str] = []
     started = clock()
 
