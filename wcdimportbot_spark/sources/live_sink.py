@@ -9,9 +9,14 @@ targeting a REAL Wikibase API from a Spark job:
 
 - ``foreachPartition``-style execution: each partition drains through one
   lazily-created HTTP session (executor-side client pattern);
-- a token-bucket rate limiter bounds the WHOLE executor's request rate —
-  Wikibase APIs throttle per client, and a 1000-task job without a
-  limiter is a deniable-of-service;
+- a token-bucket rate limiter bounds each PYTHON WORKER PROCESS's request
+  rate (a process-global bucket shared across that worker's tasks and
+  threads, surviving worker reuse). Spark runs up to one Python worker
+  per core, so the effective cluster rate is
+  ``concurrent workers × requests_per_second`` — size
+  ``requests_per_second`` for the TARGET API divided by expected worker
+  concurrency; a 1000-task job without a limiter is a
+  deniable-of-service;
 - conflict-as-success: an API "already exists" answer yields the existing
   QID, same as a fresh write (exactly-once effects under retries);
 - the transport is injectable (``post_fn``) and the default HTTP
@@ -32,8 +37,7 @@ from pyspark.sql import DataFrame
 
 
 class RateLimiter:
-    """Token bucket: at most ``rate`` acquisitions per second, shared by
-    every thread of one Python worker process."""
+    """Token bucket: at most ``rate`` acquisitions per second."""
 
     def __init__(self, rate: float, burst: int = 1):
         self.rate = float(rate)
@@ -55,6 +59,25 @@ class RateLimiter:
                     return
                 wait = (1.0 - self._tokens) / self.rate
             time.sleep(wait)
+
+
+#: one bucket per (rate, burst) per PROCESS — constructing the limiter
+#: inside each task would give every concurrent task its own full bucket,
+#: multiplying the real rate against the live API by the task concurrency
+_PROCESS_LIMITERS: dict[tuple[float, float], RateLimiter] = {}
+_PROCESS_LIMITERS_LOCK = threading.Lock()
+
+
+def process_limiter(rate: float, burst: int = 1) -> RateLimiter:
+    """The process-wide shared token bucket for ``(rate, burst)``. Python
+    workers are reused across tasks, so the bucket also carries its fill
+    level across consecutive tasks in one worker."""
+    key = (float(rate), float(max(burst, 1)))
+    with _PROCESS_LIMITERS_LOCK:
+        limiter = _PROCESS_LIMITERS.get(key)
+        if limiter is None:
+            limiter = _PROCESS_LIMITERS[key] = RateLimiter(rate, burst)
+        return limiter
 
 
 class ConflictExists(Exception):
@@ -96,10 +119,11 @@ def write_items_live(
     ``(hash, qid)`` mappings as a DataFrame (feed to
     ``cache_ops.merge_write_cache`` for idempotent re-runs).
 
-    Scale notes: rows are uploaded per-partition with a per-worker rate
-    limiter; total cluster rate ≈ workers × requests_per_second — size
-    the limiter for the TARGET API, not the cluster. Retries are
-    per-item with exponential backoff; a conflict is adopted, not
+    Scale notes: the rate limiter is process-global per Python worker
+    (NOT per task — see :func:`process_limiter`); total cluster rate ≈
+    concurrent worker processes × requests_per_second — size the limiter
+    for the TARGET API divided by expected worker concurrency. Retries
+    are per-item with exponential backoff; a conflict is adopted, not
     retried."""
     from pyspark.sql import types as T
 
@@ -112,7 +136,7 @@ def write_items_live(
     )
 
     def upload_partition(rows: Iterator) -> Iterator[tuple]:
-        limiter = RateLimiter(rate, burst=max(int(rate), 1))
+        limiter = process_limiter(rate, burst=max(int(rate), 1))
         for row in rows:
             item = row.asDict(recursive=True)
             attempt = 0
