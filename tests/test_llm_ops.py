@@ -157,3 +157,62 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert recall_hi >= 0.5, f"high-probe IVF recall too low: {recall_hi}"
     # more probes must not reduce recall (monotone candidate superset)
     assert recall_hi >= recall_lo
+
+
+def test_bmp_codec_roundtrip_properties():
+    from wcdimportbot_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    for w, h, rgb in [(1, 1, (0, 0, 0)), (5, 3, (10, 200, 255)), (16, 9, (127, 1, 99))]:
+        d = decode_bmp(encode_bmp(w, h, rgb))
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(float(c) for c in rgb)
+    # odd widths exercise the 4-byte row padding path: stride != width*3
+    d = decode_bmp(encode_bmp(3, 2, (9, 9, 9)))
+    assert (d["width"], d["height"], d["mean_r"]) == (3, 2, 9.0)
+
+
+def test_wav_codec_roundtrip_properties():
+    from wcdimportbot_spark.operators.multimodal import decode_wav, encode_wav
+
+    d = decode_wav(encode_wav(8000, 8000, 1234))
+    assert d["duration_ms"] == 1000
+    assert d["sample_rate"] == 8000
+    assert d["rms"] == 1234.0  # ±a square wave: RMS is exactly a
+
+
+def test_codec_gate_rejects_unsupported_formats():
+    from wcdimportbot_spark.operators.multimodal import (
+        decode_payload,
+        decode_bmp,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8\xff\xe0 jpeg-ish payload")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"RIFF\x00\x00\x00\x00AVI LIST")  # RIFF but not WAVE
+    # BMP container with an unsupported bit depth still gates honestly
+    import struct
+
+    bogus = b"BM" + b"\x00" * 12 + struct.pack("<Iii", 40, 2, 2) + struct.pack(
+        "<HH", 1, 8
+    ) + b"\x00" * 24
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bogus)
+
+
+def test_real_feature_path_decodes_bmp_and_wav(spark):
+    from wcdimportbot_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_wav,
+        extract_media_features,
+    )
+
+    rows = [
+        (1, "image", bytearray(encode_bmp(4, 2, (8, 16, 32))), None),
+        (2, "audio", bytearray(encode_wav(1600, 8000, 500)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_media_features(media, fake=False).collect()}
+    assert got[1]["features"] == [4.0, 2.0, 8.0, 16.0, 32.0]
+    assert got[2]["features"] == [200.0, 500.0]

