@@ -1,8 +1,14 @@
 """Plan-shape regression tests: the scale-critical plan properties the
 round audits verified with `.explain`, pinned so refactors cannot silently
-lose them. Analysis-only — no query executes."""
+lose them. Analysis-only — no query executes.
 
-SF = "/root/testdata/sf0.001"
+Override the data directory with $SPARK_GRAFT_PLANSHAPE_SF to re-verify
+the same shapes at another scale (the sf1 rehearsal runs these against
+the 10x corpus: plan shape must be scale-invariant)."""
+
+import os
+
+SF = os.environ.get("SPARK_GRAFT_PLANSHAPE_SF", "/root/testdata/sf0.001")
 
 
 def _plan(spark, name):
