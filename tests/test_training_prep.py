@@ -1,0 +1,82 @@
+"""Training-prep operator properties (operators/training_prep.py). Oracle
+equality is covered by scripts/check_oracle.py; these pin the semantic
+properties the oracles cannot express."""
+
+from pyspark.sql import functions as F
+
+from wcdimportbot_spark.operators.training_prep import (
+    hash_split,
+    pack_sequences,
+    quantize_embeddings_int8,
+    scrub_pii,
+)
+
+
+def test_hash_split_is_stable_under_appends(spark):
+    """The property that justifies hash splitting: adding rows never
+    changes the assignment of existing rows (random/row_number splits both
+    fail this)."""
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # rough proportions on the larger set
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert 820 <= c["train"] <= 960
+    assert c["val"] + c["test"] == 1000 - c["train"]
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, salt="s1").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, salt="s2").collect()}
+    assert any(a[k] != b[k] for k in a), "salt must re-roll the split"
+
+
+def test_pack_sequences_chunks_are_contiguous_per_shard(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(200)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget_tokens=16, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        total = 0
+        for r in rows:
+            # chunk_first derives from the exclusive cumsum, chunk_last
+            # from the inclusive one; chunks never go backwards
+            assert r["chunk_first"] == total // 16
+            total += r["n_tokens"]
+            assert r["chunk_last"] == max(total - 1, total - r["n_tokens"]) // 16
+            assert r["chunk_last"] >= r["chunk_first"]
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.org or c@d.io thanks"),
+            (2, "server 192.168.0.1 and card 4111111111111111"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_ipv4"] == 0
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_emails"] == 0
+    assert got[3]["n_emails"] == got[3]["n_ipv4"] == 0
+    # redaction shortens: both the IP and the 16-digit run collapse
+    assert got[2]["scrubbed_len"] < len("server 192.168.0.1 and card 4111111111111111")
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    """int8 symmetric quantization: |dequant - x| <= scale/2 per element,
+    so mae_x1000 <= max_abs/127/2*1000 per vector."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for r in quantize_embeddings_int8(emb).collect():
+        bound = r["max_abs"] / 127.0 / 2.0 * 1000.0
+        assert r["mae_x1000"] <= bound + 1e-6, (r["vec_id"], r["mae_x1000"], bound)

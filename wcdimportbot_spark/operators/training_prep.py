@@ -1,0 +1,158 @@
+"""Training-data preparation operators (beyond-reference pack, round 5).
+
+Four pipeline stages every large-scale pretraining-data run needs, each
+expressed as pure Catalyst expressions (no Python in the hot path) and
+each with a closed-form SQL oracle — the correctness bar of the rest of
+the registry, not rows-only:
+
+- :func:`hash_split` — deterministic train/val/test assignment from
+  ``md5(salt:key)``. The property that matters at 100 TB: membership is a
+  pure function of (key, salt), so re-runs, late-arriving shards, and
+  incremental appends never reshuffle previously-assigned examples (a
+  random split re-rolls on every run; a row_number split re-rolls on any
+  insertion).
+- :func:`pack_sequences` — concat-then-chunk sequence packing: documents
+  are concatenated in key order and cut into fixed token budgets, the
+  standard pretraining tokenization layout. Packing is per-SHARD (hash of
+  the key), so the cumulative-sum window partitions by shard instead of a
+  single global ordering — the difference between a 100 TB shuffle onto
+  one task and an embarrassingly parallel window.
+- :func:`scrub_pii` — redaction pass (emails / IPv4 / long digit runs)
+  with per-document match counts, regexp only.
+- :func:`quantize_embeddings_int8` — symmetric int8 scalar quantization
+  of an embedding column with per-vector reconstruction-error report
+  (max_abs → scale, mean |dequant - x|); the compression stage before an
+  ANN index ships to serving. ``floor(x/scale + 0.5)`` instead of
+  ``round`` so both engines use the identical rounding rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+SPLIT_SALT = "split-v1"
+
+
+def _hash_bucket(key: Column, salt: str, buckets: int) -> Column:
+    """First 16 bits of md5(salt:key) modulo ``buckets`` — reproducible in
+    any engine with md5 (DuckDB: ('0x' || substr(md5(..), 1, 4))::INT)."""
+    hexpart = F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 4)
+    return (F.conv(hexpart, 16, 10).cast("int") % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    salt: str = SPLIT_SALT,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Add ``bucket`` (0-99) and ``split`` columns; assignment is a pure
+    function of (key, salt) — stable under appends, re-runs, resharding."""
+    bucket = _hash_bucket(F.col(key), salt, 100)
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace token count with empty-token filtering (matches
+    ``len(list_filter(string_split_regex(...)))`` in DuckDB exactly)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 8,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk packing per shard: returns one row per document
+    with its shard, token count, and the first/last chunk its tokens land
+    in (a document may straddle a chunk boundary — that is the standard
+    pretraining layout, not an error).
+
+    Plan: one narrow projection (token counts), one window cumsum
+    partitioned by shard. No global ordering, no collect; shard count is
+    the parallelism knob at scale."""
+    tok = whitespace_token_count(F.col(text_col))
+    shard = _hash_bucket(F.col(key), "shard", n_shards)
+    d = docs.select(
+        F.col(key), shard.alias("shard"), tok.cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("shard").orderBy(key)
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        key,
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget_tokens)
+        .cast("long")
+        .alias("chunk_first"),
+        # last token of the doc lands in chunk floor((cum-1)/budget);
+        # empty docs stay in their starting chunk
+        F.floor(
+            (F.greatest(cum - 1, cum - F.col("n_tokens"))) / budget_tokens
+        )
+        .cast("long")
+        .alias("chunk_last"),
+    )
+
+
+#: conservative, RE2-and-Java-compatible patterns (no backrefs/lookarounds)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONG_DIGITS_RE = r"\b\d{9,}\b"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and 9+-digit runs; emit per-doc
+    match counts and the scrubbed length. One projection, regexp only."""
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        LONG_DIGITS_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        # idx=0: full-match list (Spark defaults to capture group 1)
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).alias("n_ipv4"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+def quantize_embeddings_int8(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization report: per vector, the max-abs
+    (the scale numerator), and the mean absolute reconstruction error of
+    ``dequant(quant(x))`` with ``q = floor(x * 127 / max_abs + 0.5)``.
+
+    Quantization error is the contract a serving-side ANN index cares
+    about; emitting it per vector makes the compression verifiable. All
+    math in double precision, identical fold order to the cosine oracle."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(vec, F.abs))
+    d = embeddings.select(F.col(id_col), vec.alias("v"), max_abs.alias("m"))
+    scale = F.col("m") / F.lit(127.0)
+    abs_err_sum = F.aggregate(
+        F.col("v"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.abs(F.floor(x / scale + F.lit(0.5)) * scale - x),
+    )
+    return d.select(
+        id_col,
+        F.round("m", 4).alias("max_abs"),
+        F.round(abs_err_sum / F.size(F.col("v")) * 1000.0, 4).alias("mae_x1000"),
+    )

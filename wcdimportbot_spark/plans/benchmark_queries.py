@@ -979,6 +979,144 @@ def multimodal_codec_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data preparation pack (operators/training_prep.py): hash split,
+# sequence packing, PII scrub, int8 quantization — each a closed-form oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_split_assign",
+    "training prep (deterministic split)",
+    "hash-based train/val/test assignment: membership is a pure function "
+    "of (key, salt) — stable under appends/re-runs, unlike random or "
+    "row_number splits",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS INT) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def train_split_assign(spark, sf_dir):
+    from wcdimportbot_spark.operators.training_prep import hash_split
+
+    return hash_split(load(spark, sf_dir, "documents")).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+@register(
+    "train_seq_packing",
+    "training prep (sequence packing)",
+    "concat-then-chunk packing into 2048-token budgets, per shard (the "
+    "window cumsum partitions by shard — no global ordering bottleneck); "
+    "emits each doc's first/last chunk",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8 AS INT) AS shard,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_first,
+           CAST(floor(greatest(cum - 1, cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_last
+    FROM c
+    """,
+)
+def train_seq_packing(spark, sf_dir):
+    from wcdimportbot_spark.operators.training_prep import pack_sequences
+
+    return pack_sequences(
+        load(spark, sf_dir, "documents"), budget_tokens=2048, n_shards=8
+    )
+
+
+@register(
+    "train_pii_scrub",
+    "training prep (PII redaction)",
+    "regexp redaction pass over documents deterministically enriched with "
+    "synthetic PII (email, IPv4, long digit run): per-doc match counts + "
+    "scrubbed length",
+    r"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 acct 123456789' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\b\d{9,}\b', '<NUM>', 'g')) AS INT) AS scrubbed_len
+    FROM enriched
+    """,
+)
+def train_pii_scrub(spark, sf_dir):
+    from wcdimportbot_spark.operators.training_prep import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    enriched = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 acct 123456789"),
+        ),
+    )
+    return scrub_pii(enriched)
+
+
+@register(
+    "train_emb_quantize",
+    "training prep (embedding compression)",
+    "symmetric int8 scalar quantization with per-vector reconstruction "
+    "error (max_abs scale, mean |dequant - x|) — the verifiable contract "
+    "of the ANN index's compression stage",
+    """
+    WITH x AS (
+        SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    ),
+    m AS (SELECT vec_id, MAX(ABS(v)) AS m FROM x GROUP BY vec_id),
+    err AS (
+        SELECT x.vec_id,
+               SUM(ABS(floor(v / (m.m / 127.0) + 0.5) * (m.m / 127.0) - v)) AS s,
+               COUNT(*) AS n
+        FROM x JOIN m ON m.vec_id = x.vec_id
+        GROUP BY x.vec_id
+    )
+    SELECT err.vec_id, round(m.m, 4) AS max_abs,
+           round(err.s / err.n * 1000.0, 4) AS mae_x1000
+    FROM err JOIN m ON m.vec_id = err.vec_id
+    """,
+)
+def train_emb_quantize(spark, sf_dir):
+    from wcdimportbot_spark.operators.training_prep import (
+        quantize_embeddings_int8,
+    )
+
+    return quantize_embeddings_int8(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Domain pipeline under the oracle gate: pages are synthesized
 # deterministically from `documents` (__spark_entry__.pages_from_documents),
 # so a closed-form SQL oracle can predict the output of the FULL
@@ -1109,7 +1247,7 @@ def domain_claim_families(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _domain_graph_views(spark, sf_dir):
+def _domain_graph_views(spark, sf_dir, need_claims: bool = True):
     from wcdimportbot_spark.operators import sparql
     from wcdimportbot_spark.plans.pipeline import run_import
 
@@ -1117,12 +1255,18 @@ def _domain_graph_views(spark, sf_dir):
         _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
     )
     # materialize before registering: every spark.sql over the views would
-    # otherwise re-run the whole import pipeline per referencing subtree
-    sparql.register_graph_views(
-        spark,
-        res.items.localCheckpoint(eager=True),
-        res.claims.localCheckpoint(eager=True),
-    )
+    # otherwise re-run the whole import pipeline per referencing subtree.
+    # Claims emission (hundreds of typed struct expressions) is only built
+    # and executed when a claims-view consumer asks for it — items-only
+    # SPARQL reads must not pay for it (same split as ImportResult's lazy
+    # items/claims properties).
+    items = res.items.localCheckpoint(eager=True)
+    if need_claims:
+        sparql.register_graph_views(
+            spark, items, res.claims.localCheckpoint(eager=True)
+        )
+    else:
+        items.createOrReplaceTempView(sparql.DEFAULT_ITEMS_VIEW)
 
 
 @register(
@@ -1165,7 +1309,7 @@ def sparql_item_counts(spark, sf_dir):
 def sparql_page_qids(spark, sf_dir):
     from wcdimportbot_spark.operators import sparql
 
-    _domain_graph_views(spark, sf_dir)
+    _domain_graph_views(spark, sf_dir, need_claims=False)
     return sparql.all_items_of_type(spark, "WIKIPEDIA_PAGE")
 
 
