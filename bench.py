@@ -5,7 +5,7 @@ Prints exactly ONE JSON line:
     {"metric": "total_headline_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "headline39_sec": M, "sf": 0.1}
 
-All 70 registry queries are timed (HEADLINE order first — stable across
+All 79 registry queries are timed (HEADLINE order first — stable across
 rounds for like-for-like per-query comparison — then the remaining
 registry entries in registry order), so a regression in ANY query is
 visible in the per-query map. ``headline39_sec`` is the round-4-and-

@@ -92,8 +92,8 @@ def test_registry_size_matches_docs():
     import __spark_entry__ as em
     from wcdimportbot_spark.plans.benchmark_queries import _WINDOW, QUERIES
 
-    assert len(QUERIES) == 75
-    assert "75 queries" in em.__doc__
+    assert len(QUERIES) == 79
+    assert "79 queries" in em.__doc__
     assert len(_WINDOW) == 50
     assert set(_WINDOW) <= set(QUERIES)
     # every registry entry is oracle-verifiable — the ANN accuracy-contract
@@ -112,3 +112,18 @@ def test_no_cartesian_in_tpch_joins(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-benchmark n-gram set must broadcast: the corpus side of
+    the decontamination join never shuffles on content at 100 TB."""
+    plan = _plan(spark, "decon_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_ngrams_topk_is_distributed(spark):
+    """Top-k must compile to TakeOrderedAndProject (per-partition heaps),
+    not a global sort or a single-partition window over the vocabulary."""
+    plan = _plan(spark, "corpus_heavy_ngrams")
+    assert "TakeOrderedAndProject" in plan

@@ -1117,6 +1117,117 @@ def train_emb_quantize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation pack (operators/curation.py): benchmark decontamination,
+# duplicate clustering (connected components), stratified mixture sampling,
+# corpus heavy n-grams — each with a closed-form oracle.
+# ---------------------------------------------------------------------------
+
+
+def _decon_oracle():
+    from wcdimportbot_spark.operators.curation import decontaminate_sql
+
+    return decontaminate_sql(
+        "documents", eval_pred="doc_id % 25 = 0", n=3, flag_ratio=0.2
+    )
+
+
+@register(
+    "decon_ngram_overlap",
+    "curation (benchmark decontamination)",
+    "flag training docs sharing word trigrams with the eval split "
+    "(doc_id % 25 = 0 stands in for the benchmark suite); eval n-gram set "
+    "broadcasts, so the corpus side never shuffles",
+    None,  # generated SQL attached below
+)
+def decon_ngram_overlap(spark, sf_dir):
+    from wcdimportbot_spark.operators.curation import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 25 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 25 != 0)
+    return decontaminate(train_docs, eval_docs, n=3, flag_ratio=0.2)
+
+
+QUERIES["decon_ngram_overlap"].oracle = _decon_oracle()
+
+
+def _cc_oracle():
+    from wcdimportbot_spark.operators.curation import duplicate_clusters_sql
+    from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_sql
+
+    return duplicate_clusters_sql(
+        ngram_jaccard_sql("documents", threshold=0.5, max_gram_df=50)
+    )
+
+
+@register(
+    "dedup_cc_clusters",
+    "curation (duplicate clustering)",
+    "connected components over near-duplicate candidate pairs "
+    "(bigram-Jaccard >= 0.5) via iterative min-label propagation — "
+    "'keep one per cluster' stays well-defined when similarity is not "
+    "transitive; oracle is a recursive-CTE transitive closure",
+    None,  # generated SQL attached below
+)
+def dedup_cc_clusters(spark, sf_dir):
+    from wcdimportbot_spark.operators.curation import duplicate_clusters
+    from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, max_gram_df=50
+    )
+    return duplicate_clusters(pairs)
+
+
+QUERIES["dedup_cc_clusters"].oracle = _cc_oracle()
+
+
+def _mixture_oracle():
+    from wcdimportbot_spark.operators.curation import mixture_sample_sql
+
+    return mixture_sample_sql("documents", token_budget=1500)
+
+
+@register(
+    "train_mixture_sample",
+    "curation (mixture sampling)",
+    "deterministic per-language token-budget sample: md5(doc_id) order "
+    "within each stratum, take while the running token total fits — "
+    "reproducible across runs, stable under resharding",
+    None,  # generated SQL attached below
+)
+def train_mixture_sample(spark, sf_dir):
+    from wcdimportbot_spark.operators.curation import mixture_sample
+
+    return mixture_sample(load(spark, sf_dir, "documents"), token_budget=1500)
+
+
+QUERIES["train_mixture_sample"].oracle = _mixture_oracle()
+
+
+def _heavy_oracle():
+    from wcdimportbot_spark.operators.curation import heavy_ngrams_sql
+
+    return heavy_ngrams_sql("documents", n=3, k=20)
+
+
+@register(
+    "corpus_heavy_ngrams",
+    "curation (boilerplate detection)",
+    "top-20 word trigrams by document frequency — distributed top-k "
+    "(TakeOrderedAndProject), no global sort or single-partition window",
+    None,  # generated SQL attached below
+)
+def corpus_heavy_ngrams(spark, sf_dir):
+    from wcdimportbot_spark.operators.curation import heavy_ngrams
+
+    return heavy_ngrams(load(spark, sf_dir, "documents"), n=3, k=20)
+
+
+QUERIES["corpus_heavy_ngrams"].oracle = _heavy_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Domain pipeline under the oracle gate: pages are synthesized
 # deterministically from `documents` (__spark_entry__.pages_from_documents),
 # so a closed-form SQL oracle can predict the output of the FULL
@@ -2653,17 +2764,17 @@ _WINDOW = [
     "domain_page_hash_stats",
     "domain_claim_families",
     "sparql_item_counts",
+    "decon_ngram_overlap",
+    "dedup_cc_clusters",
+    "train_mixture_sample",
+    "corpus_heavy_ngrams",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
     "q10_returned_item_ranking",
-    "q12_shipmode_priority",
     "q13_customer_distribution",
-    "q14_promo_revenue_share",
     "q19_disjunctive_pushdown",
 ]
 
