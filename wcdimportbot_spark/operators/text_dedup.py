@@ -67,13 +67,19 @@ def doc_tokens_long(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles. MinHash runs over shingle sets, not unigram
-    token sets: on low-vocabulary corpora unigram sets are nearly identical
-    across documents and LSH degenerates to all-pairs (measured: 54% of all
-    pairs became candidates on the synthetic docs); n-gram shingles restore
-    discriminative power."""
-    t = tokens(col)
+def ngrams_from_tokens(t: Column, n: int) -> Column:
+    """Space-joined word n-grams from an ALREADY-MATERIALIZED token-array
+    column (empty if < n tokens).
+
+    ``t`` MUST be a plain column reference from a prior projection, never
+    the ``tokens(text)`` expression itself: higher-order-function lambdas
+    do not share subexpressions with their argument, so an inline token
+    expression gets re-split once per ``element_at`` per n-gram —
+    O(len²·n) regexp splits per document (measured 13× wall on sf0.1
+    trigrams). Two projections (materialize tokens, then build n-grams)
+    keep it O(len)."""
+    if n == 1:
+        return t
     return F.when(
         F.size(t) >= n,
         F.transform(
@@ -85,11 +91,23 @@ def shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles straight off a text column. Convenience for
+    small inputs/tests — hot paths must use the two-projection form
+    (see :func:`ngrams_from_tokens` for why). MinHash runs over shingle
+    sets, not unigram token sets: on low-vocabulary corpora unigram sets
+    are nearly identical across documents and LSH degenerates to
+    all-pairs (measured: 54% of all pairs became candidates on the
+    synthetic docs); n-gram shingles restore discriminative power."""
+    return ngrams_from_tokens(tokens(col), n)
+
+
 def doc_shingles_long(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     return (
-        docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("token"))
+        docs.select(id_col, tokens(F.col(text_col)).alias("_ts"))
+        .select(id_col, F.explode(ngrams_from_tokens(F.col("_ts"), n)).alias("token"))
         .dropDuplicates([id_col, "token"])
     )
 
@@ -133,9 +151,15 @@ def minhash_signatures(
         F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
         % MINHASH_PRIME
     )
-    long = fan_out(docs, id_col).select(
-        id_col, F.explode(shingles(F.col("text"), shingle_n)).alias("token")
-    ).select(id_col, base.alias("_hx"))
+    long = (
+        fan_out(docs, id_col)
+        .select(id_col, tokens(F.col("text")).alias("_ts"))
+        .select(
+            id_col,
+            F.explode(ngrams_from_tokens(F.col("_ts"), shingle_n)).alias("token"),
+        )
+        .select(id_col, base.alias("_hx"))
+    )
     aggs = [
         F.min((F.lit(a) * F.col("_hx") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
@@ -318,14 +342,9 @@ def simhash_sql(table: str, bits: int = 16) -> str:
 
 
 def word_bigrams(col: Column) -> Column:
-    t = tokens(col)
-    return F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Convenience for small inputs/tests; hot paths use the
+    two-projection form (:func:`ngrams_from_tokens`)."""
+    return ngrams_from_tokens(tokens(col), 2)
 
 
 def ngram_jaccard_pairs(
@@ -343,7 +362,8 @@ def ngram_jaccard_pairs(
     explicit parameter."""
     grams = (
         fan_out(docs, id_col)
-        .select(id_col, F.explode(word_bigrams(F.col("text"))).alias("g"))
+        .select(id_col, tokens(F.col("text")).alias("_ts"))
+        .select(id_col, F.explode(ngrams_from_tokens(F.col("_ts"), 2)).alias("g"))
         .dropDuplicates([id_col, "g"])
     )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
