@@ -1322,8 +1322,12 @@ def domain_claim_families(spark, sf_dir):
         _domain_pages(spark, sf_dir), retrieved_date=F.lit("2026-08-13").cast("date")
     )
     # materialize once: the three family branches otherwise re-run the
-    # whole import pipeline per union arm
-    claims = res.claims.localCheckpoint(eager=True)
+    # whole import pipeline per union arm. Column-prune BEFORE the
+    # checkpoint — it materializes every column it is handed, and the
+    # three aggregates read only these three.
+    claims = res.claims.select(
+        "property", "subject_qid", "value_string"
+    ).localCheckpoint(eager=True)
     null_count = F.lit(None).cast("long")
     edges = (
         claims.filter(F.col("property") == "CITATIONS")
@@ -1373,9 +1377,13 @@ def _domain_graph_views(spark, sf_dir, need_claims: bool = True):
     # items/claims properties).
     items = res.items.localCheckpoint(eager=True)
     if need_claims:
-        sparql.register_graph_views(
-            spark, items, res.claims.localCheckpoint(eager=True)
-        )
+        # the SQL read surface touches exactly these four claim columns;
+        # pruning before the checkpoint keeps the provenance structs and
+        # qualifier arrays out of the materialized relation
+        claims = res.claims.select(
+            "subject_qid", "property", "value_qid", "value_string"
+        ).localCheckpoint(eager=True)
+        sparql.register_graph_views(spark, items, claims)
     else:
         items.createOrReplaceTempView(sparql.DEFAULT_ITEMS_VIEW)
 
