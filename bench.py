@@ -108,9 +108,17 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
         # measurements must be independent: several pipeline queries persist
         # their references stage internally; left in place they accumulate
-        # across 70 queries and later queries pay their GC bill (and could
-        # silently reuse a prior query's cache)
+        # across 79 queries and later queries pay their GC bill (and could
+        # silently reuse a prior query's cache). The explicit GC drains
+        # dropped codegen classes / checkpoint blocks OUTSIDE the next
+        # query's measurement — without it, late-order heavy queries
+        # absorb the whole session's collection debt (measured ±50%
+        # run-to-run swings on the JIT-heavy pipeline queries).
         spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - GC nudge is best-effort
+            pass
 
     total = round(sum(timings.values()), 3)
     out = {
