@@ -311,3 +311,39 @@ def test_cli_import_events_surfaces_stream_failure(spark, tmp_path, monkeypatch)
     store = str(tmp_path / "store")
     with pytest.raises(Exception):
         main(["--store", store, "--import-events", str(src)])
+
+
+def test_cli_curate_report(spark, tmp_path, capsys):
+    """--curate prints an aggregate-only JSON curation report; with
+    --eval-docs it adds the decontamination section, with --token-budget
+    the mixture-sample section."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_path = str(tmp_path / "eval.parquet")
+    docs.filter("doc_id % 25 = 0").write.parquet(eval_path)
+
+    assert (
+        main(
+            [
+                "--store", str(tmp_path / "store"),
+                "--curate", "/root/testdata/sf0.001/documents.parquet",
+                "--eval-docs", eval_path,
+                "--token-budget", "1500",
+            ]
+        )
+        == 0
+    )
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_docs"] == 500
+    assert sum(v["docs"] for v in report["languages"].values()) == 500
+    assert report["exact_dups"]["docs"] >= report["exact_dups"]["groups"]
+    assert report["near_dup_clusters"]["largest"] >= 2 or (
+        report["near_dup_clusters"]["clusters"] == 0
+    )
+    assert len(report["heavy_ngrams"]) == 5
+    # the eval split is drawn from the corpus itself -> its own docs overlap
+    assert report["decontamination"]["overlapping_docs"] > 0
+    assert 0 <= report["decontamination"]["contaminated_docs"] <= report[
+        "decontamination"
+    ]["overlapping_docs"]
+    for v in report["mixture_sample"].values():
+        assert v["tokens_selected"] <= 1500

@@ -80,6 +80,22 @@ def main(argv=None) -> int:
     parser.add_argument("--rinse", action="store_true", help="delete all items and flush the cache")
     parser.add_argument("-s", "--statistics", action="store_true", help="print graph statistics")
     parser.add_argument("--live", action="store_true", help="fetch titles over MediaWiki REST")
+    parser.add_argument(
+        "--curate",
+        metavar="DOCS",
+        help="print a JSON curation report over a documents parquet "
+        "(profile, exact/near dups, heavy n-grams)",
+    )
+    parser.add_argument(
+        "--eval-docs",
+        metavar="DOCS",
+        help="with --curate: benchmark parquet for n-gram decontamination",
+    )
+    parser.add_argument(
+        "--token-budget",
+        type=int,
+        help="with --curate: per-language token budget for the mixture sample",
+    )
     args = parser.parse_args(argv)
 
     from wcdimportbot_spark import get_spark
@@ -263,6 +279,82 @@ def main(argv=None) -> int:
                 ).localCheckpoint(eager=True)
                 cache_ops.write_cache(kept_cache, paths["cache"])
         print(f"deleted {n} page item(s) titled {args.delete_page!r}")
+
+    elif args.curate:
+        from wcdimportbot_spark.operators.curation import (
+            decontaminate,
+            duplicate_clusters,
+            heavy_ngrams,
+            mixture_sample,
+        )
+        from wcdimportbot_spark.operators.text_analysis import document_profile
+        from wcdimportbot_spark.operators.text_dedup import (
+            exact_duplicate_groups,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet(args.curate)
+        # every section below is an aggregate — the driver only ever sees
+        # per-language / per-cluster summaries, never document rows
+        prof = (
+            document_profile(docs)
+            .groupBy("detected_lang")
+            .agg(
+                F.count("*").alias("docs"),
+                F.round(F.avg("quality"), 4).alias("mean_quality"),
+                F.sum("n_tokens").alias("tokens"),
+            )
+        )
+        report = {
+            "n_docs": docs.count(),
+            "languages": {
+                r["detected_lang"]: {
+                    "docs": r["docs"],
+                    "mean_quality": r["mean_quality"],
+                    "tokens": r["tokens"],
+                }
+                for r in prof.collect()
+            },
+        }
+        exact = exact_duplicate_groups(docs).agg(
+            F.count("*").alias("groups"), F.sum("n_docs").alias("docs")
+        ).collect()[0]
+        report["exact_dups"] = {"groups": exact["groups"] or 0, "docs": exact["docs"] or 0}
+        clusters = duplicate_clusters(ngram_jaccard_pairs(docs))
+        near = clusters.agg(
+            F.countDistinct("cluster_id").alias("clusters"),
+            F.count("*").alias("docs"),
+            F.max("cluster_size").alias("largest"),
+        ).collect()[0]
+        report["near_dup_clusters"] = {
+            "clusters": near["clusters"],
+            "docs": near["docs"],
+            "largest": near["largest"] or 0,
+        }
+        report["heavy_ngrams"] = [
+            {"gram": r["gram"], "df": r["df"]}
+            for r in heavy_ngrams(docs, n=3, k=5).collect()
+        ]
+        if args.eval_docs:
+            eval_docs = spark.read.parquet(args.eval_docs)
+            decon = decontaminate(docs, eval_docs).agg(
+                F.count("*").alias("overlapping"),
+                F.sum(F.col("contaminated").cast("int")).alias("contaminated"),
+            ).collect()[0]
+            report["decontamination"] = {
+                "overlapping_docs": decon["overlapping"],
+                "contaminated_docs": decon["contaminated"] or 0,
+            }
+        if args.token_budget:
+            report["mixture_sample"] = {
+                r["lang"]: {
+                    "docs_selected": r["n_docs_selected"],
+                    "tokens_selected": r["n_tokens_selected"],
+                    "utilization": r["utilization"],
+                }
+                for r in mixture_sample(docs, args.token_budget).collect()
+            }
+        print(json.dumps(report, indent=2, sort_keys=True))
 
     else:
         parser.print_help()
