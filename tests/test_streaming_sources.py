@@ -430,3 +430,65 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     assert rows.count(("2026-01-01T10:00:00", 2)) == 1
     assert not any(w == "2026-01-01T10:00:00" and n != 2 for w, n in rows)
     assert ("2026-01-01T11:00:00", 1) in rows
+
+
+def test_streaming_curation_gate(spark, tmp_path):
+    """curate_stream: stateless quality + decontamination gate on a file
+    stream. Flags must match the batch operators on the same rows, and
+    the streaming plan must carry NO stateful operator (the gate's 100x
+    story is exactly that it keeps zero state)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.streaming.curation_gate import curate_stream
+
+    src = tmp_path / "cur-in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "completely different words about spark plans"},
+        {"doc_id": 3, "text": "x"},  # too short -> dropped by min_tokens
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(F.from_json(F.col("value"), schema).alias("e"))
+        .select("e.*")
+    )
+    gated = curate_stream(stream, eval_docs, n=3, min_tokens=2)
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curation_gate_out")
+        .option("checkpointLocation", str(tmp_path / "cur-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: r.asDict() for r in spark.sql(
+        "SELECT * FROM curation_gate_out").collect()}
+    assert got[1]["contaminated"] is True and got[1]["keep"] is False
+    assert got[2]["contaminated"] is False and got[2]["keep"] is True
+    assert got[3]["keep"] is False  # 1 token < min_tokens
+    # flag parity with the batch operator on the same rows
+    from wcdimportbot_spark.operators.curation import decontaminate
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    overlapping = {
+        r["doc_id"] for r in decontaminate(batch, eval_docs, n=3).collect()
+    }
+    assert overlapping == {d for d, r in got.items() if r["contaminated"]}
+    # zero state: no stateful operator in the last executed streaming plan
+    assert q.lastProgress["stateOperators"] == []
