@@ -216,3 +216,24 @@ def test_real_feature_path_decodes_bmp_and_wav(spark):
     got = {r["media_id"]: r for r in extract_media_features(media, fake=False).collect()}
     assert got[1]["features"] == [4.0, 2.0, 8.0, 16.0, 32.0]
     assert got[2]["features"] == [200.0, 500.0]
+
+
+def test_repetition_profile_semantics(spark):
+    """Repetition filter: repeated n-grams within one doc raise the
+    duplicated fraction; clean text stays near zero; short docs are 0."""
+    from wcdimportbot_spark.operators.text_analysis import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "eight completely distinct words appear exactly once"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile(docs).collect()}
+    # doc 1: 7 bigrams, 2 distinct ("buy now", "now buy") -> 1 - 2/7
+    assert got[1]["rep_bigram"] == round(1 - 2 / 7, 4)
+    assert got[1]["repetitive"] is True
+    assert got[2]["rep_bigram"] == 0.0 and got[2]["repetitive"] is False
+    assert got[3]["n_tokens"] == 1 and got[3]["max_rep"] == 0.0

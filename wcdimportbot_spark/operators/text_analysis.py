@@ -172,3 +172,90 @@ def document_profile_sql(table: str, include_subwords: bool = False) -> str:
            fp AS fingerprint{", n_subwords" if include_subwords else ""}
     FROM feat
     """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (the Gopher-style repetition filter)
+# ---------------------------------------------------------------------------
+
+
+def _rep_ratio(grams: Column) -> Column:
+    """Fraction of n-gram slots occupied by grams repeated within the SAME
+    document: 1 - distinct/total (0.0 for docs shorter than the n-gram)."""
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_profile(
+    docs: DataFrame,
+    flag_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document intra-doc repetition report — the standard pretraining
+    repetition filter (boilerplate listings, keyword stuffing, decode
+    loops): duplicated-bigram and duplicated-trigram fractions, their max,
+    and a ``repetitive`` decision bit at ``flag_threshold``.
+
+    One narrow projection per document — the n-gram arrays never explode
+    and nothing shuffles; the token array is materialized once and both
+    gram sizes derive from it (two projections, see
+    ``text_dedup.ngrams_from_tokens``)."""
+    from wcdimportbot_spark.operators.text_dedup import ngrams_from_tokens
+
+    ts = tokens(F.col(text_col))
+    with_tok = fan_out(docs, id_col).select(id_col, ts.alias("_ts"))
+    rep2 = _rep_ratio(ngrams_from_tokens(F.col("_ts"), 2))
+    rep3 = _rep_ratio(ngrams_from_tokens(F.col("_ts"), 3))
+    out = with_tok.select(
+        id_col,
+        F.size(F.col("_ts")).alias("n_tokens"),
+        rep2.alias("rep_bigram"),
+        rep3.alias("rep_trigram"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "rep_bigram",
+        "rep_trigram",
+        F.greatest("rep_bigram", "rep_trigram").alias("max_rep"),
+        (F.greatest("rep_bigram", "rep_trigram") >= flag_threshold).alias(
+            "repetitive"
+        ),
+    )
+
+
+def repetition_profile_sql(table: str, flag_threshold: float = 0.2) -> str:
+    toks = _sql_tokens()
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS ts FROM {table}),
+    g AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               CASE WHEN len(ts) >= 2 THEN
+                   list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+               ELSE []::VARCHAR[] END AS g2,
+               CASE WHEN len(ts) >= 3 THEN
+                   list_transform(range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+               ELSE []::VARCHAR[] END AS g3
+        FROM tok
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN len(g2) > 0 THEN
+                   round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 4)
+               ELSE 0.0 END AS rep_bigram,
+               CASE WHEN len(g3) > 0 THEN
+                   round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 4)
+               ELSE 0.0 END AS rep_trigram
+        FROM g
+    )
+    SELECT doc_id, n_tokens, rep_bigram, rep_trigram,
+           greatest(rep_bigram, rep_trigram) AS max_rep,
+           greatest(rep_bigram, rep_trigram) >= {flag_threshold} AS repetitive
+    FROM r
+    """

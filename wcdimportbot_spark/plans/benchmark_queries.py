@@ -1205,6 +1205,29 @@ def train_mixture_sample(spark, sf_dir):
 QUERIES["train_mixture_sample"].oracle = _mixture_oracle()
 
 
+def _repetition_oracle():
+    from wcdimportbot_spark.operators.text_analysis import repetition_profile_sql
+
+    return repetition_profile_sql("documents", flag_threshold=0.2)
+
+
+@register(
+    "text_repetition_profile",
+    "curation (repetition filter)",
+    "Gopher-style intra-document repetition: duplicated bigram/trigram "
+    "fractions per doc + a repetitive decision bit — one narrow "
+    "projection, n-gram arrays never explode",
+    None,  # generated SQL attached below
+)
+def text_repetition_profile(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_analysis import repetition_profile
+
+    return repetition_profile(load(spark, sf_dir, "documents"), flag_threshold=0.2)
+
+
+QUERIES["text_repetition_profile"].oracle = _repetition_oracle()
+
+
 def _heavy_oracle():
     from wcdimportbot_spark.operators.curation import heavy_ngrams_sql
 
