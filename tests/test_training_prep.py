@@ -80,3 +80,27 @@ def test_quantize_error_bounded_by_half_step(spark):
     for r in quantize_embeddings_int8(emb).collect():
         bound = r["max_abs"] / 127.0 / 2.0 * 1000.0
         assert r["mae_x1000"] <= bound + 1e-6, (r["vec_id"], r["mae_x1000"], bound)
+
+
+def test_epoch_shuffle_reproducible_and_epoch_dependent(spark):
+    """Same epoch -> identical permutation regardless of layout; different
+    epoch -> a different order; shards partition the keyspace."""
+    from wcdimportbot_spark.operators.training_prep import epoch_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(docs, 1).collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in epoch_shuffle(docs.repartition(7), 1).collect()
+    }
+    assert a == b
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(docs, 2).collect()}
+    assert a != c  # a new epoch is a new permutation
+    assert len(a) == 200
+    assert {s for s, _ in a.values()} == set(range(8))
+    # positions within each shard are 1..|shard| (a permutation, no gaps)
+    from collections import Counter
+
+    by_shard = Counter(s for s, _ in a.values())
+    for shard, n in by_shard.items():
+        assert sorted(p for s, p in a.values() if s == shard) == list(range(1, n + 1))

@@ -156,3 +156,40 @@ def quantize_embeddings_int8(
         F.round("m", 4).alias("max_abs"),
         F.round(abs_err_sum / F.size(F.col("v")) * 1000.0, 4).alias("mae_x1000"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, epoch: int, n_shards: int = 8, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle: (shard, pos) assignment.
+
+    The permutation is a pure function of (epoch, key): order within each
+    shard follows ``md5(epoch:key)``, the shard itself is a hash bucket of
+    the same digest. Different epochs give independent permutations;
+    re-running an epoch — or recomputing after a lost executor — gives the
+    SAME data order, which is what makes a training run resumable and
+    bitwise-reproducible. A Fisher-Yates-style RNG shuffle has neither
+    property, and a global ``orderBy(rand())`` additionally needs a total
+    sort; here the window partitions by shard, so the sort is per-shard
+    (embarrassingly parallel, n_shards ≈ writer parallelism)."""
+    h = F.md5(F.concat(F.lit(f"epoch-{epoch}:"), F.col(key).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).cast("int")
+    out = df.select(key, h.alias("_h"), shard.alias("shard"))
+    w = W.partitionBy("shard").orderBy("_h", key)
+    return out.select(
+        key, "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+def epoch_shuffle_sql(table: str, epoch: int, n_shards: int = 8) -> str:
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5('epoch-{epoch}:' || CAST(doc_id AS VARCHAR)) AS _h,
+               CAST(('0x' || substr(md5('epoch-{epoch}:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % {n_shards} AS INT) AS shard
+        FROM {table}
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _h, doc_id) AS BIGINT) AS pos
+    FROM h
+    """

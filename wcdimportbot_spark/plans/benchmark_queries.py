@@ -1205,6 +1205,29 @@ def train_mixture_sample(spark, sf_dir):
 QUERIES["train_mixture_sample"].oracle = _mixture_oracle()
 
 
+def _epoch_shuffle_oracle():
+    from wcdimportbot_spark.operators.training_prep import epoch_shuffle_sql
+
+    return epoch_shuffle_sql("documents", epoch=1, n_shards=8)
+
+
+@register(
+    "train_epoch_shuffle",
+    "training prep (epoch shuffle)",
+    "deterministic per-epoch global shuffle to (shard, pos): permutation "
+    "is a pure function of (epoch, key) — resumable and bitwise "
+    "reproducible; the sort is per-shard, never global",
+    None,  # generated SQL attached below
+)
+def train_epoch_shuffle(spark, sf_dir):
+    from wcdimportbot_spark.operators.training_prep import epoch_shuffle
+
+    return epoch_shuffle(load(spark, sf_dir, "documents"), epoch=1, n_shards=8)
+
+
+QUERIES["train_epoch_shuffle"].oracle = _epoch_shuffle_oracle()
+
+
 def _repetition_oracle():
     from wcdimportbot_spark.operators.text_analysis import repetition_profile_sql
 
