@@ -104,3 +104,40 @@ def test_epoch_shuffle_reproducible_and_epoch_dependent(spark):
     by_shard = Counter(s for s, _ in a.values())
     for shard, n in by_shard.items():
         assert sorted(p for s, p in a.values() if s == shard) == list(range(1, n + 1))
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """Output layout is split=/shard= partition dirs; rows inside each
+    file follow the epoch permutation; a re-run reproduces the identical
+    assignment (pure function of key/salt/epoch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.training_prep import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(300)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, epoch=1, n_shards=4)
+
+    splits = {d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")}
+    assert "train" in splits and splits <= {"train", "val", "test"}
+
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # in-file order: pos must ascend within each physical file
+    files = back.select(
+        "pos", F.input_file_name().alias("f")
+    ).toPandas()
+    for f, grp in files.groupby("f"):
+        assert list(grp["pos"]) == sorted(grp["pos"])
+    # deterministic re-run: same (doc_id -> split, shard, pos) assignment
+    first = {r["doc_id"]: (r["split"], r["shard"], r["pos"]) for r in back.collect()}
+    write_training_shards(docs, out, epoch=1, n_shards=4)
+    again = {
+        r["doc_id"]: (r["split"], r["shard"], r["pos"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == again

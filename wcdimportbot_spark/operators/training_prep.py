@@ -24,6 +24,11 @@ the registry, not rows-only:
   (max_abs → scale, mean |dequant - x|); the compression stage before an
   ANN index ships to serving. ``floor(x/scale + 0.5)`` instead of
   ``round`` so both engines use the identical rounding rule.
+- :func:`epoch_shuffle` — deterministic per-epoch permutation to
+  (shard, pos); resumable, bitwise-reproducible data order.
+- :func:`write_training_shards` — materialize the final
+  ``split=/shard=`` parquet layout with in-file epoch order (the step a
+  trainer actually reads).
 """
 
 from __future__ import annotations
@@ -193,3 +198,39 @@ def epoch_shuffle_sql(table: str, epoch: int, n_shards: int = 8) -> str:
            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _h, doc_id) AS BIGINT) AS pos
     FROM h
     """
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    epoch: int = 0,
+    n_shards: int = 8,
+    key: str = "doc_id",
+) -> None:
+    """Materialize a training-ready corpus layout:
+    ``path/split=train/shard=3/part-*.parquet`` with rows inside each file
+    ordered by the epoch permutation.
+
+    Composition of the two deterministic assignments (``hash_split`` +
+    ``epoch_shuffle``) plus the write: one repartition on (split, shard)
+    co-locates each output file's rows, ``sortWithinPartitions(pos)``
+    fixes in-file order without any global sort, and ``partitionBy``
+    gives trainers directory-pruned reads per split/shard. Every stage is
+    a pure function of (key, salt, epoch): re-running the writer after a
+    failure produces byte-identical shard contents."""
+    h = F.md5(F.concat(F.lit(f"epoch-{epoch}:"), F.col(key).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).cast("int")
+    assigned = (
+        hash_split(docs)
+        .withColumn("_h", h)
+        .withColumn("shard", shard)
+        .drop("bucket")
+    )
+    w = W.partitionBy("split", "shard").orderBy("_h", key)
+    out = (
+        assigned.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+        .repartition("split", "shard")
+        .sortWithinPartitions("pos")
+    )
+    out.write.mode("overwrite").partitionBy("split", "shard").parquet(path)
