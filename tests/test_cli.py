@@ -347,3 +347,23 @@ def test_cli_curate_report(spark, tmp_path, capsys):
     ]["overlapping_docs"]
     for v in report["mixture_sample"].values():
         assert v["tokens_selected"] <= 1500
+
+
+def test_cli_curate_write_shards(spark, tmp_path, capsys):
+    out = str(tmp_path / "shards")
+    assert (
+        main(
+            [
+                "--store", str(tmp_path / "store"),
+                "--curate", "/root/testdata/sf0.001/documents.parquet",
+                "--write-shards", out,
+                "--epoch", "2",
+            ]
+        )
+        == 0
+    )
+    report = json.loads(capsys.readouterr().out)
+    assert report["shards_written"] == out
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert {"split", "shard", "pos"} <= set(back.columns)

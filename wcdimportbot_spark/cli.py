@@ -96,6 +96,15 @@ def main(argv=None) -> int:
         type=int,
         help="with --curate: per-language token budget for the mixture sample",
     )
+    parser.add_argument(
+        "--write-shards",
+        metavar="OUT",
+        help="with --curate: materialize the corpus as training shards "
+        "(split=/shard= parquet layout, epoch order; see --epoch)",
+    )
+    parser.add_argument(
+        "--epoch", type=int, default=0, help="epoch for --write-shards ordering"
+    )
     args = parser.parse_args(argv)
 
     from wcdimportbot_spark import get_spark
@@ -354,6 +363,13 @@ def main(argv=None) -> int:
                 }
                 for r in mixture_sample(docs, args.token_budget).collect()
             }
+        if args.write_shards:
+            from wcdimportbot_spark.operators.training_prep import (
+                write_training_shards,
+            )
+
+            write_training_shards(docs, args.write_shards, epoch=args.epoch)
+            report["shards_written"] = args.write_shards
         print(json.dumps(report, indent=2, sort_keys=True))
 
     else:
