@@ -237,3 +237,29 @@ def test_repetition_profile_semantics(spark):
     assert got[1]["repetitive"] is True
     assert got[2]["rep_bigram"] == 0.0 and got[2]["repetitive"] is False
     assert got[3]["n_tokens"] == 1 and got[3]["max_rep"] == 0.0
+
+
+def test_repeated_spans_cross_doc_only(spark):
+    """A span repeated WITHIN one doc does not count; the same span across
+    two docs flags both; unique docs report zero shared."""
+    from wcdimportbot_spark.operators.text_dedup import repeated_spans
+
+    boiler = "this content is provided under the creative commons license"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " apple banana cherry"),
+            (2, boiler + " dog elephant fox"),
+            # 10 tokens repeated twice inside ONE doc, nowhere else
+            (3, "zig zag one two three four five six seven eight "
+                "zig zag one two three four five six seven eight"),
+            (4, "entirely unique words that appear in no other document here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repeated_spans(docs, window=8).collect()}
+    assert got[1]["n_shared"] > 0 and got[2]["n_shared"] > 0
+    # the shared spans are exactly the boilerplate prefix windows (the
+    # 8-gram must fit inside the 9-token boilerplate -> 2 spans each)
+    assert got[1]["n_shared"] == 2 and got[2]["n_shared"] == 2
+    assert got[3]["n_shared"] == 0  # intra-doc repetition is NOT cross-doc
+    assert got[4]["n_shared"] == 0 and got[4]["flagged"] is False

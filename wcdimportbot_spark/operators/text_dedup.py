@@ -425,3 +425,84 @@ def ngram_jaccard_sql(table: str, threshold: float = 0.5, max_gram_df: int = 50)
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) >= {threshold}
     """
+
+
+def repeated_spans(
+    docs: DataFrame,
+    window: int = 8,
+    flag_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-span report — exact-substring dedup at the
+    passage level: a ``window``-token span occurring in MORE THAN ONE
+    document marks copied text (licence boilerplate, syndicated passages,
+    quotations) that whole-document dedup cannot see.
+
+    Per document with >= 1 span: total spans (positions, not distinct
+    grams), spans whose hash also occurs in another document, their
+    ratio, and a decision bit at ``flag_ratio``. Downstream either drops
+    flagged docs or cuts the shared spans out.
+
+    Scale shape: one posexplode (narrow), one groupBy(gram) with
+    map-side combine to find cross-doc grams, one posting-list join back
+    (shuffle keyed on the gram hash — near-uniform by construction), one
+    groupBy(doc). No all-pairs anything; the reference corpus-level
+    structure (suffix array) is replaced by the hash-bucket equivalent,
+    which distributes."""
+    grams = (
+        fan_out(docs, id_col)
+        .select(id_col, tokens(F.col(text_col)).alias("_ts"))
+        .select(
+            id_col,
+            F.posexplode(ngrams_from_tokens(F.col("_ts"), window)).alias(
+                "pos", "g"
+            ),
+        )
+        # hash the span so the shuffle key is fixed-width
+        .select(id_col, F.md5(F.col("g")).alias("h"))
+    )
+    shared = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    marked = grams.join(shared.withColumn("_shared", F.lit(1)), "h", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_shared"), F.lit(0))).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.round(F.col("n_shared") / F.col("n_spans").cast("double"), 4),
+        )
+        .withColumn("flagged", F.col("shared_ratio") >= flag_ratio)
+    )
+
+
+def repeated_spans_sql(table: str, window: int = 8, flag_ratio: float = 0.5) -> str:
+    g = " || ' ' || ".join(f"ts[i + {j}]" for j in range(window))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS ts
+        FROM {table}
+    ),
+    grams AS (
+        SELECT doc_id, md5({g}) AS h
+        FROM tok, UNNEST(range(1, len(ts) - {window - 2})) AS t(i)
+        WHERE len(ts) >= {window}
+    ),
+    shared AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, n_shared,
+           round(n_shared / CAST(n_spans AS DOUBLE), 4) AS shared_ratio,
+           round(n_shared / CAST(n_spans AS DOUBLE), 4) >= {flag_ratio} AS flagged
+    FROM per
+    """

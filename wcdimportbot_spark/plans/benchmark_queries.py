@@ -1205,6 +1205,29 @@ def train_mixture_sample(spark, sf_dir):
 QUERIES["train_mixture_sample"].oracle = _mixture_oracle()
 
 
+def _repeated_spans_oracle():
+    from wcdimportbot_spark.operators.text_dedup import repeated_spans_sql
+
+    return repeated_spans_sql("documents", window=8, flag_ratio=0.5)
+
+
+@register(
+    "dedup_repeated_spans",
+    "curation (exact-substring dedup)",
+    "cross-document repeated 8-token spans: copied passages whole-doc "
+    "dedup cannot see — hash-bucket groupBy + posting-list join back, "
+    "no all-pairs work",
+    None,  # generated SQL attached below
+)
+def dedup_repeated_spans(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import repeated_spans
+
+    return repeated_spans(load(spark, sf_dir, "documents"), window=8, flag_ratio=0.5)
+
+
+QUERIES["dedup_repeated_spans"].oracle = _repeated_spans_oracle()
+
+
 def _epoch_shuffle_oracle():
     from wcdimportbot_spark.operators.training_prep import epoch_shuffle_sql
 
