@@ -340,6 +340,10 @@ def test_cli_curate_report(spark, tmp_path, capsys):
         report["near_dup_clusters"]["clusters"] == 0
     )
     assert len(report["heavy_ngrams"]) == 5
+    assert report["repetition"]["repetitive_docs"] >= 0
+    assert 0 <= report["repeated_spans"]["flagged_docs"] <= report[
+        "repeated_spans"
+    ]["docs_with_shared_spans"]
     # the eval split is drawn from the corpus itself -> its own docs overlap
     assert report["decontamination"]["overlapping_docs"] > 0
     assert 0 <= report["decontamination"]["contaminated_docs"] <= report[

@@ -344,6 +344,25 @@ def main(argv=None) -> int:
             {"gram": r["gram"], "df": r["df"]}
             for r in heavy_ngrams(docs, n=3, k=5).collect()
         ]
+        from wcdimportbot_spark.operators.text_analysis import repetition_profile
+        from wcdimportbot_spark.operators.text_dedup import repeated_spans
+
+        rep = repetition_profile(docs).agg(
+            F.sum(F.col("repetitive").cast("int")).alias("repetitive"),
+            F.round(F.avg("max_rep"), 4).alias("mean_max_rep"),
+        ).collect()[0]
+        report["repetition"] = {
+            "repetitive_docs": rep["repetitive"] or 0,
+            "mean_max_rep": rep["mean_max_rep"],
+        }
+        spans = repeated_spans(docs).agg(
+            F.sum(F.col("flagged").cast("int")).alias("flagged"),
+            F.sum((F.col("n_shared") > 0).cast("int")).alias("any_shared"),
+        ).collect()[0]
+        report["repeated_spans"] = {
+            "flagged_docs": spans["flagged"] or 0,
+            "docs_with_shared_spans": spans["any_shared"] or 0,
+        }
         if args.eval_docs:
             eval_docs = spark.read.parquet(args.eval_docs)
             decon = decontaminate(docs, eval_docs).agg(
