@@ -9,8 +9,10 @@
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
   82 queries, all DuckDB-verified — the two ANN variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window fronts every operator family,
-  LLM-ops operator, and TPC-H planner shape.
+  ordered so the driver's 50-query window covers, across rounds 5 and 6
+  combined, every registry row: round 6 rotates the window onto the 32
+  rows round 5's window did not include, plus 18 sentinels (one per
+  already driver-verified operator family).
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
   count so the docs cannot drift from ``len(QUERIES)`` again.
 """

@@ -492,3 +492,19 @@ def test_streaming_curation_gate(spark, tmp_path):
     assert overlapping == {d for d, r in got.items() if r["contaminated"]}
     # zero state: no stateful operator in the last executed streaming plan
     assert q.lastProgress["stateOperators"] == []
+
+
+def test_curation_gate_eval_size_guard(spark):
+    """An eval suite whose distinct n-gram count exceeds max_eval_ngrams
+    must be rejected at plan time (broadcast-OOM guard) with a pointer
+    at the batch join form."""
+    import pytest
+    from wcdimportbot_spark.streaming.curation_gate import curate_stream
+
+    docs = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_eval_ngrams"):
+        curate_stream(docs, eval_docs, n=3, max_eval_ngrams=2)

@@ -2794,65 +2794,70 @@ def q18_large_volume_customers(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
-# registry entries, so the window below puts one green-able row in front of
-# every SURVEY §2 operator family, every LLM-ops operator, and every TPC-H
-# planner shape. Queries after the window are redundancy twins whose
-# operators are covered by an in-window query (mapping documented in
-# COVERAGE.md §2); they stay registered and locally verified by
-# scripts/check_oracle.py.
+# registry entries. Round 5 driver-verified the previous 50-row window
+# (CORRECTNESS_r05.json, 50/50 full hash-match); this round ROTATES the
+# window onto the 32 registry rows the driver had only seen via local
+# scripts/check_oracle.py runs, plus 18 sentinels — one per already
+# driver-proven operator family — so that across r5 ∪ r6 every one of the
+# 82 registry rows carries a driver hash-match. Queries after the window
+# are the r5-verified rows (mapping documented in COVERAGE.md §2); they
+# stay registered, locally verified by scripts/check_oracle.py, and timed
+# by bench.py.
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    "s1_scan_pushdown",
-    "f23_json_decode",
-    "p1_supported_filter",
-    "p9_null_presence_guard",
-    "j1_broadcast_lookup_join",
-    "j2_uniqueness_violations",
-    "j4_anti_join_upload_if_missing",
-    "j8_recursive_closure",
-    "a1_count_by_type",
-    "a3_per_group_hash_stats",
-    "a5_in_group_dedup",
-    "a7_windowed_event_counts",
-    "a8_sessionization",
-    "a9_pivot_counts",
-    "a10_salted_distinct_count",
-    "a1_cube_statistics",
-    "w1_ordinal_sequencing",
-    "w2_first_occurrence_dedup",
-    "u1_union_distinct",
-    "f3_f4_identity_hash_chain",
-    "f12_multiformat_date_parse",
-    "f14_number_extraction",
-    "f15_unpivot_person_columns",
-    "f24_claims_melt",
-    "f5_psl_rule_classes",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "text_profile",
-    "multimodal_feature_stats",
-    "domain_page_hash_stats",
-    "domain_claim_families",
-    "sparql_item_counts",
-    "decon_ngram_overlap",
-    "dedup_cc_clusters",
-    "train_mixture_sample",
-    "corpus_heavy_ngrams",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_item_ranking",
-    "q13_customer_distribution",
-    "q19_disjunctive_pushdown",
+    # --- the 32 rows never driver-verified before round 6 ---
+    "s6_point_lookup",
+    "j3_star_join_revenue",
+    "j7_dimension_join",
+    "a4_corpus_stats",
+    "w3_topk",
+    "f5_f6_hostname_fld",
+    "multimodal_codec_roundtrip",
+    "train_split_assign",
+    "train_seq_packing",
+    "train_pii_scrub",
+    "train_emb_quantize",
+    "train_epoch_shuffle",
+    "dedup_repeated_spans",
+    "text_repetition_profile",
+    "domain_item_counts",
+    "sparql_page_qids",
+    "curation_pipeline",
+    "a11_sketch_accuracy",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_distinct_suppliers_not_in",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_semi_join_chain",
+    "q21_exists_not_exists",
+    "q22_anti_join_global_threshold",
+    # --- 18 sentinels, one per family already driver-proven in r5 ---
+    "s1_scan_pushdown",          # S1/S2 scan pushdown
+    "f23_json_decode",           # S4/F23 event decode
+    "p1_supported_filter",       # P1/P7/P8 filters
+    "j1_broadcast_lookup_join",  # J1 broadcast join
+    "j8_recursive_closure",      # J8 iterative closure
+    "a1_count_by_type",          # A1/A2 aggregation
+    "a7_windowed_event_counts",  # A7/§2.8 windows
+    "a8_sessionization",         # sessionization
+    "a10_salted_distinct_count", # skew primitives
+    "w1_ordinal_sequencing",     # W1 window functions
+    "u1_union_distinct",         # U1-U3 unions
+    "f3_f4_identity_hash_chain", # F3/F4 hashing
+    "f24_claims_melt",           # F24-F26 claims
+    "f5_psl_rule_classes",       # F5 PSL
+    "dedup_minhash_lsh",         # LLM dedup family
+    "sim_ann_lsh",               # ANN accuracy contract
+    "domain_claim_families",     # end-to-end import pipeline
+    "q1_pricing_summary",        # TPC-H planner shapes
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

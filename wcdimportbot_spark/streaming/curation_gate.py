@@ -45,6 +45,7 @@ def curate_stream(
     min_quality: float = 0.0,
     min_tokens: int = 1,
     text_col: str = "text",
+    max_eval_ngrams: int = 2_000_000,
 ) -> DataFrame:
     """Annotate a streaming documents frame with the curation columns.
 
@@ -57,16 +58,31 @@ def curate_stream(
     once at plan time into a single-row broadcast relation and matched
     per document with ``arrays_overlap`` — no streaming join state, no
     shuffle; the stream stays a stateless projection. Benchmark suites
-    are MBs even at full size; for a pathological eval set the batch
-    operator's join form (`operators/curation.py:decontaminate`) is the
-    fallback, at the cost of a streaming groupBy.
+    are MBs even at full size; the guard below ENFORCES that assumption
+    (distinct n-gram count vs ``max_eval_ngrams``) instead of trusting
+    it, and points callers of oversized suites at the batch operator's
+    join form (`operators/curation.py:decontaminate`), which trades the
+    inline array for a streaming groupBy.
+
+    :raises ValueError: when the eval suite's distinct n-gram count
+        exceeds ``max_eval_ngrams`` (default 2,000,000 ≈ tens of MBs
+        broadcast) — inlining it would risk an executor/driver OOM.
     """
-    eval_grams = (
+    eval_gram_rel = (
         eval_docs.select(tokens(F.col(text_col)).alias("_ts"))
         .select(F.explode(ngrams_from_tokens(F.col("_ts"), n)).alias("g"))
         .distinct()
-        .agg(F.collect_list("g").alias("gs"))
     )
+    n_eval_grams = eval_gram_rel.count()
+    if n_eval_grams > max_eval_ngrams:
+        raise ValueError(
+            f"eval suite has {n_eval_grams} distinct {n}-grams "
+            f"(> max_eval_ngrams={max_eval_ngrams}); inlining would OOM the "
+            "broadcast — use the batch join form "
+            "(wcdimportbot_spark.operators.curation.decontaminate) or raise "
+            "max_eval_ngrams explicitly"
+        )
+    eval_grams = eval_gram_rel.agg(F.collect_list("g").alias("gs"))
     annotated = (
         docs.withColumn("n_tokens", token_count(F.col(text_col)))
         .withColumn("quality", quality_score(F.col(text_col)))
