@@ -127,3 +127,27 @@ def test_heavy_ngrams_topk_is_distributed(spark):
     not a global sort or a single-partition window over the vocabulary."""
     plan = _plan(spark, "corpus_heavy_ngrams")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_domain_import_memo_reuse_and_disable(spark, monkeypatch):
+    """The shared domain-import stage is materialized once per
+    (session, sf_dir): a second component request must come from the memo
+    (same object), and SPARK_GRAFT_NO_IMPORT_CACHE=1 must bypass it."""
+    from wcdimportbot_spark.plans import benchmark_queries as bq
+
+    sf_dir = "/root/testdata/sf0.001"
+    bq._IMPORT_MEMO.clear()
+    items1 = bq._domain_stage(spark, sf_dir, "items")
+    items2 = bq._domain_stage(spark, sf_dir, "items")
+    assert items1 is items2
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert "res" in bq._IMPORT_MEMO[key] and "items" in bq._IMPORT_MEMO[key]
+    # claims reuses the memoized result's checkpointed references
+    claims = bq._domain_stage(spark, sf_dir, "claims")
+    assert set(claims.columns) == set(bq._MEMO_CLAIM_COLS)
+    assert bq._domain_stage(spark, sf_dir, "claims") is claims
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_IMPORT_CACHE", "1")
+    bypass = bq._domain_stage(spark, sf_dir, "items")
+    assert bypass is not items1
+    bq._IMPORT_MEMO.clear()
