@@ -171,6 +171,77 @@ def test_bmp_codec_roundtrip_properties():
     assert (d["width"], d["height"], d["mean_r"]) == (3, 2, 9.0)
 
 
+def test_png_codec_roundtrip_properties():
+    import numpy as np
+
+    from wcdimportbot_spark.operators.multimodal import decode_png, encode_png
+
+    for w, h, rgba in [
+        (1, 1, (0, 0, 0, 255)),
+        (5, 7, (10, 200, 255, 128)),  # >=5 rows: every filter type used
+        (16, 9, (127, 1, 99, 7)),
+    ]:
+        d = decode_png(encode_png(w, h, rgba))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 4)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(
+            float(c) for c in rgba[:3]
+        )
+    # non-solid content: unfiltering must reproduce EXACT bytes, so build
+    # a gradient by hand-editing the encoder's input path via a roundtrip
+    # of random pixels through encode->decode mean equality
+    rng = np.random.default_rng(42)
+    # decode_png only reports means; verify a known non-uniform image by
+    # comparing against a filter-0-only PNG of the same pixels
+    import struct
+    import zlib
+
+    from wcdimportbot_spark.operators.multimodal import PNG_SIGNATURE, _png_chunk
+
+    w, h, ch = 6, 6, 3
+    px = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    lines = b"".join(bytes([0]) + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    flat = px.reshape(h * w, ch).astype(float)
+    assert d["channels"] == 3
+    assert abs(d["mean_r"] - flat[:, 0].mean()) < 1e-9
+    assert abs(d["mean_g"] - flat[:, 1].mean()) < 1e-9
+    assert abs(d["mean_b"] - flat[:, 2].mean()) < 1e-9
+
+
+def test_png_gate_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from wcdimportbot_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    # 16-bit depth gates honestly
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bogus = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr16) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)
+    ) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError, match="depth=16"):
+        decode_png(bogus)
+    # corrupted CRC is rejected, not silently decoded
+    good = bytearray(encode_png(3, 3, (1, 2, 3, 255)))
+    good[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with _pytest.raises(NotImplementedError, match="CRC"):
+        decode_png(bytes(good))
+
+
 def test_wav_codec_roundtrip_properties():
     from wcdimportbot_spark.operators.multimodal import decode_wav, encode_wav
 

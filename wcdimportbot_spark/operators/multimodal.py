@@ -4,14 +4,17 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side plumbing (schema, partition sizing,
 Arrow batch shape, UDF signatures) is real and tested. Codec status:
 
-- **Real, dependency-free decoders** for the two container-formats a
-  header+array parse can handle: 24-bit uncompressed BMP
-  (:func:`decode_bmp`) and 16-bit mono PCM WAV (:func:`decode_wav`),
-  both numpy-vectorized over the pixel/sample array. The real path of
-  :func:`extract_media_features` dispatches on magic bytes.
-- Formats that genuinely need media libraries (JPEG/PNG/MP3/MP4 —
-  absent from this container) still raise ``NotImplementedError`` naming
-  the modality, proving the dispatch; ``fake=True`` substitutes a
+- **Real, dependency-free decoders** for the three formats a
+  header+array parse (plus stdlib ``zlib``) can handle: 24-bit
+  uncompressed BMP (:func:`decode_bmp`), 8-bit RGB/RGBA non-interlaced
+  PNG (:func:`decode_png` — zlib IDAT inflation + numpy scanline
+  unfiltering, all five filter types), and 16-bit mono PCM WAV
+  (:func:`decode_wav`), numpy-vectorized over the pixel/sample array.
+  The real path of :func:`extract_media_features` dispatches on magic
+  bytes.
+- Formats that genuinely need media libraries (JPEG/MP3/MP4 — absent
+  from this container) still raise ``NotImplementedError`` naming the
+  modality, proving the dispatch; ``fake=True`` substitutes a
   deterministic byte-statistics decoder so plumbing tests run on any
   payload.
 
@@ -189,13 +192,172 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# PNG: stdlib-zlib IDAT decompression + numpy scanline unfiltering
+# ---------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _paeth_predict(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9, filter type 4)."""
+    a, b, c = (x.astype(np.int16) for x in (left, up, upleft))
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def encode_png(
+    width: int, height: int, rgba: tuple[int, int, int, int]
+) -> bytes:
+    """Minimal well-formed 8-bit RGBA PNG filled with one color.
+
+    Each scanline is written with a DIFFERENT filter type (``row % 5``),
+    so a decode exercises all five unfilter paths (None/Sub/Up/Average/
+    Paeth), not just the trivial one — the round trip is a real
+    filter-algebra check, not an identity copy."""
+    import zlib
+
+    ch = 4
+    recon = np.tile(np.array(rgba, dtype=np.uint8), (height, width))
+    zeros = np.zeros(width * ch, dtype=np.uint8)
+    lines = []
+    for y in range(height):
+        cur = recon[y]
+        prev = recon[y - 1] if y else zeros
+        left = np.concatenate([zeros[:ch], cur[:-ch]])
+        upleft = np.concatenate([zeros[:ch], prev[:-ch]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left  # uint8 arithmetic wraps mod 256, per spec
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            avg = ((left.astype(np.int16) + prev.astype(np.int16)) // 2).astype(
+                np.uint8
+            )
+            filt = cur - avg
+        else:
+            filt = cur - _paeth_predict(left, prev, upleft)
+        lines.append(bytes([ftype]) + filt.tobytes())
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse an 8-bit RGB/RGBA non-interlaced PNG: stdlib ``zlib``
+    inflates the concatenated IDAT stream, then numpy unfilters each
+    scanline (all five filter types; Sub is a per-channel ``cumsum`` —
+    uint8 accumulation wraps mod 256 exactly as the spec requires).
+    Chunk CRCs are verified. Palette/interlaced/16-bit variants raise the
+    ``NotImplementedError`` gate (they need a real imaging library)."""
+    import zlib
+
+    if data[:8] != PNG_SIGNATURE:
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) != crc:
+            raise NotImplementedError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"PNG variant not supported: depth={depth} color={color_type} "
+            f"interlace={interlace}"
+        )
+    ch = 3 if color_type == 2 else 4
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != height * (1 + stride):
+        raise NotImplementedError("PNG scanline payload size mismatch")
+    raw = raw.reshape(height, 1 + stride)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    recon = np.empty((height, stride), np.uint8)
+    zeros = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        cur, prev = rows[y], recon[y - 1] if y else zeros
+        ftype = int(ftypes[y])
+        if ftype == 0:
+            recon[y] = cur
+        elif ftype == 1:
+            # Sub: recon[x] = filt[x] + recon[x-ch]  ==  per-channel
+            # cumulative sum down the pixel axis (uint8 wraps mod 256)
+            recon[y] = cur.reshape(width, ch).cumsum(axis=0, dtype=np.uint8).ravel()
+        elif ftype == 2:
+            recon[y] = cur + prev
+        elif ftype in (3, 4):
+            # Average/Paeth depend on the just-reconstructed left pixel —
+            # inherently sequential in x; loop over pixels, numpy per
+            # channel group (rows are bounded by image width, not corpus)
+            out = recon[y]
+            prev_px = np.zeros(ch, dtype=np.uint8)
+            for x in range(width):
+                sl = slice(x * ch, (x + 1) * ch)
+                up = prev[sl]
+                upleft = prev[sl.start - ch : sl.start] if x else np.zeros(ch, np.uint8)
+                if ftype == 3:
+                    pred = ((prev_px.astype(np.int16) + up.astype(np.int16)) // 2).astype(np.uint8)
+                else:
+                    pred = _paeth_predict(prev_px, up, upleft)
+                out[sl] = cur[sl] + pred
+                prev_px = out[sl]
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+    px = recon.reshape(height * width, ch).astype(np.float64)
+    means = px.mean(axis=0)
+    return {
+        "width": width,
+        "height": height,
+        "channels": ch,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
+
+
 def decode_payload(payload: bytes) -> dict:
     """Magic-byte dispatch to the real decoders; unknown formats raise
-    ``NotImplementedError`` (JPEG/PNG/MP3/... need real media libraries)."""
+    ``NotImplementedError`` (JPEG/MP3/MP4/... need real media libraries)."""
     if payload is None:
         raise NotImplementedError("null payload")
     if payload[:2] == b"BM":
         return {"kind": "bmp", **decode_bmp(payload)}
+    if payload[:8] == PNG_SIGNATURE:
+        return {"kind": "png", **decode_png(payload)}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return {"kind": "wav", **decode_wav(payload)}
     raise NotImplementedError(
@@ -205,7 +367,7 @@ def decode_payload(payload: bytes) -> dict:
 
 def _real_features(payload: bytes) -> list[float]:
     d = decode_payload(payload)
-    if d["kind"] == "bmp":
+    if d["kind"] in ("bmp", "png"):
         return [
             float(d["width"]),
             float(d["height"]),
@@ -277,17 +439,19 @@ CODEC_ROUNDTRIP_SCHEMA = T.StructType(
 
 
 def codec_roundtrip(docs: DataFrame) -> DataFrame:
-    """Real-codec verification surface: even ``doc_id`` rows become
-    solid-color BMPs, odd rows 16-bit square-wave WAVs — each synthesized
-    from ``doc_id`` alone — then the REAL byte-level decoders recover
-    dimensions / channel means / duration / RMS. Every output column is
-    therefore a closed-form function of ``doc_id`` that a SQL oracle
-    predicts exactly (solid color ⇒ channel mean = the color; ±a square
-    wave ⇒ RMS = a; all values chosen to be exactly representable).
+    """Real-codec verification surface: ``doc_id % 3`` routes each row to
+    one of the three real codecs — solid-color BMP, 16-bit square-wave
+    WAV, solid-color RGBA PNG (scanlines written with all five PNG filter
+    types) — each synthesized from ``doc_id`` alone, then the REAL
+    byte-level decoders recover dimensions / channel means / duration /
+    RMS. Every output column is therefore a closed-form function of
+    ``doc_id`` that a SQL oracle predicts exactly (solid color ⇒ channel
+    mean = the color; ±a square wave ⇒ RMS = a; all values chosen to be
+    exactly representable).
 
     One Arrow-batched Python stage; encode and decode are separate code
     paths over the serialized bytes, so the round trip exercises real
-    header/stride/chunk parsing, not an identity function."""
+    header/stride/chunk/filter parsing, not an identity function."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CODEC_ROUNDTRIP_SCHEMA.fields]
@@ -295,7 +459,8 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
             out = []
             for raw_id in pdf["doc_id"]:
                 did = int(raw_id)
-                if did % 2 == 0:
+                arm = did % 3
+                if arm == 0:
                     payload = encode_bmp(
                         8 + did % 8,
                         4 + did % 4,
@@ -315,7 +480,7 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
                             None,
                         )
                     )
-                else:
+                elif arm == 1:
                     payload = encode_wav(800 + (did % 10) * 80, 8000, 1000 + did % 100)
                     d = decode_wav(payload)
                     out.append(
@@ -329,6 +494,26 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
                             None,
                             float(d["duration_ms"]),
                             d["rms"],
+                        )
+                    )
+                else:
+                    payload = encode_png(
+                        8 + did % 5,
+                        5 + did % 6,  # ≥5 rows ⇒ every PNG filter type used
+                        (did % 256, (did * 11) % 256, (did * 3) % 256, 255),
+                    )
+                    d = decode_png(payload)
+                    out.append(
+                        (
+                            did,
+                            "image",
+                            float(d["width"]),
+                            float(d["height"]),
+                            d["mean_r"],
+                            d["mean_g"],
+                            d["mean_b"],
+                            None,
+                            None,
                         )
                     )
             yield pd.DataFrame(out, columns=cols)
