@@ -131,12 +131,12 @@ def merge_write_cache(
     from wcdimportbot_spark.operators import sinks, versioned
 
     def write_fn(df: DataFrame, p: str) -> None:
-        with versioned.writer_lock(p):
-            version, vdir = versioned.stage_new(p)
-            df.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
-                sinks.BUCKET_COL
-            ).parquet(vdir)
-            versioned.publish(p, version)
+        # _merge_write already holds the writer lock for the whole merge
+        version, vdir = versioned.stage_new(p)
+        df.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
+            sinks.BUCKET_COL
+        ).parquet(vdir)
+        versioned.publish(p, version)
 
     sinks._merge_write(
         spark,

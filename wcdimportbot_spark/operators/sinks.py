@@ -85,27 +85,37 @@ def _sorted_on(df: DataFrame, key: str) -> DataFrame:
     return df.sortWithinPartitions(key)
 
 
+def _write_items_unlocked(items: DataFrame, path: str) -> None:
+    """Snapshot rewrite body; caller must hold the writer lock."""
+    version, vdir = versioned.stage_new(path)
+    _sorted_on(with_bucket(items, "hash"), "hash").write.mode(
+        "overwrite"
+    ).partitionBy("instance_of", BUCKET_COL).parquet(vdir)
+    versioned.publish(path, version)
+
+
 def write_items(items: DataFrame, path: str) -> None:
     """Full (static) rewrite as a fresh snapshot — bootstrap and delete
     paths. The new version is built beside the current one and published
     with an atomic pointer flip."""
     with versioned.writer_lock(path):
-        version, vdir = versioned.stage_new(path)
-        _sorted_on(with_bucket(items, "hash"), "hash").write.mode(
-            "overwrite"
-        ).partitionBy("instance_of", BUCKET_COL).parquet(vdir)
-        versioned.publish(path, version)
+        _write_items_unlocked(items, path)
+
+
+def _write_claims_unlocked(claims: DataFrame, path: str) -> None:
+    """Snapshot rewrite body; caller must hold the writer lock."""
+    version, vdir = versioned.stage_new(path)
+    _sorted_on(with_bucket(claims, "subject_qid"), "subject_qid").write.mode(
+        "overwrite"
+    ).partitionBy("property", BUCKET_COL).parquet(vdir)
+    versioned.publish(path, version)
 
 
 def write_claims(claims: DataFrame, path: str) -> None:
     """Full (static) rewrite as a fresh snapshot — bootstrap and delete
     paths."""
     with versioned.writer_lock(path):
-        version, vdir = versioned.stage_new(path)
-        _sorted_on(with_bucket(claims, "subject_qid"), "subject_qid").write.mode(
-            "overwrite"
-        ).partitionBy("property", BUCKET_COL).parquet(vdir)
-        versioned.publish(path, version)
+        _write_claims_unlocked(claims, path)
 
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
@@ -159,33 +169,43 @@ def _merge_write(
     if dedup_key is not None:
         new_df = new_df.dropDuplicates([dedup_key])
     new_b = with_bucket(new_df, bucket_key)
-    if not has_parquet_data(path):
-        if not new_b.isEmpty():
-            write_fn(new_b, path)
-        return
-    current_dir = versioned.data_dir(path)
-    buckets = [
-        r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
-    ]
-    existing = read_fn(spark, path).filter(F.col(BUCKET_COL).isin(buckets))
-    fresh = new_b.join(
-        existing.select(anti_key).distinct(), anti_key, "left_anti"
-    ).localCheckpoint(eager=True)
-    pairs = fresh.select(*partitions).distinct().collect()
-    if not pairs:
-        return
-    merged = existing.filter(
-        _partition_values_predicate(pairs, partitions)
-    ).unionByName(fresh)
-    # materialize before writing: the plan reads the current snapshot
-    staged = merged.localCheckpoint(eager=True)
-    # next snapshot = hardlinks of every current file (metadata-only), with
-    # the touched partitions dynamically overwritten; publish is an atomic
-    # pointer flip, so concurrent readers see old or new, never partial.
-    # The writer lock keeps a concurrent writer from clobbering the staging
-    # dir; MERGE read-your-writes serializability is still the caller's
-    # single-writer contract (see operators/versioned.py docstring)
+    # The writer lock covers the WHOLE read → anti-join → stage → publish
+    # sequence, not just the staging write: a merge computed against a
+    # snapshot resolved outside the lock would race a concurrent writer's
+    # publish and re-stage from the stale tree, silently dropping the
+    # winner's rows (classic lost update). Serialized here, concurrent
+    # merge_write_* calls compose: each merges against the snapshot the
+    # previous writer published. Readers still take no lock — publish is
+    # an atomic pointer flip (see operators/versioned.py docstring;
+    # pinned by tests/test_versioned.py multi-process stress).
     with versioned.writer_lock(path):
+        # a concurrent writer may have created the store between our
+        # caller's check and lock acquisition — re-check under the lock
+        if not has_parquet_data(path):
+            if not new_b.isEmpty():
+                write_fn(new_b, path)
+            return
+        spark.catalog.refreshByPath(path)
+        current_dir = versioned.data_dir(path)
+        buckets = [
+            r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
+        ]
+        existing = read_fn(spark, path).filter(F.col(BUCKET_COL).isin(buckets))
+        fresh = new_b.join(
+            existing.select(anti_key).distinct(), anti_key, "left_anti"
+        ).localCheckpoint(eager=True)
+        pairs = fresh.select(*partitions).distinct().collect()
+        if not pairs:
+            return
+        merged = existing.filter(
+            _partition_values_predicate(pairs, partitions)
+        ).unionByName(fresh)
+        # materialize before writing: the plan reads the current snapshot
+        staged = merged.localCheckpoint(eager=True)
+        # next snapshot = hardlinks of every current file (metadata-only),
+        # with the touched partitions dynamically overwritten; publish is
+        # an atomic pointer flip, so concurrent readers see old or new,
+        # never partial.
         version, vdir = versioned.stage_new(path)
         versioned.link_tree(current_dir, vdir)
         (
@@ -213,7 +233,7 @@ def merge_write_items(
         partitions=["instance_of", BUCKET_COL],
         dedup_key="hash",
         read_fn=read_items,
-        write_fn=write_items,
+        write_fn=_write_items_unlocked,
     )
 
 
@@ -237,7 +257,7 @@ def merge_write_claims(
         partitions=["property", BUCKET_COL],
         dedup_key=None,
         read_fn=read_claims,
-        write_fn=write_claims,
+        write_fn=_write_claims_unlocked,
     )
 
 

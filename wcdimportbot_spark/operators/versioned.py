@@ -27,13 +27,16 @@ unchanged files. A store written before versioning existed (no
 ``_CURRENT``) keeps reading from the root; its first versioned write
 migrates it.
 
-**Concurrency contract.** One writer per table at a time: concurrent
-writers would compute the same next version and clobber each other's
-staging directories, so every stage→publish sequence runs under
-:func:`writer_lock` (an O_EXCL pid lock file; a lock whose owner pid is
-dead is stolen, so a crashed writer never wedges the store). Readers
-take no lock — they resolve ``_CURRENT`` once and read an immutable
-tree. Staleness bound: a resolved snapshot survives at least
+**Concurrency contract.** One writer per table at a time: the sinks'
+whole MERGE sequence (resolve current snapshot → anti-join → stage →
+publish) runs under :func:`writer_lock` (an O_EXCL pid lock file; a
+lock whose owner pid is dead is stolen, so a crashed writer never
+wedges the store). Holding the lock across the read as well as the
+write makes concurrent ``merge_write_*`` calls SERIALIZABLE — each
+merges against the snapshot the previous writer published, so no
+writer's rows are lost (pinned by the multi-process stress test in
+``tests/test_versioned.py``). Readers take no lock — they resolve
+``_CURRENT`` once and read an immutable tree. Staleness bound: a resolved snapshot survives at least
 ``KEEP_VERSIONS - 1`` subsequent publishes before pruning can delete it;
 a reader must re-resolve rather than hold one snapshot across many
 writes. Cross-process on one host only (pid liveness is local) — the
