@@ -222,3 +222,101 @@ def test_loopback_live_sink_rate_limited(spark):
         assert elapsed >= 1.5  # (6 - burst 2) / 2 rps = 2s nominal
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# SSE reconnect: a transport that dies mid-stream and resumes with overlap
+# (the reference's ClientPayloadError reconnect loop,
+# reference/src/models/wikimedia/event_stream.py:77-79). Real HTTP via
+# requests against a stdlib server; no injected iterator.
+# ---------------------------------------------------------------------------
+
+
+def _sse_flaky_server():
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def ev(i):
+        return {
+            "server_name": "en.wikipedia.org", "namespace": 0,
+            "title": f"Reconnect {i}", "bot": False, "type": "edit",
+            "ts": "2026-01-01T10:00:00.000Z",
+        }
+
+    state = {"conn": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            state["conn"] += 1
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            if state["conn"] == 1:
+                # first connection: events 0-4, then the transport dies
+                batch = range(0, 5)
+            elif state["conn"] == 2:
+                # resumed stream re-delivers event 4 (at-least-once
+                # overlap, like EventStreams resume) then 5-9
+                batch = range(4, 10)
+            else:
+                batch = range(0, 0)  # later reconnects: empty stream
+            for i in batch:
+                self.wfile.write(
+                    f"data: {json.dumps(ev(i))}\n\n".encode()
+                )
+                self.wfile.flush()
+            # closing without content-length/chunk-end = dead transport
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, state, f"http://127.0.0.1:{server.server_address[1]}/v2/stream"
+
+
+def test_sse_reconnect_no_loss_no_dup_through_idempotent_sink(spark, tmp_path):
+    """sse_event_iter must survive a mid-stream transport death and resume
+    consuming; the resumed stream overlaps one event (at-least-once), and
+    the downstream watermark dedup makes the pipeline end-to-end
+    exactly-once: every event exactly once in the sink, none lost."""
+    import itertools
+
+    from wcdimportbot_spark.streaming.events import (
+        dedup_titles_with_watermark,
+        parse_event_stream,
+    )
+    from wcdimportbot_spark.streaming.sse_bridge import sse_event_iter
+
+    server, state, url = _sse_flaky_server()
+    try:
+        # 5 (conn 1) + 6 (conn 2, one duplicate) = 11 yielded events
+        got = list(itertools.islice(sse_event_iter(url, reconnect_delay=0.05), 11))
+    finally:
+        server.shutdown()
+    assert state["conn"] >= 2, "client never reconnected"
+    titles = [e["title"] for e in got]
+    assert titles.count("Reconnect 4") == 2  # the at-least-once overlap
+    assert set(titles) == {f"Reconnect {i}" for i in range(10)}  # no loss
+
+    # bridge the raw (duplicated) feed, then the idempotent downstream:
+    # watermark first-occurrence dedup -> exactly one row per event
+    spool = str(tmp_path / "spool")
+    bridge_events(got, spool, events_per_file=4)
+    stream = spark.readStream.format("text").load(spool)
+    deduped = dedup_titles_with_watermark(parse_event_stream(stream))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sse_reconnect_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [r["title"] for r in spark.sql(
+        "SELECT title FROM sse_reconnect_out").collect()]
+    assert sorted(rows) == sorted(f"Reconnect {i}" for i in range(10))
