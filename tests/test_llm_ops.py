@@ -334,3 +334,26 @@ def test_repeated_spans_cross_doc_only(spark):
     assert got[1]["n_shared"] == 2 and got[2]["n_shared"] == 2
     assert got[3]["n_shared"] == 0  # intra-doc repetition is NOT cross-doc
     assert got[4]["n_shared"] == 0 and got[4]["flagged"] is False
+
+
+def test_normalize_url_variants_collapse(spark):
+    from wcdimportbot_spark.operators.text_dedup import normalize_url
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://WWW.Example.com/Article/doc1?utm=x",),
+        ("http://example.com/Article/doc1/",),
+        ("example.com/Article/doc1#frag",),
+        ("ftp://user.example.com/Other",),  # different host survives
+        ("https://example.com",),  # bare host, no path
+    ]
+    got = [
+        r["n"]
+        for r in spark.createDataFrame(rows, "url string")
+        .select(normalize_url(F.col("url")).alias("n"))
+        .collect()
+    ]
+    assert got[0] == got[1] == got[2] == "example.com/Article/doc1"
+    assert got[3] == "user.example.com/Other"  # path case preserved
+    assert got[4] == "example.com"

@@ -506,3 +506,71 @@ def repeated_spans_sql(table: str, window: int = 8, flag_ratio: float = 0.5) -> 
            round(n_shared / CAST(n_spans AS DOUBLE), 4) >= {flag_ratio} AS flagged
     FROM per
     """
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form for URL-granularity dedup: scheme and ``www.``
+    prefix stripped, host lowercased (paths keep their case — they are
+    case-sensitive), query string / fragment / trailing slashes removed.
+    Pure Catalyst expressions — the normalization runs inside whole-stage
+    codegen, no UDF."""
+    no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    no_q = F.regexp_replace(no_scheme, r"[?#].*$", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_q, r"^([^/]*)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(no_q, r"^[^/]*(/.*)?$", 1), r"/+$", ""
+    )
+    return F.concat(host, path)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl-frontier / document-source dedup at URL granularity: group on
+    :func:`normalize_url` and keep the smallest id per canonical URL
+    (first-fetch-wins). Output one row per canonical URL —
+    ``(url, n_docs, keep_doc_id)``.
+
+    Scale shape: one map-side-combinable groupBy keyed on the normalized
+    URL (near-uniform after hashing); the normalization itself is
+    projection-only. The standard first pass of a crawl-based training
+    pipeline — cheaper than any content-based dedup and typically removes
+    the bulk of exact duplicates before MinHash runs."""
+    norm = normalize_url(F.col(url_col)).alias("url")
+    return (
+        df.select(norm, F.col(id_col))
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+def url_dedup_sql(rows_sql: str) -> str:
+    """DuckDB oracle: the same normalization over ``rows_sql``, which must
+    select ``(doc_id, url)``."""
+    return f"""
+    WITH rows_in AS ({rows_sql}),
+    norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(
+                   regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''), '[?#].*$', ''),
+                   '^([^/]*)', 1)), '^www\\.', '')
+               ||
+               regexp_replace(regexp_extract(
+                   regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''), '[?#].*$', ''),
+                   '^[^/]*(/.*)?$', 1), '/+$', '')
+               AS url
+        FROM rows_in
+    )
+    SELECT url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM norm GROUP BY 1
+    """

@@ -2855,6 +2855,99 @@ def q18_large_volume_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions to the LLM-dedup pack: URL-granularity dedup (the
+# cheap first pass of a crawl pipeline) and the materialized keep policy
+# (canonical doc per duplicate cluster).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_url_canonical",
+    "LLM dedup (URL granularity)",
+    "URL-level dedup: four surface variants per target URL (scheme, host "
+    "case, www., query string, fragment, trailing slash) normalize to one "
+    "canonical URL via pure Catalyst expressions; keep-first-by-id per URL",
+    """
+    WITH rows_in AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'https://WWW.Example.com/Article/doc' || CAST(doc_id // 4 AS VARCHAR) || '?utm=x'
+                 WHEN 1 THEN 'http://example.com/Article/doc' || CAST(doc_id // 4 AS VARCHAR) || '/'
+                 WHEN 2 THEN 'https://example.com/Article/doc' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+                 ELSE 'example.com/Article/doc' || CAST(doc_id // 4 AS VARCHAR)
+               END AS url
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(
+                   regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''), '[?#].*$', ''),
+                   '^([^/]*)', 1)), '^www\\.', '')
+               ||
+               regexp_replace(regexp_extract(
+                   regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''), '[?#].*$', ''),
+                   '^[^/]*(/.*)?$', 1), '/+$', '')
+               AS url
+        FROM rows_in
+    )
+    SELECT url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM norm GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import url_dedup
+
+    d = load(spark, sf_dir, "documents")
+    g = F.floor(F.col("doc_id") / 4).cast("long").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://WWW.Example.com/Article/doc"), g, F.lit("?utm=x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://example.com/Article/doc"), g, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://example.com/Article/doc"), g, F.lit("#frag")),
+        )
+        .otherwise(F.concat(F.lit("example.com/Article/doc"), g))
+    )
+    return url_dedup(d.select("doc_id", url.alias("url")))
+
+
+def _keep_oracle():
+    from wcdimportbot_spark.operators.curation import canonical_docs_sql
+    from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_sql
+
+    return canonical_docs_sql(
+        ngram_jaccard_sql("documents", threshold=0.5, max_gram_df=50), "documents"
+    )
+
+
+@register(
+    "dedup_canonical_keep",
+    "curation (keep policy)",
+    "materialized dedup decision: one canonical doc per duplicate cluster "
+    "(longest text wins, ties to smallest id) — (doc, cluster, size, keep) "
+    "ready for the drop filter; oracle extends the recursive-CTE closure "
+    "with the same window policy",
+    None,  # generated SQL attached below
+)
+def dedup_canonical_keep(spark, sf_dir):
+    from wcdimportbot_spark.operators.curation import canonical_docs
+    from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_gram_df=50)
+    return canonical_docs(docs, pairs)
+
+
+QUERIES["dedup_canonical_keep"].oracle = _keep_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registry entries. Round 5 driver-verified the previous 50-row window
 # (CORRECTNESS_r05.json, 50/50 full hash-match); this round ROTATES the
