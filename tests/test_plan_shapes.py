@@ -151,3 +151,23 @@ def test_domain_import_memo_reuse_and_disable(spark, monkeypatch):
     bypass = bq._domain_stage(spark, sf_dir, "items")
     assert bypass is not items1
     bq._IMPORT_MEMO.clear()
+
+
+def test_url_dedup_is_one_aggregate_no_udf(spark):
+    """URL normalization must stay inside codegen (no Python stage) and
+    the dedup must be a single hash aggregate over the scan — no join,
+    no window, no extra exchange beyond the groupBy shuffle."""
+    plan = _plan(spark, "dedup_url_canonical")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1  # the groupBy('url') shuffle only
+    assert "HashAggregate" in plan
+
+
+def test_canonical_keep_window_partitions_by_cluster(spark):
+    """The keep-policy window must partition by cluster_id (bounded
+    near-clique partitions), never a global single-partition sort."""
+    plan = _plan(spark, "dedup_canonical_keep")
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines, "expected a Window operator in the plan"
+    assert any("cluster_id" in ln for ln in window_lines), window_lines
