@@ -230,3 +230,29 @@ def test_token_scanners_match_char_scanner_spec(s):
     assert _find_template_spans(s) == _spec_find_template_spans(s)
     assert _split_top_level(s) == _spec_split_top_level(s)
     assert _first_top_level_eq(s) == _spec_first_top_level_eq(s)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_filter_algebra_roundtrips_random_pixels(w, h, ch, seed):
+    """encode(filter row y with type y%5) -> decode(unfilter) must
+    reproduce EXACT pixel bytes for arbitrary content — the full PNG
+    filter algebra (None/Sub/Up/Average/Paeth over RGB and RGBA), not
+    just solid colors with exact channel means."""
+    import numpy as np
+
+    from wcdimportbot_spark.operators.multimodal import (
+        decode_png,
+        encode_png_array,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    d = decode_png(encode_png_array(px), return_pixels=True)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert np.array_equal(d["pixels"], px)

@@ -220,19 +220,18 @@ def _paeth_predict(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.n
     )
 
 
-def encode_png(
-    width: int, height: int, rgba: tuple[int, int, int, int]
-) -> bytes:
-    """Minimal well-formed 8-bit RGBA PNG filled with one color.
-
-    Each scanline is written with a DIFFERENT filter type (``row % 5``),
-    so a decode exercises all five unfilter paths (None/Sub/Up/Average/
-    Paeth), not just the trivial one — the round trip is a real
-    filter-algebra check, not an identity copy."""
+def encode_png_array(pixels: np.ndarray) -> bytes:
+    """8-bit RGB/RGBA PNG from a ``(height, width, channels)`` uint8
+    array. Each scanline is written with a DIFFERENT filter type
+    (``row % 5``), so a decode exercises all five unfilter paths
+    (None/Sub/Up/Average/Paeth), not just the trivial one — the round
+    trip is a real filter-algebra check, not an identity copy."""
     import zlib
 
-    ch = 4
-    recon = np.tile(np.array(rgba, dtype=np.uint8), (height, width))
+    height, width, ch = pixels.shape
+    if pixels.dtype != np.uint8 or ch not in (3, 4):
+        raise NotImplementedError("encoder handles 8-bit RGB/RGBA arrays only")
+    recon = pixels.reshape(height, width * ch)
     zeros = np.zeros(width * ch, dtype=np.uint8)
     lines = []
     for y in range(height):
@@ -255,7 +254,8 @@ def encode_png(
         else:
             filt = cur - _paeth_predict(left, prev, upleft)
         lines.append(bytes([ftype]) + filt.tobytes())
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     idat = zlib.compress(b"".join(lines))
     return (
         PNG_SIGNATURE
@@ -265,7 +265,19 @@ def encode_png(
     )
 
 
-def decode_png(data: bytes) -> dict:
+def encode_png(
+    width: int, height: int, rgba: tuple[int, int, int, int]
+) -> bytes:
+    """Minimal well-formed 8-bit RGBA PNG filled with one color (the
+    closed-form-oracle form used by the codec roundtrip registry row)."""
+    return encode_png_array(
+        np.tile(np.array(rgba, dtype=np.uint8), (height, width)).reshape(
+            height, width, 4
+        )
+    )
+
+
+def decode_png(data: bytes, return_pixels: bool = False) -> dict:
     """Parse an 8-bit RGB/RGBA non-interlaced PNG: stdlib ``zlib``
     inflates the concatenated IDAT stream, then numpy unfilters each
     scanline (all five filter types; Sub is a per-channel ``cumsum`` —
@@ -339,7 +351,7 @@ def decode_png(data: bytes) -> dict:
             raise NotImplementedError(f"PNG filter type {ftype}")
     px = recon.reshape(height * width, ch).astype(np.float64)
     means = px.mean(axis=0)
-    return {
+    out = {
         "width": width,
         "height": height,
         "channels": ch,
@@ -347,6 +359,9 @@ def decode_png(data: bytes) -> dict:
         "mean_g": float(means[1]),
         "mean_b": float(means[2]),
     }
+    if return_pixels:
+        out["pixels"] = recon.reshape(height, width, ch).copy()
+    return out
 
 
 def decode_payload(payload: bytes) -> dict:
