@@ -341,6 +341,16 @@ def test_cli_curate_report(spark, tmp_path, capsys):
     )
     assert len(report["heavy_ngrams"]) == 5
     assert report["repetition"]["repetitive_docs"] >= 0
+    # keep policy: exactly one canonical doc per near-dup cluster
+    assert report["keep_policy"]["kept_canonical"] == report[
+        "near_dup_clusters"
+    ]["clusters"]
+    assert (
+        report["keep_policy"]["kept_canonical"]
+        + report["keep_policy"]["dropped_duplicates"]
+        == report["near_dup_clusters"]["docs"]
+    )
+    assert "url_dedup" not in report  # documents table carries no url column
     assert 0 <= report["repeated_spans"]["flagged_docs"] <= report[
         "repeated_spans"
     ]["docs_with_shared_spans"]

@@ -340,6 +340,27 @@ def main(argv=None) -> int:
             "docs": near["docs"],
             "largest": near["largest"] or 0,
         }
+        from wcdimportbot_spark.operators.curation import canonical_docs
+
+        keep = canonical_docs(docs, clusters=clusters).agg(
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.sum((~F.col("keep")).cast("int")).alias("dropped"),
+        ).collect()[0]
+        report["keep_policy"] = {
+            "kept_canonical": keep["kept"] or 0,
+            "dropped_duplicates": keep["dropped"] or 0,
+        }
+        from wcdimportbot_spark.operators.text_dedup import url_dedup
+
+        if "url" in docs.columns:
+            u = url_dedup(docs).agg(
+                F.count("*").alias("urls"),
+                F.sum(F.col("n_docs") - 1).alias("url_dups"),
+            ).collect()[0]
+            report["url_dedup"] = {
+                "canonical_urls": u["urls"],
+                "duplicate_docs": u["url_dups"] or 0,
+            }
         report["heavy_ngrams"] = [
             {"gram": r["gram"], "df": r["df"]}
             for r in heavy_ngrams(docs, n=3, k=5).collect()
