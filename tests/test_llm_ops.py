@@ -357,3 +357,60 @@ def test_normalize_url_variants_collapse(spark):
     assert got[0] == got[1] == got[2] == "example.com/Article/doc1"
     assert got[3] == "user.example.com/Other"  # path case preserved
     assert got[4] == "example.com"
+
+
+def test_jpeg_codec_solid_grayscale_exact():
+    """Unit quant tables + grayscale (Cb=Cr=128 exactly) make the lossy
+    chain deterministic: the round trip must be EXACT, including MCU edge
+    padding on non-multiple-of-8 dimensions."""
+    import numpy as np
+
+    from wcdimportbot_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v, (h, w) in [(0, (8, 8)), (7, (5, 9)), (128, (16, 24)), (255, (13, 21))]:
+        px = np.full((h, w, 3), v, dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(px), return_pixels=True)
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(d["pixels"], px), (v, h, w)
+        assert d["mean_r"] == d["mean_g"] == d["mean_b"] == float(v)
+
+
+def test_jpeg_codec_random_content_bounded_error():
+    """With unit quantization the only loss is coefficient + color
+    rounding: random RGB content must round-trip within a tight bound
+    through the full huffman/DCT chain."""
+    import numpy as np
+
+    from wcdimportbot_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (17, 9), (24, 31)]:
+        px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(px), return_pixels=True)
+        err = np.abs(d["pixels"].astype(int) - px.astype(int)).max()
+        # ±0.5 per quantized coefficient accumulates through the IDCT
+        # basis plus ±0.5 YCbCr rounding amplified ~1.8x by the color
+        # transform: a handful of counts, not a visually meaningful loss
+        assert err <= 6, (shape, err)
+
+
+def test_jpeg_gates_reject_unsupported_processes():
+    import numpy as np
+    import pytest as _pytest
+
+    from wcdimportbot_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(np.full((8, 8, 3), 5, dtype=np.uint8)))
+    # flip SOF0 (0xFFC0) to SOF2 progressive -> honest gate
+    i = bytes(good).index(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2:])
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(prog)
+    with _pytest.raises(NotImplementedError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG not jpeg")
+    # subsampled stream: patch the Y component's sampling factors to 2x2
+    sof_body = bytes(good).index(b"\xff\xc0") + 4
+    sub = bytearray(good)
+    sub[sof_body + 7] = 0x22  # first component sampling byte
+    with _pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(sub))

@@ -4,19 +4,20 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side plumbing (schema, partition sizing,
 Arrow batch shape, UDF signatures) is real and tested. Codec status:
 
-- **Real, dependency-free decoders** for the three formats a
-  header+array parse (plus stdlib ``zlib``) can handle: 24-bit
+- **Real, dependency-free decoders** for four formats: 24-bit
   uncompressed BMP (:func:`decode_bmp`), 8-bit RGB/RGBA non-interlaced
   PNG (:func:`decode_png` — zlib IDAT inflation + numpy scanline
-  unfiltering, all five filter types), and 16-bit mono PCM WAV
-  (:func:`decode_wav`), numpy-vectorized over the pixel/sample array.
-  The real path of :func:`extract_media_features` dispatches on magic
-  bytes.
-- Formats that genuinely need media libraries (JPEG/MP3/MP4 — absent
-  from this container) still raise ``NotImplementedError`` naming the
-  modality, proving the dispatch; ``fake=True`` substitutes a
-  deterministic byte-statistics decoder so plumbing tests run on any
-  payload.
+  unfiltering, all five filter types), baseline JPEG
+  (``operators/jpeg.py`` — marker/DQT/DHT parsing, huffman entropy
+  decode, dequantize + IDCT + YCbCr→RGB, all in numpy/stdlib), and
+  16-bit mono PCM WAV (:func:`decode_wav`). The real path of
+  :func:`extract_media_features` dispatches on magic bytes.
+- Formats that genuinely need media libraries (MP3/MP4 — absent from
+  this container) still raise ``NotImplementedError`` naming the
+  modality, proving the dispatch, as do the unsupported JPEG/PNG
+  variants (progressive, subsampled, interlaced, palette);
+  ``fake=True`` substitutes a deterministic byte-statistics decoder so
+  plumbing tests run on any payload.
 
 Scale notes: media rows are large and skew-prone — the operators take a
 ``target_rows_per_batch`` hint and repartition by a hash of the id so one
@@ -366,7 +367,7 @@ def decode_png(data: bytes, return_pixels: bool = False) -> dict:
 
 def decode_payload(payload: bytes) -> dict:
     """Magic-byte dispatch to the real decoders; unknown formats raise
-    ``NotImplementedError`` (JPEG/MP3/MP4/... need real media libraries)."""
+    ``NotImplementedError`` (MP3/MP4/... need real media libraries)."""
     if payload is None:
         raise NotImplementedError("null payload")
     if payload[:2] == b"BM":
@@ -375,6 +376,10 @@ def decode_payload(payload: bytes) -> dict:
         return {"kind": "png", **decode_png(payload)}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return {"kind": "wav", **decode_wav(payload)}
+    if payload[:2] == b"\xff\xd8":
+        from wcdimportbot_spark.operators.jpeg import decode_jpeg
+
+        return {"kind": "jpeg", **decode_jpeg(payload)}
     raise NotImplementedError(
         f"no dependency-free decoder for payload magic {payload[:4]!r}"
     )
@@ -382,7 +387,7 @@ def decode_payload(payload: bytes) -> dict:
 
 def _real_features(payload: bytes) -> list[float]:
     d = decode_payload(payload)
-    if d["kind"] in ("bmp", "png"):
+    if d["kind"] in ("bmp", "png", "jpeg"):
         return [
             float(d["width"]),
             float(d["height"]),
@@ -454,10 +459,12 @@ CODEC_ROUNDTRIP_SCHEMA = T.StructType(
 
 
 def codec_roundtrip(docs: DataFrame) -> DataFrame:
-    """Real-codec verification surface: ``doc_id % 3`` routes each row to
-    one of the three real codecs — solid-color BMP, 16-bit square-wave
+    """Real-codec verification surface: ``doc_id % 4`` routes each row to
+    one of the four real codecs — solid-color BMP, 16-bit square-wave
     WAV, solid-color RGBA PNG (scanlines written with all five PNG filter
-    types) — each synthesized from ``doc_id`` alone, then the REAL
+    types), solid-GRAYSCALE baseline JPEG (huffman entropy coding + DCT;
+    grayscale makes the lossy color transform exact, so the round trip is
+    closed-form) — each synthesized from ``doc_id`` alone, then the REAL
     byte-level decoders recover dimensions / channel means / duration /
     RMS. Every output column is therefore a closed-form function of
     ``doc_id`` that a SQL oracle predicts exactly (solid color ⇒ channel
@@ -474,7 +481,7 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
             out = []
             for raw_id in pdf["doc_id"]:
                 did = int(raw_id)
-                arm = did % 3
+                arm = did % 4
                 if arm == 0:
                     payload = encode_bmp(
                         8 + did % 8,
@@ -511,13 +518,39 @@ def codec_roundtrip(docs: DataFrame) -> DataFrame:
                             d["rms"],
                         )
                     )
-                else:
+                elif arm == 2:
                     payload = encode_png(
                         8 + did % 5,
                         5 + did % 6,  # ≥5 rows ⇒ every PNG filter type used
                         (did % 256, (did * 11) % 256, (did * 3) % 256, 255),
                     )
                     d = decode_png(payload)
+                    out.append(
+                        (
+                            did,
+                            "image",
+                            float(d["width"]),
+                            float(d["height"]),
+                            d["mean_r"],
+                            d["mean_g"],
+                            d["mean_b"],
+                            None,
+                            None,
+                        )
+                    )
+                else:
+                    from wcdimportbot_spark.operators.jpeg import (
+                        decode_jpeg,
+                        encode_jpeg,
+                    )
+
+                    v = (did * 17) % 256
+                    # non-multiple-of-8 dims exercise MCU edge padding
+                    wpx, hpx = 9 + did % 7, 5 + did % 5
+                    payload = encode_jpeg(
+                        np.full((hpx, wpx, 3), v, dtype=np.uint8)
+                    )
+                    d = decode_jpeg(payload)
                     out.append(
                         (
                             did,

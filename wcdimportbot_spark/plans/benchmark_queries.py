@@ -956,25 +956,31 @@ def multimodal_feature_stats(spark, sf_dir):
 @register(
     "multimodal_codec_roundtrip",
     "multimodal columns (real codecs)",
-    "dependency-free BMP/PNG/WAV codecs end-to-end: synthesize per-doc "
-    "media (PNG scanlines use all five filter types), decode with the real "
-    "header/stride/chunk/filter parsers, emit dimensions / channel means / "
-    "duration / RMS — all closed-form in doc_id",
+    "dependency-free BMP/PNG/JPEG/WAV codecs end-to-end: synthesize "
+    "per-doc media (PNG scanlines use all five filter types; JPEG is real "
+    "baseline huffman+DCT, exact on solid grayscale), decode with the "
+    "real header/stride/chunk/filter/entropy parsers, emit dimensions / "
+    "channel means / duration / RMS — all closed-form in doc_id",
     """
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS modality,
-           CASE doc_id % 3 WHEN 0 THEN CAST(8 + doc_id % 8 AS DOUBLE)
-                           WHEN 2 THEN CAST(8 + doc_id % 5 AS DOUBLE) END AS width,
-           CASE doc_id % 3 WHEN 0 THEN CAST(4 + doc_id % 4 AS DOUBLE)
-                           WHEN 2 THEN CAST(5 + doc_id % 6 AS DOUBLE) END AS height,
-           CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                           WHEN 2 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
-           CASE doc_id % 3 WHEN 0 THEN CAST((doc_id * 7) % 256 AS DOUBLE)
-                           WHEN 2 THEN CAST((doc_id * 11) % 256 AS DOUBLE) END AS mean_g,
-           CASE doc_id % 3 WHEN 0 THEN CAST((doc_id * 13) % 256 AS DOUBLE)
-                           WHEN 2 THEN CAST((doc_id * 3) % 256 AS DOUBLE) END AS mean_b,
-           CASE WHEN doc_id % 3 = 1 THEN CAST(100 + (doc_id % 10) * 10 AS DOUBLE) END AS duration_ms,
-           CASE WHEN doc_id % 3 = 1 THEN CAST(1000 + doc_id % 100 AS DOUBLE) END AS rms
+           CASE WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'image' END AS modality,
+           CASE doc_id % 4 WHEN 0 THEN CAST(8 + doc_id % 8 AS DOUBLE)
+                           WHEN 2 THEN CAST(8 + doc_id % 5 AS DOUBLE)
+                           WHEN 3 THEN CAST(9 + doc_id % 7 AS DOUBLE) END AS width,
+           CASE doc_id % 4 WHEN 0 THEN CAST(4 + doc_id % 4 AS DOUBLE)
+                           WHEN 2 THEN CAST(5 + doc_id % 6 AS DOUBLE)
+                           WHEN 3 THEN CAST(5 + doc_id % 5 AS DOUBLE) END AS height,
+           CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                           WHEN 2 THEN CAST(doc_id % 256 AS DOUBLE)
+                           WHEN 3 THEN CAST((doc_id * 17) % 256 AS DOUBLE) END AS mean_r,
+           CASE doc_id % 4 WHEN 0 THEN CAST((doc_id * 7) % 256 AS DOUBLE)
+                           WHEN 2 THEN CAST((doc_id * 11) % 256 AS DOUBLE)
+                           WHEN 3 THEN CAST((doc_id * 17) % 256 AS DOUBLE) END AS mean_g,
+           CASE doc_id % 4 WHEN 0 THEN CAST((doc_id * 13) % 256 AS DOUBLE)
+                           WHEN 2 THEN CAST((doc_id * 3) % 256 AS DOUBLE)
+                           WHEN 3 THEN CAST((doc_id * 17) % 256 AS DOUBLE) END AS mean_b,
+           CASE WHEN doc_id % 4 = 1 THEN CAST(100 + (doc_id % 10) * 10 AS DOUBLE) END AS duration_ms,
+           CASE WHEN doc_id % 4 = 1 THEN CAST(1000 + doc_id % 100 AS DOUBLE) END AS rms
     FROM documents
     """,
 )
