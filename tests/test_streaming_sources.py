@@ -508,3 +508,42 @@ def test_curation_gate_eval_size_guard(spark):
     )
     with pytest.raises(ValueError, match="max_eval_ngrams"):
         curate_stream(docs, eval_docs, n=3, max_eval_ngrams=2)
+
+
+def test_streaming_media_feature_extraction(spark, tmp_path):
+    """extract_media_features (Arrow-batched mapInPandas) must run
+    unchanged inside a streaming plan — the multimodal decode path is a
+    stateless projection, so a media STREAM gets the same features as the
+    batch twin, with zero streaming state."""
+    from wcdimportbot_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    media = media_from_documents(docs)
+    src = str(tmp_path / "media-in")
+    media.write.parquet(src)
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+    q = (
+        extract_media_features(stream, fake=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("media_features_out")
+        .option("checkpointLocation", str(tmp_path / "media-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["media_id"]: (r["n_bytes"], r["payload_md5"], tuple(r["features"]))
+        for r in spark.sql("SELECT * FROM media_features_out").collect()
+    }
+    want = {
+        r["media_id"]: (r["n_bytes"], r["payload_md5"], tuple(r["features"]))
+        for r in extract_media_features(media, fake=True).collect()
+    }
+    assert got == want and len(got) == 40
+    assert q.lastProgress["stateOperators"] == []  # stateless projection
