@@ -3000,10 +3000,14 @@ _WINDOW = [
     "q20_semi_join_chain",
     "q21_exists_not_exists",
     "q22_anti_join_global_threshold",
-    # --- 18 sentinels, one per family already driver-proven in r5 ---
+    # --- round-6 additions (driver-verified this round, not locally-only) ---
+    "dedup_url_canonical",
+    "dedup_canonical_keep",
+    # --- 16 sentinels, one per family already driver-proven in r5
+    # (f23_json_decode / p1_supported_filter ceded their slots to the two
+    # additions: both are r5 driver hash-matches and their families stay
+    # covered in-window by a7/a8 event parsing and the TPC-H filters) ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
-    "f23_json_decode",           # S4/F23 event decode
-    "p1_supported_filter",       # P1/P7/P8 filters
     "j1_broadcast_lookup_join",  # J1 broadcast join
     "j8_recursive_closure",      # J8 iterative closure
     "a1_count_by_type",          # A1/A2 aggregation
