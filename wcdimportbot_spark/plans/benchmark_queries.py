@@ -838,12 +838,30 @@ def _jaccard_oracle():
     "word-bigram Jaccard pairs via inverted-index join (df-capped)",
     None,
 )
-def dedup_ngram_jaccard(spark, sf_dir):
+def _jaccard_pairs(spark, sf_dir):
+    """The (threshold=0.5, max_gram_df=50) bigram-Jaccard pair relation,
+    memoized per (application, sf_dir) like the domain-import stage:
+    three registry rows (the pairs row itself, the cluster row, the
+    keep-policy row) consume the IDENTICAL relation, so it is
+    materialized once as a localCheckpoint. SPARK_GRAFT_NO_IMPORT_CACHE=1
+    disables, as for the import memo."""
     from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
+    slot = _memo_slot(spark, sf_dir)
+    if slot is not None and "jaccard_pairs" in slot:
+        return slot["jaccard_pairs"]
+    pairs = ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.5, max_gram_df=50
     )
+    if slot is None:
+        return pairs
+    df = pairs.localCheckpoint(eager=True)
+    slot["jaccard_pairs"] = df
+    return df
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return _jaccard_pairs(spark, sf_dir)
 
 
 QUERIES["dedup_ngram_jaccard"].oracle = _jaccard_oracle()
@@ -1183,12 +1201,8 @@ def _cc_oracle():
 )
 def dedup_cc_clusters(spark, sf_dir):
     from wcdimportbot_spark.operators.curation import duplicate_clusters
-    from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.5, max_gram_df=50
-    )
-    return duplicate_clusters(pairs)
+    return duplicate_clusters(_jaccard_pairs(spark, sf_dir))
 
 
 QUERIES["dedup_cc_clusters"].oracle = _cc_oracle()
@@ -2943,11 +2957,9 @@ def _keep_oracle():
 )
 def dedup_canonical_keep(spark, sf_dir):
     from wcdimportbot_spark.operators.curation import canonical_docs
-    from wcdimportbot_spark.operators.text_dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_gram_df=50)
-    return canonical_docs(docs, pairs)
+    return canonical_docs(docs, _jaccard_pairs(spark, sf_dir))
 
 
 QUERIES["dedup_canonical_keep"].oracle = _keep_oracle()
