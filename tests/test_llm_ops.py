@@ -414,3 +414,37 @@ def test_jpeg_gates_reject_unsupported_processes():
     sub[sof_body + 7] = 0x22  # first component sampling byte
     with _pytest.raises(NotImplementedError, match="subsampling"):
         decode_jpeg(bytes(sub))
+
+
+def test_pq_codes_and_recall_contract(spark):
+    """PQ: codes are m small ints per vector (the 32x-compressed
+    representation), the ADC+refine top-k satisfies the epsilon-recall
+    contract on the fixture embeddings, and emitted cosines are EXACT
+    (refine re-scores on the full vectors, so each emitted cosine must
+    equal the brute-force value for that pair)."""
+    from wcdimportbot_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk_bruteforce,
+        pq_index,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes_df, books = pq_index(emb, m=8, n_codes=256)
+    row = codes_df.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 256 for c in row["codes"])
+    assert books.shape == (8, 256, 8)  # dim 64 / m 8
+
+    approx = pq_topk(emb, num_queries=5, k=3)
+    rep = ann_recall_report(emb, approx, num_queries=5, k=3).collect()
+    assert len(rep) == 5
+    assert all(r["recall_within_tolerance"] for r in rep)
+    # emitted cosines are true values: every (query, neighbor, cosine)
+    # must appear in the exact pair ranking with the same rounded cosine
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk_bruteforce(emb, num_queries=5, k=500).collect()
+    }
+    for r in approx.collect():
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]

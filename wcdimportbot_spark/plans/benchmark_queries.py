@@ -1825,6 +1825,34 @@ QUERIES["sim_ann_ivf"].oracle = _ann_oracle()
 
 
 @register(
+    "sim_ann_pq",
+    "similarity search (scale path #3)",
+    "product-quantization ANN: per-subspace codebooks on a bounded "
+    "driver-side sample, Arrow-batched byte-code encoding, one narrow "
+    "codegen ADC scan over the codes (m table lookups per vector - the "
+    "memory-bound full-scan path IVF composes with at 100 TB), exact "
+    "refine of the top-3k candidates; emitted as the same verifiable "
+    "epsilon-recall contract as the LSH/IVF rows (all-true flags "
+    "measured at sf0.001-0.1)",
+    None,
+)
+def sim_ann_pq(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import (
+        ann_recall_report,
+        pq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    approx = pq_topk(emb, num_queries=10, k=5, m=8, n_codes=256, refine=3)
+    return ann_recall_report(
+        emb, approx, num_queries=10, k=5, epsilon=0.05, recall_floor=0.6
+    )
+
+
+QUERIES["sim_ann_pq"].oracle = _ann_oracle()
+
+
+@register(
     "q7_volume_shipping",
     "J3,A1 composite (TPC-H Q7 shape)",
     "bilateral trade volume: supplier-nation ↔ customer-nation pairs by year",
@@ -3015,10 +3043,12 @@ _WINDOW = [
     # --- round-6 additions (driver-verified this round, not locally-only) ---
     "dedup_url_canonical",
     "dedup_canonical_keep",
-    # --- 16 sentinels, one per family already driver-proven in r5
-    # (f23_json_decode / p1_supported_filter ceded their slots to the two
-    # additions: both are r5 driver hash-matches and their families stay
-    # covered in-window by a7/a8 event parsing and the TPC-H filters) ---
+    "sim_ann_pq",
+    # --- 15 sentinels, one per family already driver-proven in r5
+    # (f23_json_decode / p1_supported_filter / u1_union_distinct ceded
+    # their slots to the three additions: all are r5 driver hash-matches
+    # and their families stay covered in-window by a7/a8 event parsing
+    # and the TPC-H filter/union shapes) ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "j1_broadcast_lookup_join",  # J1 broadcast join
     "j8_recursive_closure",      # J8 iterative closure
@@ -3027,7 +3057,6 @@ _WINDOW = [
     "a8_sessionization",         # sessionization
     "a10_salted_distinct_count", # skew primitives
     "w1_ordinal_sequencing",     # W1 window functions
-    "u1_union_distinct",         # U1-U3 unions
     "f3_f4_identity_hash_chain", # F3/F4 hashing
     "f24_claims_melt",           # F24-F26 claims
     "f5_psl_rule_classes",       # F5 PSL
