@@ -7,7 +7,7 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  85 queries, all DuckDB-verified — the two ANN variants emit an
+  86 queries, all DuckDB-verified — the two ANN variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window covers, across rounds 5 and 6
   combined, every registry row: round 6 rotates the window onto the 32

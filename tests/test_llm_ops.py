@@ -448,3 +448,22 @@ def test_pq_codes_and_recall_contract(spark):
     }
     for r in approx.collect():
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_incremental_dedup_probe(docs):
+    """New-batch probe against a stored index: exact dup of history is
+    flagged exact+near; a near-dup shares a band bucket but not the
+    hash; unrelated content is fresh."""
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index,
+        incremental_dedup,
+    )
+
+    history = docs.filter("doc_id = 1")  # the canonical text
+    batch = docs.filter("doc_id in (2, 3, 4)")
+    hashes, bands_rel = dedup_index(history)
+    got = {r["doc_id"]: r for r in incremental_dedup(batch, hashes, bands_rel).collect()}
+    assert got[4]["exact_dup_of_history"] and not got[4]["fresh"]  # byte-identical
+    assert got[2]["near_dup_of_history"] and not got[2]["fresh"]  # one word off
+    assert not got[2]["exact_dup_of_history"]
+    assert got[3]["fresh"] and not got[3]["near_dup_of_history"]  # unrelated

@@ -574,3 +574,158 @@ def url_dedup_sql(rows_sql: str) -> str:
     SELECT url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
     FROM norm GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a stored index (the 100 TB shape)
+# ---------------------------------------------------------------------------
+
+
+def dedup_index(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent dedup index of the corpus seen so far: the distinct
+    exact-hash relation and the distinct LSH (band, bucket) relation.
+
+    At 100 TB this pair lives as two bucketed store tables that each
+    ingest batch APPENDS to — corpus-scale dedup is never recomputed,
+    only probed (the same MERGE pattern as the citation cache,
+    operators/cache.py)."""
+    hashes = docs.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+    bands_rel = (
+        lsh_bands(
+            minhash_signatures(docs, num_hashes, id_col, shingle_n),
+            num_hashes,
+            bands,
+            id_col,
+        )
+        .select("band", "bucket")
+        .distinct()
+    )
+    return hashes, bands_rel
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    history_hashes: DataFrame,
+    history_bands: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Annotate a NEW batch against the stored index: per new doc, its
+    text hash, ``exact_dup_of_history``, ``near_dup_of_history`` (shares
+    an LSH band bucket with any already-seen doc), and ``fresh``.
+
+    Scale shape: the batch side is small next to the corpus; both probes
+    are equi-joins keyed on a hash (near-uniform), against index
+    relations that are bucketable on exactly those keys — no corpus
+    rescan, no all-pairs anything. This is the production dedup loop:
+    full-corpus pair generation (lsh_candidate_pairs) bootstraps the
+    index once; every batch after that runs this probe and appends its
+    own hashes/buckets."""
+    hashed = new_docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    exact_ids = (
+        hashed.join(history_hashes, "text_hash", "left_semi")
+        .select(id_col)
+        .withColumn("_e", F.lit(True))
+    )
+    new_bands = lsh_bands(
+        minhash_signatures(new_docs, num_hashes, id_col, shingle_n),
+        num_hashes,
+        bands,
+        id_col,
+    )
+    near_ids = (
+        new_bands.join(history_bands, ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_n", F.lit(True))
+    )
+    return (
+        hashed.select(id_col, "text_hash")
+        .join(exact_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .select(
+            id_col,
+            "text_hash",
+            F.coalesce(F.col("_e"), F.lit(False)).alias("exact_dup_of_history"),
+            F.coalesce(F.col("_n"), F.lit(False)).alias("near_dup_of_history"),
+            (
+                ~F.coalesce(F.col("_e"), F.lit(False))
+                & ~F.coalesce(F.col("_n"), F.lit(False))
+            ).alias("fresh"),
+        )
+    )
+
+
+def incremental_dedup_sql(
+    table: str,
+    hist_pred: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`incremental_dedup` where history =
+    ``table`` rows matching ``hist_pred`` and the new batch is the
+    complement (generated from the same hash-family constants as the
+    Spark side)."""
+    rows = num_hashes // bands
+    P = MINHASH_PRIME
+    base = f"(('0x' || substring(md5(token), 1, 15))::BIGINT % {P})"
+    mh_exprs = ",\n               ".join(
+        f"min(({a} * {base} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    sep = " || '|' || "
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, is_hist, {b} AS band, "
+        f"md5({sep.join(f'CAST(mh{b * rows + r} AS VARCHAR)' for r in range(rows))}) AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    shingle_expr = sep.join(f"ts[i + {j}]" for j in range(shingle_n)).replace(
+        "'|'", "' '"
+    )
+    return f"""
+    WITH toklist AS (
+        SELECT doc_id, ({hist_pred}) AS is_hist,
+               list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS ts
+        FROM {table}
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id, is_hist, {shingle_expr} AS token
+        FROM toklist, UNNEST(range(1, len(ts) - {shingle_n - 2})) AS t(i)
+        WHERE len(ts) >= {shingle_n}
+    ),
+    sigs AS (
+        SELECT doc_id, is_hist,
+               {mh_exprs}
+        FROM tok GROUP BY doc_id, is_hist
+    ),
+    bandsrel AS (
+{band_selects}
+    ),
+    hist_h AS (SELECT DISTINCT md5(text) AS text_hash FROM {table} WHERE {hist_pred}),
+    hist_b AS (SELECT DISTINCT band, bucket FROM bandsrel WHERE is_hist),
+    new_rows AS (
+        SELECT doc_id, md5(text) AS text_hash FROM {table} WHERE NOT ({hist_pred})
+    ),
+    near AS (
+        SELECT DISTINCT b.doc_id
+        FROM bandsrel b JOIN hist_b h USING (band, bucket)
+        WHERE NOT b.is_hist
+    )
+    SELECT n.doc_id, n.text_hash,
+           (n.text_hash IN (SELECT text_hash FROM hist_h)) AS exact_dup_of_history,
+           (n.doc_id IN (SELECT doc_id FROM near)) AS near_dup_of_history,
+           NOT (n.text_hash IN (SELECT text_hash FROM hist_h))
+           AND NOT (n.doc_id IN (SELECT doc_id FROM near)) AS fresh
+    FROM new_rows n
+    """

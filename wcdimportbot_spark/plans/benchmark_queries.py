@@ -2993,6 +2993,37 @@ def dedup_canonical_keep(spark, sf_dir):
 QUERIES["dedup_canonical_keep"].oracle = _keep_oracle()
 
 
+def _incremental_oracle():
+    from wcdimportbot_spark.operators.text_dedup import incremental_dedup_sql
+
+    return incremental_dedup_sql("documents", "doc_id % 3 = 0")
+
+
+@register(
+    "dedup_incremental",
+    "LLM dedup (incremental probe)",
+    "the production dedup loop: a NEW batch probed against the stored "
+    "index (exact-hash relation + LSH band-bucket relation) — equi-join "
+    "probes only, no corpus rescan, no pair generation; history = every "
+    "third doc, batch = the rest",
+    None,  # generated SQL attached below
+)
+def dedup_incremental(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index,
+        incremental_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    hashes, bands_rel = dedup_index(history)
+    return incremental_dedup(batch, hashes, bands_rel)
+
+
+QUERIES["dedup_incremental"].oracle = _incremental_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registry entries. Round 5 driver-verified the previous 50-row window
