@@ -7,12 +7,14 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  86 queries, all DuckDB-verified — the two ANN variants emit an
+  89 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window covers, across rounds 5 and 6
-  combined, every registry row: round 6 rotates the window onto the 32
-  rows round 5's window did not include, plus 18 sentinels (one per
-  already driver-verified operator family).
+  ordered so the driver's 50-query window prioritizes, in round 7:
+  ``dedup_incremental`` (the one registry row whose driver hash-match was
+  missed by the r5/r6 window rotation), the four new round-7 rows, every
+  row whose PLAN changed this round (the two-phase ANN top-k rework and
+  the connected-components algorithm swap), and sentinels — one per
+  operator family already driver-verified in r5/r6 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
   count so the docs cannot drift from ``len(QUERIES)`` again.
 """

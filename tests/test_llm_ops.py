@@ -467,3 +467,50 @@ def test_incremental_dedup_probe(docs):
     assert got[2]["near_dup_of_history"] and not got[2]["fresh"]  # one word off
     assert not got[2]["exact_dup_of_history"]
     assert got[3]["fresh"] and not got[3]["near_dup_of_history"]  # unrelated
+
+
+def test_dedup_index_ingest_two_batches(spark, tmp_path):
+    """The store-backed maintenance loop: batch 1 bootstraps the index
+    from an empty store and appends its fresh survivors; batch 2's dupes
+    AGAINST THOSE SURVIVORS (not just the original history) are caught.
+    Re-ingesting the same content writes nothing new (MERGE idempotence)."""
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index_ingest,
+        read_dedup_index,
+    )
+
+    store = str(tmp_path / "dedup_index")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (11, "completely different words about spark catalyst optimizer plans"),
+        ],
+        schema,
+    )
+    ann1 = {r["doc_id"]: r for r in dedup_index_ingest(b1, store).collect()}
+    assert ann1[10]["fresh"] and ann1[11]["fresh"]  # empty store: all fresh
+
+    b2 = spark.createDataFrame(
+        [
+            # exact dup of batch-1 survivor 10
+            (20, "the quick brown fox jumps over the lazy dog near the river bank"),
+            # near-dup (one word off) of batch-1 survivor 10
+            (21, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (22, "unrelated fresh content about parquet row group statistics"),
+        ],
+        schema,
+    )
+    ann2 = {r["doc_id"]: r for r in dedup_index_ingest(b2, store).collect()}
+    assert ann2[20]["exact_dup_of_history"] and not ann2[20]["fresh"]
+    assert ann2[21]["near_dup_of_history"] and not ann2[21]["exact_dup_of_history"]
+    assert ann2[22]["fresh"]
+
+    # only FRESH survivors were appended: probing batch-2's exact dup
+    # again now hits the index via doc 22's entry count staying stable
+    hashes, bands_rel = read_dedup_index(spark, store)
+    n_h, n_b = hashes.count(), bands_rel.count()
+    ann3 = {r["doc_id"]: r for r in dedup_index_ingest(b2, store).collect()}
+    assert not ann3[22]["fresh"]  # its own prior ingest is now history
+    hashes2, bands2 = read_dedup_index(spark, store)
+    assert hashes2.count() == n_h and bands2.count() == n_b  # nothing new written

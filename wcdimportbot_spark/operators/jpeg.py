@@ -304,8 +304,16 @@ def decode_jpeg(data: bytes, return_pixels: bool = False) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG marker sync lost")
+        # 0xFF fill bytes are legal padding between segments: skip runs of
+        # 0xFF so the byte after the LAST one is read as the marker code
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
-        if marker in (0xD8, 0xD9):
+        # length-less standalone markers: SOI/EOI, TEM (0x01) and RSTn
+        # (0xD0-0xD7, foreign before SOS but legal) carry no segment
+        # length — consuming two bytes here instead of misreading the
+        # next bytes as a length keeps the scan in sync
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)

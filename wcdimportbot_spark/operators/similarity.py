@@ -29,6 +29,44 @@ from pyspark.sql.window import Window as W
 from wcdimportbot_spark.functions.partitioning import fan_out
 
 
+def two_phase_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per key WITHOUT funnelling the whole relation into
+    |keys| reducers.
+
+    ``row_number().over(partitionBy(key))`` on a corpus-sized relation
+    with a handful of keys (10 ANN query points) shuffles EVERY scored
+    row into |keys| partitions and fully sorts each — a straggler
+    machine at 100×. Two phases instead:
+
+    1. partial top-k per (key, input-slice): ``_slice`` =
+       ``spark_partition_id()`` stamped before the exchange, so the
+       phase-1 window's groups are bounded by the input partition size
+       and the sort parallelism is #slices × |keys|, not |keys|;
+    2. global top-k over the survivors — at most #slices × k rows per
+       key, a tiny relation.
+
+    Same answer as the single window for any ``order_cols`` that total-
+    order rows within a key (all call sites carry an id tiebreaker, so
+    the final ranking is deterministic regardless of slicing)."""
+    sliced = df.withColumn("_slice", F.spark_partition_id())
+    w1 = W.partitionBy(*key_cols, "_slice").orderBy(*order_cols)
+    survivors = (
+        sliced.withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr", "_slice")
+    )
+    w2 = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -73,12 +111,12 @@ def cosine_topk_bruteforce(
             F.round(_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 4),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return two_phase_topk(
+        sims,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id")],
+        k,
+    ).select("query_id", "neighbor_id", "rank", "cosine")
 
 
 def cosine_topk_sql(table: str, num_queries: int = 10, k: int = 5, dim: int = 64) -> str:
@@ -337,12 +375,142 @@ def ann_lsh_topk(
             4,
         ),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    return two_phase_topk(
+        sims, ["query_id"], [F.col("cosine").desc(), F.col(id_col)], k
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+
+
+def embedding_near_dup_ann(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH candidate generation — the
+    scale path the blocked-crossJoin baseline
+    (``dedup_embedding_cosine``) documents.
+
+    Pair generation is a self-EQUI-join on the LSH bucket (never a
+    cartesian): each vector lands in ``num_tables`` buckets of expected
+    size N/2^planes, so candidate work is Σ|bucket|² over buckets —
+    tunable via ``planes`` — instead of N². Candidates are exact-cosine
+    scored and thresholded, so every emitted pair is a TRUE near-dup;
+    approximation only loses pairs whose vectors share no bucket
+    (P[miss] = (1-p^planes)^tables at angle-collision prob p). The
+    hyperplanes are md5-derived (:func:`_plane_signs`), hence
+    deterministic — a DuckDB oracle reproduces the bucketing bit-for-bit
+    (:func:`embedding_near_dup_ann_sql`), making this ANN operator fully
+    hash-verifiable, unlike top-k ANN whose quality needs the ε-recall
+    contract.
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    planes_df = _plane_matrix_df(
+        embeddings.sparkSession, planes, num_tables, dim
     )
+    bucketed = (
+        fan_out(embeddings, id_col)
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            _signs_against(F.col(vec_col), F.col("_planes")).alias("_signs"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                _buckets_from_signs(F.col("_signs"), planes, num_tables)
+            ).alias("bucket"),
+        )
+    )
+    # candidate generation stays NARROW: only (id, bucket) flows through
+    # the self-join and the multi-table dedup shuffle (16 B/row, not
+    # 2 × dim floats); the vectors join back afterwards keyed on id —
+    # at scale |pairs| dominates N, so shuffling id pairs + 2 passes of
+    # the vector table beats dragging both arrays through every collision
+    ids = bucketed.select(F.col(id_col), "bucket")
+    cand = (
+        ids.select(F.col(id_col).alias("vec_a"), "bucket")
+        .join(ids.select(F.col(id_col).alias("vec_b"), "bucket"), "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        # a pair colliding in several tables must be scored once
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vv"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    sims = (
+        cand.join(vecs, F.col("vec_a") == F.col("_vid"))
+        .select("vec_a", "vec_b", F.col("_vv").alias("ea"), F.col("_vn").alias("na"))
+        .join(vecs, F.col("vec_b") == F.col("_vid"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("_vv")) / (F.col("na") * F.col("_vn")), 4
+            ).alias("cosine"),
+        )
+    )
+    return sims.filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dup_ann_sql(
+    table: str,
+    threshold: float = 0.4,
+    planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`embedding_near_dup_ann`: the SAME
+    md5-parity hyperplane signs (last hex digit of md5('plane:i') even
+    → +1), the same per-table sign-bit signatures, the same
+    bucket-equality candidate pairs, the same rounded exact cosine."""
+    n_planes = num_tables * planes
+    return f"""
+    WITH plane AS (
+        SELECT p.p AS p, i.i AS i,
+               CASE WHEN ('0x' || substring(md5(CAST(p.p AS VARCHAR) || ':' ||
+                          CAST(i.i AS VARCHAR)), 32, 1))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM UNNEST(range(0, {n_planes})) p(p), UNNEST(range(0, {dim})) i(i)
+    ),
+    sigs AS (
+        SELECT e.vec_id, pl.p,
+               CASE WHEN SUM(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.s) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM {table} e, plane pl
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id, CAST(p // {planes} AS INT) AS tbl,
+               string_agg(bit, '' ORDER BY p) AS sig
+        FROM sigs GROUP BY vec_id, p // {planes}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a
+        JOIN buckets b ON a.tbl = b.tbl AND a.sig = b.sig
+                      AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT c.vec_a, c.vec_b,
+               SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+               SQRT(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))) AS na,
+               SQRT(SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) AS nb
+        FROM cand c
+        JOIN {table} ea ON ea.vec_id = c.vec_a
+        JOIN {table} eb ON eb.vec_id = c.vec_b,
+             UNNEST(range(1, {dim + 1})) t(i)
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(dot / (na * nb), 4) AS cosine
+    FROM pairs WHERE round(dot / (na * nb), 4) >= {threshold}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -387,6 +555,28 @@ def ivf_index(
     return assigned, centroids
 
 
+def _probe_clusters(spark, queries: DataFrame, centroids, nprobe: int) -> DataFrame:
+    """(query_id, qvec, cluster) for each query's ``nprobe`` nearest
+    centroids by cosine — the query→probed-cluster fan-out, |Q| × nprobe
+    rows, built from a broadcast cross join against the (tiny) centroid
+    table."""
+    centroid_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    centroid_df = spark.createDataFrame(
+        centroid_rows, "cluster int, centroid array<double>"
+    )
+    qc = queries.crossJoin(F.broadcast(centroid_df)).withColumn(
+        "c_sim",
+        _dot(F.col("qvec"), F.col("centroid"))
+        / (_norm(F.col("qvec")) * _norm(F.col("centroid"))),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cluster"))
+    return (
+        qc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "qvec", "cluster")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     num_queries: int = 10,
@@ -406,26 +596,10 @@ def ivf_topk(
     assigned, centroids = ivf_index(embeddings, num_clusters, id_col, vec_col, seed)
     spark = embeddings.sparkSession
 
-    centroid_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    centroid_df = spark.createDataFrame(
-        centroid_rows, "cluster int, centroid array<double>"
-    )
-
     queries = assigned.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    # rank clusters per query by centroid cosine, keep nprobe
-    qc = queries.crossJoin(F.broadcast(centroid_df)).withColumn(
-        "c_sim",
-        _dot(F.col("qvec"), F.col("centroid"))
-        / (_norm(F.col("qvec")) * _norm(F.col("centroid"))),
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cluster"))
-    probes = (
-        qc.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= nprobe)
-        .select("query_id", "qvec", "cluster")
-    )
+    probes = _probe_clusters(spark, queries, centroids, nprobe)
     cands = assigned.join(F.broadcast(probes), "cluster").filter(
         F.col(id_col) != F.col("query_id")
     )
@@ -437,12 +611,9 @@ def ivf_topk(
             4,
         ),
     )
-    w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        sims.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
-    )
+    return two_phase_topk(
+        sims, ["query_id"], [F.col("cosine").desc(), F.col(id_col)], k
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
 
 
 # ---------------------------------------------------------------------------
@@ -512,10 +683,18 @@ def pq_index(
     n = vecs.count()
     train = vecs
     if n > max_train_vectors:
-        train = vecs.sample(False, max_train_vectors / n, seed=seed)
+        # sample(fraction) is binomial — it can EXCEED the cap; the limit
+        # makes the driver-side collect bound hard, not probabilistic
+        train = vecs.sample(False, max_train_vectors / n, seed=seed).limit(
+            max_train_vectors
+        )
     sample = np.array(
         [r["_v"] for r in train.select("_v").collect()], dtype=np.float64
     )
+    if sample.size == 0:
+        raise ValueError(
+            "pq_index: embeddings input is empty — cannot train PQ codebooks"
+        )
     books = _pq_train(sample, m, n_codes, seed)
     subdim = sample.shape[1] // m
 
@@ -576,12 +755,38 @@ def pq_topk(
         .filter(F.col(id_col) < num_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     )
-    qrows = queries.collect()  # bounded: num_queries rows
-    subdim = books.shape[2]
+    lut_df = _pq_query_luts(spark, queries.collect(), books)
+    scored = _with_adc(
+        codes_df.crossJoin(F.broadcast(lut_df)).filter(
+            F.col(id_col) != F.col("query_id")
+        ),
+        books.shape[0],
+    )
+    # the ADC scan scores the FULL corpus per query — the candidate cut
+    # must not funnel it into |Q| reducers (two_phase_topk docstring)
+    cands = two_phase_topk(
+        scored,
+        ["query_id"],
+        [F.col("_adc").desc(), F.col(id_col)],
+        refine * k,
+        rank_col="_r",
+    ).select("query_id", F.col(id_col).alias("neighbor_id"))
+    return _exact_refine(cands, embeddings, queries, k, id_col, vec_col)
+
+
+def _pq_query_luts(spark, qrows, books) -> DataFrame:
+    """Per-query ADC lookup tables as a tiny broadcastable DataFrame:
+    ``lut[j][c] = <q_j, codebook[j][c]>`` plus the (query-independent)
+    reconstruction-norm table and the query norm. Carried as DATA rows,
+    not literals — a nested-literal expression of |Q| × m × n_codes
+    ``F.lit`` calls costs seconds of driver-side plan build."""
+    import numpy as np
+
     norm2_lut = [
         [float((books[j, c] ** 2).sum()) for c in range(books.shape[1])]
         for j in range(books.shape[0])
     ]
+    subdim = books.shape[2]
     lut_rows = []
     for r in qrows:
         q = np.asarray(r["qvec"], dtype=np.float64)
@@ -592,22 +797,23 @@ def pq_topk(
             ]
             for j in range(books.shape[0])
         ]
-        # carry the (query-independent) reconstruction-norm table in the
-        # same broadcast rows: a nested-literal expression of m*n_codes
-        # F.lit calls costs seconds of driver-side plan build
         lut_rows.append(
             (int(r["query_id"]), lut, norm2_lut, float(np.sqrt(q @ q)))
         )
-    lut_df = spark.createDataFrame(
+    return spark.createDataFrame(
         lut_rows,
         "query_id long, lut array<array<double>>, "
         "_n2 array<array<double>>, qnorm double",
     )
-    j_seq = F.sequence(F.lit(0), F.lit(books.shape[0] - 1))
-    scored = (
-        codes_df.crossJoin(F.broadcast(lut_df))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn(
+
+
+def _with_adc(df: DataFrame, m: int) -> DataFrame:
+    """Add the ADC cosine estimate ``_adc`` to a frame carrying
+    ``codes`` (PQ byte codes), ``lut``, ``_n2`` and ``qnorm`` columns —
+    ``m`` array lookups + adds per row, whole-stage codegen."""
+    j_seq = F.sequence(F.lit(0), F.lit(m - 1))
+    return (
+        df.withColumn(
             "_adot",
             F.aggregate(
                 j_seq,
@@ -633,15 +839,29 @@ def pq_topk(
                 )
             ),
         )
-        .withColumn("_adc", F.col("_adot") / (F.col("qnorm") * F.col("_vnorm")))
+        # zero-norm guard: an all-zero query or all-zero reconstructed
+        # centroid would make the denominator 0 → NULL/NaN ADC scores and
+        # ill-defined ranking; the clamp leaves every nonzero norm
+        # untouched and scores degenerate vectors ~0 instead
+        .withColumn(
+            "_adc",
+            F.col("_adot")
+            / F.greatest(F.lit(1e-12), F.col("qnorm") * F.col("_vnorm")),
+        )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("_adc").desc(), F.col(id_col))
-    cands = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= refine * k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
-    )
-    # exact refine of the surviving candidates
+
+
+def _exact_refine(
+    cands: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Re-score ADC candidates (query_id, neighbor_id) with EXACT cosine
+    and keep the top k — standard PQ refine. The candidate relation is
+    |Q| × refine·k rows, so the final window is over a tiny input."""
     full = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
@@ -665,3 +885,62 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    num_clusters: int = 16,
+    nprobe: int = 6,
+    m: int = 8,
+    n_codes: int = 256,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF × PQ: the composition the PQ docstring names as the 100 TB
+    shape — coarse-quantize the corpus (k-means inverted file), ADC-scan
+    ONLY the ``nprobe`` probed clusters per query, exact-refine the
+    survivors.
+
+    Relative to full-scan PQ the scored-row count drops by a factor of
+    ~num_clusters/nprobe (the scan fraction — measured in SCALE.md); at
+    100 TB the codes+cluster table is the stored index, bucketed on
+    ``cluster`` so each probe reads only its clusters' files. Codebooks
+    are trained on raw vectors (not residuals): at nprobe ≥ 4 of 16 the
+    extra distortion stays inside the refine budget on the synthetic
+    corpus, and the ε-recall contract (ann_recall_report) is the
+    regression guard that would catch it drifting."""
+    spark = embeddings.sparkSession
+    assigned, centroids = ivf_index(
+        embeddings, num_clusters, id_col, vec_col, seed
+    )
+    codes_df, books = pq_index(embeddings, m, n_codes, id_col, vec_col, seed=seed)
+    codes = codes_df.join(
+        assigned.select(F.col(id_col), "cluster"), id_col
+    )
+    queries = assigned.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probes = _probe_clusters(spark, queries, centroids, nprobe)
+    lut_df = _pq_query_luts(spark, queries.collect(), books)
+    # (cluster, query lut) fan-out: tiny (|Q| × nprobe rows), broadcast;
+    # the equi-join on cluster IS the scan-fraction cut — codes outside
+    # every probed cluster never reach the ADC expression
+    probe_lut = probes.select("query_id", "cluster").join(lut_df, "query_id")
+    scored = _with_adc(
+        codes.join(F.broadcast(probe_lut), "cluster").filter(
+            F.col(id_col) != F.col("query_id")
+        ),
+        books.shape[0],
+    )
+    cands = two_phase_topk(
+        scored,
+        ["query_id"],
+        [F.col("_adc").desc(), F.col(id_col)],
+        refine * k,
+        rank_col="_r",
+    ).select("query_id", F.col(id_col).alias("neighbor_id"))
+    return _exact_refine(cands, embeddings, queries, k, id_col, vec_col)

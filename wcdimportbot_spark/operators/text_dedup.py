@@ -666,6 +666,169 @@ def incremental_dedup(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persistent index store: probe → filter → append, snapshot-versioned
+# ---------------------------------------------------------------------------
+
+
+def _write_hash_store_unlocked(df: DataFrame, path: str) -> None:
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    version, vdir = versioned.stage_new(path)
+    sinks._sorted_on(sinks.with_bucket(df, "text_hash"), "text_hash").write.mode(
+        "overwrite"
+    ).partitionBy(sinks.BUCKET_COL).parquet(vdir)
+    versioned.publish(path, version)
+
+
+def _write_band_store_unlocked(df: DataFrame, path: str) -> None:
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    version, vdir = versioned.stage_new(path)
+    sinks._sorted_on(sinks.with_bucket(df, "bk"), "bk").write.mode(
+        "overwrite"
+    ).partitionBy(sinks.BUCKET_COL).parquet(vdir)
+    versioned.publish(path, version)
+
+
+def _with_band_key(bands_rel: DataFrame) -> DataFrame:
+    """Single-column merge key for the (band, bucket) relation — the
+    MERGE engine's anti-join/bucketing key must be one column."""
+    return bands_rel.withColumn(
+        "bk", F.concat(F.col("band").cast("string"), F.lit("#"), F.col("bucket"))
+    )
+
+
+def read_dedup_index(spark, base_path: str):
+    """(hashes_df, bands_df) from the stored index under ``base_path``
+    (subdirs ``hashes`` and ``bands``); empty-but-typed relations when a
+    store does not exist yet, so the first ingest bootstraps cleanly."""
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+
+    hpath = os.path.join(base_path, "hashes")
+    bpath = os.path.join(base_path, "bands")
+    if sinks.has_parquet_data(hpath):
+        hashes = sinks.read_snapshot(spark, hpath).select("text_hash")
+    else:
+        hashes = spark.createDataFrame([], "text_hash string")
+    if sinks.has_parquet_data(bpath):
+        bands_rel = sinks.read_snapshot(spark, bpath).select("band", "bucket")
+    else:
+        bands_rel = spark.createDataFrame([], "band int, bucket string")
+    return hashes, bands_rel
+
+
+def dedup_index_ingest(
+    new_docs: DataFrame,
+    base_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The production dedup LOOP, one batch: probe the stored index
+    (:func:`incremental_dedup`), then MERGE the FRESH survivors' hashes
+    and band buckets back into the index so the next batch dedups
+    against them too. Returns the batch annotation (materialized BEFORE
+    the store mutates — its plan reads the pre-ingest snapshot).
+
+    Store shape: two snapshot-versioned MERGE stores
+    (operators/sinks.py engine — hardlinked snapshots, atomic pointer
+    publish, writer lock, insert-if-absent anti-join), hash-bucketed on
+    exactly the probe keys, so at 100 TB each batch touches only its
+    own buckets and concurrent readers never block. DuckDB-verified as
+    the two-batch chain (``dedup_incremental_maint`` registry row /
+    :func:`incremental_maint_sql`)."""
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+
+    spark = new_docs.sparkSession
+    hashes, bands_rel = read_dedup_index(spark, base_path)
+    ann = incremental_dedup(
+        new_docs, hashes, bands_rel, num_hashes, bands, id_col, text_col, shingle_n
+    ).localCheckpoint(eager=True)
+    survivors = new_docs.join(
+        ann.filter(F.col("fresh")).select(id_col), id_col, "left_semi"
+    )
+    s_hashes, s_bands = dedup_index(
+        survivors, num_hashes, bands, id_col, text_col, shingle_n
+    )
+    sinks._merge_write(
+        spark,
+        s_hashes,
+        os.path.join(base_path, "hashes"),
+        bucket_key="text_hash",
+        anti_key="text_hash",
+        partitions=[sinks.BUCKET_COL],
+        dedup_key="text_hash",
+        read_fn=sinks.read_snapshot,
+        write_fn=_write_hash_store_unlocked,
+    )
+    sinks._merge_write(
+        spark,
+        _with_band_key(s_bands),
+        os.path.join(base_path, "bands"),
+        bucket_key="bk",
+        anti_key="bk",
+        partitions=[sinks.BUCKET_COL],
+        dedup_key="bk",
+        read_fn=sinks.read_snapshot,
+        write_fn=_write_band_store_unlocked,
+    )
+    return ann
+
+
+def _mh_cte_block(
+    table: str,
+    group_sql: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> str:
+    """Shared DuckDB CTE text for the minhash band relation: toklist →
+    shingles → signatures → ``bandsrel(doc_id, g, band, bucket)``, where
+    ``g`` is the per-doc INT group from ``group_sql`` (history/batch
+    membership). Uses the SAME hash-family constants as the Spark side."""
+    rows = num_hashes // bands
+    P = MINHASH_PRIME
+    base = f"(('0x' || substring(md5(token), 1, 15))::BIGINT % {P})"
+    mh_exprs = ",\n               ".join(
+        f"min(({a} * {base} + {b}) % {P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    sep = " || '|' || "
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, g, {b} AS band, "
+        f"md5({sep.join(f'CAST(mh{b * rows + r} AS VARCHAR)' for r in range(rows))}) AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    shingle_expr = sep.join(f"ts[i + {j}]" for j in range(shingle_n)).replace(
+        "'|'", "' '"
+    )
+    return f"""toklist AS (
+        SELECT doc_id, ({group_sql}) AS g,
+               list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS ts
+        FROM {table}
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id, g, {shingle_expr} AS token
+        FROM toklist, UNNEST(range(1, len(ts) - {shingle_n - 2})) AS t(i)
+        WHERE len(ts) >= {shingle_n}
+    ),
+    sigs AS (
+        SELECT doc_id, g,
+               {mh_exprs}
+        FROM tok GROUP BY doc_id, g
+    ),
+    bandsrel AS (
+{band_selects}
+    )"""
+
+
 def incremental_dedup_sql(
     table: str,
     hist_pred: str,
@@ -677,50 +840,24 @@ def incremental_dedup_sql(
     ``table`` rows matching ``hist_pred`` and the new batch is the
     complement (generated from the same hash-family constants as the
     Spark side)."""
-    rows = num_hashes // bands
-    P = MINHASH_PRIME
-    base = f"(('0x' || substring(md5(token), 1, 15))::BIGINT % {P})"
-    mh_exprs = ",\n               ".join(
-        f"min(({a} * {base} + {b}) % {P}) AS mh{i}"
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    )
-    sep = " || '|' || "
-    band_selects = "\n        UNION ALL\n".join(
-        f"        SELECT doc_id, is_hist, {b} AS band, "
-        f"md5({sep.join(f'CAST(mh{b * rows + r} AS VARCHAR)' for r in range(rows))}) AS bucket FROM sigs"
-        for b in range(bands)
-    )
-    shingle_expr = sep.join(f"ts[i + {j}]" for j in range(shingle_n)).replace(
-        "'|'", "' '"
+    mh = _mh_cte_block(
+        table,
+        f"CASE WHEN {hist_pred} THEN 0 ELSE 1 END",
+        num_hashes,
+        bands,
+        shingle_n,
     )
     return f"""
-    WITH toklist AS (
-        SELECT doc_id, ({hist_pred}) AS is_hist,
-               list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS ts
-        FROM {table}
-    ),
-    tok AS (
-        SELECT DISTINCT doc_id, is_hist, {shingle_expr} AS token
-        FROM toklist, UNNEST(range(1, len(ts) - {shingle_n - 2})) AS t(i)
-        WHERE len(ts) >= {shingle_n}
-    ),
-    sigs AS (
-        SELECT doc_id, is_hist,
-               {mh_exprs}
-        FROM tok GROUP BY doc_id, is_hist
-    ),
-    bandsrel AS (
-{band_selects}
-    ),
+    WITH {mh},
     hist_h AS (SELECT DISTINCT md5(text) AS text_hash FROM {table} WHERE {hist_pred}),
-    hist_b AS (SELECT DISTINCT band, bucket FROM bandsrel WHERE is_hist),
+    hist_b AS (SELECT DISTINCT band, bucket FROM bandsrel WHERE g = 0),
     new_rows AS (
         SELECT doc_id, md5(text) AS text_hash FROM {table} WHERE NOT ({hist_pred})
     ),
     near AS (
         SELECT DISTINCT b.doc_id
         FROM bandsrel b JOIN hist_b h USING (band, bucket)
-        WHERE NOT b.is_hist
+        WHERE b.g <> 0
     )
     SELECT n.doc_id, n.text_hash,
            (n.text_hash IN (SELECT text_hash FROM hist_h)) AS exact_dup_of_history,
@@ -728,4 +865,66 @@ def incremental_dedup_sql(
            NOT (n.text_hash IN (SELECT text_hash FROM hist_h))
            AND NOT (n.doc_id IN (SELECT doc_id FROM near)) AS fresh
     FROM new_rows n
+    """
+
+
+def incremental_maint_sql(
+    table: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB oracle for the index-MAINTENANCE loop (probe → filter →
+    append) over three doc groups: history = ``doc_id % 3 = 0``,
+    batch 1 = ``% 3 = 1`` (probed against history, its FRESH survivors
+    appended to the index), batch 2 = ``% 3 = 2`` (probed against the
+    UPDATED index — so batch-2 dupes of batch-1 survivors are caught)."""
+    mh = _mh_cte_block(
+        table, "CAST(doc_id % 3 AS INT)", num_hashes, bands, shingle_n
+    )
+    return f"""
+    WITH {mh},
+    h0 AS (SELECT DISTINCT md5(text) AS text_hash FROM {table} WHERE doc_id % 3 = 0),
+    b0 AS (SELECT DISTINCT band, bucket FROM bandsrel WHERE g = 0),
+    new1 AS (SELECT doc_id, md5(text) AS text_hash FROM {table} WHERE doc_id % 3 = 1),
+    near1 AS (
+        SELECT DISTINCT b.doc_id FROM bandsrel b JOIN b0 USING (band, bucket)
+        WHERE b.g = 1
+    ),
+    ann1 AS (
+        SELECT doc_id, text_hash,
+               text_hash IN (SELECT text_hash FROM h0) AS e,
+               doc_id IN (SELECT doc_id FROM near1) AS nr
+        FROM new1
+    ),
+    surv1 AS (SELECT doc_id FROM ann1 WHERE NOT e AND NOT nr),
+    h1 AS (
+        SELECT text_hash FROM h0
+        UNION
+        SELECT md5(text) FROM {table}
+        WHERE doc_id IN (SELECT doc_id FROM surv1)
+    ),
+    b1 AS (
+        SELECT band, bucket FROM b0
+        UNION
+        SELECT band, bucket FROM bandsrel
+        WHERE doc_id IN (SELECT doc_id FROM surv1)
+    ),
+    new2 AS (SELECT doc_id, md5(text) AS text_hash FROM {table} WHERE doc_id % 3 = 2),
+    near2 AS (
+        SELECT DISTINCT b.doc_id FROM bandsrel b JOIN b1 USING (band, bucket)
+        WHERE b.g = 2
+    ),
+    ann2 AS (
+        SELECT doc_id, text_hash,
+               text_hash IN (SELECT text_hash FROM h1) AS e,
+               doc_id IN (SELECT doc_id FROM near2) AS nr
+        FROM new2
+    )
+    SELECT 1 AS batch, doc_id, text_hash, e AS exact_dup_of_history,
+           nr AS near_dup_of_history, (NOT e AND NOT nr) AS fresh
+    FROM ann1
+    UNION ALL
+    SELECT 2 AS batch, doc_id, text_hash, e, nr, (NOT e AND NOT nr)
+    FROM ann2
     """

@@ -1699,9 +1699,10 @@ def a8_sessionization(spark, sf_dir):
 
 @register(
     "dedup_embedding_cosine",
-    "A6+ (embedding near-dup)",
-    "embedding-cosine near-duplicate pairs above a threshold (blocked query "
-    "set to bound the pair space; ANN buckets are the scale path)",
+    "A6+ (embedding near-dup, exact baseline)",
+    "embedding-cosine near-duplicate pairs above a threshold — the EXACT "
+    "blocked baseline (crossJoin bounded by the vec_id<200 query block); "
+    "the scale path is dedup_embedding_ann (LSH-bucketed equi-join)",
     """
     WITH pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1736,6 +1737,32 @@ def dedup_embedding_cosine(spark, sf_dir):
         F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4),
     )
     return sims.filter(F.col("cosine") >= 0.4).select("vec_a", "vec_b", "cosine")
+
+
+def _emb_ann_oracle():
+    from wcdimportbot_spark.operators.similarity import embedding_near_dup_ann_sql
+
+    return embedding_near_dup_ann_sql("embeddings", threshold=0.4)
+
+
+@register(
+    "dedup_embedding_ann",
+    "A6+ (embedding near-dup, scale path)",
+    "LSH-bucketed embedding near-dup: candidate pairs from a self "
+    "EQUI-join on md5-derived hyperplane buckets (no cartesian, no query "
+    "block — the whole corpus), exact cosine re-score + threshold; the "
+    "deterministic hyperplanes make the FULL pipeline hash-verifiable "
+    "against DuckDB, buckets and all",
+    None,  # generated SQL attached below
+)
+def dedup_embedding_ann(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import embedding_near_dup_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_ann(emb, threshold=0.4)
+
+
+QUERIES["dedup_embedding_ann"].oracle = _emb_ann_oracle()
 
 
 @register(
@@ -1850,6 +1877,34 @@ def sim_ann_pq(spark, sf_dir):
 
 
 QUERIES["sim_ann_pq"].oracle = _ann_oracle()
+
+
+@register(
+    "sim_ann_ivfpq",
+    "similarity search (scale path #4: IVF x PQ)",
+    "the composed 100 TB ANN shape: k-means inverted file bounds the scan "
+    "to nprobe clusters, PQ byte codes make the per-cluster scan "
+    "memory-bound (ADC lookups), exact refine of the survivors; same "
+    "verifiable epsilon-recall contract as the LSH/IVF/PQ rows",
+    None,
+)
+def sim_ann_ivfpq(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import (
+        ann_recall_report,
+        ivfpq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    approx = ivfpq_topk(
+        emb, num_queries=10, k=5, num_clusters=16, nprobe=6, m=8,
+        n_codes=256, refine=3,
+    )
+    return ann_recall_report(
+        emb, approx, num_queries=10, k=5, epsilon=0.05, recall_floor=0.6
+    )
+
+
+QUERIES["sim_ann_ivfpq"].oracle = _ann_oracle()
 
 
 @register(
@@ -3022,6 +3077,52 @@ def dedup_incremental(spark, sf_dir):
 
 
 QUERIES["dedup_incremental"].oracle = _incremental_oracle()
+
+
+def _maint_oracle():
+    from wcdimportbot_spark.operators.text_dedup import incremental_maint_sql
+
+    return incremental_maint_sql("documents")
+
+
+@register(
+    "dedup_incremental_maint",
+    "LLM dedup (index maintenance)",
+    "the full probe → filter → append loop over TWO successive batches: "
+    "batch 1 probes the history index and its fresh survivors are merged "
+    "back in, batch 2 probes the UPDATED index — a batch-2 dupe of a "
+    "batch-1 survivor is caught (the store-backed twin is "
+    "text_dedup.dedup_index_ingest on the snapshot-versioned MERGE store)",
+    None,  # generated SQL attached below
+)
+def dedup_incremental_maint(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index,
+        incremental_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 2)
+    h0, b0 = dedup_index(hist)
+    ann1 = incremental_dedup(batch1, h0, b0)
+    surv1 = batch1.join(
+        ann1.filter(F.col("fresh")).select("doc_id"), "doc_id", "left_semi"
+    )
+    sh, sb = dedup_index(surv1)
+    h1 = h0.union(sh).distinct()
+    b1 = b0.union(sb).distinct()
+    ann2 = incremental_dedup(batch2, h1, b1)
+    return ann1.withColumn("batch", F.lit(1)).unionByName(
+        ann2.withColumn("batch", F.lit(2))
+    ).select(
+        "batch", "doc_id", "text_hash", "exact_dup_of_history",
+        "near_dup_of_history", "fresh",
+    )
+
+
+QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 
 
 # ---------------------------------------------------------------------------
