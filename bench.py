@@ -176,9 +176,8 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # stdout must stay ONE line (the driver tail-captures it and has
-    # truncated per-query maps in past rounds) — so ALSO persist the full
-    # JSON as a repo artifact, diffable across rounds from the repo alone.
+    # The full JSON (complete names, 3-decimal timings, errors) persists
+    # as a repo artifact, diffable across rounds from the repo alone.
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
@@ -188,9 +187,50 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:
         print(f"# could not write {local_path}: {exc}", file=sys.stderr)
-    print(json.dumps(out))
+    # stdout must stay ONE parseable JSON line UNDER the driver's 2000-char
+    # tail capture (BENCH_r06 kept only a truncated, unparseable head) —
+    # with ~90 registry rows the full-name map cannot fit, so the driver
+    # line carries EVERY per-query timing under deterministically
+    # shortened keys (longest prefix cap that fits; `key_cap` records it,
+    # collisions disambiguated with `~N`; full names in BENCH_LOCAL.json).
+    print(json.dumps(_compact_line(out, timings), separators=(",", ":")))
     if errors:
         sys.exit(1)
+
+
+def _shorten_keys(names: list[str], cap: int) -> dict[str, str]:
+    short: dict[str, str] = {}
+    used: set[str] = set()
+    for n in names:
+        s = n[:cap]
+        k, i = s, 2
+        while k in used:
+            k, i = f"{s}~{i}", i + 1
+        used.add(k)
+        short[n] = k
+    return short
+
+def _compact_line(out: dict, timings: dict[str, float]) -> dict:
+    base = {
+        k: out[k]
+        for k in (
+            "metric", "bench_protocol", "value", "unit", "sf", "n_queries",
+            "headline39_sec", "cold_pass_sec",
+        )
+    }
+    if out.get("errors"):
+        base["n_errors"] = len(out["errors"])
+    for cap in (99, 14, 12, 10, 8, 6):
+        smap = _shorten_keys(list(timings), cap)
+        compact = dict(
+            base,
+            key_cap=cap,
+            queries={smap[n]: round(v, 2) for n, v in timings.items()},
+        )
+        if len(json.dumps(compact, separators=(",", ":"))) <= 1900:
+            return compact
+    compact["queries"] = {}  # last resort: totals always fit
+    return compact
 
 
 if __name__ == "__main__":

@@ -547,3 +547,88 @@ def test_streaming_media_feature_extraction(spark, tmp_path):
     }
     assert got == want and len(got) == 40
     assert q.lastProgress["stateOperators"] == []  # stateless projection
+
+
+def test_streaming_incremental_dedup_gate(spark, tmp_path):
+    """The streaming dedup gate: micro-batch 2's duplicates of
+    micro-batch 1's SURVIVORS are dropped (the index was updated between
+    batches), with batch parity against dedup_index_ingest run twice on
+    the same batches, and ZERO streaming-engine state (history lives in
+    the index store, not a state store)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.operators.text_dedup import dedup_index_ingest
+    from wcdimportbot_spark.streaming.dedup_gate import incremental_dedup_batch_fn
+
+    b1_rows = [
+        {"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog near the river bank"},
+        {"doc_id": 11, "text": "completely different words about spark catalyst optimizer plans"},
+    ]
+    b2_rows = [
+        # exact dup of batch-1 survivor 10
+        {"doc_id": 20, "text": "the quick brown fox jumps over the lazy dog near the river bank"},
+        # near-dup (one word off) of batch-1 survivor 10
+        {"doc_id": 21, "text": "the quick brown fox jumps over the lazy dog near the river bend"},
+        {"doc_id": 22, "text": "unrelated fresh content about parquet row group statistics"},
+    ]
+    src = tmp_path / "dedup-in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1_rows))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(F.from_json(F.col("value"), schema).alias("e"))
+        .select("e.*")
+    )
+    index = str(tmp_path / "dedup-index")
+    fresh_out = str(tmp_path / "fresh-out")
+    rej_out = str(tmp_path / "rej-out")
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_dedup_batch_fn(index, fresh_out, rej_out)
+        )
+        .option("checkpointLocation", str(tmp_path / "dedup-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()  # batch 1 ingests + seeds the index
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2_rows))
+    q.processAllAvailable()  # batch 2 probes the UPDATED index
+    assert q.lastProgress["stateOperators"] == []  # history is in the store
+    q.stop()
+
+    spark.catalog.refreshByPath(fresh_out)
+    fresh_ids = {r["doc_id"] for r in spark.read.parquet(fresh_out).collect()}
+    assert fresh_ids == {10, 11, 22}  # 20 (exact) and 21 (near) dropped
+    spark.catalog.refreshByPath(rej_out)
+    rejects = {
+        r["doc_id"]: r for r in spark.read.parquet(rej_out).collect()
+    }
+    assert set(rejects) == {20, 21}
+    assert rejects[20]["exact_dup_of_history"]
+    assert rejects[21]["near_dup_of_history"] and not rejects[21]["exact_dup_of_history"]
+
+    # batch parity: the same two batches through dedup_index_ingest give
+    # the same fresh set
+    index2 = str(tmp_path / "dedup-index-batch")
+    b1 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1_rows], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b2_rows], "doc_id long, text string"
+    )
+    ann1 = dedup_index_ingest(b1, index2)
+    ann2 = dedup_index_ingest(b2, index2)
+    batch_fresh = {
+        r["doc_id"]
+        for df in (ann1, ann2)
+        for r in df.filter(F.col("fresh")).collect()
+    }
+    assert batch_fresh == fresh_ids
