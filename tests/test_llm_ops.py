@@ -416,6 +416,39 @@ def test_jpeg_gates_reject_unsupported_processes():
         decode_jpeg(bytes(sub))
 
 
+def test_pq_index_rejects_empty_input(spark):
+    """An empty embeddings input must fail with a clear error, not an
+    opaque numpy crash inside codebook training."""
+    import pytest as _pytest
+
+    from wcdimportbot_spark.operators.similarity import pq_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        pq_index(empty)
+
+
+def test_jpeg_tolerates_fill_bytes_and_standalone_markers():
+    """Legal-but-foreign streams: 0xFF fill bytes between segments and a
+    standalone TEM (0xFF01) marker before SOS must not desync the marker
+    scan — the decode still round-trips exactly."""
+    import numpy as np
+
+    from wcdimportbot_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((8, 8, 3), 42, dtype=np.uint8)
+    good = encode_jpeg(px)
+    # inject a run of fill bytes + a TEM marker right after SOI
+    patched = good[:2] + b"\xff\xff\xff\x01" + good[2:]
+    d = decode_jpeg(patched, return_pixels=True)
+    assert np.array_equal(d["pixels"], px)
+    # fill bytes immediately before a mid-stream marker (SOF0) too
+    i = good.index(b"\xff\xc0")
+    patched2 = good[:i] + b"\xff\xff" + good[i:]
+    d2 = decode_jpeg(patched2, return_pixels=True)
+    assert np.array_equal(d2["pixels"], px)
+
+
 def test_pq_codes_and_recall_contract(spark):
     """PQ: codes are m small ints per vector (the 32x-compressed
     representation), the ADC+refine top-k satisfies the epsilon-recall

@@ -361,19 +361,28 @@ def ann_lsh_topk(
             F.col("bucket"),
         )
     )
-    cands = (
-        bucketed.join(F.broadcast(queries), "bucket")
+    # candidate dedup stays NARROW — only (id, query_id) pairs flow
+    # through the multi-table dedup shuffle; the vectors join back after
+    # (same rationale as embedding_near_dup_ann's join-back)
+    cand_ids = (
+        bucketed.select(id_col, "bucket")
+        .join(F.broadcast(queries.select("query_id", "bucket")), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .select(id_col, vec_col, "query_id", "qvec")
         .dropDuplicates([id_col, "query_id"])
+        .select(id_col, "query_id")
     )
-    sims = cands.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("qvec"), F.col(vec_col))
-            / (_norm(F.col("qvec")) * _norm(F.col(vec_col))),
-            4,
-        ),
+    qvecs = queries.select("query_id", "qvec").dropDuplicates(["query_id"])
+    sims = (
+        cand_ids.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col(vec_col))
+                / (_norm(F.col("qvec")) * _norm(F.col(vec_col))),
+                4,
+            ),
+        )
     )
     return two_phase_topk(
         sims, ["query_id"], [F.col("cosine").desc(), F.col(id_col)], k
@@ -586,14 +595,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index=None,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query is compared only against the
     vectors in its ``nprobe`` nearest clusters (candidates ≈ nprobe/k of N).
 
     The query→probed-cluster fan-out is a small broadcast join; the
     candidate set join is an equi-join on ``cluster`` — co-locatable by
-    bucketing the assigned table on ``cluster`` at scale."""
-    assigned, centroids = ivf_index(embeddings, num_clusters, id_col, vec_col, seed)
+    bucketing the assigned table on ``cluster`` at scale. ``index`` (an
+    ``ivf_index`` result, (assigned, centroids)) lets callers reuse a
+    prebuilt/stored index instead of re-fitting k-means per query — the
+    production serving shape, where the index is a stored artifact and
+    only the probe runs per query. The caller owns parameter consistency
+    (same embeddings/num_clusters/seed as the build)."""
+    if index is None:
+        index = ivf_index(embeddings, num_clusters, id_col, vec_col, seed)
+    assigned, centroids = index
     spark = embeddings.sparkSession
 
     queries = assigned.filter(F.col(id_col) < num_queries).select(
@@ -621,14 +638,24 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _nearest_center(x: "np.ndarray", centers: "np.ndarray") -> "np.ndarray":
+    """argmin_c ||x - c||² per row WITHOUT materializing the (n, k, d)
+    difference cube: ||x||² is constant per row, so the argmin over
+    (||c||² - 2·x·cᵀ) is identical — one (n, d)×(d, k) matmul instead of
+    an n·k·d broadcast (the cube was the sf1 rehearsal's hot spot: 330 MB
+    per subspace per Lloyd iteration at 20k training vectors)."""
+    c2 = (centers ** 2).sum(axis=1)
+    return (c2[None, :] - 2.0 * (x @ centers.T)).argmin(axis=1)
+
+
 def _pq_train(sample: "np.ndarray", m: int, n_codes: int, seed: int):
     """Per-subspace Lloyd k-means codebooks: (m, n_codes, subdim) float64.
 
     Runs DRIVER-SIDE on a bounded sample (the FAISS convention — PQ
     training is always on a capped sample; the distributed work is the
     encode/scan, not the fit). Vectorized numpy: each iteration is one
-    (n, k) distance matrix per subspace. Empty clusters re-seed from the
-    farthest points, deterministically."""
+    matmul-based assignment per subspace (see :func:`_nearest_center`).
+    Empty clusters re-seed from the farthest points, deterministically."""
     import numpy as np
 
     n, dim = sample.shape
@@ -637,17 +664,20 @@ def _pq_train(sample: "np.ndarray", m: int, n_codes: int, seed: int):
     books = np.empty((m, n_codes, subdim), dtype=np.float64)
     for j in range(m):
         x = sample[:, j * subdim : (j + 1) * subdim]
+        x2 = (x ** 2).sum(axis=1)
         k = min(n_codes, n)
         centers = x[rng.choice(n, size=k, replace=False)].copy()
         for _ in range(20):
-            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            c2 = (centers ** 2).sum(axis=1)
+            scores = c2[None, :] - 2.0 * (x @ centers.T)
+            assign = scores.argmin(axis=1)
             for c in range(k):
                 mask = assign == c
                 if mask.any():
                     centers[c] = x[mask].mean(axis=0)
                 else:
-                    centers[c] = x[d2.min(axis=1).argmax()]
+                    # true squared distance needs the ||x||² term back
+                    centers[c] = x[(scores.min(axis=1) + x2).argmax()]
         if k < n_codes:  # tiny corpus: pad by repeating centers
             centers = np.concatenate(
                 [centers, centers[np.arange(n_codes - k) % k]], axis=0
@@ -707,8 +737,7 @@ def pq_index(
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 x = mat[:, j * subdim : (j + 1) * subdim]
-                d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                codes[:, j] = _nearest_center(x, books[j])
             yield pd.DataFrame({"_id": pdf["_id"], "codes": list(codes)})
 
     schema = T.StructType(
@@ -731,8 +760,14 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index=None,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance (ADC) + exact refine.
+
+    ``index`` (a ``pq_index`` result, (codes_df, codebooks)) lets callers
+    reuse a prebuilt/stored index instead of re-training + re-encoding
+    per query — the production serving shape; the caller owns parameter
+    consistency with the build.
 
     Per query the driver precomputes the ADC lookup table
     ``lut[j][c] = <q_j, codebook[j][c]>`` and the code-dependent
@@ -747,9 +782,9 @@ def pq_topk(
     import numpy as np
 
     spark = embeddings.sparkSession
-    codes_df, books = pq_index(
-        embeddings, m, n_codes, id_col, vec_col, seed=seed
-    )
+    if index is None:
+        index = pq_index(embeddings, m, n_codes, id_col, vec_col, seed=seed)
+    codes_df, books = index
     queries = (
         fan_out(embeddings, id_col)
         .filter(F.col(id_col) < num_queries)
@@ -899,6 +934,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    ivf: object = None,
+    pq: object = None,
 ) -> DataFrame:
     """IVF × PQ: the composition the PQ docstring names as the 100 TB
     shape — coarse-quantize the corpus (k-means inverted file), ADC-scan
@@ -912,12 +949,16 @@ def ivfpq_topk(
     are trained on raw vectors (not residuals): at nprobe ≥ 4 of 16 the
     extra distortion stays inside the refine budget on the synthetic
     corpus, and the ε-recall contract (ann_recall_report) is the
-    regression guard that would catch it drifting."""
+    regression guard that would catch it drifting. ``ivf`` / ``pq``
+    accept prebuilt :func:`ivf_index` / :func:`pq_index` results so the
+    serving path reuses stored indexes instead of re-fitting per query."""
     spark = embeddings.sparkSession
-    assigned, centroids = ivf_index(
-        embeddings, num_clusters, id_col, vec_col, seed
-    )
-    codes_df, books = pq_index(embeddings, m, n_codes, id_col, vec_col, seed=seed)
+    if ivf is None:
+        ivf = ivf_index(embeddings, num_clusters, id_col, vec_col, seed)
+    assigned, centroids = ivf
+    if pq is None:
+        pq = pq_index(embeddings, m, n_codes, id_col, vec_col, seed=seed)
+    codes_df, books = pq
     codes = codes_df.join(
         assigned.select(F.col(id_col), "cluster"), id_col
     )
