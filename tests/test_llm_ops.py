@@ -416,6 +416,48 @@ def test_jpeg_gates_reject_unsupported_processes():
         decode_jpeg(bytes(sub))
 
 
+def test_ivfpq_residual_adc_decomposition_exact(spark, sf_dir):
+    """The residual-ADC identities must hold EXACTLY against the
+    reconstruction: dot(q, x̂) = dot(q, c) + Σ lut lookups and
+    ‖x̂‖² = ‖c‖² + Σ cross lookups — approximation lives only in the
+    quantization x → x̂, never in the scoring algebra."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_residual_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    ivf = ivf_index(emb, num_clusters=4)
+    codes_df, books = ivfpq_residual_index(emb, ivf, m=8, n_codes=16)
+    assigned, centroids = ivf
+    cent = np.asarray(centroids)
+    m, _, subdim = books.shape
+    q = np.array(
+        emb.filter(F.col("vec_id") == emb.agg(F.min("vec_id")).first()[0])
+        .first()["embedding"],
+        dtype=np.float64,
+    )
+    for r in codes_df.limit(50).collect():
+        c, codes = r["cluster"], np.array(r["codes"])
+        rhat = np.concatenate([books[j, codes[j]] for j in range(m)])
+        xhat = cent[c] + rhat
+        adot = q @ cent[c] + sum(
+            books[j, codes[j]] @ q[j * subdim : (j + 1) * subdim]
+            for j in range(m)
+        )
+        vnorm2 = cent[c] @ cent[c] + sum(
+            2.0 * (cent[c][j * subdim : (j + 1) * subdim] @ books[j, codes[j]])
+            + books[j, codes[j]] @ books[j, codes[j]]
+            for j in range(m)
+        )
+        assert abs(adot - q @ xhat) < 1e-9
+        assert abs(vnorm2 - xhat @ xhat) < 1e-9
+
+
 def test_pq_index_rejects_empty_input(spark):
     """An empty embeddings input must fail with a clear error, not an
     opaque numpy crash inside codebook training."""

@@ -922,6 +922,199 @@ def _exact_refine(
     )
 
 
+def ivfpq_residual_index(
+    embeddings: DataFrame,
+    ivf,
+    m: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_vectors: int = 65_536,
+):
+    """RESIDUAL-encoded PQ index over an IVF partitioning — the canonical
+    IVFPQ (FAISS IndexIVFPQ): codebooks are trained on ``x − c(x)`` (the
+    vector minus its assigned coarse centroid), not on raw vectors.
+    Residuals have far smaller spread than the vectors themselves, so the
+    same m × n_codes budget quantizes them with less distortion — the
+    property that keeps recall up when clusters are coarse at 100 TB.
+
+    Returns (codes_df(id, cluster, codes), codebooks). Same bounded
+    driver-side training sample and Arrow-batched encode as
+    :func:`pq_index`; the encode ships the (tiny) centroid matrix into
+    the workers and subtracts per batch before the per-subspace argmin."""
+    import numpy as np
+
+    assigned, centroids = ivf
+    cent = np.asarray(centroids, dtype=np.float64)
+    vecs = assigned.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cluster"
+    )
+    n = vecs.count()
+    train = vecs
+    if n > max_train_vectors:
+        train = vecs.sample(False, max_train_vectors / n, seed=seed).limit(
+            max_train_vectors
+        )
+    rows = train.select("_v", "cluster").collect()
+    if not rows:
+        raise ValueError(
+            "ivfpq_residual_index: embeddings input is empty — cannot train"
+        )
+    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+    clus = np.array([r["cluster"] for r in rows], dtype=np.int64)
+    books = _pq_train(mat - cent[clus], m, n_codes, seed)
+    subdim = mat.shape[1] // m
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def encode(it):
+        for pdf in it:
+            vmat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            res = vmat - cent[pdf["cluster"].to_numpy()]
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                x = res[:, j * subdim : (j + 1) * subdim]
+                codes[:, j] = _nearest_center(x, books[j])
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "cluster": pdf["cluster"], "codes": list(codes)}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    codes_df = vecs.mapInPandas(encode, schema).withColumnsRenamed({"_id": id_col})
+    return codes_df, books
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    num_clusters: int = 16,
+    nprobe: int = 6,
+    m: int = 8,
+    n_codes: int = 256,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    ivf=None,
+    rindex=None,
+) -> DataFrame:
+    """Canonical IVFPQ top-k: probe ``nprobe`` clusters, ADC-scan their
+    RESIDUAL byte codes, exact-refine the survivors.
+
+    With x = c + r̂ the ADC decomposes per (query, cluster):
+    ``dot(q, x) = dot(q, c) + Σ_j lut[j][code_j]`` with
+    ``lut[j][k] = <q_j, rbook_j[k]>``, and
+    ``‖x‖² = ‖c‖² + Σ_j cross[j][code_j]`` with
+    ``cross[j][k] = 2<c_j, rbook_j[k]> + ‖rbook_j[k]‖²`` — so each probe
+    row of the broadcast carries (lut, cross, dot(q,c), ‖c‖²):
+    |Q| × nprobe rows × 2·m·n_codes doubles, ~2 MB at the defaults. The
+    scan stays one narrow codegen pass of m lookups + adds per (probed
+    query, vector); nothing per-row touches the original floats."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    if ivf is None:
+        ivf = ivf_index(embeddings, num_clusters, id_col, vec_col, seed)
+    assigned, centroids = ivf
+    if rindex is None:
+        rindex = ivfpq_residual_index(
+            embeddings, ivf, m, n_codes, id_col, vec_col, seed=seed
+        )
+    codes, books = rindex
+    cent = np.asarray(centroids, dtype=np.float64)
+    subdim = books.shape[2]
+
+    queries = assigned.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probes = _probe_clusters(spark, queries, centroids, nprobe)
+    qvecs = {
+        int(r["query_id"]): np.asarray(r["qvec"], dtype=np.float64)
+        for r in queries.collect()
+    }
+    # per-cluster cross table (query-independent): cross[c][j][k]
+    cross_by_cluster = {}
+    for c in {int(r["cluster"]) for r in probes.select("cluster").collect()}:
+        cross_by_cluster[c] = [
+            [
+                float(
+                    2.0 * (cent[c, j * subdim : (j + 1) * subdim] @ books[j, kk])
+                    + books[j, kk] @ books[j, kk]
+                )
+                for kk in range(books.shape[1])
+            ]
+            for j in range(books.shape[0])
+        ]
+    probe_rows = []
+    for r in probes.select("query_id", "cluster").collect():
+        qid, c = int(r["query_id"]), int(r["cluster"])
+        q = qvecs[qid]
+        lut = [
+            [
+                float(books[j, kk] @ q[j * subdim : (j + 1) * subdim])
+                for kk in range(books.shape[1])
+            ]
+            for j in range(books.shape[0])
+        ]
+        probe_rows.append(
+            (
+                qid,
+                c,
+                lut,
+                cross_by_cluster[c],
+                float(q @ cent[c]),
+                float(cent[c] @ cent[c]),
+                float(np.sqrt(q @ q)),
+            )
+        )
+    probe_lut = spark.createDataFrame(
+        probe_rows,
+        "query_id long, cluster int, lut array<array<double>>, "
+        "cross array<array<double>>, qdotc double, cnorm2 double, qnorm double",
+    )
+    j_seq = F.sequence(F.lit(0), F.lit(books.shape[0] - 1))
+
+    def _sum_lookup(table: str):
+        return F.aggregate(
+            j_seq,
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(table, j + F.lit(1)),
+                F.element_at(F.col("codes"), j + F.lit(1)) + F.lit(1),
+            ),
+        )
+
+    scored = (
+        codes.join(F.broadcast(probe_lut), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("_adot", F.col("qdotc") + _sum_lookup("lut"))
+        .withColumn("_vnorm", F.sqrt(F.col("cnorm2") + _sum_lookup("cross")))
+        .withColumn(
+            "_adc",
+            F.col("_adot")
+            / F.greatest(F.lit(1e-12), F.col("qnorm") * F.col("_vnorm")),
+        )
+    )
+    cands = two_phase_topk(
+        scored,
+        ["query_id"],
+        [F.col("_adc").desc(), F.col(id_col)],
+        refine * k,
+        rank_col="_r",
+    ).select("query_id", F.col(id_col).alias("neighbor_id"))
+    return _exact_refine(cands, embeddings, queries, k, id_col, vec_col)
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     num_queries: int = 10,

@@ -1460,6 +1460,8 @@ def _ann_stage(spark, sf_dir, kind: str):
     key = f"ann_{kind}"
     if slot is not None and key in slot:
         return slot[key]
+    from wcdimportbot_spark.operators.similarity import ivfpq_residual_index
+
     emb = load(spark, sf_dir, "embeddings")
     if kind == "pq":
         codes_df, books = pq_index(emb)
@@ -1467,6 +1469,11 @@ def _ann_stage(spark, sf_dir, kind: str):
     elif kind == "ivf":
         assigned, centroids = ivf_index(emb)
         val = (assigned.localCheckpoint(eager=True), centroids)
+    elif kind == "ivfpq_res":
+        codes_df, books = ivfpq_residual_index(
+            emb, _ann_stage(spark, sf_dir, "ivf")
+        )
+        val = (codes_df.localCheckpoint(eager=True), books)
     else:  # pragma: no cover - registry-internal contract
         raise ValueError(kind)
     if slot is not None:
@@ -1946,24 +1953,30 @@ QUERIES["sim_ann_pq"].oracle = _ann_oracle()
 @register(
     "sim_ann_ivfpq",
     "similarity search (scale path #4: IVF x PQ)",
-    "the composed 100 TB ANN shape: k-means inverted file bounds the scan "
-    "to nprobe clusters, PQ byte codes make the per-cluster scan "
-    "memory-bound (ADC lookups), exact refine of the survivors; same "
-    "verifiable epsilon-recall contract as the LSH/IVF/PQ rows",
+    "the composed 100 TB ANN shape (canonical FAISS-style IVFPQ): k-means "
+    "inverted file bounds the scan to nprobe clusters, RESIDUAL-encoded "
+    "PQ byte codes make the per-cluster scan memory-bound (ADC decomposes "
+    "as dot(q,centroid) + residual-LUT lookups), exact refine of the "
+    "survivors; same verifiable epsilon-recall contract as the "
+    "LSH/IVF/PQ rows (raw-codebook composition kept as ivfpq_topk)",
     None,
 )
 def sim_ann_ivfpq(spark, sf_dir):
     from wcdimportbot_spark.operators.similarity import (
         ann_recall_report,
-        ivfpq_topk,
+        ivfpq_residual_topk,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    approx = ivfpq_topk(
+    # refine=5 (vs the full-scan PQ row's 3): residuals of the synthetic
+    # corpus are structureless, so per-pair ADC noise is ±0.05 against a
+    # ~0.06 cosine spread between top-1 and top-k — the wider exact-refine
+    # budget (still only refine·k = 25 rescans per query) absorbs it
+    approx = ivfpq_residual_topk(
         emb, num_queries=10, k=5, num_clusters=16, nprobe=6, m=8,
-        n_codes=256, refine=3,
+        n_codes=256, refine=5,
         ivf=_ann_stage(spark, sf_dir, "ivf"),
-        pq=_ann_stage(spark, sf_dir, "pq"),
+        rindex=_ann_stage(spark, sf_dir, "ivfpq_res"),
     )
     return ann_recall_report(
         emb, approx, num_queries=10, k=5, epsilon=0.05, recall_floor=0.6
