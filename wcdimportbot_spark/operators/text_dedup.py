@@ -619,6 +619,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Annotate a NEW batch against the stored index: per new doc, its
     text hash, ``exact_dup_of_history``, ``near_dup_of_history`` (shares
@@ -637,12 +638,16 @@ def incremental_dedup(
         .select(id_col)
         .withColumn("_e", F.lit(True))
     )
-    new_bands = lsh_bands(
-        minhash_signatures(new_docs, num_hashes, id_col, shingle_n),
-        num_hashes,
-        bands,
-        id_col,
-    )
+    if new_bands is None:
+        # callers holding a precomputed (doc, band, bucket) relation for
+        # the batch (e.g. one shared minhash pass sliced by group) pass
+        # it via ``new_bands`` instead of re-shingling here
+        new_bands = lsh_bands(
+            minhash_signatures(new_docs, num_hashes, id_col, shingle_n),
+            num_hashes,
+            bands,
+            id_col,
+        )
     near_ids = (
         new_bands.join(history_bands, ["band", "bucket"], "left_semi")
         .select(id_col)

@@ -3176,23 +3176,45 @@ def _maint_oracle():
 )
 def dedup_incremental_maint(spark, sf_dir):
     from wcdimportbot_spark.operators.text_dedup import (
-        dedup_index,
         incremental_dedup,
+        lsh_bands,
+        minhash_signatures,
     )
 
     docs = load(spark, sf_dir, "documents")
-    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    # ONE shared minhash/shingling pass over the whole table, sliced by
+    # group — exactly the oracle's single `bandsrel` CTE; recomputing
+    # signatures per stage (hist, batch1, survivors, batch2) cost 4
+    # passes over the corpus for identical relations
+    bands_all = (
+        lsh_bands(minhash_signatures(docs))
+        .withColumn("g", (F.col("doc_id") % 3).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        (F.col("doc_id") % 3).cast("int").alias("g"),
+    )
     batch1 = docs.filter(F.col("doc_id") % 3 == 1)
     batch2 = docs.filter(F.col("doc_id") % 3 == 2)
-    h0, b0 = dedup_index(hist)
-    ann1 = incremental_dedup(batch1, h0, b0)
-    surv1 = batch1.join(
-        ann1.filter(F.col("fresh")).select("doc_id"), "doc_id", "left_semi"
+    h0 = hashed.filter(F.col("g") == 0).select("text_hash").distinct()
+    b0 = bands_all.filter(F.col("g") == 0).select("band", "bucket").distinct()
+    ann1 = incremental_dedup(
+        batch1, h0, b0,
+        new_bands=bands_all.filter(F.col("g") == 1).select("doc_id", "band", "bucket"),
     )
-    sh, sb = dedup_index(surv1)
-    h1 = h0.union(sh).distinct()
-    b1 = b0.union(sb).distinct()
-    ann2 = incremental_dedup(batch2, h1, b1)
+    surv1_ids = ann1.filter(F.col("fresh")).select("doc_id")
+    h1 = h0.union(
+        hashed.join(surv1_ids, "doc_id", "left_semi").select("text_hash")
+    ).distinct()
+    b1 = b0.union(
+        bands_all.join(surv1_ids, "doc_id", "left_semi").select("band", "bucket")
+    ).distinct()
+    ann2 = incremental_dedup(
+        batch2, h1, b1,
+        new_bands=bands_all.filter(F.col("g") == 2).select("doc_id", "band", "bucket"),
+    )
     return ann1.withColumn("batch", F.lit(1)).unionByName(
         ann2.withColumn("batch", F.lit(2))
     ).select(
