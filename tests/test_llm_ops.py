@@ -416,6 +416,49 @@ def test_jpeg_gates_reject_unsupported_processes():
         decode_jpeg(bytes(sub))
 
 
+def test_unigram_logprob_oov_smoothing(spark):
+    """With a vocab cut smaller than the token set, OOV tokens must take
+    the alpha/N floor: a doc of rare tokens scores strictly lower mean
+    log-probability (higher perplexity) than one of frequent tokens, and
+    the perplexity of a doc made ONLY of the most frequent token equals
+    N/count(token) exactly."""
+    from wcdimportbot_spark.operators.text_analysis import unigram_logprob
+
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare1 rare2"),
+            (3, "common common common common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    # vocab_size=1 keeps only "common" (12 occurrences of 14 total)
+    out = {r["doc_id"]: r for r in unigram_logprob(docs, vocab_size=1).collect()}
+    n_total = 14
+    p_common = 12 / n_total
+    assert out[1]["perplexity"] == round(1 / p_common, 4)
+    assert out[3]["perplexity"] == out[1]["perplexity"]
+    # doc 2 carries two OOV tokens at the alpha/N floor -> worse score
+    assert out[2]["mean_logprob"] < out[1]["mean_logprob"]
+    expected2 = (2 * math.log(p_common) + 2 * math.log(1 / n_total)) / 4
+    assert out[2]["mean_logprob"] == round(expected2, 4)
+
+
+def test_unigram_logprob_vocab_cut_is_distributed(spark):
+    """The vocab cut must compile to TakeOrderedAndProject (per-partition
+    heaps), never a single-partition global sort over the vocabulary."""
+    from wcdimportbot_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        unigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_ivfpq_residual_adc_decomposition_exact(spark, sf_dir):
     """The residual-ADC identities must hold EXACTLY against the
     reconstruction: dot(q, x̂) = dot(q, c) + Σ lut lookups and

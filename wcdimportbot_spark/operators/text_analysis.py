@@ -259,3 +259,88 @@ def repetition_profile_sql(table: str, flag_threshold: float = 0.2) -> str:
            greatest(rep_bigram, rep_trigram) >= {flag_threshold} AS repetitive
     FROM r
     """
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability / perplexity filtering (CCNet-style quality gate)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 65_536,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the perplexity-based quality filter of a pretraining
+    pipeline (CCNet-style: documents whose tokens are improbable under a
+    clean reference LM are dropped or down-weighted; here the corpus
+    itself is the model, the standard bootstrap).
+
+    Model: vocab = top ``vocab_size`` tokens by corpus frequency (ties
+    broken by token string, so the cut is deterministic);
+    ``p(tok) = count(tok)/N`` in-vocab and ``alpha/N`` for OOV (N = all
+    corpus tokens). Output per doc: ``n_tokens``, ``mean_logprob`` =
+    mean ln p over its tokens, ``perplexity`` = exp(-mean_logprob), all
+    rounded to 4 decimals for cross-engine hashing.
+
+    Plan shape at 100 TB: ONE map-side-combinable groupBy over the token
+    relation builds the counts; the vocab cut compiles to
+    TakeOrderedAndProject (per-partition heaps, never a global sort);
+    the vocab (≤ vocab_size rows) and the 1-row total BROADCAST onto the
+    second token pass, so the corpus shuffles only on the final per-doc
+    aggregate — and that one is map-side combinable too. No UDF, no
+    driver collect."""
+    tok = fan_out(docs, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").cast("double").alias("_n"))
+    vocab = counts.orderBy(F.col("_c").desc(), F.col("token")).limit(vocab_size)
+    lp = F.log(
+        F.coalesce(F.col("_c").cast("double"), F.lit(float(alpha))) / F.col("_n")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lp).alias("_lp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_lp") / F.col("n_tokens"), 4).alias("mean_logprob"),
+            F.round(F.exp(-F.col("_lp") / F.col("n_tokens")), 4).alias("perplexity"),
+        )
+    )
+
+
+def unigram_logprob_sql(
+    table: str, vocab_size: int = 65_536, alpha: float = 1.0
+) -> str:
+    """DuckDB oracle for :func:`unigram_logprob`: same tokenization, same
+    deterministic vocab cut, same smoothing."""
+    toks = _sql_tokens()
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({toks}) AS token FROM {table}
+    ),
+    counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts),
+    vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {vocab_size}),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               SUM(LN(COALESCE(CAST(v.c AS DOUBLE), {alpha}) / tot.n)) AS lp
+        FROM tok t LEFT JOIN vocab v USING (token), tot
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(lp / n_tokens, 4) AS mean_logprob,
+           round(exp(-lp / n_tokens), 4) AS perplexity
+    FROM scored
+    """

@@ -945,6 +945,31 @@ def text_profile(spark, sf_dir):
 QUERIES["text_profile"].oracle = _profile_oracle()
 
 
+def _perplexity_oracle():
+    from wcdimportbot_spark.operators.text_analysis import unigram_logprob_sql
+
+    return unigram_logprob_sql("documents")
+
+
+@register(
+    "text_unigram_perplexity",
+    "text analysis (perplexity quality filter)",
+    "per-doc mean unigram log-probability + perplexity under the corpus's "
+    "own unigram LM (the CCNet-style quality gate): one map-combinable "
+    "token count, a deterministic TakeOrdered vocab cut, broadcast vocab "
+    "+ total onto the scoring pass — corpus shuffles only on per-doc "
+    "aggregates",
+    None,  # generated SQL attached below
+)
+def text_unigram_perplexity(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_unigram_perplexity"].oracle = _perplexity_oracle()
+
+
 @register(
     "multimodal_feature_stats",
     "multimodal columns (binary payload plumbing)",
@@ -3231,11 +3256,11 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # registry entries. Across r5 ∪ r6 every pre-round-7 registry row EXCEPT
 # ``dedup_incremental`` (added after the r6 window froze) carries a driver
 # hash-match. Round 7's window therefore leads with: that gap row, the
-# four NEW round-7 rows, and every row whose PLAN changed this round (the
+# five NEW round-7 rows, and every row whose PLAN changed this round (the
 # two-phase ANN top-k rework touched all five similarity rows; the
 # connected-components convergence-probe gate touched both CC-consuming
 # rows; the JPEG marker-scan hardening touched the codec row). The
-# remaining 38 slots are sentinels — at least one per operator family
+# remaining 37 slots are sentinels — at least one per operator family
 # already driver-proven in r5/r6 — so no family loses its standing driver
 # signal. Rows after the window stay registered, locally verified by
 # scripts/check_oracle.py, and timed by bench.py (mapping in COVERAGE.md).
@@ -3244,11 +3269,12 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 _WINDOW = [
     # --- the one pre-r7 row without a driver hash-match ---
     "dedup_incremental",
-    # --- the four new round-7 rows ---
+    # --- the five new round-7 rows ---
     "dedup_incremental_maint",
     "dedup_embedding_ann",
     "sim_ann_ivfpq",
     "dedup_cc_star",
+    "text_unigram_perplexity",
     # --- rows whose plan/oracle changed in round 7: re-verify ---
     "sim_ann_pq",                # two-phase ADC top-k + zero-norm guard
     "sim_ann_lsh",               # two-phase top-k
@@ -3270,7 +3296,6 @@ _WINDOW = [
     "j7_dimension_join",         # J7 dimension join
     "j8_recursive_closure",      # J8/S3 iterative closure
     "a1_count_by_type",          # A1/A2 aggregation
-    "a3_per_group_hash_stats",   # A3 hash statistics
     "a4_corpus_stats",           # A4 corpus statistics
     "a5_in_group_dedup",         # A5/A6 in-group dedup
     "a7_windowed_event_counts",  # A7/§2.8 windows
