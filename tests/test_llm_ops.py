@@ -416,6 +416,42 @@ def test_jpeg_gates_reject_unsupported_processes():
         decode_jpeg(bytes(sub))
 
 
+def test_two_phase_topk_equals_single_window(spark):
+    """Randomized (seeded) equivalence: two_phase_topk must return the
+    EXACT rows and ranks of the naive single window for any key/score
+    distribution, duplicate scores included, under different input
+    partitionings (the _slice stamp must never leak into results)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from wcdimportbot_spark.operators.similarity import two_phase_topk
+
+    for seed, nparts in ((7, 2), (23, 7), (99, 32)):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randint(0, 4), i, round(rng.random() * 10) / 10.0)
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "key int, rid long, score double"
+        ).repartition(nparts)
+        order = [F.col("score").desc(), F.col("rid")]
+        got = {
+            (r["key"], r["rid"], r["rank"])
+            for r in two_phase_topk(df, ["key"], order, 7).collect()
+        }
+        w = W.partitionBy("key").orderBy(*order)
+        want = {
+            (r["key"], r["rid"], r["rank"])
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 7)
+            .collect()
+        }
+        assert got == want, (seed, nparts)
+
+
 def test_unigram_logprob_oov_smoothing(spark):
     """With a vocab cut smaller than the token set, OOV tokens must take
     the alpha/N floor: a doc of rare tokens scores strictly lower mean

@@ -42,6 +42,44 @@ def test_snapshot_isolation_read_during_merge(spark, tmp_path):
     assert after.count() == 9
 
 
+def test_time_travel_and_rollback(spark, tmp_path):
+    """Within the retention window a retained older snapshot is readable
+    by name (VERSION AS OF), rollback atomically repoints the table at
+    it, a forward merge after rollback works, and a pruned / unknown
+    version raises with the retained list."""
+    import pytest
+
+    path = str(tmp_path / "items")
+    base = _items(
+        spark, [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(4)]
+    )
+    sinks.write_items(base, path)  # v1
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q100", "WIKIPEDIA_PAGE", "new", "d", "hash100")]), path
+    )  # v2
+    vs = versioned.list_versions(path)
+    assert vs == ["v00000001", "v00000002"]
+    # time travel: the older retained snapshot is readable by name
+    old = sinks.read_snapshot(spark, path, version="v00000001")
+    assert old.count() == 4
+    assert sinks.read_items(spark, path).count() == 5
+    # rollback: current repoints to v1; the bad merge's rows are gone
+    versioned.rollback(path, "v00000001")
+    assert versioned.current_version(path) == "v00000001"
+    assert sinks.read_items(spark, path).count() == 4
+    # forward publish after rollback re-stages v2 cleanly
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q200", "WIKIPEDIA_PAGE", "other", "d", "hash200")]), path
+    )
+    qids = {r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()}
+    assert qids == {f"Q{i}" for i in range(4)} | {"Q200"}  # no Q100 resurrection
+    # unknown / pruned versions fail loudly with the retained list
+    with pytest.raises(ValueError, match="retained"):
+        sinks.read_snapshot(spark, path, version="v00000099")
+    with pytest.raises(ValueError, match="retained"):
+        versioned.rollback(path, "v00000099")
+
+
 def test_merge_hardlinks_untouched_files(spark, tmp_path):
     """Files of partitions the merge does not touch must be hardlinks of
     the previous version (same inode — no data copied)."""

@@ -118,11 +118,26 @@ def write_claims(claims: DataFrame, path: str) -> None:
         _write_claims_unlocked(claims, path)
 
 
-def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """Read the CURRENT published snapshot of a store table. Resolution
-    happens here, once: the returned plan references the immutable version
-    directory, so concurrent writers can publish without tearing it."""
-    p = versioned.data_dir(path)
+def read_snapshot(
+    spark: SparkSession, path: str, version: str | None = None
+) -> DataFrame:
+    """Read a snapshot of a store table — the CURRENT one by default, or
+    a retained older ``version`` (time travel within the pruning window,
+    Delta's ``VERSION AS OF``). Resolution happens here, once: the
+    returned plan references the immutable version directory, so
+    concurrent writers can publish without tearing it.
+
+    :raises ValueError: when ``version`` names a pruned or never-published
+        snapshot."""
+    if version is not None:
+        p = os.path.join(path, version)
+        if not (versioned.is_version_name(version) and os.path.isdir(p)):
+            raise ValueError(
+                f"unknown or pruned snapshot {version!r} of {path}; "
+                f"retained versions: {versioned.list_versions(path)}"
+            )
+    else:
+        p = versioned.data_dir(path)
     # versioned snapshots are immutable, but a legacy (unversioned) store
     # is rewritten in place — drop any stale file-listing cache
     spark.catalog.refreshByPath(p)

@@ -164,6 +164,41 @@ def _prune(path: str, current: str) -> None:
         shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
 
 
+def list_versions(path: str) -> list[str]:
+    """Retained snapshot versions of a store table, oldest first.
+    At most ``KEEP_VERSIONS`` survive pruning; anything listed here is a
+    complete immutable tree readable via ``read_snapshot(version=...)``."""
+    try:
+        return sorted(d for d in os.listdir(path) if _VERSION_RE.match(d))
+    except OSError:
+        return []
+
+
+def rollback(path: str, version: str) -> None:
+    """Atomically repoint the table at a RETAINED older snapshot — the
+    operational undo for a bad merge (Delta's RESTORE). Takes the writer
+    lock (a rollback racing a merge would otherwise lose one of them),
+    flips ``_CURRENT`` with the same write-temp + ``os.replace`` as a
+    forward publish, and prunes nothing: the rolled-back-from version
+    stays on disk, and the next forward publish's ``stage_new`` clears
+    its directory before re-staging the same version number.
+
+    :raises ValueError: when ``version`` is not a retained snapshot
+        (already pruned, or never published)."""
+    with writer_lock(path):
+        if version not in list_versions(path):
+            raise ValueError(
+                f"cannot roll back {path} to {version!r}: retained "
+                f"versions are {list_versions(path)}"
+            )
+        tmp = os.path.join(path, CURRENT_FILE + ".tmp")
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, CURRENT_FILE))
+
+
 def link_tree(src: str, dst: str) -> None:
     """Populate ``dst`` with hardlinks to every data file under ``src``
     (version bookkeeping entries are skipped, so a legacy store root is a
