@@ -416,6 +416,51 @@ def test_jpeg_gates_reject_unsupported_processes():
         decode_jpeg(bytes(sub))
 
 
+def test_bucketed_index_probe_no_store_shuffle(spark, tmp_path):
+    """The bucketed-table form of the dedup index: probe joins must scan
+    the store pre-partitioned (Bucketed: true, NO Exchange above the
+    store scan) with only the batch side shuffling — and the flags must
+    match the plain-DataFrame index path exactly."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index,
+        dedup_index_tables_read,
+        dedup_index_tables_write,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    hashes, bands_rel = dedup_index(history)
+    dedup_index_tables_write(hashes, bands_rel, "dedup_ix_test", buckets=4)
+    try:
+        th, tb = dedup_index_tables_read(spark, "dedup_ix_test")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ann = incremental_dedup(batch, th, tb)
+            plan = ann._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # both store scans are bucketed, and no Exchange feeds them: the
+        # exchanges in the plan belong to the batch side only
+        assert plan.count("Bucketed: true") >= 2, plan[:2000]
+        for line in plan.splitlines():
+            if "dedup_ix_test" in line:
+                assert "Exchange" not in line
+        got = {r["doc_id"]: r["fresh"] for r in ann.collect()}
+        want = {
+            r["doc_id"]: r["fresh"]
+            for r in incremental_dedup(batch, hashes, bands_rel).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dedup_ix_test_hashes")
+        spark.sql("DROP TABLE IF EXISTS dedup_ix_test_bands")
+
+
 def test_two_phase_topk_equals_single_window(spark):
     """Randomized (seeded) equivalence: two_phase_topk must return the
     EXACT rows and ranks of the naive single window for any key/score

@@ -787,6 +787,50 @@ def dedup_index_ingest(
     return ann
 
 
+def dedup_index_tables_write(
+    hashes: DataFrame,
+    bands_rel: DataFrame,
+    prefix: str,
+    buckets: int = 16,
+) -> None:
+    """Publish the dedup index as Spark BUCKETED TABLES
+    (``{prefix}_hashes`` bucketed on ``text_hash``, ``{prefix}_bands``
+    bucketed on ``(band, bucket)``) — the co-located-join form of the
+    index.
+
+    Why this exists next to the snapshot-versioned parquet store
+    (:func:`dedup_index_ingest`): the probe joins of
+    :func:`incremental_dedup` are equi-joins whose BIG side is the index.
+    Against a plain parquet store the sort-merge path exchanges BOTH
+    sides; against these bucketed tables Spark's scan is pre-partitioned
+    on the join key (bucket spec == join keys — ``text_hash`` for the
+    exact probe, ``(band, bucket)`` for the band probe), so only the
+    (small) batch side shuffles and the corpus-scale index never moves —
+    pinned by tests/test_llm_ops.py::test_bucketed_index_probe_no_store_shuffle.
+    At 100 TB ``buckets`` scales with the store (≈ store_size /
+    executor-comfortable-chunk, same sizing rule as sinks.N_BUCKETS)."""
+    (
+        hashes.write.bucketBy(buckets, "text_hash")
+        .sortBy("text_hash")
+        .mode("overwrite")
+        .saveAsTable(f"{prefix}_hashes")
+    )
+    # bucket columns must EXACTLY match the probe's join keys — v1
+    # bucketing is disabled by the planner for subset matches
+    (
+        bands_rel.write.bucketBy(buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .mode("overwrite")
+        .saveAsTable(f"{prefix}_bands")
+    )
+
+
+def dedup_index_tables_read(spark, prefix: str) -> tuple[DataFrame, DataFrame]:
+    """(hashes_df, bands_df) from the bucketed-table form of the index —
+    drop-in history relations for :func:`incremental_dedup`."""
+    return spark.table(f"{prefix}_hashes"), spark.table(f"{prefix}_bands")
+
+
 def _mh_cte_block(
     table: str,
     group_sql: str,
