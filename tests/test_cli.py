@@ -381,3 +381,46 @@ def test_cli_curate_write_shards(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == 500
     assert {"split", "shard", "pos"} <= set(back.columns)
+
+
+def test_cli_dedup_ingest_two_batches(spark, tmp_path, capsys):
+    """The production dedup loop from the command line: batch 1 seeds the
+    index (all fresh), batch 2's exact/near dupes of batch-1 survivors
+    are reported and excluded from --fresh-out."""
+    b1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (11, "completely different words about spark catalyst optimizer plans"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (20, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (21, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (22, "unrelated fresh content about parquet row group statistics"),
+        ],
+        "doc_id long, text string",
+    )
+    d1, d2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    b1.write.parquet(d1)
+    b2.write.parquet(d2)
+    store = str(tmp_path / "store")
+    index = str(tmp_path / "index")
+    fresh_out = str(tmp_path / "fresh")
+
+    assert main(["--store", store, "--dedup-ingest", d1,
+                 "--dedup-index", index, "--fresh-out", fresh_out]) == 0
+    rep1 = json.loads(capsys.readouterr().out)
+    assert rep1 == {"n_docs": 2, "n_fresh": 2, "n_exact_dup": 0,
+                    "n_near_dup": 0, "index": index}
+
+    assert main(["--store", store, "--dedup-ingest", d2,
+                 "--dedup-index", index, "--fresh-out", fresh_out]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["n_fresh"] == 1 and rep2["n_exact_dup"] == 1
+    assert rep2["n_near_dup"] >= 1  # doc 21; doc 20 may collide too
+
+    spark.catalog.refreshByPath(fresh_out)
+    fresh_ids = {r["doc_id"] for r in spark.read.parquet(fresh_out).collect()}
+    assert fresh_ids == {10, 11, 22}

@@ -105,6 +105,25 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--epoch", type=int, default=0, help="epoch for --write-shards ordering"
     )
+    parser.add_argument(
+        "--dedup-ingest",
+        metavar="DOCS",
+        help="probe a documents parquet against the persistent dedup "
+        "index, append the fresh survivors to it, and print a JSON "
+        "summary (the production probe → filter → append loop)",
+    )
+    parser.add_argument(
+        "--dedup-index",
+        metavar="DIR",
+        help="with --dedup-ingest: index store directory (created on "
+        "first ingest)",
+    )
+    parser.add_argument(
+        "--fresh-out",
+        metavar="DIR",
+        help="with --dedup-ingest: also write the fresh documents as "
+        "parquet here (append)",
+    )
     args = parser.parse_args(argv)
 
     from wcdimportbot_spark import get_spark
@@ -288,6 +307,40 @@ def main(argv=None) -> int:
                 ).localCheckpoint(eager=True)
                 cache_ops.write_cache(kept_cache, paths["cache"])
         print(f"deleted {n} page item(s) titled {args.delete_page!r}")
+
+    elif args.dedup_ingest:
+        if not args.dedup_index:
+            parser.error("--dedup-ingest needs --dedup-index <dir>")
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from wcdimportbot_spark.operators.text_dedup import dedup_index_ingest
+
+        docs = spark.read.parquet(args.dedup_ingest)
+        ann = dedup_index_ingest(docs, args.dedup_index)
+        summary = ann.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("fresh").cast("int")).alias("n_fresh"),
+            F.sum(F.col("exact_dup_of_history").cast("int")).alias("n_exact_dup"),
+            F.sum(F.col("near_dup_of_history").cast("int")).alias("n_near_dup"),
+        ).first()
+        if args.fresh_out:
+            fresh = docs.join(
+                ann.filter(F.col("fresh")).select("doc_id"), "doc_id", "left_semi"
+            )
+            fresh.write.mode("append").parquet(args.fresh_out)
+        print(
+            _json.dumps(
+                {
+                    "n_docs": summary["n_docs"],
+                    "n_fresh": summary["n_fresh"] or 0,
+                    "n_exact_dup": summary["n_exact_dup"] or 0,
+                    "n_near_dup": summary["n_near_dup"] or 0,
+                    "index": args.dedup_index,
+                }
+            )
+        )
 
     elif args.curate:
         from wcdimportbot_spark.operators.curation import (
