@@ -713,3 +713,64 @@ def test_dedup_index_ingest_two_batches(spark, tmp_path):
     assert not ann3[22]["fresh"]  # its own prior ingest is now history
     hashes2, bands2 = read_dedup_index(spark, store)
     assert hashes2.count() == n_h and bands2.count() == n_b  # nothing new written
+
+
+def test_mp3_header_probe():
+    """Synthesized MPEG1-Layer-III frames (128 kbps, 44100 Hz) behind an
+    ID3v2 tag: the header probe reports frames/duration/bitrate without
+    any codec; sample decode stays gated and names the probe."""
+    import struct
+
+    import pytest as _pytest
+
+    from wcdimportbot_spark.operators.multimodal import (
+        decode_payload,
+        probe_mp3,
+        probe_payload,
+    )
+
+    # header: sync=0x7FF, MPEG1 (11), Layer III (01), no CRC (1),
+    # bitrate idx 9 (128 kbps), samplerate idx 0 (44100), no padding
+    hdr = struct.pack(">I", 0b11111111_111_11_01_1_1001_00_0_0_00_00_0_0_00)
+    frame_len = 144 * 128000 // 44100  # 417 bytes
+    frame = hdr + b"\x00" * (frame_len - 4)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10  # 10-byte tag body
+    payload = id3 + frame * 3
+    got = probe_mp3(payload)
+    assert got["n_frames"] == 3
+    assert got["sample_rate"] == 44100 and got["bitrate_kbps"] == 128
+    assert got["duration_ms"] == round(3 * 1152 * 1000.0 / 44100, 3)
+    assert probe_payload(payload)["kind"] == "mp3"
+    with _pytest.raises(NotImplementedError, match="probe_mp3"):
+        decode_payload(payload)
+
+
+def test_mp4_box_probe():
+    """Minimal ISO-BMFF payload (ftyp + moov/mvhd v0): the box probe
+    reports brand and mvhd duration; sample decode stays gated."""
+    import struct
+
+    import pytest as _pytest
+
+    from wcdimportbot_spark.operators.multimodal import (
+        decode_payload,
+        probe_mp4,
+        probe_payload,
+    )
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", 1000, 5000)  # timescale, duration
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    payload = ftyp + moov
+    got = probe_mp4(payload)
+    assert got["brand"] == "isom"
+    assert got["timescale"] == 1000 and got["duration_ms"] == 5000.0
+    assert probe_payload(payload)["kind"] == "mp4"
+    with _pytest.raises(NotImplementedError, match="probe_mp4"):
+        decode_payload(payload)

@@ -12,12 +12,16 @@ Arrow batch shape, UDF signatures) is real and tested. Codec status:
   decode, dequantize + IDCT + YCbCr→RGB, all in numpy/stdlib), and
   16-bit mono PCM WAV (:func:`decode_wav`). The real path of
   :func:`extract_media_features` dispatches on magic bytes.
-- Formats that genuinely need media libraries (MP3/MP4 — absent from
-  this container) still raise ``NotImplementedError`` naming the
-  modality, proving the dispatch, as do the unsupported JPEG/PNG
-  variants (progressive, subsampled, interlaced, palette);
-  ``fake=True`` substitutes a deterministic byte-statistics decoder so
-  plumbing tests run on any payload.
+- **Header/box-level probes** for MP3 (:func:`probe_mp3` — ID3v2 skip,
+  MPEG1-Layer-III frame walk → frames/duration/bitrate/samplerate) and
+  MP4 (:func:`probe_mp4` — ISO-BMFF box walk → brand, mvhd
+  timescale/duration): typed metadata is real and dependency-free even
+  where SAMPLE decode genuinely needs a codec library (absent from this
+  container) and stays behind a ``NotImplementedError`` gate naming the
+  probe — as do the unsupported JPEG/PNG variants (progressive,
+  subsampled, interlaced, palette). ``fake=True`` substitutes a
+  deterministic byte-statistics decoder so plumbing tests run on any
+  payload.
 
 Scale notes: media rows are large and skew-prone — the operators take a
 ``target_rows_per_batch`` hint and repartition by a hash of the id so one
@@ -365,9 +369,142 @@ def decode_png(data: bytes, return_pixels: bool = False) -> dict:
     return out
 
 
+#: MPEG1 Layer III bitrate table (kbps; index 0 = free, 15 = bad)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_SAMPLERATES = (44100, 48000, 32000, 0)
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Header-LEVEL MP3 metadata without decoding audio: skip an ID3v2
+    tag, then walk MPEG1 Layer III frame headers by their computed
+    lengths (144·bitrate/samplerate + padding per frame, 1152 samples
+    each). Returns frame count, duration_ms, sample_rate and the modal
+    bitrate_kbps. Sample DECODE still needs a real codec library and
+    stays behind :func:`decode_payload`'s honest gate; other MPEG
+    versions/layers raise here too."""
+    import struct as _struct
+
+    pos = 0
+    if payload[:3] == b"ID3":
+        # syncsafe 28-bit tag size after the 10-byte header
+        sz = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + sz
+    frames = 0
+    bitrates: dict[int, int] = {}
+    sample_rate = None
+    while pos + 4 <= len(payload):
+        (hdr,) = _struct.unpack_from(">I", payload, pos)
+        if (hdr >> 21) != 0x7FF:
+            break
+        version = (hdr >> 19) & 0x3
+        layer = (hdr >> 17) & 0x3
+        if version != 0b11 or layer != 0b01:
+            raise NotImplementedError(
+                "only MPEG1 Layer III frame headers are parsed"
+            )
+        br = _MP3_BITRATES[(hdr >> 12) & 0xF]
+        sr = _MP3_SAMPLERATES[(hdr >> 10) & 0x3]
+        padding = (hdr >> 9) & 0x1
+        if not br or not sr:
+            raise NotImplementedError("free-format/invalid MP3 frame header")
+        sample_rate = sr
+        bitrates[br] = bitrates.get(br, 0) + 1
+        frames += 1
+        pos += 144 * br * 1000 // sr + padding
+    if frames == 0:
+        raise NotImplementedError("no MPEG audio frame sync found")
+    modal_br = max(bitrates.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    return {
+        "n_frames": frames,
+        "sample_rate": sample_rate,
+        "bitrate_kbps": modal_br,
+        "duration_ms": round(frames * 1152 * 1000.0 / sample_rate, 3),
+    }
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Box-LEVEL MP4/ISO-BMFF metadata without decoding samples: walk the
+    top-level boxes (size+type, 64-bit largesize supported), record the
+    ``ftyp`` major brand, and recurse into ``moov`` for the ``mvhd``
+    movie header (timescale + duration → duration_ms). Track/sample
+    decode stays behind the honest gate."""
+    import struct as _struct
+
+    def boxes(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = _struct.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = _struct.unpack_from(">Q", buf, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr:
+                raise NotImplementedError("malformed MP4 box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    brand = None
+    mvhd = None
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            brand = payload[body : body + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            for ctype, cbody, _cend in boxes(payload, body, bend):
+                if ctype == b"mvhd":
+                    version = payload[cbody]
+                    if version == 0:
+                        timescale, duration = _struct.unpack_from(
+                            ">II", payload, cbody + 12
+                        )
+                    elif version == 1:
+                        timescale, duration = _struct.unpack_from(
+                            ">IQ", payload, cbody + 20
+                        )
+                    else:
+                        raise NotImplementedError(f"mvhd version {version}")
+                    mvhd = (timescale, duration)
+    if brand is None or mvhd is None:
+        raise NotImplementedError("MP4 missing ftyp/moov.mvhd")
+    timescale, duration = mvhd
+    if not timescale:
+        raise NotImplementedError("mvhd timescale 0")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": round(duration * 1000.0 / timescale, 3),
+    }
+
+
+def probe_payload(payload: bytes) -> dict:
+    """Metadata-level dispatch: full decoders where they exist, header/box
+    probes for MP3/MP4 — every common container yields typed metadata
+    even where sample decode is gated."""
+    if payload is None:
+        raise NotImplementedError("null payload")
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+        and payload[:2] != b"\xff\xd8"
+    ):
+        return {"kind": "mp3", **probe_mp3(payload)}
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return {"kind": "mp4", **probe_mp4(payload)}
+    return decode_payload(payload)
+
+
 def decode_payload(payload: bytes) -> dict:
     """Magic-byte dispatch to the real decoders; unknown formats raise
-    ``NotImplementedError`` (MP3/MP4/... need real media libraries)."""
+    ``NotImplementedError``. MP3/MP4 SAMPLE decode needs a real codec
+    library (absent from this container) — their gate points at the
+    header/box probes (:func:`probe_mp3` / :func:`probe_mp4`), which do
+    work dependency-free."""
     if payload is None:
         raise NotImplementedError("null payload")
     if payload[:2] == b"BM":
@@ -380,6 +517,11 @@ def decode_payload(payload: bytes) -> dict:
         from wcdimportbot_spark.operators.jpeg import decode_jpeg
 
         return {"kind": "jpeg", **decode_jpeg(payload)}
+    if payload[:3] == b"ID3" or (len(payload) >= 8 and payload[4:8] == b"ftyp"):
+        raise NotImplementedError(
+            "MP3/MP4 sample decode needs a codec library; header metadata "
+            "is available via probe_mp3/probe_mp4"
+        )
     raise NotImplementedError(
         f"no dependency-free decoder for payload magic {payload[:4]!r}"
     )
