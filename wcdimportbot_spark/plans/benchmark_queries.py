@@ -1033,6 +1033,31 @@ def multimodal_codec_roundtrip(spark, sf_dir):
     return codec_roundtrip(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "multimodal_container_probe",
+    "multimodal columns (gated-container metadata probes)",
+    "real header/box-level metadata for the SAMPLE-decode-gated "
+    "containers: per doc a synthesized MPEG1-Layer-III stream (ID3v2 tag "
+    "+ 1+doc_id%4 frames) and a minimal ISO-BMFF payload are walked by "
+    "the actual probers (frame lengths from the bitrate/samplerate "
+    "tables; ftyp brand + moov/mvhd duration) — all closed-form in "
+    "doc_id",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 4 AS INT) AS mp3_n_frames,
+           round((1 + doc_id % 4) * 1152 * 1000.0 / 44100, 3) AS mp3_duration_ms,
+           128 AS mp3_bitrate_kbps,
+           'isom' AS mp4_brand,
+           CAST((doc_id % 60 + 1) * 1000 AS DOUBLE) AS mp4_duration_ms
+    FROM documents
+    """,
+)
+def multimodal_container_probe(spark, sf_dir):
+    from wcdimportbot_spark.operators.multimodal import container_probe
+
+    return container_probe(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data preparation pack (operators/training_prep.py): hash split,
 # sequence packing, PII scrub, int8 quantization — each a closed-form oracle.
@@ -3256,11 +3281,11 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # registry entries. Across r5 ∪ r6 every pre-round-7 registry row EXCEPT
 # ``dedup_incremental`` (added after the r6 window froze) carries a driver
 # hash-match. Round 7's window therefore leads with: that gap row, the
-# five NEW round-7 rows, and every row whose PLAN changed this round (the
+# six NEW round-7 rows, and every row whose PLAN changed this round (the
 # two-phase ANN top-k rework touched all five similarity rows; the
 # connected-components convergence-probe gate touched both CC-consuming
 # rows; the JPEG marker-scan hardening touched the codec row). The
-# remaining 37 slots are sentinels — at least one per operator family
+# remaining 36 slots are sentinels — at least one per operator family
 # already driver-proven in r5/r6 — so no family loses its standing driver
 # signal. Rows after the window stay registered, locally verified by
 # scripts/check_oracle.py, and timed by bench.py (mapping in COVERAGE.md).
@@ -3269,12 +3294,13 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 _WINDOW = [
     # --- the one pre-r7 row without a driver hash-match ---
     "dedup_incremental",
-    # --- the five new round-7 rows ---
+    # --- the six new round-7 rows ---
     "dedup_incremental_maint",
     "dedup_embedding_ann",
     "sim_ann_ivfpq",
     "dedup_cc_star",
     "text_unigram_perplexity",
+    "multimodal_container_probe",
     # --- rows whose plan/oracle changed in round 7: re-verify ---
     "sim_ann_pq",                # two-phase ADC top-k + zero-norm guard
     "sim_ann_lsh",               # two-phase top-k
@@ -3290,7 +3316,6 @@ _WINDOW = [
     "p1_supported_filter",       # P1-P5 filters
     "p9_null_presence_guard",    # P9-P11 guards
     "j1_broadcast_lookup_join",  # J1 broadcast join
-    "j2_uniqueness_violations",  # J2/S12 uniqueness
     "j3_star_join_revenue",      # J3 star join
     "j4_anti_join_upload_if_missing",  # J4/P12 anti join
     "j7_dimension_join",         # J7 dimension join
