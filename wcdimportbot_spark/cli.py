@@ -309,12 +309,11 @@ def main(argv=None) -> int:
         print(f"deleted {n} page item(s) titled {args.delete_page!r}")
 
     elif args.dedup_ingest:
+        # NOTE: F and json are module-level imports — re-importing them
+        # here would make the names function-local for EVERY branch of
+        # main() (UnboundLocalError in the others)
         if not args.dedup_index:
             parser.error("--dedup-ingest needs --dedup-index <dir>")
-        import json as _json
-
-        from pyspark.sql import functions as F
-
         from wcdimportbot_spark.operators.text_dedup import dedup_index_ingest
 
         docs = spark.read.parquet(args.dedup_ingest)
@@ -331,7 +330,7 @@ def main(argv=None) -> int:
             )
             fresh.write.mode("append").parquet(args.fresh_out)
         print(
-            _json.dumps(
+            json.dumps(
                 {
                     "n_docs": summary["n_docs"],
                     "n_fresh": summary["n_fresh"] or 0,
