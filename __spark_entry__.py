@@ -7,11 +7,11 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  92 queries, all DuckDB-verified — the ANN top-k variants emit an
+  93 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 7:
   ``dedup_incremental`` (the one registry row whose driver hash-match was
-  missed by the r5/r6 window rotation), the six new round-7 rows, every
+  missed by the r5/r6 window rotation), the seven new round-7 rows, every
   row whose PLAN changed this round (the two-phase ANN top-k rework and
   the connected-components algorithm swap), and sentinels — one per
   operator family already driver-verified in r5/r6 — for the rest.

@@ -774,3 +774,62 @@ def test_mp4_box_probe():
     assert probe_payload(payload)["kind"] == "mp4"
     with _pytest.raises(NotImplementedError, match="probe_mp4"):
         decode_payload(payload)
+
+
+def test_mp3_probe_gates_foreign_variants():
+    """Non-MPEG1/LayerIII headers and syncless payloads must hit the
+    honest gate, not mis-parse."""
+    import struct
+
+    import pytest as _pytest
+
+    from wcdimportbot_spark.operators.multimodal import probe_mp3
+
+    # MPEG2 (version bits 10) Layer III header
+    mpeg2 = struct.pack(">I", 0xFFF39000) + b"\x00" * 100
+    with _pytest.raises(NotImplementedError, match="MPEG1 Layer III"):
+        probe_mp3(mpeg2)
+    # Layer I (layer bits 11) header
+    layer1 = struct.pack(">I", 0xFFFF9000) + b"\x00" * 100
+    with _pytest.raises(NotImplementedError, match="MPEG1 Layer III"):
+        probe_mp3(layer1)
+    # bad bitrate index (1111) -> invalid frame gate
+    badbr = struct.pack(">I", 0xFFFBF000) + b"\x00" * 100
+    with _pytest.raises(NotImplementedError, match="free-format/invalid"):
+        probe_mp3(badbr)
+    # no frame sync at all
+    with _pytest.raises(NotImplementedError, match="no MPEG audio frame"):
+        probe_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 32)
+
+
+def test_bigram_logprob_interpolation_and_backoff(spark):
+    """Closed-form check of the interpolated bigram scorer: an in-vocab
+    bigram contributes lambda*c2/c(prev) + (1-lambda)*p_uni; a bigram cut
+    from the top-B vocab falls back to the pure unigram floor term."""
+    import math
+
+    from wcdimportbot_spark.operators.text_analysis import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # corpus: c(a)=3 c(b)=3 c(c)=1, N=7; bigrams (a,b):3 (b,a):1 (b,c):1
+    # bigram_vocab_size=2 keeps (a,b) and — by the lexicographic tie
+    # rule — (b,a); (b,c) backs off to the unigram term
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob(
+            docs, vocab_size=100, bigram_vocab_size=2, lam=0.5
+        ).collect()
+    }
+    n = 7.0
+    t_first = math.log(3 / n)
+    t_ab = math.log(0.5 * (3 / 3) + 0.5 * (3 / n))
+    t_bc = math.log(0.5 * 0.0 + 0.5 * (1 / n))
+    want2 = round((t_first + t_ab + t_bc) / 3, 4)
+    assert out[2]["n_tokens"] == 3
+    assert out[2]["mean_logprob"] == want2
+    assert out[2]["perplexity"] == round(math.exp(-(t_first + t_ab + t_bc) / 3), 4)
+    t_ba = math.log(0.5 * (1 / 3) + 0.5 * (3 / n))
+    want1 = round((t_first + t_ab + t_ba + t_ab) / 4, 4)
+    assert out[1]["mean_logprob"] == want1

@@ -344,3 +344,158 @@ def unigram_logprob_sql(
            round(exp(-lp / n_tokens), 4) AS perplexity
     FROM scored
     """
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 65_536,
+    bigram_vocab_size: int = 262_144,
+    lam: float = 0.7,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated BIGRAM
+    model of the corpus — the CCNet-style perplexity filter one order up
+    from :func:`unigram_logprob`:
+
+    - first token: ``ln p_uni(w1)``;
+    - position i ≥ 2: ``ln(λ·p_bi(w_i|w_{i-1}) + (1-λ)·p_uni(w_i))``,
+      with ``p_bi = c(w_{i-1}w_i)/c(w_{i-1})`` for the top
+      ``bigram_vocab_size`` bigrams (deterministic cut: count desc, then
+      lexicographic) and 0 otherwise — the unigram term is the backoff
+      floor, so the log argument is always positive;
+    - ``p_uni`` exactly as the unigram model (top ``vocab_size`` cut,
+      ``alpha/N`` OOV floor).
+
+    Scale shape: the bigram relation is derived ARRAY-SIDE (zip of two
+    token-array slices — no window, no self-join, no per-doc shuffle);
+    both count builds are map-side-combinable groupBys with
+    TakeOrdered cuts; and ``c(prev)`` is attached INTO the bigram vocab
+    at build time, so the scoring pass joins only broadcast relations
+    (bigram vocab, unigram vocab, the 1-row total) — the corpus shuffles
+    once, on the final per-doc aggregate. Output (doc_id, n_tokens,
+    mean_logprob, perplexity), rounded to 4 decimals."""
+    arr = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_ts")
+    ).filter(F.size("_ts") >= 1)
+    uni = fan_out(arr, id_col).select(
+        F.col(id_col), F.explode(F.col("_ts")).alias("token")
+    )
+    counts = uni.groupBy("token").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").cast("double").alias("_n"))
+    vocab = counts.orderBy(F.col("_c").desc(), F.col("token")).limit(vocab_size)
+
+    bi = fan_out(arr, id_col).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_ts"), 1, F.size("_ts") - 1).alias("prev"),
+                F.slice(F.col("_ts"), 2, F.size("_ts") - 1).alias("cur"),
+            )
+        ).alias("_p"),
+    ).select(F.col(id_col), F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
+    bi_counts = bi.groupBy("prev", "cur").agg(F.count("*").alias("_c2"))
+    bi_vocab = (
+        bi_counts.orderBy(F.col("_c2").desc(), F.col("prev"), F.col("cur"))
+        .limit(bigram_vocab_size)
+        # attach c(prev) at build time: the scoring join then needs no
+        # corpus-wide count relation, only this broadcast
+        .join(counts.select(F.col("token").alias("prev"), F.col("_c").alias("_cprev")), "prev")
+    )
+
+    p_uni_cur = F.coalesce(F.col("_c").cast("double"), F.lit(float(alpha))) / F.col("_n")
+    p_bi = F.coalesce(
+        F.col("_c2").cast("double") / F.col("_cprev").cast("double"), F.lit(0.0)
+    )
+    bi_terms = (
+        bi.join(F.broadcast(bi_vocab), ["prev", "cur"], "left")
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("cur"), "_c")), "cur", "left"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni_cur).alias(
+                "_term"
+            ),
+        )
+    )
+    first_terms = (
+        arr.select(F.col(id_col), F.element_at("_ts", 1).alias("token"))
+        .join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.coalesce(F.col("_c").cast("double"), F.lit(float(alpha))) / F.col("_n")
+            ).alias("_term"),
+        )
+    )
+    sums = (
+        first_terms.unionByName(bi_terms)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("_term").alias("_lp"))
+    )
+    return sums.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("_lp") / F.col("n_tokens"), 4).alias("mean_logprob"),
+        F.round(F.exp(-F.col("_lp") / F.col("n_tokens")), 4).alias("perplexity"),
+    )
+
+
+def bigram_logprob_sql(
+    table: str,
+    vocab_size: int = 65_536,
+    bigram_vocab_size: int = 262_144,
+    lam: float = 0.7,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB oracle for :func:`bigram_logprob`: same tokenization, same
+    deterministic cuts, same interpolation."""
+    toks = _sql_tokens()
+    return f"""
+    WITH arr AS (
+        SELECT doc_id, {toks} AS ts FROM {table}
+    ),
+    tok AS (SELECT doc_id, unnest(ts) AS token FROM arr WHERE len(ts) >= 1),
+    counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts),
+    vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {vocab_size}),
+    bi AS (
+        SELECT doc_id, ts[i] AS prev, ts[i + 1] AS cur
+        FROM arr, UNNEST(range(1, len(ts))) AS t(i)
+        WHERE len(ts) >= 2
+    ),
+    bi_counts AS (SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+    bi_vocab AS (
+        SELECT bc.prev, bc.cur, bc.c2, k.c AS cprev
+        FROM (SELECT * FROM bi_counts ORDER BY c2 DESC, prev, cur
+              LIMIT {bigram_vocab_size}) bc
+        JOIN counts k ON k.token = bc.prev
+    ),
+    bi_terms AS (
+        SELECT b.doc_id,
+               LN({lam} * COALESCE(CAST(v.c2 AS DOUBLE) / v.cprev, 0.0)
+                  + {1.0 - lam} * COALESCE(CAST(u.c AS DOUBLE), {alpha}) / tot.n) AS term
+        FROM bi b
+        LEFT JOIN bi_vocab v ON v.prev = b.prev AND v.cur = b.cur
+        LEFT JOIN vocab u ON u.token = b.cur, tot
+    ),
+    first_terms AS (
+        SELECT a.doc_id,
+               LN(COALESCE(CAST(u.c AS DOUBLE), {alpha}) / tot.n) AS term
+        FROM arr a LEFT JOIN vocab u ON u.token = a.ts[1], tot
+        WHERE len(a.ts) >= 1
+    ),
+    sums AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(term) AS lp
+        FROM (SELECT * FROM first_terms UNION ALL SELECT * FROM bi_terms)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(lp / n_tokens, 4) AS mean_logprob,
+           round(exp(-lp / n_tokens), 4) AS perplexity
+    FROM sums
+    """

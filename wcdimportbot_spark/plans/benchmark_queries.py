@@ -970,6 +970,31 @@ def text_unigram_perplexity(spark, sf_dir):
 QUERIES["text_unigram_perplexity"].oracle = _perplexity_oracle()
 
 
+def _bigram_oracle():
+    from wcdimportbot_spark.operators.text_analysis import bigram_logprob_sql
+
+    return bigram_logprob_sql("documents")
+
+
+@register(
+    "text_bigram_perplexity",
+    "text analysis (interpolated bigram LM)",
+    "per-doc perplexity under an interpolated BIGRAM corpus LM "
+    "(lambda*p_bi + (1-lambda)*p_uni, unigram backoff floor): bigrams "
+    "derived array-side (no window/self-join), deterministic top-B cut "
+    "with c(prev) attached at build time so scoring joins only "
+    "broadcasts — the corpus shuffles once, on the per-doc aggregate",
+    None,  # generated SQL attached below
+)
+def text_bigram_perplexity(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_bigram_perplexity"].oracle = _bigram_oracle()
+
+
 @register(
     "multimodal_feature_stats",
     "multimodal columns (binary payload plumbing)",
@@ -3281,11 +3306,11 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # registry entries. Across r5 ∪ r6 every pre-round-7 registry row EXCEPT
 # ``dedup_incremental`` (added after the r6 window froze) carries a driver
 # hash-match. Round 7's window therefore leads with: that gap row, the
-# six NEW round-7 rows, and every row whose PLAN changed this round (the
-# two-phase ANN top-k rework touched all five similarity rows; the
+# seven NEW round-7 rows, and every row whose PLAN changed this round
+# (the two-phase ANN top-k rework touched all five similarity rows; the
 # connected-components convergence-probe gate touched both CC-consuming
 # rows; the JPEG marker-scan hardening touched the codec row). The
-# remaining 36 slots are sentinels — at least one per operator family
+# remaining 35 slots are sentinels — at least one per operator family
 # already driver-proven in r5/r6 — so no family loses its standing driver
 # signal. Rows after the window stay registered, locally verified by
 # scripts/check_oracle.py, and timed by bench.py (mapping in COVERAGE.md).
@@ -3294,12 +3319,13 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 _WINDOW = [
     # --- the one pre-r7 row without a driver hash-match ---
     "dedup_incremental",
-    # --- the six new round-7 rows ---
+    # --- the seven new round-7 rows ---
     "dedup_incremental_maint",
     "dedup_embedding_ann",
     "sim_ann_ivfpq",
     "dedup_cc_star",
     "text_unigram_perplexity",
+    "text_bigram_perplexity",
     "multimodal_container_probe",
     # --- rows whose plan/oracle changed in round 7: re-verify ---
     "sim_ann_pq",                # two-phase ADC top-k + zero-norm guard
@@ -3322,7 +3348,6 @@ _WINDOW = [
     "j8_recursive_closure",      # J8/S3 iterative closure
     "a1_count_by_type",          # A1/A2 aggregation
     "a4_corpus_stats",           # A4 corpus statistics
-    "a5_in_group_dedup",         # A5/A6 in-group dedup
     "a7_windowed_event_counts",  # A7/§2.8 windows
     "a8_sessionization",         # sessionization
     "a10_salted_distinct_count", # skew primitives
