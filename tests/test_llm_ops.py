@@ -833,3 +833,27 @@ def test_bigram_logprob_interpolation_and_backoff(spark):
     t_ba = math.log(0.5 * (1 / 3) + 0.5 * (3 / n))
     want1 = round((t_first + t_ab + t_ba + t_ab) / 4, 4)
     assert out[1]["mean_logprob"] == want1
+
+
+def test_real_feature_path_probes_mp3_and_mp4(spark):
+    """extract_media_features(fake=False) must yield features for
+    mp3/mp4 payloads via the header/box probes (duration + bitrate /
+    timescale) instead of failing the batch."""
+    from wcdimportbot_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        synthesize_mp3,
+        synthesize_mp4,
+    )
+
+    rows = [
+        (1, "audio", bytearray(synthesize_mp3(3)), None),
+        (2, "video", bytearray(synthesize_mp4(5000)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["features"] for r in
+           extract_media_features(media, fake=False).collect()}
+    # the features column is float32 — compare with a tolerance
+    assert got[1][0] == pytest.approx(3 * 1152 * 1000.0 / 44100, abs=1e-2)
+    assert got[1][1] == 128.0  # bitrate_kbps
+    assert got[2][0] == 5000.0 and got[2][1] == 1000.0

@@ -528,7 +528,10 @@ def decode_payload(payload: bytes) -> dict:
 
 
 def _real_features(payload: bytes) -> list[float]:
-    d = decode_payload(payload)
+    # metadata dispatch: full decode where a decoder exists, header/box
+    # probe for the gated containers — so an mp3/mp4 media row yields
+    # typed features instead of failing the whole batch
+    d = probe_payload(payload)
     if d["kind"] in ("bmp", "png", "jpeg"):
         return [
             float(d["width"]),
@@ -537,6 +540,10 @@ def _real_features(payload: bytes) -> list[float]:
             d["mean_g"],
             d["mean_b"],
         ]
+    if d["kind"] == "mp3":
+        return [float(d["duration_ms"]), float(d["bitrate_kbps"])]
+    if d["kind"] == "mp4":
+        return [float(d["duration_ms"]), float(d["timescale"])]
     return [float(d["duration_ms"]), d["rms"]]
 
 
