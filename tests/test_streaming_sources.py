@@ -632,3 +632,51 @@ def test_streaming_incremental_dedup_gate(spark, tmp_path):
         for r in df.filter(F.col("fresh")).collect()
     }
     assert batch_fresh == fresh_ids
+
+
+def test_dedup_gate_replay_after_crash_before_merge_loses_nothing(spark, tmp_path):
+    """ADVICE r7 (medium): foreachBatch is at-least-once. Simulate the
+    crash window — batch outputs written, index merge NOT yet run — then
+    replay the whole batch through the gate fn. The replayed docs must
+    still be seen as FRESH (the probe read a store the crashed attempt
+    never mutated) and land in fresh_out (possibly twice — the standard
+    at-least-once duplicate, absorbable downstream), never be silently
+    classified as dups of their own half-finished ingest."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index_probe,
+        read_dedup_index,
+    )
+    from wcdimportbot_spark.streaming.dedup_gate import incremental_dedup_batch_fn
+
+    index = str(tmp_path / "idx")
+    fresh_out = str(tmp_path / "fresh")
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a wholly distinct sentence about shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    # crashed first attempt: probe (read-only) + outputs written, merge lost
+    ann, _survivors = dedup_index_probe(batch, index)
+    batch.join(ann, "doc_id").filter(F.col("fresh")).write.mode("append").parquet(
+        fresh_out
+    )
+    hashes, bands = read_dedup_index(spark, index)
+    assert hashes.count() == 0 and bands.count() == 0  # probe never mutates
+
+    # replay: the engine re-delivers the same batch to the gate fn
+    incremental_dedup_batch_fn(index, fresh_out)(batch, batch_id=0)
+
+    spark.catalog.refreshByPath(fresh_out)
+    out = spark.read.parquet(fresh_out)
+    # no silent loss: both docs present (duplicated by the replay, which
+    # is the documented at-least-once append contract)
+    per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc) == {1, 2}
+    assert all(n == 2 for n in per_doc.values())
+    # and the merge did land on the replay
+    hashes, bands = read_dedup_index(spark, index)
+    assert hashes.count() == 2 and bands.count() > 0

@@ -301,3 +301,129 @@ def test_multiwriter_merge_serializes_across_processes(spark, tmp_path):
         assert p.returncode == 0, err.decode(errors="replace")[-3000:]
     final = {r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()}
     assert final == base_qids | a_set | b_set, "lost update across writers"
+
+
+def test_rollback_never_reuses_retained_version_names(spark, tmp_path):
+    """The immutable-snapshot contract across rollback: after rolling
+    back over v2, a forward publish must stage v3 (max+1), NOT re-stage
+    v2 — a time-travel reader holding read_snapshot(version='v00000002')
+    keeps an untouched tree, and the rolled-back-over rows stay readable
+    by name until normal pruning ages them out."""
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p1", "d", "hash1")]), path
+    )  # v1
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q100", "WIKIPEDIA_PAGE", "bad", "d", "hash100")]), path
+    )  # v2 (the "bad merge")
+    versioned.rollback(path, "v00000001")
+    time_traveler = sinks.read_snapshot(spark, path, version="v00000002")
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q200", "WEBSITE_ITEM", "w", "d", "hash200")]), path
+    )  # must publish v3, numbering PAST the retained v2
+    assert versioned.current_version(path) == "v00000003"
+    assert "v00000002" in versioned.list_versions(path)
+    # the held snapshot's tree was never deleted or rewritten mid-read
+    assert {r["qid"] for r in time_traveler.select("qid").collect()} == {"Q1", "Q100"}
+    # current state: rollback undid Q100, forward merge added Q200
+    assert {r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()} == {
+        "Q1",
+        "Q200",
+    }
+
+
+def test_staging_dirs_invisible_to_readers_and_swept(spark, tmp_path):
+    """A crashed writer's partial *.staging tree must never be listed as
+    a retained version (rollback onto a partial tree would expose torn
+    state) and is swept by the next writer's stage_new."""
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p1", "d", "hash1")]), path
+    )
+    orphan = os.path.join(path, "v00000002" + versioned.STAGING_SUFFIX)
+    os.makedirs(os.path.join(orphan, "instance_of=WIKIPEDIA_PAGE"))
+    with open(os.path.join(orphan, "instance_of=WIKIPEDIA_PAGE", "part.parquet"), "wb") as f:
+        f.write(b"partial")
+    assert versioned.list_versions(path) == ["v00000001"]
+    assert versioned.data_dir(path).endswith("v00000001")
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q2", "WEBSITE_ITEM", "w", "d", "hash2")]), path
+    )
+    assert not os.path.exists(orphan)
+    assert versioned.list_versions(path) == ["v00000001", "v00000002"]
+    assert sinks.read_items(spark, path).count() == 2
+
+
+def _spawn_stage_crash_child(tmp_path, store, mode):
+    import subprocess
+    import sys
+
+    child = tmp_path / "crash_child.py"
+    child.write_text(
+        "import os, sys, time\n"
+        'sys.path.insert(0, "/root/repo")\n'
+        "store, marker, mode = sys.argv[1:4]\n"
+        "from wcdimportbot_spark.operators import versioned\n"
+        "ctx = versioned.writer_lock(store)\n"
+        "ctx.__enter__()  # SIGKILL'd before exit: lock left behind, pid dead\n"
+        "version, vdir = versioned.stage_new(store)\n"
+        'if mode == "midlink":\n'
+        "    # emulate dying inside link_tree: link exactly one file\n"
+        "    src = versioned.data_dir(store)\n"
+        "    for root, dirs, files in os.walk(src):\n"
+        "        if files:\n"
+        "            rel = os.path.relpath(root, src)\n"
+        "            out = vdir if rel == '.' else os.path.join(vdir, rel)\n"
+        "            os.makedirs(out, exist_ok=True)\n"
+        "            os.link(os.path.join(root, files[0]), os.path.join(out, files[0]))\n"
+        "            break\n"
+        "else:\n"
+        "    versioned.link_tree(versioned.data_dir(store), vdir)\n"
+        'open(marker, "w").write(version)\n'
+        "time.sleep(600)  # parent SIGKILLs us here, before publish\n"
+    )
+    marker = tmp_path / f"staged-{mode}"
+    proc = subprocess.Popen([sys.executable, str(child), store, str(marker), mode])
+    return proc, marker
+
+
+def test_writer_killed_between_stage_and_publish_recovers(spark, tmp_path):
+    """VERDICT r7 #5: SIGKILL a writer after staging (both kill points —
+    full tree staged, and mid-link_tree) but before publish. Readers must
+    keep seeing the old snapshot, the dead writer's partial stage must be
+    invisible, and the next writer must steal the dead lock, sweep the
+    orphan, and publish cleanly."""
+    import signal
+    import time
+
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(spark, [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(3)]),
+        path,
+    )
+    for mode in ("afterstage", "midlink"):
+        proc, marker = _spawn_stage_crash_child(tmp_path, path, mode)
+        deadline = time.time() + 120
+        while not marker.exists():
+            assert time.time() < deadline, f"crash child ({mode}) never staged"
+            assert proc.poll() is None, f"crash child ({mode}) died early"
+            time.sleep(0.05)
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+        # old snapshot intact, partial stage invisible
+        assert versioned.current_version(path) is not None
+        assert sinks.read_items(spark, path).count() >= 3
+        staged_name = marker.read_text()
+        assert staged_name not in versioned.list_versions(path)
+        # dead pid's lock is stolen; orphan staging tree is swept; the
+        # recovery write publishes and reads back complete
+        sinks.merge_write_items(
+            spark,
+            _items(spark, [(f"R-{mode}", "WEBSITE_ITEM", "w", "d", f"hash-{mode}")]),
+            path,
+        )
+        assert not os.path.exists(
+            os.path.join(path, staged_name + versioned.STAGING_SUFFIX)
+        )
+        qids = {r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()}
+        assert f"R-{mode}" in qids and {"Q0", "Q1", "Q2"} <= qids

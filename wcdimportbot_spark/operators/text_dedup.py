@@ -747,10 +747,35 @@ def dedup_index_ingest(
     own buckets and concurrent readers never block. DuckDB-verified as
     the two-batch chain (``dedup_incremental_maint`` registry row /
     :func:`incremental_maint_sql`)."""
-    import os
+    ann, survivors = dedup_index_probe(
+        new_docs, base_path, num_hashes, bands, id_col, text_col, shingle_n
+    )
+    dedup_index_merge(
+        survivors, base_path, num_hashes, bands, id_col, text_col, shingle_n
+    )
+    return ann
 
-    from wcdimportbot_spark.operators import sinks
 
+def dedup_index_probe(
+    new_docs: DataFrame,
+    base_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Read-only half of the ingest loop: annotate the batch against the
+    current index snapshot, WITHOUT mutating the store. Returns
+    ``(ann, survivors)`` — the annotation (materialized, so its plan is
+    pinned to the pre-merge snapshot) and the fresh-document relation to
+    hand to :func:`dedup_index_merge` once the batch's outputs are
+    durable. The split exists for at-least-once callers (the streaming
+    gate): merging the index BEFORE the outputs land means a replayed
+    batch sees its own half-finished ingest as history and its docs
+    never reach the output sink — silent loss; outputs-then-merge flips
+    the recovery failure mode to duplicate output rows, which append
+    sinks absorb downstream (the standard at-least-once contract)."""
     spark = new_docs.sparkSession
     hashes, bands_rel = read_dedup_index(spark, base_path)
     ann = incremental_dedup(
@@ -759,19 +784,37 @@ def dedup_index_ingest(
     survivors = new_docs.join(
         ann.filter(F.col("fresh")).select(id_col), id_col, "left_semi"
     )
+    return ann, survivors
+
+
+def dedup_index_merge(
+    survivors: DataFrame,
+    base_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> None:
+    """Merge a batch's surviving documents into the persistent index.
+
+    Bands merge BEFORE hashes deliberately: the two stores publish under
+    independent locks, so a crash can land between them. With bands
+    first, a replayed batch sees its own buckets as history
+    (``near_dup_of_history``), gets filtered, and the only lasting gap
+    is the hash store missing entries whose future exact duplicates are
+    still caught by the band probe (identical text → identical bands) —
+    an annotation nuance (reported near-dup instead of exact-dup), not a
+    survivorship hole. The reverse order is a permanent near-dup blind
+    spot: hash-present/bands-missing docs are filtered as exact dups on
+    replay and their band buckets can never be backfilled."""
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+
+    spark = survivors.sparkSession
     s_hashes, s_bands = dedup_index(
         survivors, num_hashes, bands, id_col, text_col, shingle_n
-    )
-    sinks._merge_write(
-        spark,
-        s_hashes,
-        os.path.join(base_path, "hashes"),
-        bucket_key="text_hash",
-        anti_key="text_hash",
-        partitions=[sinks.BUCKET_COL],
-        dedup_key="text_hash",
-        read_fn=sinks.read_snapshot,
-        write_fn=_write_hash_store_unlocked,
     )
     sinks._merge_write(
         spark,
@@ -784,7 +827,17 @@ def dedup_index_ingest(
         read_fn=sinks.read_snapshot,
         write_fn=_write_band_store_unlocked,
     )
-    return ann
+    sinks._merge_write(
+        spark,
+        s_hashes,
+        os.path.join(base_path, "hashes"),
+        bucket_key="text_hash",
+        anti_key="text_hash",
+        partitions=[sinks.BUCKET_COL],
+        dedup_key="text_hash",
+        read_fn=sinks.read_snapshot,
+        write_fn=_write_hash_store_unlocked,
+    )
 
 
 def dedup_index_tables_write(

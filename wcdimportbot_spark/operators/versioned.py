@@ -106,6 +106,13 @@ def writer_lock(path: str, timeout: float = 120.0, poll: float = 0.1):
 
 _VERSION_RE = re.compile(r"^v\d{8}$")
 
+#: in-progress stage directories: ``vNNNNNNNN.staging``, renamed to the
+#: bare version name at publish time. Never matched by ``_VERSION_RE``,
+#: so a crashed writer's partial tree is invisible to ``list_versions``
+#: / ``rollback`` / ``data_dir`` — only COMPLETE trees are ever listed.
+STAGING_SUFFIX = ".staging"
+_STAGING_RE = re.compile(r"^v\d{8}\.staging$")
+
 
 def is_version_name(name: str) -> bool:
     return bool(_VERSION_RE.match(name))
@@ -127,26 +134,47 @@ def data_dir(path: str) -> str:
 
 
 def stage_new(path: str) -> tuple[str, str]:
-    """Create (but do not publish) the next version directory.
+    """Create (but do not publish) the next version's STAGING directory
+    (``vNNNNNNNN.staging`` — renamed to the bare version name inside
+    :func:`publish`, so a name listed by :func:`list_versions` always
+    denotes a complete immutable tree, never a crashed writer's partial
+    one).
 
-    A writer that crashed mid-stage leaves an unpublished directory with
-    this same next-version name; its partial files must not leak into the
-    new attempt (hardlinked current files + stale partials would double
-    rows), so any orphan is cleared first."""
+    Numbering is ``max(published versions ∪ current) + 1``, NOT
+    ``current + 1``: after a :func:`rollback` the rolled-back-over
+    snapshots are still retained for time-travel readers, and reusing
+    their version numbers would rewrite a tree a reader may hold open —
+    numbering past them keeps every retained name immutable forever
+    (they rejoin the normal prune lifecycle as newer versions publish).
+
+    A writer that crashed mid-stage leaves an orphan ``*.staging``
+    directory; orphans are swept here (under the caller's writer lock)
+    so partial files never leak into a later attempt."""
+    os.makedirs(path, exist_ok=True)
+    nums = [int(v[1:]) for v in list_versions(path)]
     cur = current_version(path)
-    n = int(cur[1:]) + 1 if cur else 1
+    if cur:
+        nums.append(int(cur[1:]))
+    n = (max(nums) if nums else 0) + 1
     version = f"v{n:08d}"
-    vdir = os.path.join(path, version)
-    if os.path.exists(vdir):
-        shutil.rmtree(vdir)
+    for d in os.listdir(path):
+        if _STAGING_RE.match(d):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    vdir = os.path.join(path, version + STAGING_SUFFIX)
     os.makedirs(vdir)
     return version, vdir
 
 
 def publish(path: str, version: str) -> None:
-    """Atomically flip ``_CURRENT`` to ``version`` and prune old
-    snapshots. ``os.replace`` is atomic on POSIX: a concurrent reader sees
-    either the previous pointer or the new one, never a torn file."""
+    """Rename the staging directory to its final version name, then
+    atomically flip ``_CURRENT`` to ``version`` and prune old snapshots.
+    ``os.replace`` is atomic on POSIX: a concurrent reader sees either
+    the previous pointer or the new one, never a torn file. (The
+    staging→final rename is atomic too, but readers never resolve a
+    version before the pointer flip anyway.)"""
+    staging = os.path.join(path, version + STAGING_SUFFIX)
+    if os.path.isdir(staging):
+        os.replace(staging, os.path.join(path, version))
     tmp = os.path.join(path, CURRENT_FILE + ".tmp")
     with open(tmp, "w", encoding="ascii") as f:
         f.write(version)
@@ -180,8 +208,10 @@ def rollback(path: str, version: str) -> None:
     lock (a rollback racing a merge would otherwise lose one of them),
     flips ``_CURRENT`` with the same write-temp + ``os.replace`` as a
     forward publish, and prunes nothing: the rolled-back-from version
-    stays on disk, and the next forward publish's ``stage_new`` clears
-    its directory before re-staging the same version number.
+    stays on disk as a retained snapshot for time-travel readers.
+    ``stage_new`` numbers past it (max + 1, never current + 1), so its
+    name is never reused and its tree stays immutable until it ages out
+    of the normal ``KEEP_VERSIONS`` prune window under later publishes.
 
     :raises ValueError: when ``version`` is not a retained snapshot
         (already pruned, or never published)."""
@@ -209,7 +239,11 @@ def link_tree(src: str, dst: str) -> None:
     src = os.path.abspath(src)
     for root, dirs, files in os.walk(src):
         if root == src:
-            dirs[:] = [d for d in dirs if not _VERSION_RE.match(d)]
+            dirs[:] = [
+                d
+                for d in dirs
+                if not _VERSION_RE.match(d) and not _STAGING_RE.match(d)
+            ]
             files = [
                 f
                 for f in files

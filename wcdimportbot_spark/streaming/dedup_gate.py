@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wcdimportbot_spark.operators.text_dedup import dedup_index_ingest
+from wcdimportbot_spark.operators.text_dedup import (
+    dedup_index_merge,
+    dedup_index_probe,
+)
 
 
 def incremental_dedup_batch_fn(
@@ -44,19 +47,28 @@ def incremental_dedup_batch_fn(
 ):
     """Build the ``foreachBatch`` function for the streaming dedup gate.
 
-    Per micro-batch: probe the stored index, write FRESH docs (with
-    their annotation columns) to ``fresh_out_path`` (parquet, append),
-    optionally write duplicate docs to ``rejects_out_path`` (the rejects
-    side-output pattern, operators/normalize.py S11), and merge the
-    fresh survivors into the index. The ingest's writer lock serializes
-    index updates, so a concurrent nightly batch job and this stream
-    compose — each merges against the snapshot the other published."""
+    Per micro-batch: probe the stored index (read-only), write FRESH
+    docs (with their annotation columns) to ``fresh_out_path`` (parquet,
+    append), optionally write duplicate docs to ``rejects_out_path``
+    (the rejects side-output pattern, operators/normalize.py S11), and
+    only THEN merge the fresh survivors into the index. ``foreachBatch``
+    is at-least-once, and the outputs-before-merge order is what makes
+    that recoverable: a crash after the merge but before the append
+    would make the replayed batch see its own half-finished ingest as
+    history and silently drop those docs from ``fresh_out_path``; a
+    crash after the append but before the merge merely re-appends the
+    batch's fresh rows on replay (duplicate output rows — the standard
+    at-least-once append-sink contract, absorbed downstream), and the
+    re-merge itself is an idempotent insert-if-absent. The ingest's
+    writer lock serializes index updates, so a concurrent nightly batch
+    job and this stream compose — each merges against the snapshot the
+    other published."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         docs = batch_df.select(id_col, text_col)
-        ann = dedup_index_ingest(
+        ann, survivors = dedup_index_probe(
             docs,
             index_path,
             num_hashes=num_hashes,
@@ -73,5 +85,14 @@ def incremental_dedup_batch_fn(
             annotated.filter(~F.col("fresh")).write.mode("append").parquet(
                 rejects_out_path
             )
+        dedup_index_merge(
+            survivors,
+            index_path,
+            num_hashes=num_hashes,
+            bands=bands,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+        )
 
     return fn
