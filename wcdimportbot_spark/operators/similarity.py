@@ -152,6 +152,7 @@ def ann_recall_report(
     recall_floor: float = 0.6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    margin_floor: float | None = None,
 ) -> DataFrame:
     """Verifiable accuracy contract for an ANN result (the a11-sketch
     pattern applied to similarity search).
@@ -174,6 +175,19 @@ def ann_recall_report(
     recall itself is deliberately NOT emitted — it is exactly the quantity
     no closed-form oracle can predict; the flag is its hashable projection.
 
+    With ``margin_floor`` set, the row additionally carries the TIGHTER
+    flag ``recall_margin_ok`` = (per-query recall margin >=
+    margin_floor), where the margin is how far the flag-deciding ANN
+    cosine — the ``ceil(recall_floor·k)``-th best the ANN returned —
+    sits ABOVE the ε-floor (``exact_kth_cosine − epsilon``). The margin
+    itself is exactly as oracle-unpredictable as the recall, so the row
+    hashes its floored projection instead (same trick as the flag);
+    the raw numeric margins are exposed to tests via
+    :func:`ann_recall_margins`. This is the early-warning contract: data
+    or seed drift erodes the margin and flips the strict flag while the
+    real recall flag still holds, turning a future red driver cell into
+    a present test failure.
+
     Plan shape: the O(|Q|·N·d) brute-force scan appears ONCE (collapsed to
     a 10-row per-query aggregate, broadcast onto the ANN output), then one
     tiny groupBy computes the ε-good counts. At 100 TB this verification
@@ -187,7 +201,10 @@ def ann_recall_report(
         F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("exact_top1_cosine"),
         F.max(F.when(F.col("rank") == k, F.col("cosine"))).alias("exact_kth_cosine"),
     )
+    import math
+
     good = (F.col("cosine") >= F.col("exact_kth_cosine") - epsilon).cast("int")
+    need = max(1, math.ceil(recall_floor * k))
     report = (
         approx_topk.select("query_id", "cosine")
         .join(F.broadcast(ex_agg), "query_id")
@@ -197,17 +214,78 @@ def ann_recall_report(
             F.max("exact_top1_cosine").alias("exact_top1_cosine"),
             F.max("exact_kth_cosine").alias("exact_kth_cosine"),
             F.sum(good).alias("_good"),
+            # the need-th best ANN cosine decides the recall flag; its
+            # height above the ε-floor is the per-query margin
+            F.element_at(
+                F.sort_array(F.collect_list("cosine"), asc=False), need
+            ).alias("_deciding"),
         )
     )
-    return report.select(
-        "query_id",
-        "exact_top1_id",
+    cols = [
+        F.col("query_id"),
+        F.col("exact_top1_id"),
         F.round("exact_top1_cosine", 4).alias("exact_top1_cosine"),
         F.round("exact_kth_cosine", 4).alias("exact_kth_cosine"),
         F.lit(float(epsilon)).alias("epsilon"),
         F.lit(float(recall_floor)).alias("recall_floor"),
         (F.col("_good") / float(k) >= recall_floor).alias("recall_within_tolerance"),
+    ]
+    if margin_floor is not None:
+        cols.extend(
+            [
+                F.lit(float(margin_floor)).alias("margin_floor"),
+                (
+                    F.col("_deciding")
+                    >= F.col("exact_kth_cosine") - epsilon + margin_floor
+                ).alias("recall_margin_ok"),
+            ]
+        )
+    return report.select(*cols)
+
+
+def ann_recall_margins(
+    embeddings: DataFrame,
+    approx_topk: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    epsilon: float = 0.05,
+    recall_floor: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, float]:
+    """Raw per-query recall margins for an ANN result: how far the
+    flag-deciding ANN cosine (the ``ceil(recall_floor·k)``-th best
+    returned) sits above the ε-floor (``exact_kth_cosine − epsilon``).
+    Positive = the ε-recall contract holds with that much headroom;
+    the tests pin ``min(margins)`` per sf so erosion is visible long
+    before the driver's hashed flag flips. Diagnostic (bounded |Q|-row
+    collect) — the hashable projection lives in
+    :func:`ann_recall_report`'s ``recall_margin_ok``."""
+    import math
+
+    exact = cosine_topk_bruteforce(
+        embeddings, num_queries=num_queries, k=k, id_col=id_col, vec_col=vec_col
     )
+    kth = exact.filter(F.col("rank") == k).select(
+        "query_id", F.col("cosine").alias("_kth")
+    )
+    need = max(1, math.ceil(recall_floor * k))
+    rows = (
+        approx_topk.select("query_id", "cosine")
+        .join(F.broadcast(kth), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.max("_kth").alias("_kth"),
+            F.element_at(
+                F.sort_array(F.collect_list("cosine"), asc=False), need
+            ).alias("_deciding"),
+        )
+        .collect()
+    )
+    return {
+        int(r["query_id"]): float(r["_deciding"]) - (float(r["_kth"]) - epsilon)
+        for r in rows
+    }
 
 
 def ann_recall_report_sql(
@@ -217,10 +295,19 @@ def ann_recall_report_sql(
     epsilon: float = 0.05,
     recall_floor: float = 0.6,
     dim: int = 64,
+    margin_floor: float | None = None,
 ) -> str:
     """Closed-form DuckDB oracle for :func:`ann_recall_report`: exact top-1
     and k-th cosine per query point by brute force, the contract constants,
-    and all-true tolerance flags."""
+    and all-true tolerance flags (including the strict margin flag when
+    ``margin_floor`` is set)."""
+    margin_cols = (
+        f""",
+           CAST({margin_floor} AS DOUBLE) AS margin_floor,
+           TRUE AS recall_margin_ok"""
+        if margin_floor is not None
+        else ""
+    )
     return f"""
     WITH pairs AS (
         SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -244,7 +331,7 @@ def ann_recall_report_sql(
            MAX(CASE WHEN rank = {k} THEN cosine END) AS exact_kth_cosine,
            CAST({epsilon} AS DOUBLE) AS epsilon,
            CAST({recall_floor} AS DOUBLE) AS recall_floor,
-           TRUE AS recall_within_tolerance
+           TRUE AS recall_within_tolerance{margin_cols}
     FROM ranked WHERE rank IN (1, {k})
     GROUP BY query_id
     """

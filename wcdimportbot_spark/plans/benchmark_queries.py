@@ -890,11 +890,12 @@ def sim_cosine_topk(spark, sf_dir):
 QUERIES["sim_cosine_topk"].oracle = _cosine_oracle()
 
 
-def _ann_oracle():
+def _ann_oracle(margin_floor=None):
     from wcdimportbot_spark.operators.similarity import ann_recall_report_sql
 
     return ann_recall_report_sql(
-        "embeddings", num_queries=10, k=5, epsilon=0.05, recall_floor=0.6, dim=64
+        "embeddings", num_queries=10, k=5, epsilon=0.05, recall_floor=0.6, dim=64,
+        margin_floor=margin_floor,
     )
 
 
@@ -2033,7 +2034,12 @@ QUERIES["sim_ann_pq"].oracle = _ann_oracle()
     "PQ byte codes make the per-cluster scan memory-bound (ADC decomposes "
     "as dot(q,centroid) + residual-LUT lookups), exact refine of the "
     "survivors; same verifiable epsilon-recall contract as the "
-    "LSH/IVF/PQ rows (raw-codebook composition kept as ivfpq_topk)",
+    "LSH/IVF/PQ rows (raw-codebook composition kept as ivfpq_topk), "
+    "HARDENED with the strict margin flag: recall_margin_ok pins the "
+    "flag-deciding ANN cosine >= 0.01 above the eps-floor (measured min "
+    "margin 0.0151/0.0429/0.0232 at sf0.001/0.01/0.1, refine=5), so "
+    "margin erosion flips this tighter flag before the real recall "
+    "contract ever goes red",
     None,
 )
 def sim_ann_ivfpq(spark, sf_dir):
@@ -2054,11 +2060,12 @@ def sim_ann_ivfpq(spark, sf_dir):
         rindex=_ann_stage(spark, sf_dir, "ivfpq_res"),
     )
     return ann_recall_report(
-        emb, approx, num_queries=10, k=5, epsilon=0.05, recall_floor=0.6
+        emb, approx, num_queries=10, k=5, epsilon=0.05, recall_floor=0.6,
+        margin_floor=0.01,
     )
 
 
-QUERIES["sim_ann_ivfpq"].oracle = _ann_oracle()
+QUERIES["sim_ann_ivfpq"].oracle = _ann_oracle(margin_floor=0.01)
 
 
 @register(
