@@ -919,3 +919,57 @@ def test_margin_contract_flag_matches_raw_margins(spark):
         recall_floor=0.6, margin_floor=10.0,
     )
     assert strict.filter(F.col("recall_margin_ok")).count() == 0
+
+
+def test_embedding_ann_bucket_guard_bounds_degenerate_corpus(spark):
+    """VERDICT r7 #2: 1k identical vectors pile into ONE bucket per
+    table — unguarded pair work is N²/2 ≈ 500k. The md5-salt split must
+    bound emitted pairs to ~num_tables·N·cap/2, report the oversize via
+    bucket stats, and still let connected components reunite the whole
+    clique into ONE cluster (the split permutation differs per table, so
+    sub-cliques overlap)."""
+    from wcdimportbot_spark.operators.curation import connected_components_star
+    from wcdimportbot_spark.operators.similarity import (
+        embedding_ann_bucket_stats,
+        embedding_near_dup_ann,
+    )
+
+    n, cap, tables = 1000, 16, 8
+    vec = [float((i * 37 + 11) % 97) / 97.0 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    pairs = embedding_near_dup_ann(
+        emb, threshold=0.9, max_bucket_size=cap
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    bound = tables * n * cap // 2 + n  # per-table N·cap/2, unioned
+    assert 0 < n_pairs <= bound, (n_pairs, bound)
+    assert n_pairs < (n * (n - 1) // 2) / 3  # far below the quadratic blowup
+
+    stats = embedding_ann_bucket_stats(emb, max_bucket_size=cap).collect()
+    assert len(stats) == tables  # one oversized bucket per table
+    assert all(r["bucket_size"] == n and r["nsplit"] == 63 for r in stats)
+
+    cc = connected_components_star(
+        pairs.select("vec_a", "vec_b"), src="vec_a", dst="vec_b", max_iter=30
+    )
+    clusters = cc.groupBy("cluster_id").count().collect()
+    assert len(clusters) == 1 and clusters[0]["count"] == n
+
+
+def test_embedding_ann_guard_identity_under_cap(spark):
+    """Buckets at or under the cap must produce byte-identical output to
+    the unguarded operator (salt degenerates to 0)."""
+    from wcdimportbot_spark.operators.similarity import embedding_near_dup_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    guarded = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_near_dup_ann(emb, max_bucket_size=1024).collect()
+    }
+    unguarded = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_near_dup_ann(emb, max_bucket_size=None).collect()
+    }
+    assert guarded == unguarded and len(guarded) > 0

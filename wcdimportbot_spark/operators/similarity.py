@@ -476,6 +476,72 @@ def ann_lsh_topk(
     ).select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
 
 
+def _split_salt(bucket: Column, vid: Column, nsplit: Column) -> Column:
+    """Deterministic sub-bucket salt in ``[0, nsplit)``: first 8 md5 hex
+    digits of ``bucket#id`` as an unsigned int, mod the split count —
+    md5-derived like the hyperplanes, so DuckDB reproduces it exactly."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(bucket, F.lit("#"), vid.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % nsplit
+    )
+
+
+def embedding_ann_bucket_stats(
+    embeddings: DataFrame,
+    planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    max_bucket_size: int | None = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The "no silent caps" companion to :func:`embedding_near_dup_ann`:
+    per OVERSIZED bucket (size > max_bucket_size), its size, the split
+    count applied, and the pair-work bound — so a pipeline can log what
+    the guard forwent instead of silently under-reporting near-dups.
+    Empty result == the guard was a no-op (byte-identical output)."""
+    if max_bucket_size is None:
+        raise ValueError("bucket stats need a max_bucket_size")
+    planes_df = _plane_matrix_df(embeddings.sparkSession, planes, num_tables, dim)
+    bucketed = (
+        fan_out(embeddings, id_col)
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            _signs_against(F.col(vec_col), F.col("_planes")).alias("_signs"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                _buckets_from_signs(F.col("_signs"), planes, num_tables)
+            ).alias("bucket"),
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+        .withColumn(
+            "nsplit",
+            F.ceil(F.col("bucket_size") / F.lit(float(max_bucket_size))).cast("long"),
+        )
+        .withColumn(
+            "uncapped_pairs",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long"),
+        )
+        .withColumn(
+            "capped_pairs_bound",
+            (F.col("bucket_size") * F.lit(max_bucket_size) / 2).cast("long"),
+        )
+    )
+
+
 def embedding_near_dup_ann(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -484,6 +550,7 @@ def embedding_near_dup_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH candidate generation — the
     scale path the blocked-crossJoin baseline
@@ -501,6 +568,26 @@ def embedding_near_dup_ann(
     (:func:`embedding_near_dup_ann_sql`), making this ANN operator fully
     hash-verifiable, unlike top-k ANN whose quality needs the ε-recall
     contract.
+
+    ``max_bucket_size`` is the bounded-posting-list guard (the df-cap
+    pattern from text_dedup heavy n-grams): pair work is Σ|bucket|², and
+    ``planes`` only controls the EXPECTED bucket size — a degenerate
+    corpus region (many identical vectors, exactly what dedup input
+    contains) piles into ONE bucket and goes quadratic regardless of the
+    knob. Oversized buckets are SPLIT, not dropped: each member gets a
+    deterministic md5-derived salt in ``[0, ceil(|bucket|/cap))`` keyed
+    on (bucket, id), and pairs join on (bucket, salt) — per-bucket work
+    drops from |b|² to ~|b|·cap, linear in |b|. Because the salt hash
+    includes the (per-table) bucket string, the split permutation
+    differs across the ``num_tables`` tables, so a pair separated by the
+    split in one table can still collide in another — for identical
+    vectors (all tables agree on the bucket) the downstream connected-
+    components pass reunites the overlapping sub-cliques into one
+    cluster. The salt is md5-derived like the planes, so the DuckDB
+    oracle reproduces the split bit-for-bit; what the cap forgoes is
+    visible via :func:`embedding_ann_bucket_stats` (no silent caps).
+    Buckets at or under the cap get salt 0 — byte-identical output to
+    the unguarded form.
 
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b."""
     planes_df = _plane_matrix_df(
@@ -528,9 +615,38 @@ def embedding_near_dup_ann(
     # at scale |pairs| dominates N, so shuffling id pairs + 2 passes of
     # the vector table beats dragging both arrays through every collision
     ids = bucketed.select(F.col(id_col), "bucket")
+    if max_bucket_size is not None:
+        # the guard adds a third consumer of the (id, bucket) relation
+        # (sizes agg + both pair sides); a LAZY localCheckpoint computes
+        # the hyperplane signs once per action and serves all three from
+        # the materialized narrow relation instead of three corpus-scan
+        # re-derivations (measured: removes the guard's extra pass at
+        # sf0.1). Lazy, so plan-analysis-only callers execute nothing.
+        ids = ids.localCheckpoint(eager=False)
+        # one narrow groupBy over (id, bucket) sizes the buckets; the
+        # salt is 0 (identity) for in-cap buckets, so the guard costs
+        # one map-combinable agg + broadcast-sized join on healthy data
+        sizes = ids.groupBy("bucket").agg(F.count("*").alias("_bn"))
+        ids = (
+            ids.join(sizes, "bucket")
+            .withColumn(
+                "_nsplit",
+                F.ceil(F.col("_bn") / F.lit(float(max_bucket_size))).cast("long"),
+            )
+            .withColumn(
+                "salt",
+                _split_salt(F.col("bucket"), F.col(id_col), F.col("_nsplit")),
+            )
+            .select(F.col(id_col), "bucket", F.col("salt"))
+        )
+    else:
+        ids = ids.withColumn("salt", F.lit(0).cast("long"))
     cand = (
-        ids.select(F.col(id_col).alias("vec_a"), "bucket")
-        .join(ids.select(F.col(id_col).alias("vec_b"), "bucket"), "bucket")
+        ids.select(F.col(id_col).alias("vec_a"), "bucket", "salt")
+        .join(
+            ids.select(F.col(id_col).alias("vec_b"), "bucket", "salt"),
+            ["bucket", "salt"],
+        )
         .filter(F.col("vec_a") < F.col("vec_b"))
         # a pair colliding in several tables must be scored once
         .dropDuplicates(["vec_a", "vec_b"])
@@ -561,12 +677,29 @@ def embedding_near_dup_ann_sql(
     planes: int = 4,
     num_tables: int = 8,
     dim: int = 64,
+    max_bucket_size: int | None = 1024,
 ) -> str:
     """DuckDB oracle for :func:`embedding_near_dup_ann`: the SAME
     md5-parity hyperplane signs (last hex digit of md5('plane:i') even
-    → +1), the same per-table sign-bit signatures, the same
-    bucket-equality candidate pairs, the same rounded exact cosine."""
+    → +1), the same per-table sign-bit signatures, the same md5-derived
+    oversized-bucket split salt, the same (bucket, salt)-equality
+    candidate pairs, the same rounded exact cosine."""
     n_planes = num_tables * planes
+    if max_bucket_size is None:
+        salt_expr = "CAST(0 AS BIGINT)"
+        nsplit_cte = ""
+    else:
+        salt_expr = (
+            "('0x' || substring(md5(b.bkt || '#' || CAST(b.vec_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % s.nsplit"
+        )
+        nsplit_cte = f"""
+    bsizes AS (
+        SELECT bkt,
+               CAST(CEIL(COUNT(*) / CAST({max_bucket_size} AS DOUBLE)) AS BIGINT)
+                   AS nsplit
+        FROM buckets GROUP BY bkt
+    ),"""
     return f"""
     WITH plane AS (
         SELECT p.p AS p, i.i AS i,
@@ -583,14 +716,19 @@ def embedding_near_dup_ann_sql(
         GROUP BY 1, 2
     ),
     buckets AS (
-        SELECT vec_id, CAST(p // {planes} AS INT) AS tbl,
-               string_agg(bit, '' ORDER BY p) AS sig
+        SELECT vec_id,
+               CAST(p // {planes} AS VARCHAR) || '#'
+                   || string_agg(bit, '' ORDER BY p) AS bkt
         FROM sigs GROUP BY vec_id, p // {planes}
+    ),{nsplit_cte}
+    salted AS (
+        SELECT b.vec_id, b.bkt, {salt_expr} AS salt
+        FROM buckets b{" JOIN bsizes s ON s.bkt = b.bkt" if max_bucket_size is not None else ""}
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM buckets a
-        JOIN buckets b ON a.tbl = b.tbl AND a.sig = b.sig
+        FROM salted a
+        JOIN salted b ON a.bkt = b.bkt AND a.salt = b.salt
                       AND a.vec_id < b.vec_id
     ),
     pairs AS (
