@@ -973,3 +973,76 @@ def test_embedding_ann_guard_identity_under_cap(spark):
         for r in embedding_near_dup_ann(emb, max_bucket_size=None).collect()
     }
     assert guarded == unguarded and len(guarded) > 0
+
+
+def test_semantic_dedup_keeps_centroid_closest_member(spark):
+    """SemDeDup keep policy: within a cluster of mutually-similar
+    vectors, exactly the member closest to the cluster centroid
+    survives (ties broken toward the smaller id); dissimilar
+    cluster-mates and members of other clusters are untouched."""
+    from wcdimportbot_spark.operators.similarity import semantic_dedup
+
+    base = [1.0] * 64
+    tilt = [1.0] * 32 + [0.96] * 32       # same cluster, cosine ~0.9997 to base
+    anti = [-1.0] * 64                     # opposite cluster
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, tilt), (9, anti)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.9).collect()}
+    assert rows[1]["cluster"] == rows[2]["cluster"] == rows[3]["cluster"]
+    assert rows[9]["cluster"] != rows[1]["cluster"]
+    # 1,2,3 are pairwise >= 0.9-similar: only ONE survives — the
+    # centroid-closest (1 and 2 tie at the top; smaller id wins)
+    assert rows[1]["kept"] and not rows[2]["kept"] and not rows[3]["kept"]
+    assert rows[9]["kept"]
+    assert rows[1]["centroid_cosine"] >= rows[3]["centroid_cosine"]
+
+
+def test_semantic_dedup_cluster_guard_bounds_pairs(spark):
+    """The cluster-size guard reuses the md5 salt split: 600 identical
+    vectors pile into ONE cluster; with cap 16 the pair stage runs per
+    salt sub-clique instead of quadratically. All members tie on
+    centroid cosine, so each sub-clique keeps exactly its min id —
+    survivors collapse to ~one per sub-clique (far below 600) and the
+    globally smallest id always survives."""
+    from wcdimportbot_spark.operators.similarity import semantic_dedup
+
+    vec = [0.5] * 64
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(600)], "vec_id long, embedding array<double>"
+    )
+    rows = semantic_dedup(emb, threshold=0.9, max_cluster_size=16).collect()
+    kept = sorted(r["vec_id"] for r in rows if r["kept"])
+    assert len(rows) == 600
+    # every doc ties on centroid_cosine, so within each salt sub-clique
+    # only its min id survives: survivors = one per sub-clique
+    assert 0 < len(kept) <= 600 // 16 + 2
+    assert kept[0] == 0
+
+
+def test_linear_quality_classifier_feature_algebra(spark):
+    """The fastText-shaped gate: n_features = unigrams + bigrams
+    (2n-1 for an n-token doc), empty docs get the neutral 0.5 score,
+    and the score is the sigmoid of the mean hashed-feature weight."""
+    import math
+
+    from wcdimportbot_spark.operators.text_analysis import (
+        hashed_feature_weights,
+        linear_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in linear_quality_classifier(docs).collect()}
+    assert rows[1]["n_features"] == 5  # 3 unigrams + 2 bigrams
+    assert rows[3]["n_features"] == 1
+    assert rows[2]["n_features"] == 0
+    assert rows[2]["logit"] == 0.0 and rows[2]["score"] == 0.5 and rows[2]["keep"]
+    for r in rows.values():
+        assert abs(r["score"] - round(1 / (1 + math.exp(-r["logit"])), 4)) <= 1e-4
+    # the weight relation is the swap-in point for a trained vector
+    w = hashed_feature_weights(spark, dims=64).collect()
+    assert len(w) == 64 and all(-1.0 <= r["w"] <= 1.0 for r in w)

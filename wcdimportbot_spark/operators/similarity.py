@@ -747,6 +747,263 @@ def embedding_near_dup_ann_sql(
     """
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, and within each
+    cluster drop every document that is ``threshold``-similar to a
+    cluster-mate sitting CLOSER to the cluster centroid — the
+    cluster-representative keep policy that makes semantic dedup
+    near-linear, versus pairwise ANN dedup's corpus-wide candidate
+    generation. The complement to MinHash in production pipelines:
+    MinHash catches lexical near-dups, this catches semantically
+    redundant documents whose wording differs.
+
+    Spark-first decomposition, all Catalyst (no UDF):
+
+    - **clusters**: one deterministic random-hyperplane table
+      (``planes`` md5-derived sign vectors, :func:`_plane_signs`) — the
+      stateless stand-in for SemDeDup's k-means that a SQL oracle can
+      reproduce bit-for-bit (the :func:`ivf_index` k-means is the
+      drop-in alternative when oracle determinism is not needed; at
+      100 TB ``planes`` grows like log2(N/target_cluster_size), keeping
+      cluster size — and therefore per-cluster pair work — constant);
+    - **centroids**: posexplode → per-(cluster, dim) mean → regrouped
+      array; 2^planes rows, broadcast back onto the corpus;
+    - **keep policy**: within-cluster pairs ≥ threshold (narrow
+      (id, cluster) self-equi-join with vectors joined back — the
+      embedding_near_dup_ann shuffle shape), each pair dropping its
+      member with the LOWER rounded centroid-cosine (tie: larger id),
+      then one distinct + anti-join. ``max_cluster_size`` applies the
+      same md5 salt-split guard as :func:`embedding_near_dup_ann`
+      (centroids always aggregate the FULL cluster — only the
+      quadratic pair stage is bounded).
+
+    Returns (vec_id, cluster, centroid_cosine, kept) for EVERY input
+    vector — the annotation form, so the registry row hash-verifies the
+    clustering, the centroid geometry, and the verdicts in one relation.
+    Reference scope: beyond-reference (training-data curation mandate);
+    cites the reference only for the documents surface it feeds
+    (src/models/wikimedia/enums.py language gates)."""
+    spark = embeddings.sparkSession
+    planes_df = _plane_matrix_df(spark, planes, 1, dim)
+    clustered = (
+        fan_out(embeddings, id_col)
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(
+                _buckets_from_signs(
+                    _signs_against(F.col(vec_col), F.col("_planes")), planes, 1
+                ),
+                1,
+            ).alias("cluster"),
+        )
+    )
+    cent = (
+        clustered.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("_centroid")
+        )
+    )
+    scored = (
+        clustered.join(F.broadcast(cent), "cluster")
+        .withColumn(
+            "centroid_cosine",
+            F.round(
+                _dot(F.col(vec_col), F.col("_centroid"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_centroid"))),
+                4,
+            ),
+        )
+        .select(F.col(id_col), F.col(vec_col), "cluster", "centroid_cosine")
+        .localCheckpoint(eager=False)
+    )
+    ids = scored.select(F.col(id_col), "cluster", "centroid_cosine")
+    if max_cluster_size is not None:
+        sizes = ids.groupBy("cluster").agg(F.count("*").alias("_cn"))
+        ids = (
+            ids.join(sizes, "cluster")
+            .withColumn(
+                "_nsplit",
+                F.ceil(F.col("_cn") / F.lit(float(max_cluster_size))).cast("long"),
+            )
+            .withColumn(
+                "salt",
+                _split_salt(F.col("cluster"), F.col(id_col), F.col("_nsplit")),
+            )
+            .select(F.col(id_col), "cluster", "centroid_cosine", "salt")
+        )
+    else:
+        ids = ids.withColumn("salt", F.lit(0).cast("long"))
+    a = ids.select(
+        F.col(id_col).alias("_ia"),
+        "cluster",
+        "salt",
+        F.col("centroid_cosine").alias("_ca"),
+    )
+    b = ids.select(
+        F.col(id_col).alias("_ib"),
+        "cluster",
+        "salt",
+        F.col("centroid_cosine").alias("_cb"),
+    )
+    cand = a.join(b, ["cluster", "salt"]).filter(F.col("_ia") < F.col("_ib"))
+    vecs = scored.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"),
+                         _norm(F.col(vec_col)).alias("_vn"))
+    sims = (
+        cand.join(vecs, F.col("_ia") == F.col("_vid"))
+        .select("_ia", "_ib", "_ca", "_cb", F.col("_vv").alias("_va"), F.col("_vn").alias("_na"))
+        .join(vecs, F.col("_ib") == F.col("_vid"))
+        .select(
+            "_ia",
+            "_ib",
+            "_ca",
+            "_cb",
+            F.round(
+                _dot(F.col("_va"), F.col("_vv")) / (F.col("_na") * F.col("_vn")), 4
+            ).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+    )
+    # per similar pair, the member farther from the centroid loses
+    # (lower rounded centroid-cosine; tie -> the larger id)
+    dropped = (
+        sims.select(
+            F.when(F.col("_ca") > F.col("_cb"), F.col("_ib"))
+            .when(F.col("_cb") > F.col("_ca"), F.col("_ia"))
+            .otherwise(F.greatest(F.col("_ia"), F.col("_ib")))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return (
+        scored.select(F.col(id_col), "cluster", "centroid_cosine")
+        .join(dropped.withColumn("_d", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("centroid_cosine"),
+            F.coalesce(~F.col("_d"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    threshold: float = 0.4,
+    planes: int = 4,
+    dim: int = 64,
+    max_cluster_size: int | None = 1024,
+) -> str:
+    """DuckDB oracle for :func:`semantic_dedup`: the SAME md5-parity
+    hyperplane cluster assignment, per-(cluster, dim) AVG centroids,
+    rounded centroid cosines, salt-split in-cluster pairs, and the
+    farther-from-centroid drop rule."""
+    if max_cluster_size is None:
+        salt_expr = "CAST(0 AS BIGINT)"
+        size_join = ""
+        size_cte = ""
+    else:
+        salt_expr = (
+            "('0x' || substring(md5(c.cluster || '#' || CAST(c.vec_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % s.nsplit"
+        )
+        size_join = " JOIN csizes s ON s.cluster = c.cluster"
+        size_cte = f"""
+    csizes AS (
+        SELECT cluster,
+               CAST(CEIL(COUNT(*) / CAST({max_cluster_size} AS DOUBLE)) AS BIGINT)
+                   AS nsplit
+        FROM clus GROUP BY cluster
+    ),"""
+    return f"""
+    WITH plane AS (
+        SELECT p.p AS p, i.i AS i,
+               CASE WHEN ('0x' || substring(md5(CAST(p.p AS VARCHAR) || ':' ||
+                          CAST(i.i AS VARCHAR)), 32, 1))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM UNNEST(range(0, {planes})) p(p), UNNEST(range(0, {dim})) i(i)
+    ),
+    sigs AS (
+        SELECT e.vec_id, pl.p,
+               CASE WHEN SUM(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.s) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM {table} e, plane pl
+        GROUP BY 1, 2
+    ),
+    clus AS (
+        SELECT vec_id, '0#' || string_agg(bit, '' ORDER BY p) AS cluster
+        FROM sigs GROUP BY vec_id
+    ),{size_cte}
+    cmean AS (
+        SELECT c.cluster, i.i AS i, AVG(CAST(e.embedding[i.i] AS DOUBLE)) AS m
+        FROM clus c
+        JOIN {table} e ON e.vec_id = c.vec_id,
+             UNNEST(range(1, {dim + 1})) i(i)
+        GROUP BY 1, 2
+    ),
+    ccos AS (
+        SELECT c.vec_id, c.cluster,
+               round(SUM(CAST(e.embedding[cm.i] AS DOUBLE) * cm.m)
+                     / (SQRT(SUM(CAST(e.embedding[cm.i] AS DOUBLE)
+                                 * CAST(e.embedding[cm.i] AS DOUBLE)))
+                        * SQRT(SUM(cm.m * cm.m))), 4) AS centroid_cosine
+        FROM clus c
+        JOIN {table} e ON e.vec_id = c.vec_id
+        JOIN cmean cm ON cm.cluster = c.cluster
+        GROUP BY 1, 2
+    ),
+    salted AS (
+        SELECT c.vec_id, c.cluster, cc.centroid_cosine, {salt_expr} AS salt
+        FROM clus c
+        JOIN ccos cc ON cc.vec_id = c.vec_id{size_join}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               a.centroid_cosine AS ca, b.centroid_cosine AS cb,
+               round(SUM(CAST(ea.embedding[i] AS DOUBLE)
+                         * CAST(eb.embedding[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(ea.embedding[i] AS DOUBLE)
+                                 * CAST(ea.embedding[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(eb.embedding[i] AS DOUBLE)
+                                   * CAST(eb.embedding[i] AS DOUBLE)))), 4) AS cos
+        FROM salted a
+        JOIN salted b ON a.cluster = b.cluster AND a.salt = b.salt
+                      AND a.vec_id < b.vec_id
+        JOIN {table} ea ON ea.vec_id = a.vec_id
+        JOIN {table} eb ON eb.vec_id = b.vec_id,
+             UNNEST(range(1, {dim + 1})) t(i)
+        GROUP BY 1, 2, 3, 4
+    ),
+    dropped AS (
+        SELECT DISTINCT CASE WHEN ca > cb THEN ib
+                             WHEN cb > ca THEN ia
+                             ELSE GREATEST(ia, ib) END AS vec_id
+        FROM pairs WHERE cos >= {threshold}
+    )
+    SELECT cc.vec_id, cc.cluster, cc.centroid_cosine,
+           cc.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM ccos cc
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (scale path #2): k-means coarse quantizer + cluster-probed search
 # ---------------------------------------------------------------------------

@@ -499,3 +499,156 @@ def bigram_logprob_sql(
            round(exp(-lp / n_tokens), 4) AS perplexity
     FROM sums
     """
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram linear quality classifier (fastText-shaped gate)
+# ---------------------------------------------------------------------------
+
+
+def _feature_bucket(feature: Column, dims: int) -> Column:
+    """Deterministic hashed-feature bucket in ``[0, dims)``: first 8 md5
+    hex digits of the feature string as an unsigned int mod ``dims`` —
+    the hashing-trick projection, md5-derived so DuckDB reproduces it."""
+    return (
+        F.conv(F.substring(F.md5(feature), 1, 8), 16, 10).cast("long")
+        % F.lit(dims)
+    ).cast("int")
+
+
+def hashed_feature_weights(spark, dims: int = 4096) -> DataFrame:
+    """The broadcast weight vector of the linear classifier: one row per
+    hash bucket, weight in [-1, 1] derived from md5('w:<bucket>') — the
+    stateless stand-in for trained fastText/logistic weights (a real
+    deployment overwrites this relation with its trained vector; every
+    downstream plan shape is identical). Deterministic, so the scoring
+    pipeline stays end-to-end hash-verifiable."""
+    return spark.range(dims).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("w:"), F.col("id"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("w"),
+    )
+
+
+def linear_quality_classifier(
+    docs: DataFrame,
+    dims: int = 4096,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-shaped document quality gate: hashed unigram+bigram
+    features → broadcast weight vector → mean weight → logistic score —
+    the learned-classifier complement to the rule-based
+    :func:`quality_score` and the perplexity filters (the CCNet stack
+    runs exactly this trio; fastText is Joulin et al. 2016's mean of
+    hashed n-gram embeddings through a linear head).
+
+    Scale shape, all Catalyst: one array-side feature build (token array
+    + zipped bigram slices — no self-join, no window), one equi-join
+    against the BROADCAST ``dims``-row weight vector on the md5 hash
+    bucket, one map-side-combinable per-doc aggregate. The corpus
+    shuffles once, on doc_id. No UDF, no driver collect.
+
+    Output per doc: ``n_features``, ``logit`` (mean feature weight),
+    ``score`` = sigmoid(logit), ``keep`` = score >= threshold (compared
+    on the ROUNDED score so the flag is cross-engine stable). Documents
+    with zero tokens get logit 0 / score 0.5."""
+    spark = docs.sparkSession
+    arr = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_ts"))
+    unis = fan_out(arr, id_col).select(
+        F.col(id_col), F.explode(F.col("_ts")).alias("feature")
+    )
+    bis = (
+        fan_out(arr, id_col)
+        .filter(F.size("_ts") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_ts"), 1, F.size("_ts") - 1).alias("prev"),
+                    F.slice(F.col("_ts"), 2, F.size("_ts") - 1).alias("cur"),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat(F.col("_p.prev"), F.lit("_"), F.col("_p.cur")).alias("feature"),
+        )
+    )
+    feats = unis.unionByName(bis).withColumn(
+        "bucket", _feature_bucket(F.col("feature"), dims)
+    )
+    weights = hashed_feature_weights(spark, dims)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_features"), F.avg("w").alias("_logit"))
+    )
+    # zero-token docs never reach the feature relation: re-attach them
+    # with the neutral score so the gate annotates EVERY input document
+    base = docs.select(F.col(id_col))
+    out = base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+        F.round(F.coalesce(F.col("_logit"), F.lit(0.0)), 4).alias("logit"),
+        F.round(
+            1.0 / (1.0 + F.exp(-F.coalesce(F.col("_logit"), F.lit(0.0)))), 4
+        ).alias("score"),
+    )
+    return out.withColumn("keep", F.col("score") >= threshold)
+
+
+def linear_quality_classifier_sql(
+    table: str, dims: int = 4096, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for :func:`linear_quality_classifier`: same
+    tokenization, same md5 hashing trick, same md5-derived weights, same
+    mean-weight logistic head."""
+    toks = _sql_tokens()
+    return f"""
+    WITH arr AS (
+        SELECT doc_id, {toks} AS ts FROM {table}
+    ),
+    feats AS (
+        SELECT doc_id, unnest(ts) AS feature FROM arr
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+               i -> ts[i] || '_' || ts[i + 1])) AS feature
+        FROM arr WHERE len(ts) >= 2
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(feature), 1, 8))::BIGINT % {dims}
+                    AS INT) AS bucket
+        FROM feats
+    ),
+    weights AS (
+        SELECT CAST(b.b AS INT) AS bucket,
+               (('0x' || substring(md5('w:' || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT
+                % 2001 - 1000) / 1000.0 AS w
+        FROM UNNEST(range(0, {dims})) b(b)
+    ),
+    scored AS (
+        SELECT h.doc_id, COUNT(*) AS n_features, AVG(w.w) AS logit
+        FROM hashed h JOIN weights w ON w.bucket = h.bucket
+        GROUP BY h.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_features, 0) AS BIGINT) AS n_features,
+           round(COALESCE(s.logit, 0.0), 4) AS logit,
+           round(1.0 / (1.0 + exp(-COALESCE(s.logit, 0.0))), 4) AS score,
+           round(1.0 / (1.0 + exp(-COALESCE(s.logit, 0.0))), 4) >= {threshold}
+               AS keep
+    FROM {table} d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """

@@ -996,6 +996,37 @@ def text_bigram_perplexity(spark, sf_dir):
 QUERIES["text_bigram_perplexity"].oracle = _bigram_oracle()
 
 
+def _quality_clf_oracle():
+    from wcdimportbot_spark.operators.text_analysis import (
+        linear_quality_classifier_sql,
+    )
+
+    return linear_quality_classifier_sql("documents")
+
+
+@register(
+    "quality_classifier",
+    "text analysis (learned-gate shape)",
+    "fastText-shaped linear quality classifier (VERDICT r7 #7): hashed "
+    "unigram+bigram features (md5 hashing trick) -> broadcast 4096-row "
+    "weight vector -> mean-weight logistic score + keep flag; features "
+    "built array-side, one broadcast equi-join, one map-combinable "
+    "per-doc aggregate — the corpus shuffles once; md5-derived weights "
+    "keep the whole scoring pipeline hash-verifiable (a trained vector "
+    "drops into the same broadcast relation)",
+    None,  # generated SQL attached below
+)
+def quality_classifier(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_analysis import (
+        linear_quality_classifier,
+    )
+
+    return linear_quality_classifier(load(spark, sf_dir, "documents"))
+
+
+QUERIES["quality_classifier"].oracle = _quality_clf_oracle()
+
+
 @register(
     "multimodal_feature_stats",
     "multimodal columns (binary payload plumbing)",
@@ -1904,6 +1935,35 @@ def dedup_embedding_ann(spark, sf_dir):
 
 
 QUERIES["dedup_embedding_ann"].oracle = _emb_ann_oracle()
+
+
+def _semantic_dedup_oracle():
+    from wcdimportbot_spark.operators.similarity import semantic_dedup_sql
+
+    return semantic_dedup_sql("embeddings", threshold=0.4, planes=4)
+
+
+@register(
+    "dedup_semantic",
+    "A6+ (semantic cluster-centroid dedup)",
+    "SemDeDup-style semantic dedup (the missing dedup family member, "
+    "VERDICT r7 #3): md5-hyperplane clusters (deterministic k-means "
+    "stand-in; planes grows like log2(N/cluster_size) at scale), "
+    "broadcast per-cluster mean centroids, within-cluster pairs >= "
+    "threshold drop the member FARTHER from its centroid; emits the "
+    "full annotation (vec_id, cluster, centroid_cosine, kept) so the "
+    "oracle hash-verifies clustering, centroid geometry, and verdicts "
+    "in one relation; same salt-split cluster-size guard as the ANN row",
+    None,
+)
+def dedup_semantic(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, planes=4)
+
+
+QUERIES["dedup_semantic"].oracle = _semantic_dedup_oracle()
 
 
 @register(
