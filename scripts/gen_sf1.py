@@ -1,16 +1,20 @@
 """Generate a local sf1-equivalent corpus (~6M lineitem) for the scale
 rehearsal (SCALE.md §"sf0.1 → sf1 rehearsal").
 
-The driver's generator is not in this repo, so sf1 is built as a
-DETERMINISTIC 10x replication of the read-only sf0.1 tables with key
-offsets — dimension tables stay fixed (the realistic shape of a scale-up:
-facts grow, dims do not), fact/document/vector tables get disjoint key
-ranges per replica. No RNG anywhere; re-running produces identical data.
+The driver's generator is not in this repo. Relational fact tables
+(orders/lineitem/events) are built as a DETERMINISTIC 10x replication
+of the read-only sf0.1 tables with key offsets — dimension tables stay
+fixed (the realistic shape of a scale-up: facts grow, dims do not).
 
-Caveat recorded in SCALE.md: replicated documents share text bytes, so
-self-join-style dedup queries see 10x duplicate groups — correct results,
-but their OUTPUT size scales with the duplication structure, not the
-engine; the near-linear assertion therefore runs on the clean basket.
+``documents`` and ``embeddings`` are SYNTHESIZED FRESH instead of
+replicated (VERDICT r7 #4): replication made every batch of the dedup
+rehearsals 90% pure duplicates of batch 1, so dedup/CC numbers measured
+a degenerate structure. The fresh generators mirror the sf0.1 tables'
+statistics — same 31-word vocabulary, same 10-100-word length band,
+same language mix, and a PLANTED low-rate duplicate structure (~1 exact
+copy and ~1 near-copy per 625 docs, ~1 identical vector pair per 200) —
+derived entirely from md5 hash chains, so no RNG anywhere; re-running
+produces identical data.
 
 Usage: python scripts/gen_sf1.py  (writes /root/repo/.sf1, ~0.5 GB)
 """
@@ -35,9 +39,94 @@ FACT_OFFSETS = {
     "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey"],
     "events": ["event_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
 }
+
+#: the sf0.1 documents vocabulary (31 tokens, near-uniform + rare "dup")
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "query", "a", "scan", "batch", "join",
+    "group", "filter", "order", "sort", "hash", "line", "part", "row",
+    "key", "fast", "slow", "big", "agg", "customer", "the", "dup",
+]
+LANGS = ["en", "en", "en", "en", "en", "en", "zh", "fr", "de", "es"]
+
+N_DOCS = 50_000
+N_VECS = 20_000
+DIM = 64
+
+
+def _h(*cols):
+    """Deterministic unsigned 32-bit hash of the concatenated columns —
+    the same md5-prefix trick the engine's deterministic operators use,
+    so the corpus is reproducible with no RNG."""
+    parts = []
+    for c in cols:
+        parts.extend([c if isinstance(c, F.Column) else F.lit(c), F.lit(":")])
+    return F.conv(
+        F.substring(F.md5(F.concat(*parts[:-1])), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _doc_text(seed):
+    """Space-joined word sequence, 10-100 words, vocab index per
+    position from the hash chain (the 'dup' token stays rare: index 30
+    only when a second hash agrees, ≈0.1% of positions)."""
+    n_words = (_h("len", seed) % 91 + 10).cast("int")
+    idx = lambda j: F.when(
+        (_h("w", seed, j) % 1000) < 1, F.lit(30)
+    ).otherwise((_h("w", seed, j) % 30).cast("int"))
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda j: F.element_at(vocab, idx(j) + 1),
+        ),
+        " ",
+    )
+
+
+def gen_documents(spark):
+    """Fresh sf1 documents with planted duplicate structure: doc i's
+    text is a pure function of a SEED; most docs seed with their own id,
+    one in 625 seeds with ``id-1`` (exact duplicate pair), one in 625
+    reuses ``id-1``'s seed plus an appended token (near-duplicate) —
+    rates matching sf0.1's organic 8-groups-per-5000."""
+    base = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
+    mod = F.col("doc_id") % 625
+    seed = F.when(
+        (mod.isin(124, 300)) & (F.col("doc_id") > 0), F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    text = _doc_text(seed)
+    text = F.when(F.col("doc_id") % 625 == 300, F.concat(text, F.lit(" extra"))).otherwise(
+        text
+    )
+    langs = F.array(*[F.lit(x) for x in LANGS])
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(langs, (_h("lang", F.col("doc_id")) % 10).cast("int") + 1).alias(
+            "lang"
+        ),
+        F.concat(
+            F.lit("src"), (_h("src", F.col("doc_id")) % 20).cast("string")
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+
+
+def gen_embeddings(spark):
+    """Fresh sf1 embeddings: 64 uniform [-1, 1] components per vector
+    from the hash chain; one in 200 vectors is an exact copy of its
+    predecessor (the planted near-dup structure the embedding dedup
+    rehearsals probe)."""
+    base = spark.range(N_VECS).select(F.col("id").alias("vec_id"))
+    seed = F.when(
+        (F.col("vec_id") % 200 == 7) & (F.col("vec_id") > 0), F.col("vec_id") - 1
+    ).otherwise(F.col("vec_id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda d: ((_h("e", seed, d) % 2001 - 1000) / 1000.0),
+    )
+    return base.select("vec_id", vec.alias("embedding"))
 
 
 def main() -> None:
@@ -58,6 +147,14 @@ def main() -> None:
         out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
         n = spark.read.parquet(f"{DST}/{t}.parquet").count()
         print(f"{t}: {n} rows", flush=True)
+    gen_documents(spark).repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
+    print(f"documents: {spark.read.parquet(DST + '/documents.parquet').count()} rows (fresh)", flush=True)
+    gen_embeddings(spark).repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/embeddings.parquet"
+    )
+    print(f"embeddings: {spark.read.parquet(DST + '/embeddings.parquet').count()} rows (fresh)", flush=True)
 
 
 if __name__ == "__main__":
