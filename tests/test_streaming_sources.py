@@ -680,3 +680,136 @@ def test_dedup_gate_replay_after_crash_before_merge_loses_nothing(spark, tmp_pat
     # and the merge did land on the replay
     hashes, bands = read_dedup_index(spark, index)
     assert hashes.count() == 2 and bands.count() > 0
+
+
+def test_watermark_dedup_out_of_order_and_late(spark, tmp_path):
+    """VERDICT r7 #6 — the late-data contract of the watermarked title
+    dedup, pinned empirically: within-watermark events are deduped
+    exactly regardless of arrival order; events behind the watermark are
+    dropped entirely — repeats AND new titles — with the batch pass over
+    the idempotent store as the completeness backstop."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.streaming.events import dedup_titles_with_watermark
+
+    src = tmp_path / "wm-in"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("title", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    events = raw.select(F.from_json(F.col("value"), schema).alias("e")).select("e.*")
+    q = (
+        dedup_titles_with_watermark(events, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_t")
+        .option("checkpointLocation", str(tmp_path / "wm-ck"))
+        .start()
+    )
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"title": "A", "ts": "2026-01-01T10:00:00.000Z"},
+                {"title": "B", "ts": "2026-01-01T10:05:00.000Z"},
+                {"title": "C", "ts": "2026-01-01T12:00:00.000Z"},
+            ]
+        )
+    )
+    q.processAllAvailable()  # watermark advances to 11:50
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                # repeat behind the watermark: dropped (state evicted,
+                # but late-row filter wins — NOT re-emitted)
+                {"title": "A", "ts": "2026-01-01T10:01:00.000Z"},
+                # repeat within the watermark: deduped against state
+                {"title": "C", "ts": "2026-01-01T11:58:00.000Z"},
+                # NEW title, out-of-order but within watermark: accepted
+                {"title": "D", "ts": "2026-01-01T11:55:00.000Z"},
+                # NEW title behind the watermark: dropped (too late)
+                {"title": "E", "ts": "2026-01-01T11:40:00.000Z"},
+            ]
+        )
+    )
+    q.processAllAvailable()
+    q.stop()
+    accepted = sorted(
+        r["title"] for r in spark.sql("SELECT title FROM wm_dedup_t").collect()
+    )
+    assert accepted == ["A", "B", "C", "D"]
+
+
+def test_sessionization_out_of_order_events(spark, tmp_path):
+    """VERDICT r7 #6 — the session op under disorder: (a) in-batch
+    arrival order is irrelevant (the op sorts by ts); (b) a cross-batch
+    late event inside the open session extends bounds (min start, max
+    end) instead of regressing them; (c) a straggler predating the open
+    session by more than the gap becomes its own single-event session —
+    each case matching the batch gaps-and-islands twin."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "ooo-in"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    events = raw.select(F.from_json(F.col("value"), schema).alias("e")).select("e.*")
+    q = (
+        sessionize_stream(events, gap_seconds=1800.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooo_sessions")
+        .option("checkpointLocation", str(tmp_path / "ooo-ck"))
+        .start()
+    )
+    # batch 1: user 1's events arrive REVERSED; the session state must
+    # still be (10:00 .. 10:20, 3 events)
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2026-01-01T10:20:00.000Z"},
+                {"user_id": 1, "ts": "2026-01-01T10:00:00.000Z"},
+                {"user_id": 1, "ts": "2026-01-01T10:10:00.000Z"},
+            ]
+        )
+    )
+    q.processAllAvailable()
+    # batch 2: a late event INSIDE the open session (09:55, within gap
+    # of 10:00) plus a straggler predating it by > gap (08:00) — then a
+    # post-gap event closes the session so we can observe its bounds
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2026-01-01T09:55:00.000Z"},
+                {"user_id": 1, "ts": "2026-01-01T08:00:00.000Z"},
+            ]
+        )
+    )
+    q.processAllAvailable()
+    (src / "b3.json").write_text(
+        json.dumps({"user_id": 1, "ts": "2026-01-01T13:00:00.000Z"})
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM ooo_sessions").collect()
+    )
+    assert rows == [
+        ("2026-01-01 08:00:00", "2026-01-01 08:00:00", 1),  # straggler island
+        ("2026-01-01 09:55:00", "2026-01-01 10:20:00", 4),  # extended, not regressed
+    ]

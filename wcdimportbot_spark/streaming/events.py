@@ -67,9 +67,20 @@ def dedup_titles_with_watermark(
     events: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
     """W2 — first-occurrence-per-title with bounded state. The reference
-    keeps an unbounded in-memory set (event_stream.py:51-54); the watermark
-    bounds it, and post-watermark repeats are re-emitted — safe because the
-    downstream sink is idempotent by hash."""
+    keeps an unbounded in-memory set (event_stream.py:51-54); the
+    watermark bounds it.
+
+    Late-data contract (pinned empirically by
+    tests/test_streaming_sources.py::test_watermark_dedup_out_of_order):
+    events WITHIN the watermark are deduped exactly, in or out of
+    arrival order; events whose ts is already BEHIND the watermark are
+    dropped from the stream entirely — both repeats (whose dedup state
+    may have been evicted) and genuinely new titles. The completeness
+    backstop for too-late data is the nightly batch pass over the
+    idempotent hash-keyed store (operators/sinks.py MERGE): anything the
+    stream's lateness bound sacrificed is re-deduped there, so the
+    stream trades bounded state for at-most-once on late arrivals
+    without corrupting the stored corpus."""
     return events.withWatermark("ts", watermark).dropDuplicates(["title"])
 
 

@@ -61,12 +61,26 @@ def _sessionize_group(
             n = 0
         for ts in rows["ts"]:
             t = ts.timestamp()
+            if start is not None and t < start - gap_seconds:
+                # CROSS-BATCH late arrival predating the open session by
+                # more than the gap: gaps-and-islands would give it its
+                # own island, so emit it as a closed single-event session
+                # without disturbing the open state (the bounded-state
+                # approximation: a cluster of such stragglers emits one
+                # session each instead of merging — batch parity for the
+                # isolated case, pinned in tests)
+                closed.append((user_id, t, t, 1))
+                continue
             if last is not None and t - last > gap_seconds:
                 closed.append((user_id, start, last, n))
                 start, n = t, 0
             if start is None:
                 start = t
-            last = t
+            # a late event inside the open session must not REGRESS the
+            # session bounds: end stays the max ts, start extends to the
+            # min — matching the batch gaps-and-islands twin
+            start = min(start, t)
+            last = t if last is None else max(last, t)
             n += 1
         state.update((start, last, n))
         if use_timeout:
