@@ -3384,25 +3384,20 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the one pre-r7 row without a driver hash-match ---
-    "dedup_incremental",
-    # --- the seven new round-7 rows ---
-    "dedup_incremental_maint",
-    "dedup_embedding_ann",
-    "sim_ann_ivfpq",
-    "dedup_cc_star",
-    "text_unigram_perplexity",
-    "text_bigram_perplexity",
-    "multimodal_container_probe",
-    # --- rows whose plan/oracle changed in round 7: re-verify ---
-    "sim_ann_pq",                # two-phase ADC top-k + zero-norm guard
-    "sim_ann_lsh",               # two-phase top-k
-    "sim_ann_ivf",               # two-phase top-k
-    "sim_cosine_topk",           # two-phase top-k
-    "dedup_cc_clusters",         # convergence-probe integral-type gate
+    # --- the two new round-8 rows ---
+    "dedup_semantic",            # SemDeDup cluster-centroid dedup
+    "quality_classifier",        # hashed n-gram linear gate
+    # --- rows whose plan/schema changed in round 8: re-verify ---
+    "sim_ann_ivfpq",             # margin contract columns added
+    "sim_ann_lsh",               # ann_recall_report agg reshaped
+    "sim_ann_ivf",               # ann_recall_report agg reshaped
+    "sim_ann_pq",                # ann_recall_report agg reshaped
+    "dedup_embedding_ann",       # bucket-size salt-split guard
+    "dedup_cc_star",             # self-pair singleton union
+    "dedup_incremental",         # probe/merge split refactor
+    "dedup_incremental_maint",   # band-before-hash merge order
     "dedup_canonical_keep",      # consumes connected_components
-    "multimodal_codec_roundtrip",# JPEG marker-scan hardening
-    # --- 38 sentinels, at least one per driver-proven family ---
+    # --- 39 sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
     "f23_json_decode",           # S4/F23 event decode
@@ -3427,6 +3422,7 @@ _WINDOW = [
     "f5_f6_hostname_fld",        # F5-F9 URL parsing
     "f5_psl_rule_classes",       # F5 PSL rule classes
     "text_profile",              # text analysis family
+    "text_bigram_perplexity",    # perplexity-filter family
     "f15_unpivot_person_columns",# F15-F17 person assembly
     "f24_claims_melt",           # F24-F26 claims
     "domain_claim_families",     # end-to-end import pipeline
@@ -3434,9 +3430,12 @@ _WINDOW = [
     "dedup_exact",               # exact dedup
     "dedup_minhash_lsh",         # MinHash-LSH dedup
     "dedup_url_canonical",       # URL dedup
+    "dedup_cc_clusters",         # min-label duplicate clustering
+    "sim_cosine_topk",           # exact cosine baseline
     "decon_ngram_overlap",       # decontamination
     "curation_pipeline",         # composed curation pipeline
     "train_split_assign",        # training prep family
+    "multimodal_codec_roundtrip",# multimodal codecs
     "q1_pricing_summary",        # TPC-H planner shapes
 ]
 
