@@ -9,12 +9,13 @@
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
   95 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window prioritizes, in round 7:
-  ``dedup_incremental`` (the one registry row whose driver hash-match was
-  missed by the r5/r6 window rotation), the seven new round-7 rows, every
-  row whose PLAN changed this round (the two-phase ANN top-k rework and
-  the connected-components algorithm swap), and sentinels — one per
-  operator family already driver-verified in r5/r6 — for the rest.
+  ordered so the driver's 50-query window prioritizes, in round 8:
+  the two new rows (``dedup_semantic``, ``quality_classifier``), every
+  row whose plan or result schema changed this round (the ANN
+  recall-margin contract columns, the bucket-split guard on the
+  embedding near-dup, the cc_star singleton union, and the crash-safe
+  probe/merge ingest refactor), and sentinels — one per operator family
+  already driver-verified in r5-r7 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
   count so the docs cannot drift from ``len(QUERIES)`` again.
 """
