@@ -999,6 +999,26 @@ def test_semantic_dedup_keeps_centroid_closest_member(spark):
     assert rows[1]["centroid_cosine"] >= rows[3]["centroid_cosine"]
 
 
+def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
+    """A train vector embedding-close to an eval vector is flagged even
+    with zero lexical overlap; a train vector far from every eval vector
+    is never flagged (it may or may not surface as a candidate — bucket
+    collisions are allowed, contamination verdicts are not)."""
+    from wcdimportbot_spark.operators.similarity import semantic_decontaminate
+
+    ev = [1.0] * 64                        # id 0 -> eval (0 % 25 == 0)
+    near = [1.0] * 32 + [0.9] * 32         # cosine ~0.999 to ev
+    far = [1.0, -1.0] * 32                 # cosine 0 to ev
+    emb = spark.createDataFrame(
+        [(0, ev), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r for r in semantic_decontaminate(emb, threshold=0.9).collect()}
+    assert 0 not in rows, "eval vectors must never appear in the train report"
+    assert rows[1]["contaminated"] and rows[1]["max_eval_cosine"] >= 0.99
+    if 2 in rows:
+        assert not rows[2]["contaminated"]
+
+
 def test_semantic_dedup_cluster_guard_bounds_pairs(spark):
     """The cluster-size guard reuses the md5 salt split: 600 identical
     vectors pile into ONE cluster; with cap 16 the pair stage runs per

@@ -109,6 +109,20 @@ def test_embedding_ann_dedup_no_cartesian(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_semantic_decon_broadcasts_eval_side(spark):
+    """Semantic decontamination must plan the eval side as broadcast-hash
+    joins (the corpus side never shuffles on the bucket) and pure
+    equi-joins — the linear-in-the-corpus shape its docstring claims."""
+    plan = _plan(spark, "decon_semantic")
+    assert "CartesianProduct" not in plan
+    # the 1-row hyperplane-matrix broadcast, once per bucketing subtree
+    # (train and eval derive it independently; the eval one scans only
+    # the filtered eval slice)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_registry_size_matches_docs():
     """The registry/docs drift guard (VERDICT r4 'what's wrong' #1): the
     driver-contract docstring, COVERAGE.md, and the 50-query window must
@@ -117,8 +131,8 @@ def test_registry_size_matches_docs():
     import __spark_entry__ as em
     from wcdimportbot_spark.plans.benchmark_queries import _WINDOW, QUERIES
 
-    assert len(QUERIES) == 95
-    assert "95 queries" in em.__doc__
+    assert len(QUERIES) == 96
+    assert "96 queries" in em.__doc__
     assert len(_WINDOW) == 50
     assert set(_WINDOW) <= set(QUERIES)
     # every registry entry is oracle-verifiable — the ANN accuracy-contract

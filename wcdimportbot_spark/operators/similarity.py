@@ -1004,6 +1004,164 @@ def semantic_dedup_sql(
     """
 
 
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    eval_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination — the
+    complement to the n-gram overlap check (curation.decontaminate):
+    n-grams catch verbatim eval leakage, this catches PARAPHRASED eval
+    material whose wording differs but whose embedding is
+    ``threshold``-close to an eval item (the contamination audits run
+    on production pretraining corpora pair both).
+
+    Output: one row per training vector sharing >= 1 LSH bucket with
+    any eval vector — (vec_id, eval_candidates, max_eval_cosine,
+    contaminated). ``contaminated`` is the decision bit
+    (max_eval_cosine >= threshold); emitting the max cosine alongside
+    keeps the threshold auditable instead of baked in, mirroring the
+    n-gram report's overlap_ratio.
+
+    Scale shape: the eval side is a benchmark suite — thousands of
+    vectors, not billions — so its (bucket, eval_id) relation and its
+    vectors are explicitly ``F.broadcast``; the corpus side does one
+    narrow (id, bucket) pass and two broadcast-hash joins, and never
+    shuffles on the bucket. Candidate work is
+    Σ_b |bucket_b ∩ train| · |bucket_b ∩ eval| — linear in the corpus
+    because the eval factor is bounded by the suite size, so the
+    oversized-bucket salt-split guard the self-join near-dup needs
+    (:func:`embedding_near_dup_ann`) is unnecessary here. Buckets are
+    the same md5-derived hyperplanes (:func:`_plane_signs`), hence
+    deterministic and bit-for-bit reproducible by the DuckDB oracle
+    (:func:`semantic_decontaminate_sql`).
+
+    Reference scope: none — the bot has no embedding surface; this is
+    the training-data-pipeline pack (SURVEY §6)."""
+    planes_df = _plane_matrix_df(
+        embeddings.sparkSession, planes, num_tables, dim
+    )
+    bucketed = (
+        fan_out(embeddings, id_col)
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            _signs_against(F.col(vec_col), F.col("_planes")).alias("_signs"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                _buckets_from_signs(F.col("_signs"), planes, num_tables)
+            ).alias("bucket"),
+        )
+    )
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    eval_buckets = bucketed.filter(is_eval).select(
+        F.col(id_col).alias("eval_id"), "bucket"
+    )
+    cand = (
+        bucketed.filter(~is_eval)
+        .join(F.broadcast(eval_buckets), "bucket")
+        # a (train, eval) pair colliding in several tables is one candidate
+        .dropDuplicates([id_col, "eval_id"])
+        .select(id_col, "eval_id")
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vv"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    eval_vecs = F.broadcast(vecs.filter((F.col("_vid") % eval_mod) == 0))
+    scored = (
+        cand.join(vecs, cand[id_col] == vecs["_vid"])
+        .select(id_col, "eval_id", F.col("_vv").alias("tv"), F.col("_vn").alias("tn"))
+        .join(eval_vecs, F.col("eval_id") == eval_vecs["_vid"])
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col("tv"), F.col("_vv")) / (F.col("tn") * F.col("_vn")), 4
+            ).alias("cos"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("eval_candidates"),
+            F.max("cos").alias("max_eval_cosine"),
+        )
+        .withColumn(
+            "contaminated", F.col("max_eval_cosine") >= F.lit(threshold)
+        )
+    )
+
+
+def semantic_decontaminate_sql(
+    table: str,
+    threshold: float = 0.4,
+    planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    eval_mod: int = 25,
+) -> str:
+    """DuckDB oracle for :func:`semantic_decontaminate`: the SAME
+    md5-parity hyperplane signs, per-table sign-bit buckets,
+    train × eval bucket-equality candidates, and rounded exact
+    cosines."""
+    n_planes = num_tables * planes
+    return f"""
+    WITH plane AS (
+        SELECT p.p AS p, i.i AS i,
+               CASE WHEN ('0x' || substring(md5(CAST(p.p AS VARCHAR) || ':' ||
+                          CAST(i.i AS VARCHAR)), 32, 1))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM UNNEST(range(0, {n_planes})) p(p), UNNEST(range(0, {dim})) i(i)
+    ),
+    sigs AS (
+        SELECT e.vec_id, pl.p,
+               CASE WHEN SUM(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.s) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM {table} e, plane pl
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(p // {planes} AS VARCHAR) || '#'
+                   || string_agg(bit, '' ORDER BY p) AS bkt
+        FROM sigs GROUP BY vec_id, p // {planes}
+    ),
+    cand AS (
+        SELECT DISTINCT t.vec_id, e.vec_id AS eval_id
+        FROM buckets t
+        JOIN buckets e ON t.bkt = e.bkt
+        WHERE t.vec_id % {eval_mod} <> 0 AND e.vec_id % {eval_mod} = 0
+    ),
+    scored AS (
+        SELECT c.vec_id, c.eval_id,
+               round(SUM(CAST(tv.embedding[i] AS DOUBLE)
+                         * CAST(ev.embedding[i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(tv.embedding[i] AS DOUBLE)
+                                 * CAST(tv.embedding[i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(ev.embedding[i] AS DOUBLE)
+                                   * CAST(ev.embedding[i] AS DOUBLE)))), 4) AS cos
+        FROM cand c
+        JOIN {table} tv ON tv.vec_id = c.vec_id
+        JOIN {table} ev ON ev.vec_id = c.eval_id,
+             UNNEST(range(1, {dim + 1})) t(i)
+        GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           COUNT(*) AS eval_candidates,
+           MAX(cos) AS max_eval_cosine,
+           MAX(cos) >= {threshold} AS contaminated
+    FROM scored GROUP BY vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (scale path #2): k-means coarse quantizer + cluster-probed search
 # ---------------------------------------------------------------------------

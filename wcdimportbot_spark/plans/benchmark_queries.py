@@ -1966,6 +1966,39 @@ def dedup_semantic(spark, sf_dir):
 QUERIES["dedup_semantic"].oracle = _semantic_dedup_oracle()
 
 
+def _semantic_decon_oracle():
+    from wcdimportbot_spark.operators.similarity import (
+        semantic_decontaminate_sql,
+    )
+
+    return semantic_decontaminate_sql("embeddings", threshold=0.4)
+
+
+@register(
+    "decon_semantic",
+    "curation (semantic decontamination)",
+    "flag training vectors whose embedding is threshold-close to any "
+    "eval-split vector (vec_id % 25 = 0 stands in for the benchmark "
+    "suite) — the paraphrase-level complement to decon_ngram_overlap's "
+    "verbatim check; eval buckets and vectors broadcast so the corpus "
+    "side never shuffles, and candidate work is linear in the corpus "
+    "(the eval factor is bounded by the suite size, so no bucket cap "
+    "is needed); md5-derived hyperplanes make the bucketing "
+    "bit-reproducible by the oracle",
+    None,
+)
+def decon_semantic(spark, sf_dir):
+    from wcdimportbot_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(emb, threshold=0.4)
+
+
+QUERIES["decon_semantic"].oracle = _semantic_decon_oracle()
+
+
 @register(
     "a9_pivot_counts",
     "A1/A2 (pivot extension)",
@@ -3384,9 +3417,10 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the two new round-8 rows ---
+    # --- the three new round-8 rows ---
     "dedup_semantic",            # SemDeDup cluster-centroid dedup
     "quality_classifier",        # hashed n-gram linear gate
+    "decon_semantic",            # embedding-level eval decontamination
     # --- rows whose plan/schema changed in round 8: re-verify ---
     "sim_ann_ivfpq",             # margin contract columns added
     "sim_ann_lsh",               # ann_recall_report agg reshaped
@@ -3397,7 +3431,7 @@ _WINDOW = [
     "dedup_incremental",         # probe/merge split refactor
     "dedup_incremental_maint",   # band-before-hash merge order
     "dedup_canonical_keep",      # consumes connected_components
-    # --- 39 sentinels, at least one per driver-proven family ---
+    # --- 38 sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
     "f23_json_decode",           # S4/F23 event decode
@@ -3431,7 +3465,6 @@ _WINDOW = [
     "dedup_minhash_lsh",         # MinHash-LSH dedup
     "dedup_url_canonical",       # URL dedup
     "dedup_cc_clusters",         # min-label duplicate clustering
-    "sim_cosine_topk",           # exact cosine baseline
     "decon_ngram_overlap",       # decontamination
     "curation_pipeline",         # composed curation pipeline
     "train_split_assign",        # training prep family
