@@ -1019,6 +1019,32 @@ def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
         assert not rows[2]["contaminated"]
 
 
+def test_gopher_rules_audit_vector(spark):
+    """Gopher rule edge semantics: a clean 60-word doc passes all seven
+    rules; a bullet-list doc trips the bullet-line rule; an
+    ellipsis-heavy doc trips both the symbol-ratio and ellipsis-line
+    rules; a short doc fails the word-count band. n_rules_failed counts
+    exactly the tripped rules."""
+    from wcdimportbot_spark.operators.text_analysis import gopher_rules
+
+    clean = "the quick brown fox jumps over that lazy dog with style and be have to of " * 5
+    bullets = "\n".join("- " + clean for _ in range(10))
+    dots = " ".join(w + "..." for w in clean.split())
+    short = "the cat and the hat have fun with that"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, bullets), (3, dots), (4, short)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[1]["passes_gopher"] and rows[1]["n_rules_failed"] == 0
+    assert rows[1]["stopword_hits"] >= 2 and rows[1]["alpha_word_ratio"] == 1.0
+    assert rows[2]["bullet_line_ratio"] == 1.0 and not rows[2]["passes_gopher"]
+    assert rows[3]["symbol_ratio"] > 0.1 and rows[3]["ellipsis_line_ratio"] == 1.0
+    assert rows[3]["n_rules_failed"] >= 2
+    assert rows[4]["n_words"] < 50 and not rows[4]["passes_gopher"]
+    assert rows[4]["n_rules_failed"] == 1  # only the word-count band
+
+
 def test_semantic_dedup_cluster_guard_bounds_pairs(spark):
     """The cluster-size guard reuses the md5 salt split: 600 identical
     vectors pile into ONE cluster; with cap 16 the pair stage runs per

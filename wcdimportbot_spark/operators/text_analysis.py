@@ -261,6 +261,171 @@ def repetition_profile_sql(table: str, flag_threshold: float = 0.2) -> str:
     """
 
 
+#: Gopher's required-stopword list (Rae et al. 2021, A1.1 — the "stop
+#: word" rule: a document must contain at least 2 of these)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Gopher quality-rule audit (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1.1) — the
+    published rule set production curation stacks run next to the
+    model-based gates (perplexity, classifier), emitted as the full
+    metric vector rather than one composite score
+    (:func:`quality_score` is the composite) so each threshold stays
+    auditable downstream:
+
+    - word count in [50, 100 000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' and '...') <= 0.1
+    - fraction of lines starting with a bullet ('-', '*', '•') <= 0.9
+    - fraction of lines ending with '...' <= 0.3
+    - >= 80 % of words contain at least one alphabetic character
+    - >= 2 distinct required stopwords present (GOPHER_STOPWORDS)
+
+    One narrow projection over the corpus — no shuffle, no UDF; every
+    expression is Catalyst array/string builtins inside whole-stage
+    codegen, so the filter runs at scan speed at 100 TB.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    stopword_hits, passes_gopher).
+
+    Reference scope: none — training-data pipeline pack (SURVEY §6)."""
+    text = F.col(text_col)
+    t = tokens(text)
+    n_words = F.size(t)
+    mean_len = F.when(
+        n_words > 0,
+        F.round(
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / n_words,
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipsis_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, F.round((hash_count + ellipsis_count) / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "*", "•"))
+        )
+        / n_lines.cast("double"),
+        4,
+    )
+    ellipsis_line_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        / n_lines.cast("double"),
+        4,
+    )
+    alpha_ratio = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+            / n_words.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(t), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    )
+    rules = [
+        n_words.between(50, 100_000),
+        mean_len.between(3.0, 10.0),
+        symbol_ratio <= 0.1,
+        bullet_ratio <= 0.9,
+        ellipsis_line_ratio <= 0.3,
+        alpha_ratio >= 0.8,
+        stop_hits >= 2,
+    ]
+    passed_count = rules[0].cast("int")
+    for r in rules[1:]:
+        passed_count = passed_count + r.cast("int")
+    n_rules_failed = (F.lit(len(rules)) - passed_count).alias("n_rules_failed")
+    passes = rules[0]
+    for r in rules[1:]:
+        passes = passes & r
+    return fan_out(docs, id_col).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_line_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        n_rules_failed,
+        passes.alias("passes_gopher"),
+    )
+
+
+def gopher_rules_sql(table: str) -> str:
+    """DuckDB oracle for :func:`gopher_rules`: the same tokenization,
+    replace-based symbol counts, line splits, and rounded ratios."""
+    toks = _sql_tokens()
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, text, {toks} AS ts,
+               string_split(text, chr(10)) AS ls
+        FROM {table}
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ts) AS n_words,
+               CASE WHEN len(ts) > 0 THEN
+                   round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+                         / len(ts), 4)
+               ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(ts) > 0 THEN
+                   round(((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                         / len(ts), 4)
+               ELSE 0.0 END AS symbol_ratio,
+               round(len(list_filter(ls, l -> substring(l, 1, 1) IN ('-', '*', '•')))
+                     / CAST(len(ls) AS DOUBLE), 4) AS bullet_line_ratio,
+               round(len(list_filter(ls, l -> l LIKE '%...'))
+                     / CAST(len(ls) AS DOUBLE), 4) AS ellipsis_line_ratio,
+               CASE WHEN len(ts) > 0 THEN
+                   round(len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+                         / CAST(len(ts) AS DOUBLE), 4)
+               ELSE 0.0 END AS alpha_word_ratio,
+               len(list_filter([{stops}], s -> list_contains(list_distinct(ts), s)))
+                   AS stopword_hits
+        FROM tok
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+           ellipsis_line_ratio, alpha_word_ratio, stopword_hits,
+           7 - (CAST(n_words BETWEEN 50 AND 100000 AS INT)
+                + CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
+                + CAST(symbol_ratio <= 0.1 AS INT)
+                + CAST(bullet_line_ratio <= 0.9 AS INT)
+                + CAST(ellipsis_line_ratio <= 0.3 AS INT)
+                + CAST(alpha_word_ratio >= 0.8 AS INT)
+                + CAST(stopword_hits >= 2 AS INT)) AS n_rules_failed,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND symbol_ratio <= 0.1
+           AND bullet_line_ratio <= 0.9
+           AND ellipsis_line_ratio <= 0.3
+           AND alpha_word_ratio >= 0.8
+           AND stopword_hits >= 2 AS passes_gopher
+    FROM m
+    """
+
+
 # ---------------------------------------------------------------------------
 # Unigram log-probability / perplexity filtering (CCNet-style quality gate)
 # ---------------------------------------------------------------------------

@@ -946,6 +946,32 @@ def text_profile(spark, sf_dir):
 QUERIES["text_profile"].oracle = _profile_oracle()
 
 
+def _gopher_oracle():
+    from wcdimportbot_spark.operators.text_analysis import gopher_rules_sql
+
+    return gopher_rules_sql("documents")
+
+
+@register(
+    "quality_gopher_rules",
+    "text analysis (Gopher rule filter)",
+    "per-document Gopher quality-rule audit (Rae et al. 2021 A1.1): word "
+    "count band, mean word length, symbol-to-word ratio, bullet/ellipsis "
+    "line ratios, alpha-word ratio, required-stopword hits, and the "
+    "composite pass bit — the published heuristic gate next to the "
+    "perplexity and classifier gates; one narrow whole-stage-codegen "
+    "projection, no shuffle, no UDF",
+    None,
+)
+def quality_gopher_rules(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(load(spark, sf_dir, "documents"))
+
+
+QUERIES["quality_gopher_rules"].oracle = _gopher_oracle()
+
+
 def _perplexity_oracle():
     from wcdimportbot_spark.operators.text_analysis import unigram_logprob_sql
 
@@ -3417,10 +3443,11 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the three new round-8 rows ---
+    # --- the four new round-8 rows ---
     "dedup_semantic",            # SemDeDup cluster-centroid dedup
     "quality_classifier",        # hashed n-gram linear gate
     "decon_semantic",            # embedding-level eval decontamination
+    "quality_gopher_rules",      # published heuristic rule audit
     # --- rows whose plan/schema changed in round 8: re-verify ---
     "sim_ann_ivfpq",             # margin contract columns added
     "sim_ann_lsh",               # ann_recall_report agg reshaped
@@ -3431,7 +3458,7 @@ _WINDOW = [
     "dedup_incremental",         # probe/merge split refactor
     "dedup_incremental_maint",   # band-before-hash merge order
     "dedup_canonical_keep",      # consumes connected_components
-    # --- 38 sentinels, at least one per driver-proven family ---
+    # --- 37 sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
     "f23_json_decode",           # S4/F23 event decode
@@ -3455,7 +3482,6 @@ _WINDOW = [
     "f3_f4_identity_hash_chain", # F3/F4 hashing
     "f5_f6_hostname_fld",        # F5-F9 URL parsing
     "f5_psl_rule_classes",       # F5 PSL rule classes
-    "text_profile",              # text analysis family
     "text_bigram_perplexity",    # perplexity-filter family
     "f15_unpivot_person_columns",# F15-F17 person assembly
     "f24_claims_melt",           # F24-F26 claims
