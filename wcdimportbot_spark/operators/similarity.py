@@ -542,6 +542,40 @@ def embedding_ann_bucket_stats(
     )
 
 
+def lsh_bucket_assignment(
+    embeddings: DataFrame,
+    planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The narrow (id, bucket) multi-table hyperplane-LSH assignment —
+    one row per (vector, table). This is the stored-index artifact of
+    the LSH family: at 100 TB it is built once per corpus version (one
+    narrow corpus pass, no shuffle) and persisted; the near-dup self-join
+    (:func:`embedding_near_dup_ann`) and the semantic decontamination
+    probe (:func:`semantic_decontaminate`) both consume it, the same way
+    the IVF assignment and PQ codes tables serve their search rows."""
+    planes_df = _plane_matrix_df(
+        embeddings.sparkSession, planes, num_tables, dim
+    )
+    return (
+        fan_out(embeddings, id_col)
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            _signs_against(F.col(vec_col), F.col("_planes")).alias("_signs"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                _buckets_from_signs(F.col("_signs"), planes, num_tables)
+            ).alias("bucket"),
+        )
+    )
+
+
 def embedding_near_dup_ann(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -551,6 +585,7 @@ def embedding_near_dup_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 1024,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH candidate generation — the
     scale path the blocked-crossJoin baseline
@@ -589,31 +624,18 @@ def embedding_near_dup_ann(
     Buckets at or under the cap get salt 0 — byte-identical output to
     the unguarded form.
 
-    Returns (vec_a, vec_b, cosine) with vec_a < vec_b."""
-    planes_df = _plane_matrix_df(
-        embeddings.sparkSession, planes, num_tables, dim
-    )
-    bucketed = (
-        fan_out(embeddings, id_col)
-        .crossJoin(F.broadcast(planes_df))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            _signs_against(F.col(vec_col), F.col("_planes")).alias("_signs"),
-        )
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.explode(
-                _buckets_from_signs(F.col("_signs"), planes, num_tables)
-            ).alias("bucket"),
-        )
-    )
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b. Pass ``bucketed``
+    (a prebuilt :func:`lsh_bucket_assignment` relation, e.g. a stored or
+    session-memoized index) to skip the bucketing pass."""
     # candidate generation stays NARROW: only (id, bucket) flows through
     # the self-join and the multi-table dedup shuffle (16 B/row, not
     # 2 × dim floats); the vectors join back afterwards keyed on id —
     # at scale |pairs| dominates N, so shuffling id pairs + 2 passes of
     # the vector table beats dragging both arrays through every collision
+    if bucketed is None:
+        bucketed = lsh_bucket_assignment(
+            embeddings, planes, num_tables, dim, id_col, vec_col
+        )
     ids = bucketed.select(F.col(id_col), "bucket")
     if max_bucket_size is not None:
         # the guard adds a third consumer of the (id, bucket) relation
@@ -1013,6 +1035,7 @@ def semantic_decontaminate(
     eval_mod: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic (embedding-level) benchmark decontamination — the
     complement to the n-gram overlap check (curation.decontaminate):
@@ -1042,24 +1065,14 @@ def semantic_decontaminate(
     (:func:`semantic_decontaminate_sql`).
 
     Reference scope: none — the bot has no embedding surface; this is
-    the training-data-pipeline pack (SURVEY §6)."""
-    planes_df = _plane_matrix_df(
-        embeddings.sparkSession, planes, num_tables, dim
-    )
-    bucketed = (
-        fan_out(embeddings, id_col)
-        .crossJoin(F.broadcast(planes_df))
-        .select(
-            F.col(id_col),
-            _signs_against(F.col(vec_col), F.col("_planes")).alias("_signs"),
+    the training-data-pipeline pack (SURVEY §6). Pass ``bucketed`` (a
+    prebuilt :func:`lsh_bucket_assignment` relation, e.g. a stored or
+    session-memoized index shared with the near-dup row) to skip the
+    bucketing pass."""
+    if bucketed is None:
+        bucketed = lsh_bucket_assignment(
+            embeddings, planes, num_tables, dim, id_col, vec_col
         )
-        .select(
-            F.col(id_col),
-            F.explode(
-                _buckets_from_signs(F.col("_signs"), planes, num_tables)
-            ).alias("bucket"),
-        )
-    )
     is_eval = (F.col(id_col) % eval_mod) == 0
     eval_buckets = bucketed.filter(is_eval).select(
         F.col(id_col).alias("eval_id"), "bucket"

@@ -1602,6 +1602,14 @@ def _ann_stage(spark, sf_dir, kind: str):
     elif kind == "ivf":
         assigned, centroids = ivf_index(emb)
         val = (assigned.localCheckpoint(eager=True), centroids)
+    elif kind == "lsh_buckets":
+        from wcdimportbot_spark.operators.similarity import (
+            lsh_bucket_assignment,
+        )
+
+        # the stored multi-table hyperplane bucket assignment shared by
+        # the near-dup self-join and the semantic decontamination probe
+        val = lsh_bucket_assignment(emb).localCheckpoint(eager=True)
     elif kind == "ivfpq_res":
         codes_df, books = ivfpq_residual_index(
             emb, _ann_stage(spark, sf_dir, "ivf")
@@ -1957,7 +1965,9 @@ def dedup_embedding_ann(spark, sf_dir):
     from wcdimportbot_spark.operators.similarity import embedding_near_dup_ann
 
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_near_dup_ann(emb, threshold=0.4)
+    return embedding_near_dup_ann(
+        emb, threshold=0.4, bucketed=_ann_stage(spark, sf_dir, "lsh_buckets")
+    )
 
 
 QUERIES["dedup_embedding_ann"].oracle = _emb_ann_oracle()
@@ -2019,7 +2029,9 @@ def decon_semantic(spark, sf_dir):
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    return semantic_decontaminate(emb, threshold=0.4)
+    return semantic_decontaminate(
+        emb, threshold=0.4, bucketed=_ann_stage(spark, sf_dir, "lsh_buckets")
+    )
 
 
 QUERIES["decon_semantic"].oracle = _semantic_decon_oracle()
