@@ -7,7 +7,7 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  97 queries, all DuckDB-verified — the ANN top-k variants emit an
+  99 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 8:
   the two new rows (``dedup_semantic``, ``quality_classifier``), every

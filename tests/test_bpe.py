@@ -1,0 +1,158 @@
+"""BPE tokenizer (operators/bpe.py): parity with the published greedy
+algorithm, merge-application edge semantics, saturation early-stop, and
+the encode plan shape.
+
+The ground truth here is an in-test pure-python implementation of the
+subword-nmt algorithm (Sennrich et al. 2016: overlap-counted pair
+statistics, leftmost non-overlapping merge application, count-then-pair
+tiebreak) — the same role the reference repo's own test corpora play for
+the wikitext operators."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from wcdimportbot_spark.operators.bpe import (
+    bpe_encode_profile,
+    bpe_train,
+    bpe_train_sql,
+    train_merges,
+)
+
+
+# --- pure-python reference (subword-nmt semantics) ---------------------
+
+
+def _ref_words(texts):
+    import re
+
+    words = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if w:
+                words[w] += 1
+    return {w: (list(w) + ["_"], c) for w, c in words.items()}
+
+
+def _ref_merge(syms, pair):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts, num_merges):
+    vocab = _ref_words(texts)
+    merges = []
+    for rank in range(num_merges):
+        stats = Counter()
+        for syms, freq in vocab.values():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += freq
+        if not stats:
+            break
+        (l, r), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        vocab = {
+            w: (_ref_merge(syms, (l, r)), freq)
+            for w, (syms, freq) in vocab.items()
+        }
+    return merges, vocab
+
+
+TEXTS = [
+    "the lower newer tower; the newest lowest!",
+    "Wider wide widest, low lower lowest.",
+    "new newer newest -- tow tower towering",
+    "wide low new 42 tow the the the",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_train_matches_published_algorithm(spark, docs):
+    got = [
+        (m[0], m[1], m[2], m[3]) for m in train_merges(docs, num_merges=10)
+    ]
+    want, _ = _ref_train(TEXTS, 10)
+    assert got == want
+
+
+def test_merge_application_edge_semantics(spark):
+    # repeated in-word merges in one pass + boundary safety: 'aaaa'
+    # merges (a,a) twice; 'ab' as a fused symbol is never split-matched
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaa ab")], "doc_id long, text string"
+    )
+    merges = train_merges(docs, num_merges=2)
+    want, _ = _ref_train(["aaaa aaa ab"], 2)
+    assert [(m[0], m[1], m[2], m[3]) for m in merges] == want
+    # (a,a) must be merge 0: freq-weighted overlap count = 3 + 2 = 5
+    assert (merges[0][1], merges[0][2], merges[0][3]) == ("a", "a", 5)
+
+
+def test_saturation_early_stop_and_oracle_parity(spark):
+    # tiny corpus fully fuses long before 32 merges: the loop stops
+    # early and the unrolled-CTE oracle returns the same short table
+    duckdb = pytest.importorskip("duckdb")
+    texts = ["ab ab ba", "ab ba ba"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, num_merges=32).toPandas()
+    assert 0 < len(got) < 32
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    want = con.execute(bpe_train_sql("documents", 32)).df()
+    key = ["merge_rank", "left_sym", "right_sym", "pair_count"]
+    assert got.sort_values("merge_rank")[key].values.tolist() == (
+        want.sort_values("merge_rank")[key].values.tolist()
+    )
+
+
+def test_encode_profile_counts(spark, docs):
+    merges, vocab = _ref_train(TEXTS, 10)
+    prof = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode_profile(docs, merges=merges).collect()
+    }
+    assert set(prof) == set(range(len(TEXTS)))
+    # doc 3: 'wide low new 42 tow the the the' -> 7 [a-z] words
+    assert prof[3]["n_words"] == 7
+    for row in prof.values():
+        # every word is at least one token; never more than chars+marker
+        assert row["n_words"] <= row["n_bpe_tokens"]
+        assert row["tokens_per_word"] == pytest.approx(
+            row["n_bpe_tokens"] / row["n_words"]
+        )
+    # cross-check one doc against the python-reference vocabulary
+    toks = {w: len(s) for w, (s, _) in vocab.items()}
+    want3 = sum(toks[w] for w in "wide low new tow the the the".split())
+    assert prof[3]["n_bpe_tokens"] == want3
+
+
+def test_encode_dictionary_join_is_broadcast(spark, docs):
+    plan = bpe_encode_profile(docs, num_merges=4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,312 @@
+"""Byte-pair-encoding subword tokenizer: distributed training + encoding.
+
+The LLM-pipeline tokenizer step the task brief asks for beyond the
+reference surface (the bot never tokenizes; its text handling stops at
+template parameters, wcdimportbot src/models/wikimedia/wikipedia/reference.py
+by intent). `text_analysis.subword_count` is the regex *approximation*;
+this module is the real thing: a learned merge table (classic BPE,
+Sennrich et al. 2016, the subword-nmt algorithm) and corpus encoding
+under it.
+
+Spark-first decomposition — the standard distributed-BPE shape:
+
+- **Word-frequency table, not corpus.** Training operates on the
+  DISTINCT-word relation weighted by frequency (one map-combinable
+  ``groupBy(word)`` over the corpus — the only corpus-sized shuffle).
+  At 100 TB the corpus is billions of docs but the distinct-word table
+  is ~10-100M rows; every training iteration touches only that.
+- **Per-iteration**: one narrow projection (symbol pairs via
+  ``transform``/``slice`` — no explode of the corpus, no join), one
+  map-combinable ``groupBy(pair).sum(freq)``, and a 1-ROW collect (the
+  argmax pair — bounded driver data). ``localCheckpoint`` after each
+  merge keeps the plan constant-size across iterations.
+- **Merge application is a string ``replace``** over a delimited symbol
+  encoding ``(s1)(s2)...(_)``: because every symbol is fully wrapped,
+  plain leftmost non-overlapping substring replace-all IS the BPE merge
+  rule (repeated within the word, never across a symbol boundary, no
+  regex). One codegen expression, no UDF.
+- **Encoding** applies the M learned merges as ONE nested-replace
+  projection over the distinct-word relation, then joins the tiny
+  word -> token-count dictionary back to the exploded corpus (broadcast
+  at test scale; a shuffle hash join on the near-uniform word key at
+  100 TB) and aggregates per doc.
+
+Oracle story (what makes this row DuckDB-hash-verifiable): the training
+loop unrolls into a CTE chain — pairs_i / best_i (ordered-FIRST
+aggregate, NULL row when saturated) / rep_{i+1} — with the identical
+wrapped-symbol replace, so both engines run the same greedy algorithm
+step for step; ties break on (count DESC, left ASC, right ASC), binary
+collation in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenization shared by train/encode and the SQL oracles: lowercase,
+#: split on non-letters, drop empties. Must stay in lockstep with the
+#: ``string_split_regex(lower(text), '[^a-z]+')`` in the oracle SQL.
+_WORD_SPLIT = "[^a-z]+"
+
+#: End-of-word marker symbol (its own symbol, merge-able into suffixes
+#: — the subword-nmt convention). '_' cannot occur in `[a-z]+` words.
+_EOW = "_"
+
+MERGE_SCHEMA = (
+    "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+)
+
+
+def _wrapped(word_col) -> F.Column:
+    """Delimited symbol representation of a word: ``scan`` ->
+    ``(s)(c)(a)(n)(_)``. Parens cannot occur inside a symbol, so plain
+    substring replace of ``(a)(b)`` -> ``(ab)`` applies a BPE merge with
+    exact boundary semantics."""
+    return F.concat(
+        F.regexp_replace(word_col, "(.)", r"($1)"), F.lit(f"({_EOW})")
+    )
+
+
+def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-sized shuffle."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), _WORD_SPLIT)).alias(
+                "word"
+            )
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(reps: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts (freq-weighted, overlapping positions
+    counted — the subword-nmt statistic) from the wrapped reps."""
+    syms = F.split(F.expr("trim(BOTH '()' FROM rep)"), r"\)\(")
+    pairs = F.expr(
+        "transform(slice(syms, 1, size(syms)-1),"
+        " (x, i) -> struct(x AS l, element_at(syms, i+2) AS r))"
+    )
+    return (
+        reps.select(F.col("freq"), syms.alias("syms"))
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def train_merges(
+    docs: DataFrame, num_merges: int = 12, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Learn the BPE merge list. Driver work per iteration is ONE row
+    (the argmax pair); the returned list is ``num_merges`` rows — both
+    bounded, never corpus-sized. Stops early if the corpus saturates
+    (every word fused to a single symbol)."""
+    reps = (
+        _word_freq(docs, text_col)
+        .select(_wrapped(F.col("word")).alias("rep"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        best = (
+            _pair_counts(reps)
+            .orderBy(
+                F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = (
+            best[0]["left_sym"],
+            best[0]["right_sym"],
+            int(best[0]["pair_count"]),
+        )
+        merges.append((rank, l, r, cnt))
+        reps = reps.withColumn(
+            "rep",
+            F.replace("rep", F.lit(f"({l})({r})"), F.lit(f"({l}{r})")),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame, num_merges: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """The learned merge table as a relation:
+    (merge_rank, left_sym, right_sym, pair_count)."""
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        train_merges(docs, num_merges, text_col), MERGE_SCHEMA
+    )
+
+
+def _apply_merges(rep_col: F.Column, merges) -> F.Column:
+    """All learned merges as ONE nested-replace codegen expression, in
+    merge-rank order (BPE applies merges by learned priority)."""
+    out = rep_col
+    for _, l, r, _cnt in merges:
+        out = F.replace(out, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+    return out
+
+
+def bpe_encode_profile(
+    docs: DataFrame,
+    num_merges: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[int, str, str, int]] | None = None,
+) -> DataFrame:
+    """Train on the corpus, then encode it: per-doc BPE token counts.
+
+    Encoding cost is O(distinct words) — the nested-replace projection
+    runs once per dictionary word, and the corpus side only pays the
+    word explode + a join against the tiny (word, n_tokens) dictionary
+    + one map-combinable per-doc aggregate.
+
+    Output: (doc_id, n_words, n_bpe_tokens, tokens_per_word,
+    chars_per_token) — the fertility/compression numbers a tokenizer
+    ablation reports.
+
+    ``merges`` lets callers reuse a stored merge table (a tokenizer is
+    trained once per corpus version and SERVED thereafter — the
+    registry's session memo mirrors that); omitted, it trains here."""
+    if merges is None:
+        merges = train_merges(docs, num_merges, text_col)
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), _WORD_SPLIT)).alias(
+                "word"
+            ),
+        )
+        .filter(F.length("word") > 0)
+    )
+    rep_final = _apply_merges(_wrapped(F.col("word")), merges).alias("rep")
+    dictionary = (
+        words.select("word")
+        .distinct()
+        .select("word", rep_final)
+        .select(
+            "word",
+            F.size(F.split(F.expr("trim(BOTH '()' FROM rep)"), r"\)\("))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    return (
+        words.join(F.broadcast(dictionary), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("_chars"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+                "tokens_per_word"
+            ),
+            (F.col("_chars").cast("double") / F.col("n_bpe_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — the unrolled greedy loop
+# ---------------------------------------------------------------------------
+
+
+def _chain_ctes(table: str, num_merges: int, carry_word: bool) -> str:
+    """The shared CTE chain: words -> rep0 -> (pairs_i, best_i,
+    rep_{i+1}) * num_merges. ``best_i`` is an ordered-FIRST aggregate so
+    it always yields exactly one row (all-NULL once saturated), and
+    rep_{i+1} degrades to the identity then — mirroring the Spark
+    loop's early stop."""
+    word_sel = "word, " if carry_word else ""
+    parts = [
+        f"""toks AS MATERIALIZED (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM {table}
+),
+words AS MATERIALIZED (
+  SELECT w AS word, COUNT(*)::BIGINT AS freq FROM toks
+  WHERE length(w) > 0 GROUP BY w
+),
+rep0 AS MATERIALIZED (
+  SELECT {word_sel}freq,
+         regexp_replace(word, '(.)', '(\\1)', 'g') || '(_)' AS rep
+  FROM words
+)"""
+    ]
+    for i in range(num_merges):
+        parts.append(
+            f"""pairs{i} AS MATERIALIZED (
+  SELECT u.p[1] AS l, u.p[2] AS r, SUM(freq)::BIGINT AS cnt
+  FROM (SELECT freq, string_split(trim(rep, '()'), ')(') AS s FROM rep{i}),
+       UNNEST(list_zip(s[1:len(s)-1], s[2:len(s)])) AS u(p)
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT first(l ORDER BY cnt DESC, l, r) AS l,
+         first(r ORDER BY cnt DESC, l, r) AS r,
+         first(cnt ORDER BY cnt DESC, l, r) AS cnt
+  FROM pairs{i}
+),
+rep{i + 1} AS MATERIALIZED (
+  SELECT {word_sel}freq,
+         CASE WHEN b.l IS NULL THEN rep
+              ELSE replace(rep, '(' || b.l || ')(' || b.r || ')',
+                                '(' || b.l || b.r || ')')
+         END AS rep
+  FROM rep{i}, best{i} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def bpe_train_sql(table: str, num_merges: int = 12) -> str:
+    """DuckDB twin of :func:`bpe_train`."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_count FROM best{i}"
+        for i in range(num_merges)
+    )
+    return f"""
+WITH {_chain_ctes(table, num_merges, carry_word=False)}
+SELECT * FROM ({union}) WHERE left_sym IS NOT NULL
+"""
+
+
+def bpe_encode_sql(table: str, num_merges: int = 12) -> str:
+    """DuckDB twin of :func:`bpe_encode_profile`."""
+    return f"""
+WITH {_chain_ctes(table, num_merges, carry_word=True)},
+dictionary AS MATERIALIZED (
+  SELECT word,
+         len(string_split(trim(rep, '()'), ')('))::BIGINT AS n_tokens
+  FROM rep{num_merges}
+),
+docw AS MATERIALIZED (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM {table}
+  ) WHERE length(w) > 0
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(n_tokens)::BIGINT AS n_bpe_tokens,
+       SUM(n_tokens)::DOUBLE / COUNT(*) AS tokens_per_word,
+       SUM(length(word))::DOUBLE / SUM(n_tokens) AS chars_per_token
+FROM docw JOIN dictionary USING (word)
+GROUP BY doc_id
+"""

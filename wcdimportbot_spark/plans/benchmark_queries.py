@@ -1053,6 +1053,77 @@ def quality_classifier(spark, sf_dir):
 QUERIES["quality_classifier"].oracle = _quality_clf_oracle()
 
 
+def _bpe_merges(spark, sf_dir, num_merges: int = 12):
+    """Session-memoized learned BPE merge list (operators/bpe.py). Same
+    rationale as `_ann_stage`: a tokenizer is trained once per corpus
+    version and stored; encode queries serve from the merge table. The
+    memoized value is the M-row python list itself (bounded driver
+    data), not a DataFrame."""
+    from wcdimportbot_spark.operators.bpe import train_merges
+
+    slot = _memo_slot(spark, sf_dir)
+    key = "bpe_merges"
+    if slot is not None and key in slot:
+        return slot[key]
+    val = train_merges(load(spark, sf_dir, "documents"), num_merges)
+    if slot is not None:
+        slot[key] = val
+    return val
+
+
+def _bpe_train_oracle():
+    from wcdimportbot_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql("documents")
+
+
+@register(
+    "bpe_merge_table",
+    "text analysis (learned subword tokenizer: training)",
+    "classic BPE merge-table training (Sennrich 2016) run distributed: "
+    "word-frequency relation (the one corpus shuffle), per-iteration "
+    "pair-count groupBy + 1-row argmax collect, merge applied as a "
+    "boundary-exact delimited-symbol string replace (no UDF, no regex "
+    "in the loop); oracle is the same greedy loop unrolled into a "
+    "MATERIALIZED CTE chain so DuckDB replays it step for step",
+    None,  # generated SQL attached below
+)
+def bpe_merge_table(spark, sf_dir):
+    from wcdimportbot_spark.operators.bpe import MERGE_SCHEMA
+
+    return spark.createDataFrame(_bpe_merges(spark, sf_dir), MERGE_SCHEMA)
+
+
+QUERIES["bpe_merge_table"].oracle = _bpe_train_oracle()
+
+
+def _bpe_encode_oracle():
+    from wcdimportbot_spark.operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql("documents")
+
+
+@register(
+    "bpe_encode_stats",
+    "text analysis (learned subword tokenizer: encoding)",
+    "corpus encoding under the learned merge table: nested-replace "
+    "projection over the DISTINCT-word dictionary only, broadcast "
+    "dictionary join back to the exploded corpus, one map-combinable "
+    "per-doc aggregate -> token counts + fertility/compression "
+    "(tokens_per_word, chars_per_token)",
+    None,  # generated SQL attached below
+)
+def bpe_encode_stats(spark, sf_dir):
+    from wcdimportbot_spark.operators.bpe import bpe_encode_profile
+
+    return bpe_encode_profile(
+        load(spark, sf_dir, "documents"), merges=_bpe_merges(spark, sf_dir)
+    )
+
+
+QUERIES["bpe_encode_stats"].oracle = _bpe_encode_oracle()
+
+
 @register(
     "multimodal_feature_stats",
     "multimodal columns (binary payload plumbing)",
@@ -3455,11 +3526,13 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the four new round-8 rows ---
+    # --- the six new round-8 rows ---
     "dedup_semantic",            # SemDeDup cluster-centroid dedup
     "quality_classifier",        # hashed n-gram linear gate
     "decon_semantic",            # embedding-level eval decontamination
     "quality_gopher_rules",      # published heuristic rule audit
+    "bpe_merge_table",           # learned BPE tokenizer: training
+    "bpe_encode_stats",          # learned BPE tokenizer: encoding
     # --- rows whose plan/schema changed in round 8: re-verify ---
     "sim_ann_ivfpq",             # margin contract columns added
     "sim_ann_lsh",               # ann_recall_report agg reshaped
@@ -3492,16 +3565,16 @@ _WINDOW = [
     "w3_topk",                   # W3 top-k
     "u1_union_distinct",         # U1-U3 unions / W4 truncation
     "f3_f4_identity_hash_chain", # F3/F4 hashing
-    "f5_f6_hostname_fld",        # F5-F9 URL parsing
-    "f5_psl_rule_classes",       # F5 PSL rule classes
+    "f5_f6_hostname_fld",        # F5-F9 URL parsing (PSL family twin
+    # f5_psl_rule_classes rotated out this round — r7 driver-verified)
     "text_bigram_perplexity",    # perplexity-filter family
     "f15_unpivot_person_columns",# F15-F17 person assembly
     "f24_claims_melt",           # F24-F26 claims
     "domain_claim_families",     # end-to-end import pipeline
     "domain_item_counts",        # S7/S9 store pipeline
     "dedup_exact",               # exact dedup
-    "dedup_minhash_lsh",         # MinHash-LSH dedup
-    "dedup_url_canonical",       # URL dedup
+    "dedup_minhash_lsh",         # MinHash-LSH dedup (url-canonical twin
+    # dedup_url_canonical rotated out this round — r7 driver-verified)
     "dedup_cc_clusters",         # min-label duplicate clustering
     "decon_ngram_overlap",       # decontamination
     "curation_pipeline",         # composed curation pipeline
