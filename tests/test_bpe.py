@@ -151,6 +151,55 @@ def test_encode_profile_counts(spark, docs):
     assert prof[3]["n_bpe_tokens"] == want3
 
 
+def test_tokenizer_store_roundtrip_and_time_travel(spark, docs, tmp_path):
+    from wcdimportbot_spark.operators.bpe import load_merges, save_merges
+
+    store = str(tmp_path / "tok")
+    m4 = train_merges(docs, num_merges=4)
+    v1 = save_merges(spark, m4, store)
+    assert load_merges(spark, store) == m4
+    # retrain publishes a new version; the old one stays readable
+    m8 = train_merges(docs, num_merges=8)
+    v2 = save_merges(spark, m8, store)
+    assert v1 != v2
+    assert load_merges(spark, store) == m8
+    assert load_merges(spark, store, version=v1) == m4
+
+
+def test_cli_bpe_train_then_encode(spark, docs, tmp_path, capsys):
+    import json
+
+    from wcdimportbot_spark.cli import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    store = str(tmp_path / "store")
+    tok = str(tmp_path / "tok")
+    assert (
+        main(
+            [
+                "--store", store,
+                "--bpe-train", docs_path,
+                "--bpe-merges", "6",
+                "--bpe-store", tok,
+            ]
+        )
+        == 0
+    )
+    trained = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert trained["trained_merges"] == 6
+    assert (
+        main(
+            ["--store", store, "--bpe-encode", docs_path, "--bpe-store", tok]
+        )
+        == 0
+    )
+    enc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert enc["n_docs"] == len(TEXTS) and enc["merges"] == 6
+    # fewer tokens than characters, at least one token per word
+    assert enc["mean_tokens_per_word"] >= 1.0
+
+
 def test_encode_dictionary_join_is_broadcast(spark, docs):
     plan = bpe_encode_profile(docs, num_merges=4)._jdf.queryExecution(
     ).executedPlan().toString()

@@ -12,6 +12,10 @@ Spark pipelines against a local store directory of parquet tables
     python -m wcdimportbot_spark.cli --store /tmp/wcd --statistics
     python -m wcdimportbot_spark.cli --store /tmp/wcd --rinse
     python -m wcdimportbot_spark.cli --store /tmp/wcd --delete-page "Easter Island"
+    python -m wcdimportbot_spark.cli --store /tmp/wcd \
+        --bpe-train docs.parquet --bpe-store /tmp/tok --bpe-merges 64
+    python -m wcdimportbot_spark.cli --store /tmp/wcd \
+        --bpe-encode docs.parquet --bpe-store /tmp/tok --encode-out enc/
 
 Differences from the reference, by design: the sink is the local graph
 store (not a live Wikibase); ``--import-title`` fetches over MediaWiki REST
@@ -122,6 +126,37 @@ def main(argv=None) -> int:
         "--fresh-out",
         metavar="DIR",
         help="with --dedup-ingest: also write the fresh documents as "
+        "parquet here (append)",
+    )
+    parser.add_argument(
+        "--bpe-train",
+        metavar="DOCS",
+        help="train a BPE merge table on a documents parquet and "
+        "publish it as a new snapshot version of the tokenizer store "
+        "(--bpe-store); prints a JSON summary",
+    )
+    parser.add_argument(
+        "--bpe-encode",
+        metavar="DOCS",
+        help="encode a documents parquet under the stored tokenizer "
+        "(--bpe-store, CURRENT version) and print a JSON "
+        "fertility/compression summary",
+    )
+    parser.add_argument(
+        "--bpe-store",
+        metavar="DIR",
+        help="tokenizer store directory for --bpe-train/--bpe-encode",
+    )
+    parser.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=32,
+        help="number of merges for --bpe-train (default 32)",
+    )
+    parser.add_argument(
+        "--encode-out",
+        metavar="DIR",
+        help="with --bpe-encode: also write the per-doc token stats as "
         "parquet here (append)",
     )
     args = parser.parse_args(argv)
@@ -340,6 +375,58 @@ def main(argv=None) -> int:
                 }
             )
         )
+
+    elif args.bpe_train or args.bpe_encode:
+        from wcdimportbot_spark.operators.bpe import (
+            bpe_encode_profile,
+            load_merges,
+            save_merges,
+            train_merges,
+        )
+
+        if not args.bpe_store:
+            parser.error("--bpe-train/--bpe-encode need --bpe-store <dir>")
+        if args.bpe_train:
+            merges = train_merges(
+                spark.read.parquet(args.bpe_train),
+                num_merges=args.bpe_merges,
+            )
+            version = save_merges(spark, merges, args.bpe_store)
+            print(
+                json.dumps(
+                    {
+                        "trained_merges": len(merges),
+                        "version": version,
+                        "store": args.bpe_store,
+                    }
+                )
+            )
+        if args.bpe_encode:
+            merges = load_merges(spark, args.bpe_store)
+            prof = bpe_encode_profile(
+                spark.read.parquet(args.bpe_encode), merges=merges
+            )
+            if args.encode_out:
+                prof.write.mode("append").parquet(args.encode_out)
+            s = prof.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_bpe_tokens").alias("total_tokens"),
+                F.avg("tokens_per_word").alias("mean_tokens_per_word"),
+            ).first()
+            print(
+                json.dumps(
+                    {
+                        "n_docs": s["n_docs"],
+                        "total_tokens": s["total_tokens"],
+                        "mean_tokens_per_word": round(
+                            s["mean_tokens_per_word"], 4
+                        )
+                        if s["mean_tokens_per_word"] is not None
+                        else None,
+                        "merges": len(merges),
+                    }
+                )
+            )
 
     elif args.curate:
         from wcdimportbot_spark.operators.curation import (

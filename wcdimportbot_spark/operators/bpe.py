@@ -222,6 +222,55 @@ def bpe_encode_profile(
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer store — the merge table as a versioned artifact
+# ---------------------------------------------------------------------------
+
+
+def save_merges(
+    spark, merges: list[tuple[int, str, str, int]], path: str
+) -> str:
+    """Publish the merge table as a new snapshot version of a tokenizer
+    store (operators/versioned.py engine: staged write, atomic pointer
+    flip, writer lock). A tokenizer is a *versioned corpus artifact* —
+    retraining publishes a new version while encode jobs pinned to the
+    old one keep reading it (``load_merges(version=...)``), exactly the
+    items/claims-store contract. Returns the published version name."""
+    from wcdimportbot_spark.operators import versioned
+
+    df = spark.createDataFrame(merges, MERGE_SCHEMA)
+    with versioned.writer_lock(path):
+        version, vdir = versioned.stage_new(path)
+        # M rows — one file, no partitioning
+        df.coalesce(1).write.mode("overwrite").parquet(vdir)
+        versioned.publish(path, version)
+    return version
+
+
+def load_merges(
+    spark, path: str, version: str | None = None
+) -> list[tuple[int, str, str, int]]:
+    """Load a stored merge table (CURRENT snapshot by default, or a
+    retained ``version`` for time travel) back into the bounded list
+    :func:`bpe_encode_profile` consumes."""
+    from wcdimportbot_spark.operators import sinks
+
+    rows = (
+        sinks.read_snapshot(spark, path, version)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    return [
+        (
+            int(r["merge_rank"]),
+            r["left_sym"],
+            r["right_sym"],
+            int(r["pair_count"]),
+        )
+        for r in rows
+    ]
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles — the unrolled greedy loop
 # ---------------------------------------------------------------------------
 
