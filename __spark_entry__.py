@@ -10,12 +10,13 @@
   99 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 8:
-  the two new rows (``dedup_semantic``, ``quality_classifier``), every
-  row whose plan or result schema changed this round (the ANN
-  recall-margin contract columns, the bucket-split guard on the
-  embedding near-dup, the cc_star singleton union, and the crash-safe
-  probe/merge ingest refactor), and sentinels — one per operator family
-  already driver-verified in r5-r7 — for the rest.
+  the six new rows (``dedup_semantic``, ``quality_classifier``,
+  ``decon_semantic``, ``quality_gopher_rules``, ``bpe_merge_table``,
+  ``bpe_encode_stats``), every row whose plan or result schema changed
+  this round (the ANN recall-margin contract columns, the bucket-split
+  guard on the embedding near-dup, the cc_star singleton union, and the
+  crash-safe probe/merge ingest refactor), and sentinels — one per
+  operator family already driver-verified in r5-r7 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
   count so the docs cannot drift from ``len(QUERIES)`` again.
 """

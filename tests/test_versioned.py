@@ -427,3 +427,81 @@ def test_writer_killed_between_stage_and_publish_recovers(spark, tmp_path):
         )
         qids = {r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()}
         assert f"R-{mode}" in qids and {"Q0", "Q1", "Q2"} <= qids
+
+
+def _data_files_per_partition(path):
+    """{partition-dir-relpath: n parquet files} for the CURRENT snapshot."""
+    base = versioned.data_dir(path)
+    out = {}
+    for root, dirs, files in os.walk(base):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            out[os.path.relpath(root, base)] = n
+    return out
+
+
+def test_compaction_merges_small_files_preserving_content(spark, tmp_path):
+    """After N incremental merges a partition holds N small files;
+    compact_items rewrites the multi-file partitions into one sorted
+    file each as a NEW snapshot, with identical table content, while a
+    reader pinned to the pre-compaction version keeps its files."""
+    path = str(tmp_path / "items")
+    for batch in range(3):
+        rows = [
+            (f"Q{batch}_{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"h{batch}_{i}")
+            for i in range(40)
+        ]
+        sinks.merge_write_items(spark, _items(spark, rows), path)
+    before_files = _data_files_per_partition(path)
+    assert max(before_files.values()) >= 2  # fragmentation really happened
+    before_rows = sorted(
+        tuple(r) for r in sinks.read_items(spark, path).drop("hb").collect()
+    )
+    v_before = versioned.current_version(path)
+
+    res = sinks.compact_items(spark, path)
+    assert res["compacted_partitions"] > 0
+    assert res["files_before"] >= res["compacted_partitions"] * 2
+
+    after_files = _data_files_per_partition(path)
+    assert max(after_files.values()) == 1  # every partition now one file
+    after_rows = sorted(
+        tuple(r) for r in sinks.read_items(spark, path).drop("hb").collect()
+    )
+    assert after_rows == before_rows  # content byte-identical
+    assert versioned.current_version(path) != v_before
+    # time travel: the fragmented snapshot is still fully readable
+    pinned = sinks.read_snapshot(spark, path, version=v_before)
+    assert sorted(tuple(r) for r in pinned.drop("hb").collect()) == before_rows
+
+
+def test_compaction_is_idempotent_and_lookup_sorted(spark, tmp_path):
+    """A second compact publishes NOTHING (version unchanged); the
+    compacted files keep the hash sort that row-group pruning needs."""
+    path = str(tmp_path / "items")
+    for batch in range(2):
+        rows = [
+            (f"Q{batch}_{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"h{batch}_{i}")
+            for i in range(30)
+        ]
+        sinks.merge_write_items(spark, _items(spark, rows), path)
+    assert sinks.compact_items(spark, path)["compacted_partitions"] > 0
+    v = versioned.current_version(path)
+    assert sinks.compact_items(spark, path) == {
+        "compacted_partitions": 0,
+        "files_before": 0,
+    }
+    assert versioned.current_version(path) == v
+    # per-file sortedness: within every parquet file, hash is ascending
+    import pyarrow.parquet as pq
+
+    base = versioned.data_dir(path)
+    checked = 0
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                col = pq.read_table(os.path.join(root, f), columns=["hash"])
+                vals = col.column("hash").to_pylist()
+                assert vals == sorted(vals)
+                checked += 1
+    assert checked > 0

@@ -83,6 +83,12 @@ def main(argv=None) -> int:
     parser.add_argument("-d", "--delete-page", help="delete one page item by title")
     parser.add_argument("--rinse", action="store_true", help="delete all items and flush the cache")
     parser.add_argument("-s", "--statistics", action="store_true", help="print graph statistics")
+    parser.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact multi-file store partitions into one sorted file "
+        "each (MERGE-store maintenance, published as a new snapshot)",
+    )
     parser.add_argument("--live", action="store_true", help="fetch titles over MediaWiki REST")
     parser.add_argument(
         "--curate",
@@ -254,6 +260,22 @@ def main(argv=None) -> int:
         if claims is not None:
             qids = lookup_qids_for_hash(claims, args.lookup_md5hash).collect()
             print(f"claims: {[r['subject_qid'] for r in qids]}")
+
+    elif args.compact:
+        from wcdimportbot_spark.operators.sinks import (
+            compact_cache,
+            compact_claims,
+            compact_items,
+        )
+
+        out = {}
+        for name, fn in (
+            ("items", compact_items),
+            ("claims", compact_claims),
+            ("cache", compact_cache),
+        ):
+            out[name] = fn(spark, paths[name])
+        print(json.dumps(out, sort_keys=True))
 
     elif args.statistics:
         from wcdimportbot_spark.operators.analytics import (

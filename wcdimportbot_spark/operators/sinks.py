@@ -300,3 +300,107 @@ def write_rejects(rejects: DataFrame, base_path: str) -> None:
     if rejects.isEmpty():
         return
     rejects.write.mode("append").partitionBy("rule").parquet(base_path)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    *,
+    sort_key: str,
+    partitions: list[str],
+    max_files: int = 1,
+) -> dict:
+    """Compact multi-file partitions of a MERGE store into one sorted
+    file each, published as a new snapshot (read-only content change:
+    the relation is byte-identical, only the file layout improves).
+
+    Why it exists at 100 TB: every incremental merge appends at least
+    one new file to each touched ``(type, bucket)`` partition, so after
+    N nightly batches a bucket holds N small files — point lookups
+    (S6/J2) then open N footers instead of one, and the row-group
+    min/max pruning the sorted layout provides degrades. Compaction is
+    the standard companion maintenance op to MERGE (Delta OPTIMIZE /
+    Iceberg rewrite_data_files); this is the plain-parquet form on the
+    same snapshot engine.
+
+    Mechanics mirror :func:`_merge_write` exactly: under the writer
+    lock, find partitions holding more than ``max_files`` data files
+    (ONE engine-side aggregate over ``input_file_name`` — the result is
+    bounded by the partition SCHEMA, types x buckets, never data
+    volume), materialize just those partitions, hardlink the rest into
+    a staged version, dynamically overwrite the touched partitions with
+    one task per partition (repartition on the partition columns), and
+    flip the pointer. Readers see old or new, never partial; a reader
+    pinned to the old version keeps its small files (hardlinks keep
+    inodes alive). A store already compact publishes NOTHING.
+
+    Returns ``{"compacted_partitions": n, "files_before": m}``."""
+    with versioned.writer_lock(path):
+        if not has_parquet_data(path):
+            return {"compacted_partitions": 0, "files_before": 0}
+        spark.catalog.refreshByPath(path)
+        current_dir = versioned.data_dir(path)
+        snap = spark.read.parquet(current_dir)
+        over = (
+            # input_file_name is non-deterministic: project it BEFORE
+            # aggregating (Spark rejects it inside an aggregate argument)
+            snap.select(*partitions, F.input_file_name().alias("_file"))
+            .groupBy(*partitions)
+            .agg(F.countDistinct("_file").alias("n_files"))
+            .filter(F.col("n_files") > max_files)
+            .collect()
+        )
+        if not over:
+            return {"compacted_partitions": 0, "files_before": 0}
+        touched = snap.filter(
+            _partition_values_predicate(over, partitions)
+        )
+        # one task per partition tuple -> exactly one output file each.
+        # Sort by (partition cols, lookup key): the prefix satisfies the
+        # dynamic-partition writer's required ordering, so it inserts NO
+        # sort of its own and the lookup-key order inside each file
+        # survives for row-group pruning.
+        staged = (
+            touched.repartition(*[F.col(c) for c in partitions])
+            .sortWithinPartitions(*partitions, sort_key)
+        ).localCheckpoint(eager=True)
+        version, vdir = versioned.stage_new(path)
+        versioned.link_tree(current_dir, vdir)
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partitions)
+            .parquet(vdir)
+        )
+        versioned.publish(path, version)
+        return {
+            "compacted_partitions": len(over),
+            "files_before": int(sum(r["n_files"] for r in over)),
+        }
+
+
+def compact_items(spark: SparkSession, path: str) -> dict:
+    """Compact the items store (hash-sorted, (instance_of, hb) layout)."""
+    return compact_store(
+        spark,
+        path,
+        sort_key="hash",
+        partitions=["instance_of", BUCKET_COL],
+    )
+
+
+def compact_claims(spark: SparkSession, path: str) -> dict:
+    """Compact the claims store ((property, hb) layout)."""
+    return compact_store(
+        spark,
+        path,
+        sort_key="subject_qid",
+        partitions=["property", BUCKET_COL],
+    )
+
+
+def compact_cache(spark: SparkSession, path: str) -> dict:
+    """Compact the KV cache store (hash-sorted, (hb) layout)."""
+    return compact_store(
+        spark, path, sort_key="hash", partitions=[BUCKET_COL]
+    )
