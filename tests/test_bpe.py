@@ -205,3 +205,64 @@ def test_encode_dictionary_join_is_broadcast(spark, docs):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_row_token_count_matches_batch_profile(spark, docs):
+    from wcdimportbot_spark.operators.bpe import bpe_token_count
+
+    merges = train_merges(docs, num_merges=8)
+    import pyspark.sql.functions as SF
+
+    per_row = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe_token_count(SF.col("text"), merges).alias("n")
+        ).collect()
+    }
+    batch = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_profile(docs, merges=merges).collect()
+    }
+    assert per_row == batch
+
+
+def test_streaming_tokenize_gate_parity(spark, docs, tmp_path):
+    """Tokenize-on-ingest: a document stream selects the per-row token
+    count under the STORED tokenizer — stateless (no watermark, no
+    state store), and the accepted set matches the batch encode."""
+    import pyspark.sql.functions as SF
+
+    from wcdimportbot_spark.operators.bpe import (
+        bpe_token_count,
+        load_merges,
+        save_merges,
+    )
+
+    store = str(tmp_path / "tok")
+    save_merges(spark, train_merges(docs, num_merges=8), store)
+    merges = load_merges(spark, store)
+
+    src = str(tmp_path / "in")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .select(
+            "doc_id", bpe_token_count(SF.col("text"), merges).alias("n")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["n"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_profile(docs, merges=merges).collect()
+    }
+    assert got == want

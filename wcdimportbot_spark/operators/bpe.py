@@ -221,6 +221,36 @@ def bpe_encode_profile(
     )
 
 
+def bpe_token_count(text_col, merges) -> F.Column:
+    """Per-ROW BPE token count under a stored merge table, as ONE
+    whole-stage-codegen expression: words array -> per-word merge chain
+    inside a ``transform`` lambda -> ``aggregate`` sum. No explode, no
+    dictionary join, no shuffle, NO STATE — which is exactly what a
+    Structured Streaming ingest gate needs (a stream can select this
+    column per micro-batch with zero watermark/state machinery, unlike
+    the batch profile's explode + join + groupBy). The trade: merges
+    re-apply per word occurrence instead of per distinct word — right
+    for streams and map-only contexts, while :func:`bpe_encode_profile`
+    stays the batch shape.
+
+    Token count needs no symbol trim: ``size(split(rep, ')('))`` counts
+    delimiter gaps, and the outer parens create none."""
+    words = F.filter(
+        F.split(F.lower(text_col), _WORD_SPLIT),
+        lambda w: F.length(w) > 0,
+    )
+    return F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.size(
+                F.split(_apply_merges(_wrapped(w), merges), r"\)\(")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer store — the merge table as a versioned artifact
 # ---------------------------------------------------------------------------
