@@ -266,3 +266,25 @@ def test_streaming_tokenize_gate_parity(spark, docs, tmp_path):
         for r in bpe_encode_profile(docs, merges=merges).collect()
     }
     assert got == want
+
+
+def test_vocab_coverage_stats(spark, docs):
+    from wcdimportbot_spark.operators.bpe import bpe_vocab_stats
+
+    merges, vocab = _ref_train(TEXTS, 10)
+    rows = bpe_vocab_stats(docs, merges=merges).collect()
+    # reference symbol counts: final symbols weighted by word freq
+    want = Counter()
+    for syms, freq in vocab.values():
+        for s in syms:
+            want[s] += freq
+    got = {r["symbol"]: r["token_count"] for r in rows}
+    assert got == dict(want)
+    # ranks are 1..V by (count desc, symbol); cum_share ends at 1.0
+    by_rank = sorted(rows, key=lambda r: r["vocab_rank"])
+    assert [r["vocab_rank"] for r in by_rank] == list(range(1, len(rows) + 1))
+    assert by_rank[-1]["cum_share"] == pytest.approx(1.0)
+    assert all(
+        a["cum_share"] < b["cum_share"] + 1e-12
+        for a, b in zip(by_rank, by_rank[1:])
+    )

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 #: Tokenization shared by train/encode and the SQL oracles: lowercase,
 #: split on non-letters, drop empties. Must stay in lockstep with the
@@ -219,6 +220,79 @@ def bpe_encode_profile(
             ),
         )
     )
+
+
+def bpe_vocab_stats(
+    docs: DataFrame,
+    num_merges: int = 12,
+    text_col: str = "text",
+    merges: list[tuple[int, str, str, int]] | None = None,
+) -> DataFrame:
+    """Vocabulary coverage audit of the learned tokenizer: every final
+    symbol with its corpus usage count, share, and cumulative coverage
+    — the table a tokenizer ablation reads to pick the vocab size V
+    (what share of tokens the top-V symbols carry, what the OOV tail
+    would be).
+
+    Shape: the merge chain applies over the distinct-word relation,
+    symbols explode weighted by word frequency into one map-combinable
+    groupBy. The result relation is BOUNDED by the symbol inventory
+    (alphabet + markers + one new symbol per merge — never corpus- or
+    dictionary-sized), so the unpartitioned ranking window at the end
+    is a deliberate single-task step over a tiny relation, not a skew
+    risk. Shares divide exact BIGINT counts (running count first, one
+    double division after), keeping both engines bit-identical."""
+    if merges is None:
+        merges = train_merges(docs, num_merges, text_col)
+    reps = _word_freq(docs, text_col).select(
+        _apply_merges(_wrapped(F.col("word")), merges).alias("rep"), "freq"
+    )
+    syms = reps.select(
+        F.explode(
+            F.split(F.expr("trim(BOTH '()' FROM rep)"), r"\)\(")
+        ).alias("symbol"),
+        "freq",
+    )
+    counts = syms.groupBy("symbol").agg(F.sum("freq").alias("token_count"))
+    order = W.orderBy(F.desc("token_count"), F.asc("symbol"))
+    total = W.partitionBy()
+    return counts.select(
+        F.row_number().over(order).alias("vocab_rank"),
+        "symbol",
+        "token_count",
+        (
+            F.col("token_count").cast("double")
+            / F.sum("token_count").over(total)
+        ).alias("corpus_share"),
+        (
+            F.sum("token_count")
+            .over(order.rowsBetween(W.unboundedPreceding, 0))
+            .cast("double")
+            / F.sum("token_count").over(total)
+        ).alias("cum_share"),
+    )
+
+
+def bpe_vocab_sql(table: str, num_merges: int = 12) -> str:
+    """DuckDB twin of :func:`bpe_vocab_stats`."""
+    return f"""
+WITH {_chain_ctes(table, num_merges, carry_word=True)},
+syms AS MATERIALIZED (
+  SELECT unnest(string_split(trim(rep, '()'), ')(')) AS symbol, freq
+  FROM rep{num_merges}
+),
+counts AS MATERIALIZED (
+  SELECT symbol, SUM(freq)::BIGINT AS token_count FROM syms GROUP BY symbol
+)
+SELECT ROW_NUMBER() OVER (ORDER BY token_count DESC, symbol) AS vocab_rank,
+       symbol,
+       token_count,
+       token_count::DOUBLE / SUM(token_count) OVER () AS corpus_share,
+       SUM(token_count) OVER (ORDER BY token_count DESC, symbol
+                              ROWS UNBOUNDED PRECEDING)::DOUBLE
+         / SUM(token_count) OVER () AS cum_share
+FROM counts
+"""
 
 
 def bpe_token_count(text_col, merges) -> F.Column:

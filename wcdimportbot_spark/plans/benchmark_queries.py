@@ -1124,6 +1124,34 @@ def bpe_encode_stats(spark, sf_dir):
 QUERIES["bpe_encode_stats"].oracle = _bpe_encode_oracle()
 
 
+def _bpe_vocab_oracle():
+    from wcdimportbot_spark.operators.bpe import bpe_vocab_sql
+
+    return bpe_vocab_sql("documents")
+
+
+@register(
+    "bpe_vocab_coverage",
+    "text analysis (learned subword tokenizer: vocab audit)",
+    "vocabulary coverage under the learned merge table: final-symbol "
+    "usage counts (symbols explode from the distinct-word relation "
+    "weighted by word frequency, one map-combinable groupBy), then "
+    "rank/share/cumulative coverage over the BOUNDED symbol inventory "
+    "(alphabet + one symbol per merge — the single-task window is "
+    "deliberate); the V-vs-coverage curve a tokenizer ablation reads",
+    None,  # generated SQL attached below
+)
+def bpe_vocab_coverage(spark, sf_dir):
+    from wcdimportbot_spark.operators.bpe import bpe_vocab_stats
+
+    return bpe_vocab_stats(
+        load(spark, sf_dir, "documents"), merges=_bpe_merges(spark, sf_dir)
+    )
+
+
+QUERIES["bpe_vocab_coverage"].oracle = _bpe_vocab_oracle()
+
+
 @register(
     "multimodal_feature_stats",
     "multimodal columns (binary payload plumbing)",
@@ -3533,6 +3561,7 @@ _WINDOW = [
     "quality_gopher_rules",      # published heuristic rule audit
     "bpe_merge_table",           # learned BPE tokenizer: training
     "bpe_encode_stats",          # learned BPE tokenizer: encoding
+    "bpe_vocab_coverage",        # learned BPE tokenizer: vocab audit
     # --- rows whose plan/schema changed in round 8: re-verify ---
     "sim_ann_ivfpq",             # margin contract columns added
     "sim_ann_lsh",               # ann_recall_report agg reshaped
@@ -3561,8 +3590,8 @@ _WINDOW = [
     "a10_salted_distinct_count", # skew primitives
     "a11_sketch_accuracy",       # sketch accuracy contract
     "w1_ordinal_sequencing",     # W1 window functions
-    "w2_first_occurrence_dedup", # W2 first-occurrence dedup
-    "w3_topk",                   # W3 top-k
+    "w2_first_occurrence_dedup", # W2 first-occurrence dedup (W3 twin
+    # w3_topk rotated out this round — r7 driver-verified)
     "u1_union_distinct",         # U1-U3 unions / W4 truncation
     "f3_f4_identity_hash_chain", # F3/F4 hashing
     "f5_f6_hostname_fld",        # F5-F9 URL parsing (PSL family twin
