@@ -1092,3 +1092,77 @@ def test_linear_quality_classifier_feature_algebra(spark):
     # the weight relation is the swap-in point for a trained vector
     w = hashed_feature_weights(spark, dims=64).collect()
     assert len(w) == 64 and all(-1.0 <= r["w"] <= 1.0 for r in w)
+
+
+def test_dedup_index_compaction_preserves_probe_results(spark, tmp_path):
+    """After several ingest batches the index stores fragment (one file
+    per touched bucket per batch); compact_dedup_index rewrites them to
+    one file per partition and the NEXT probe annotates identically."""
+    import os
+
+    from wcdimportbot_spark.operators.text_dedup import (
+        compact_dedup_index,
+        dedup_index_ingest,
+        dedup_index_probe,
+    )
+
+    store = str(tmp_path / "dedup_index")
+    schema = "doc_id long, text string"
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    for batch in range(3):
+        rows = [
+            (
+                batch * 1000 + i,
+                " ".join(
+                    words[(batch * 7 + i * 3 + j * (1 + i % 5)) % len(words)]
+                    for j in range(12)
+                )
+                + f" tail{batch} t{i}",
+            )
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, schema).repartition(8)
+        dedup_index_ingest(df, store)
+
+    probe_batch = spark.createDataFrame(
+        [
+            (
+                999,  # exact dup of batch-0 doc i=3
+                " ".join(
+                    words[(0 * 7 + 3 * 3 + j * (1 + 3 % 5)) % len(words)]
+                    for j in range(12)
+                )
+                + " tail0 t3",
+            ),
+            (998, "entirely novel content words not seen in any ingest batch"),
+        ],
+        schema,
+    )
+    before, _ = dedup_index_probe(probe_batch, store)
+    before_rows = sorted(tuple(r) for r in before.collect())
+
+    def n_files(sub):
+        base = os.path.join(store, sub)
+        from wcdimportbot_spark.operators import versioned
+
+        d = versioned.data_dir(base)
+        return sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    frag = n_files("hashes") + n_files("bands")
+    res = compact_dedup_index(spark, store)
+    assert (
+        res["hashes"]["compacted_partitions"] > 0
+        or res["bands"]["compacted_partitions"] > 0
+    )
+    assert n_files("hashes") + n_files("bands") < frag
+
+    after, _ = dedup_index_probe(probe_batch, store)
+    assert sorted(tuple(r) for r in after.collect()) == before_rows

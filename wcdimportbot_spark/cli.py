@@ -275,6 +275,12 @@ def main(argv=None) -> int:
             ("cache", compact_cache),
         ):
             out[name] = fn(spark, paths[name])
+        if args.dedup_index:
+            from wcdimportbot_spark.operators.text_dedup import (
+                compact_dedup_index,
+            )
+
+            out["dedup_index"] = compact_dedup_index(spark, args.dedup_index)
         print(json.dumps(out, sort_keys=True))
 
     elif args.statistics:

@@ -1030,3 +1030,30 @@ def incremental_maint_sql(
     SELECT 2 AS batch, doc_id, text_hash, e, nr, (NOT e AND NOT nr)
     FROM ann2
     """
+
+
+def compact_dedup_index(spark, base_path: str) -> dict:
+    """Small-file maintenance for the persistent dedup index: every
+    ingest batch appends one file per touched hash bucket of the
+    ``hashes`` and ``bands`` stores, so a long-running ingest loop (or
+    the streaming gate, one batch per micro-batch) fragments the exact
+    relations every probe equi-join scans. Runs the shared
+    :func:`~wcdimportbot_spark.operators.sinks.compact_store` on both
+    stores — same snapshot/lock mechanics as the ingest itself, so it
+    composes with concurrent probes (they keep their pinned version)
+    and serializes with concurrent merges. Nightly companion to the
+    ingest loop, like the items/claims/cache `--compact`."""
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+
+    out = {}
+    for name, sort_key in (("hashes", "text_hash"), ("bands", "bk")):
+        p = os.path.join(base_path, name)
+        if sinks.has_parquet_data(p):
+            out[name] = sinks.compact_store(
+                spark, p, sort_key=sort_key, partitions=[sinks.BUCKET_COL]
+            )
+        else:
+            out[name] = {"compacted_partitions": 0, "files_before": 0}
+    return out
