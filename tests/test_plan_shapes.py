@@ -210,3 +210,19 @@ def test_canonical_keep_window_partitions_by_cluster(spark):
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert window_lines, "expected a Window operator in the plan"
     assert any("cluster_id" in ln for ln in window_lines), window_lines
+
+
+def test_bpe_encode_scan_pruned_and_broadcast(spark):
+    """The BPE encode row over the real parquet: the documents scan must
+    read ONLY (doc_id, text) — training/encoding never drags lang/source/
+    n_chars through the explode — the dictionary join must broadcast,
+    and nothing in the pipeline may fall out of codegen into Python."""
+    plan = _plan(spark, "bpe_encode_stats")
+    scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "documents" in l
+    )
+    assert "doc_id" in scan and "text" in scan
+    for col in ("lang", "source", "n_chars"):
+        assert col not in scan, f"{col} leaked into the documents scan"
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
