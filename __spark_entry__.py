@@ -7,14 +7,14 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  100 queries, all DuckDB-verified — the ANN top-k variants emit an
+  101 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 8:
-  the seven new rows (``dedup_semantic``, ``quality_classifier``,
+  the eight new rows (``dedup_semantic``, ``quality_classifier``,
   ``decon_semantic``, ``quality_gopher_rules``, ``bpe_merge_table``,
-  ``bpe_encode_stats``, ``bpe_vocab_coverage``), every row whose plan
-  or result schema changed
-  this round (the ANN recall-margin contract columns, the bucket-split
+  ``bpe_encode_stats``, ``bpe_vocab_coverage``, ``quality_ppl_buckets``),
+  every row whose plan or result schema changed this round (the ANN
+  recall-margin contract columns, the bucket-split
   guard on the embedding near-dup, the cc_star singleton union, and the
   crash-safe probe/merge ingest refactor), and sentinels — one per
   operator family already driver-verified in r5-r7 — for the rest.

@@ -288,3 +288,41 @@ def test_vocab_coverage_stats(spark, docs):
         a["cum_share"] < b["cum_share"] + 1e-12
         for a, b in zip(by_rank, by_rank[1:])
     )
+
+
+# --- property: the unrolled-CTE oracle IS the subword-nmt algorithm ----
+# (fast path: hypothesis drives DuckDB + the pure-python reference, no
+# Spark job per example; the Spark side is pinned to the same oracle at
+# sf0.001/0.01/0.1 by the registry gate and the fixed-corpus tests)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abc", min_size=1, max_size=5)
+_corpus = st.lists(
+    st.lists(_word, min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(_corpus)
+@settings(max_examples=60, deadline=None)
+def test_oracle_matches_reference_on_random_corpora(texts):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(bpe_train_sql("documents", 6))
+        .df()
+        .sort_values("merge_rank")
+        .itertuples(index=False)
+    ]
+    want, _ = _ref_train(texts, 6)
+    assert got == want

@@ -817,3 +817,62 @@ def linear_quality_classifier_sql(
                AS keep
     FROM {table} d LEFT JOIN scored s ON s.doc_id = d.doc_id
     """
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    vocab_size: int = 65_536,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank
+    documents by LM perplexity and cut the corpus into terciles — head
+    (lowest perplexity, cleanest) feeds training as-is, middle is
+    down-weighted, tail is dropped or re-filtered.
+
+    Scalable shape: NOT a global NTILE (that is a single-task sort over
+    the per-doc relation — billions of rows at 100 TB). Instead the two
+    tercile THRESHOLDS are one exact-percentile aggregate (2 scalars),
+    broadcast back over the scored relation for a per-row CASE — the
+    same compute-thresholds-once shape CCNet itself uses. Thresholds
+    round to 4 decimals like the perplexities they cut, keeping the
+    bucket assignment engine-exact (boundary docs compare equal-rounded
+    values on both sides)."""
+    scored = unigram_logprob(docs, vocab_size, alpha, id_col, text_col)
+    thr = scored.agg(
+        F.round(F.percentile("perplexity", F.lit(1.0 / 3)), 4).alias("_t1"),
+        F.round(F.percentile("perplexity", F.lit(2.0 / 3)), 4).alias("_t2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            id_col,
+            "n_tokens",
+            "perplexity",
+            F.when(F.col("perplexity") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("perplexity") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+def perplexity_buckets_sql(
+    table: str, vocab_size: int = 65_536, alpha: float = 1.0
+) -> str:
+    """DuckDB twin of :func:`perplexity_buckets`."""
+    inner = unigram_logprob_sql(table, vocab_size, alpha)
+    return f"""
+    WITH ppl_scored AS ({inner}),
+    thr AS (
+        SELECT round(quantile_cont(perplexity, 1.0/3), 4) AS t1,
+               round(quantile_cont(perplexity, 2.0/3), 4) AS t2
+        FROM ppl_scored
+    )
+    SELECT doc_id, n_tokens, perplexity,
+           CASE WHEN perplexity <= t1 THEN 'head'
+                WHEN perplexity <= t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ppl_scored, thr
+    """

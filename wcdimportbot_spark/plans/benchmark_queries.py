@@ -1152,6 +1152,33 @@ def bpe_vocab_coverage(spark, sf_dir):
 QUERIES["bpe_vocab_coverage"].oracle = _bpe_vocab_oracle()
 
 
+def _ppl_buckets_oracle():
+    from wcdimportbot_spark.operators.text_analysis import (
+        perplexity_buckets_sql,
+    )
+
+    return perplexity_buckets_sql("documents")
+
+
+@register(
+    "quality_ppl_buckets",
+    "text analysis (CCNet head/middle/tail)",
+    "CCNet's perplexity tercile split (Wenzek 2020): head/middle/tail "
+    "bucket per document — NOT a global NTILE sort; the two tercile "
+    "thresholds are one exact-percentile aggregate broadcast back over "
+    "the scored relation for a per-row CASE, the compute-once shape "
+    "CCNet itself uses at corpus scale",
+    None,  # generated SQL attached below
+)
+def quality_ppl_buckets(spark, sf_dir):
+    from wcdimportbot_spark.operators.text_analysis import perplexity_buckets
+
+    return perplexity_buckets(load(spark, sf_dir, "documents"))
+
+
+QUERIES["quality_ppl_buckets"].oracle = _ppl_buckets_oracle()
+
+
 @register(
     "multimodal_feature_stats",
     "multimodal columns (binary payload plumbing)",
@@ -3562,6 +3589,7 @@ _WINDOW = [
     "bpe_merge_table",           # learned BPE tokenizer: training
     "bpe_encode_stats",          # learned BPE tokenizer: encoding
     "bpe_vocab_coverage",        # learned BPE tokenizer: vocab audit
+    "quality_ppl_buckets",       # CCNet head/middle/tail tercile split
     # --- rows whose plan/schema changed in round 8: re-verify ---
     "sim_ann_ivfpq",             # margin contract columns added
     "sim_ann_lsh",               # ann_recall_report agg reshaped
@@ -3597,8 +3625,9 @@ _WINDOW = [
     "f5_f6_hostname_fld",        # F5-F9 URL parsing (PSL family twin
     # f5_psl_rule_classes rotated out this round — r7 driver-verified)
     "text_bigram_perplexity",    # perplexity-filter family
-    "f15_unpivot_person_columns",# F15-F17 person assembly
-    "f24_claims_melt",           # F24-F26 claims
+    "f15_unpivot_person_columns",# F15-F17 person assembly (F24-F26 twin
+    # f24_claims_melt rotated out this round — r7 driver-verified; the
+    # end-to-end domain_claim_families row below composes F24-F26)
     "domain_claim_families",     # end-to-end import pipeline
     "domain_item_counts",        # S7/S9 store pipeline
     "dedup_exact",               # exact dedup
