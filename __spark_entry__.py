@@ -7,12 +7,13 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  101 queries, all DuckDB-verified — the ANN top-k variants emit an
+  102 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 8:
-  the eight new rows (``dedup_semantic``, ``quality_classifier``,
+  the nine new rows (``dedup_semantic``, ``quality_classifier``,
   ``decon_semantic``, ``quality_gopher_rules``, ``bpe_merge_table``,
-  ``bpe_encode_stats``, ``bpe_vocab_coverage``, ``quality_ppl_buckets``),
+  ``bpe_encode_stats``, ``bpe_vocab_coverage``, ``quality_ppl_buckets``,
+  ``a12_sketch_union_distinct``),
   every row whose plan or result schema changed this round (the ANN
   recall-margin contract columns, the bucket-split
   guard on the embedding near-dup, the cc_star singleton union, and the

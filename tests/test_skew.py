@@ -64,3 +64,28 @@ def test_replicate_salted_join_matches_plain_join(spark):
         "k", "tag"
     ).count()
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_sketch_union_tracks_exact_distinct(spark):
+    """Mergeable HLL maintenance: the union of two row-hash batch
+    sketches estimates within tolerance on a frame with known distinct
+    counts (and the flags the oracle predicts are all true)."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.analytics import (
+        incremental_distinct_sketch,
+    )
+
+    df = (
+        spark.range(12_000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("event_type"),
+            (F.col("id") % 1500).alias("user_id"),
+            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        )
+    )
+    rows = incremental_distinct_sketch(df).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_exact"] == 500
+        assert r["sketch_within_tol"]

@@ -85,3 +85,49 @@ def rinse_items(items: DataFrame, claims: DataFrame, item_types: list[str]) -> t
         doomed.withColumnRenamed("qid", "subject_qid"), "subject_qid", "left_anti"
     )
     return kept_items, kept_claims
+
+
+def incremental_distinct_sketch(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    lg_k: int = 14,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Mergeable-sketch maintenance (the A1/A2 sketch extension, beyond
+    a11's single-pass contract): two ingest batches build PARTIAL HLL
+    sketches independently, ``hll_union_agg`` merges the binary sketch
+    states, and the estimate comes off the merged sketch — never a
+    rescan of the first batch. This associativity is the whole point of
+    sketches at 100 TB: per-partition/per-day sketch artifacts are tiny
+    (O(2^lg_k) bytes), stored next to the data, and any time-range
+    distinct count is a union of stored states, not a recount.
+
+    The batch split is a deterministic row hash over (key, ts), so the
+    same key lands in BOTH batches and the union must actually dedup
+    across sketch states (a key-partitioned split would make the union
+    trivially disjoint). Emitted as the verifiable a11-style contract:
+    exact distinct count + a within-tolerance flag the oracle predicts
+    as all-true."""
+    batches = events.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(key), F.col("ts")), F.lit(2))
+    )
+    partial = batches.groupBy(group, "_b").agg(
+        F.hll_sketch_agg(key, F.lit(lg_k)).alias("_sk")
+    )
+    merged = partial.groupBy(group).agg(F.hll_union_agg("_sk").alias("_sk"))
+    exact = events.groupBy(group).agg(
+        F.countDistinct(key).alias("n_exact")
+    )
+    return merged.join(exact, group).select(
+        group,
+        "n_exact",
+        (
+            F.abs(
+                F.hll_sketch_estimate("_sk").cast("double")
+                - F.col("n_exact")
+            )
+            / F.col("n_exact")
+            <= tolerance
+        ).alias("sketch_within_tol"),
+    )

@@ -1180,6 +1180,30 @@ QUERIES["quality_ppl_buckets"].oracle = _ppl_buckets_oracle()
 
 
 @register(
+    "a12_sketch_union_distinct",
+    "A1,A2 (mergeable-sketch maintenance)",
+    "incremental distinct counting via MERGEABLE HLL sketch states: two "
+    "deterministic row-hash batches build partial sketches, "
+    "hll_union_agg merges the binary states, the estimate never rescans "
+    "batch 1 — the stored-sketch-artifact pattern that replaces "
+    "recounts at 100 TB; emitted as the a11-style verifiable contract "
+    "(exact count + within-tolerance flag the oracle predicts)",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           true AS sketch_within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def a12_sketch_union_distinct(spark, sf_dir):
+    from wcdimportbot_spark.operators.analytics import (
+        incremental_distinct_sketch,
+    )
+
+    return incremental_distinct_sketch(load(spark, sf_dir, "events"))
+
+
+@register(
     "multimodal_feature_stats",
     "multimodal columns (binary payload plumbing)",
     "binary media payloads → mapInPandas feature extraction → per-modality "
@@ -3590,6 +3614,7 @@ _WINDOW = [
     "bpe_encode_stats",          # learned BPE tokenizer: encoding
     "bpe_vocab_coverage",        # learned BPE tokenizer: vocab audit
     "quality_ppl_buckets",       # CCNet head/middle/tail tercile split
+    "a12_sketch_union_distinct", # mergeable HLL sketch maintenance
     # --- rows whose plan/schema changed in round 8: re-verify ---
     "sim_ann_ivfpq",             # margin contract columns added
     "sim_ann_lsh",               # ann_recall_report agg reshaped
@@ -3615,8 +3640,9 @@ _WINDOW = [
     "a4_corpus_stats",           # A4 corpus statistics
     "a7_windowed_event_counts",  # A7/§2.8 windows
     "a8_sessionization",         # sessionization
-    "a10_salted_distinct_count", # skew primitives
-    "a11_sketch_accuracy",       # sketch accuracy contract
+    "a10_salted_distinct_count", # skew primitives (sketch family twin
+    # a11_sketch_accuracy rotated out this round — r7 driver-verified;
+    # the new a12 row above carries the sketch family this round)
     "w1_ordinal_sequencing",     # W1 window functions
     "w2_first_occurrence_dedup", # W2 first-occurrence dedup (W3 twin
     # w3_topk rotated out this round — r7 driver-verified)
