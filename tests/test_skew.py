@@ -89,3 +89,38 @@ def test_sketch_union_tracks_exact_distinct(spark):
     for r in rows:
         assert r["n_exact"] == 500
         assert r["sketch_within_tol"]
+
+
+def test_theta_overlap_and_kll_merge_contracts(spark):
+    """Theta set algebra and KLL quantile merge on a frame with known
+    structure: exact overlap counts are right and every tolerance flag
+    holds (the sketch states really carry the answer)."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.analytics import (
+        kll_quantile_merge_sketch,
+        theta_overlap_sketch,
+    )
+
+    # users 0..599 per type; user appears in batch (event_id%2) by
+    # construction: even users only in batch 0, odd in both
+    rows = []
+    eid = 0
+    for t in ("a", "b"):
+        for u in range(600):
+            halves = (0,) if u % 2 == 0 else (0, 1)
+            for h in halves:
+                rows.append((eid * 2 + h, t, u, float(u % 100)))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, value double"
+    )
+    ov = {r["event_type"]: r for r in theta_overlap_sketch(df).collect()}
+    for t in ("a", "b"):
+        assert ov[t]["n_both"] == 300  # odd users in both batches
+        assert ov[t]["n_only_first"] == 300  # even users batch-0 only
+        assert ov[t]["inter_within_tol"] and ov[t]["diff_within_tol"]
+
+    kll = {r["event_type"]: r for r in kll_quantile_merge_sketch(df).collect()}
+    for t in ("a", "b"):
+        assert kll[t]["kll_rank_within_tol"]

@@ -131,3 +131,124 @@ def incremental_distinct_sketch(
             <= tolerance
         ).alias("sketch_within_tol"),
     )
+
+
+def theta_overlap_sketch(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    split_col: str = "event_id",
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Theta-sketch SET ALGEBRA between two ingest batches: per group,
+    estimate |A ∩ B| (keys active in both batches — retention) and
+    |A \\ B| (batch-1-only keys — churn) from the two stored sketch
+    states alone. HLL can only union; theta sketches keep a key sample
+    so intersection and difference are sketch-side operations — at
+    100 TB this answers "how many users overlap between any two days"
+    from O(k)-byte stored artifacts per day, no re-join of raw events.
+
+    Batches split on ``split_col % 2`` (event id parity — the same key
+    lands in both batches, so the intersection is genuinely non-trivial
+    and the split is reproducible by the SQL oracle). Contract columns:
+    exact intersection/difference counts plus within-tolerance flags
+    the oracle predicts as all-true."""
+    tagged = events.withColumn("_b", F.pmod(F.col(split_col), F.lit(2)))
+    a = tagged.filter(F.col("_b") == 0).groupBy(group).agg(
+        F.theta_sketch_agg(key).alias("_ska")
+    )
+    b = tagged.filter(F.col("_b") == 1).groupBy(group).agg(
+        F.theta_sketch_agg(key).alias("_skb")
+    )
+    per_key = tagged.groupBy(group, key).agg(
+        F.max(F.when(F.col("_b") == 0, 1).otherwise(0)).alias("_ina"),
+        F.max(F.when(F.col("_b") == 1, 1).otherwise(0)).alias("_inb"),
+    )
+    exact = per_key.groupBy(group).agg(
+        F.sum(F.col("_ina") * F.col("_inb")).alias("n_both"),
+        F.sum(F.col("_ina") * (1 - F.col("_inb"))).alias("n_only_first"),
+    )
+    est_inter = F.theta_sketch_estimate(
+        F.theta_intersection("_ska", "_skb")
+    ).cast("double")
+    est_diff = F.theta_sketch_estimate(
+        F.theta_difference("_ska", "_skb")
+    ).cast("double")
+    return (
+        a.join(b, group)
+        .join(exact, group)
+        .select(
+            group,
+            "n_both",
+            "n_only_first",
+            (
+                F.abs(est_inter - F.col("n_both"))
+                <= F.greatest(F.col("n_both").cast("double"), F.lit(1.0))
+                * tolerance
+            ).alias("inter_within_tol"),
+            (
+                F.abs(est_diff - F.col("n_only_first"))
+                <= F.greatest(
+                    F.col("n_only_first").cast("double"), F.lit(1.0)
+                )
+                * tolerance
+            ).alias("diff_within_tol"),
+        )
+    )
+
+
+def kll_quantile_merge_sketch(
+    events: DataFrame,
+    value_col: str = "value",
+    group: str = "event_type",
+    split_col: str = "event_id",
+    rank_tolerance: float = 0.03,
+) -> DataFrame:
+    """KLL quantile-sketch maintenance, completing the mergeable-sketch
+    triple (HLL distinct / theta set algebra / KLL quantiles): two
+    ingest batches build partial KLL sketches over ``value_col``, the
+    binary states merge sketch-side, and the median estimate comes off
+    the merged state — distribution questions over any batch range from
+    stored O(k) artifacts, no raw re-scan. KLL's guarantee is on RANK
+    (±1.65% at the default k=200), so the contract verifies exactly
+    that: the EXACT rank of the merged-sketch median (one broadcast of
+    5 group medians back over the events, one conditional count) must
+    sit within ``rank_tolerance`` of 0.5. The oracle predicts the exact
+    median (a11-style percentile parity) and the all-true flag."""
+    tagged = events.withColumn("_b", F.pmod(F.col(split_col), F.lit(2)))
+    a = tagged.filter(F.col("_b") == 0).groupBy(group).agg(
+        F.kll_sketch_agg_double(value_col).alias("_ska")
+    )
+    b = tagged.filter(F.col("_b") == 1).groupBy(group).agg(
+        F.kll_sketch_agg_double(value_col).alias("_skb")
+    )
+    est = a.join(b, group).select(
+        group,
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_merge_double("_ska", "_skb"), F.lit(0.5)
+        ).alias("_est_p50"),
+    )
+    ranked = (
+        events.join(F.broadcast(est), group)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(value_col) <= F.col("_est_p50"), 1).otherwise(0)
+            ).alias("_le"),
+            F.round(
+                F.percentile(value_col, F.lit(0.5)), 4
+            ).alias("p50_exact"),
+        )
+    )
+    return ranked.select(
+        group,
+        "n",
+        "p50_exact",
+        (
+            F.abs(
+                F.col("_le").cast("double") / F.col("n") - F.lit(0.5)
+            )
+            <= rank_tolerance
+        ).alias("kll_rank_within_tol"),
+    )

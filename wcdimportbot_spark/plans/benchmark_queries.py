@@ -1204,6 +1204,63 @@ def a12_sketch_union_distinct(spark, sf_dir):
 
 
 @register(
+    "a13_theta_batch_overlap",
+    "A1,A2 (theta sketch set algebra)",
+    "retention/churn between two ingest batches from STORED theta "
+    "sketch states alone: |A intersect B| and |A minus B| are "
+    "sketch-side operations (HLL can only union) — the overlap-of-any-"
+    "two-days question answered from O(k)-byte artifacts, no raw-event "
+    "re-join; event-id-parity split is oracle-reproducible, contract "
+    "columns carry the exact counts + within-tolerance flags",
+    """
+    WITH t AS (
+        SELECT event_type, user_id, event_id % 2 AS b FROM events
+    ),
+    per AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS ina,
+               MAX(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS inb
+        FROM t GROUP BY 1, 2
+    )
+    SELECT event_type,
+           SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+           SUM(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_only_first,
+           true AS inter_within_tol,
+           true AS diff_within_tol
+    FROM per GROUP BY 1
+    """,
+)
+def a13_theta_batch_overlap(spark, sf_dir):
+    from wcdimportbot_spark.operators.analytics import theta_overlap_sketch
+
+    return theta_overlap_sketch(load(spark, sf_dir, "events"))
+
+
+@register(
+    "a14_kll_quantile_merge",
+    "A3 (KLL quantile sketch maintenance)",
+    "median from MERGED KLL sketch states of two ingest batches — "
+    "quantiles over any batch range from stored O(k) artifacts, no raw "
+    "re-scan; KLL guarantees RANK error, so the contract checks the "
+    "exact rank of the sketch median stays within tolerance of 0.5, "
+    "next to the exact median the oracle predicts",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           true AS kll_rank_within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def a14_kll_quantile_merge(spark, sf_dir):
+    from wcdimportbot_spark.operators.analytics import (
+        kll_quantile_merge_sketch,
+    )
+
+    return kll_quantile_merge_sketch(load(spark, sf_dir, "events"))
+
+
+@register(
     "multimodal_feature_stats",
     "multimodal columns (binary payload plumbing)",
     "binary media payloads → mapInPandas feature extraction → per-modality "
@@ -3615,6 +3672,8 @@ _WINDOW = [
     "bpe_vocab_coverage",        # learned BPE tokenizer: vocab audit
     "quality_ppl_buckets",       # CCNet head/middle/tail tercile split
     "a12_sketch_union_distinct", # mergeable HLL sketch maintenance
+    "a13_theta_batch_overlap",   # theta sketch set algebra
+    "a14_kll_quantile_merge",    # KLL quantile sketch maintenance
     # --- rows whose plan/schema changed in round 8: re-verify ---
     "sim_ann_ivfpq",             # margin contract columns added
     "sim_ann_lsh",               # ann_recall_report agg reshaped
@@ -3633,11 +3692,11 @@ _WINDOW = [
     "p9_null_presence_guard",    # P9-P11 guards
     "j1_broadcast_lookup_join",  # J1 broadcast join
     "j3_star_join_revenue",      # J3 star join
-    "j4_anti_join_upload_if_missing",  # J4/P12 anti join
-    "j7_dimension_join",         # J7 dimension join
+    "j4_anti_join_upload_if_missing",  # J4/P12 anti join (J7 twin
+    # j7_dimension_join rotated out this round — r7 driver-verified)
     "j8_recursive_closure",      # J8/S3 iterative closure
-    "a1_count_by_type",          # A1/A2 aggregation
-    "a4_corpus_stats",           # A4 corpus statistics
+    "a1_count_by_type",          # A1/A2 aggregation (A4 twin
+    # a4_corpus_stats rotated out this round — r7 driver-verified)
     "a7_windowed_event_counts",  # A7/§2.8 windows
     "a8_sessionization",         # sessionization
     "a10_salted_distinct_count", # skew primitives (sketch family twin
