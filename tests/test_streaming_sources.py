@@ -813,3 +813,73 @@ def test_sessionization_out_of_order_events(spark, tmp_path):
         ("2026-01-01 08:00:00", "2026-01-01 08:00:00", 1),  # straggler island
         ("2026-01-01 09:55:00", "2026-01-01 10:20:00", 4),  # extended, not regressed
     ]
+
+
+def test_streaming_sketch_counter_bounded_state(spark, tmp_path):
+    """The HLL sketch gate: a multi-micro-batch stream folds into the
+    stored sketch states; the estimate over ALL batches matches the
+    exact lifetime distinct count (exact-mode cardinalities), the state
+    is one tiny file per snapshot, and re-processing the same data
+    (at-least-once replay) leaves the estimate unchanged — HLL union is
+    idempotent."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.streaming.sketch_gate import (
+        distinct_sketch_batch_fn,
+        read_distinct_estimates,
+    )
+
+    src = str(tmp_path / "in")
+    rows = [
+        (i, "click" if i % 3 else "view", i % 97, float(i % 10))
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, value double"
+    )
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    for part in range(3):
+        df.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "sketches")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(
+                "event_id long, event_type string, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                distinct_sketch_batch_fn(store, lg_k=12)
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt{run_stream.n}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        run_stream.n += 1
+
+    run_stream.n = 0
+    run_stream()
+    est = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in read_distinct_estimates(spark, store).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est == exact  # exact-mode HLL at these cardinalities
+
+    # full at-least-once replay from a fresh checkpoint: idempotent
+    run_stream()
+    est2 = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in read_distinct_estimates(spark, store).collect()
+    }
+    assert est2 == est

@@ -1,0 +1,82 @@
+"""Streaming distinct-counting with BOUNDED state: a ``foreachBatch``
+gate that folds each micro-batch into per-group HLL sketch states kept
+in a snapshot-versioned store — the streaming twin of the batch
+``a12_sketch_union_distinct`` row.
+
+Why not ``approx_count_distinct`` over the stream or a stateful
+``dropDuplicates``? Engine state for lifetime distincts grows with the
+key universe inside executor state stores and dies on
+restart-without-checkpoint. Here the state is O(2^lg_k) BYTES per group
+— a stored artifact any batch job, dashboard, or second stream can read
+(and union further) — and a replayed micro-batch re-unions the same
+keys into the sketch, which is IDEMPOTENT (HLL insertion is a max over
+register values), so at-least-once replay cannot inflate the estimate.
+That idempotence is the whole reason the merge can publish without a
+batch-id ledger, unlike the dedup gate's survivor append
+(streaming/dedup_gate.py, where replay produces duplicate output rows
+the sink must absorb).
+
+Same zero-engine-state design as the other gates: the writer lock
+serializes read-union-publish against any concurrent writer, readers
+resolve immutable snapshots, and a nightly batch job can union its own
+sketches into the same store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def distinct_sketch_batch_fn(
+    store_path: str,
+    key: str = "user_id",
+    group: str = "event_type",
+    lg_k: int = 14,
+):
+    """Build the ``foreachBatch`` function: per micro-batch, sketch the
+    batch per group and fold it into the stored states (read current
+    snapshot -> ``hll_union_agg`` -> publish new snapshot, all under the
+    writer lock — the read-modify-write must be atomic against other
+    writers, exactly like the MERGE engine in operators/sinks.py)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.groupBy(group).agg(
+            F.hll_sketch_agg(key, F.lit(lg_k)).alias("sketch")
+        )
+        from wcdimportbot_spark.operators import sinks, versioned
+
+        with versioned.writer_lock(store_path):
+            if sinks.has_parquet_data(store_path):
+                stored = sinks.read_snapshot(spark, store_path)
+                merged = (
+                    stored.unionByName(batch_sk)
+                    .groupBy(group)
+                    .agg(F.hll_union_agg("sketch").alias("sketch"))
+                )
+            else:
+                merged = batch_sk
+            # materialize before staging: the plan reads the snapshot
+            # the write is about to supersede
+            staged = merged.localCheckpoint(eager=True)
+            version, vdir = versioned.stage_new(store_path)
+            staged.coalesce(1).write.mode("overwrite").parquet(vdir)
+            versioned.publish(store_path, version)
+
+    return fn
+
+
+def read_distinct_estimates(
+    spark: SparkSession, store_path: str, group: str = "event_type"
+) -> DataFrame:
+    """Current per-group distinct estimates off the stored sketch states
+    — O(groups) rows, readable mid-stream (snapshot isolation)."""
+    from wcdimportbot_spark.operators import sinks
+
+    return sinks.read_snapshot(spark, store_path).select(
+        group,
+        F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+    )
