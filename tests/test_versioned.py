@@ -505,3 +505,83 @@ def test_compaction_is_idempotent_and_lookup_sorted(spark, tmp_path):
                 assert vals == sorted(vals)
                 checked += 1
     assert checked > 0
+
+
+def test_compaction_races_merge_without_losing_rows(spark, tmp_path):
+    """A compactor process loops compact_items while this process keeps
+    merging new batches into the same store. The shared writer lock
+    serializes layout rewrites against merges: no batch's rows are ever
+    lost, mid-race reads stay snapshot-atomic, and the final table holds
+    every row exactly once."""
+    import subprocess
+    import sys
+    import time
+
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(
+            spark,
+            [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"base{i}") for i in range(30)],
+        ),
+        path,
+    )
+
+    child = tmp_path / "compactor_child.py"
+    child.write_text(
+        'import os, sys, time\n'
+        'sys.path.insert(0, "/root/repo")\n'
+        'os.environ.setdefault("PYTHONPATH", "/root/repo")\n'
+        'store, ready, go = sys.argv[1:4]\n'
+        'from pyspark.sql import SparkSession\n'
+        'spark = (SparkSession.builder.master("local[2]")\n'
+        '         .appName("stress-compactor")\n'
+        '         .config("spark.sql.shuffle.partitions", "4")\n'
+        '         .config("spark.ui.enabled", "false")\n'
+        '         .getOrCreate())\n'
+        'from wcdimportbot_spark.operators import sinks\n'
+        'open(ready, "w").write("ready")\n'
+        'while not os.path.exists(go):\n'
+        '    time.sleep(0.02)\n'
+        'for _ in range(3):\n'
+        '    sinks.compact_items(spark, store)\n'
+        '    time.sleep(0.1)\n'
+        'spark.stop()\n'
+    )
+    ready, go = tmp_path / "ready", tmp_path / "go"
+    proc = subprocess.Popen(
+        [sys.executable, str(child), path, str(ready), str(go)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    deadline = time.time() + 240
+    while not ready.exists():
+        assert time.time() < deadline, "compactor child failed to boot"
+        assert proc.poll() is None, "compactor child died pre-race"
+        time.sleep(0.2)
+    go.write_text("go")
+
+    expected = {f"Q{i}" for i in range(30)}
+    for batch in range(3):
+        rows = [
+            (f"M{batch}_{i}", "WIKIPEDIA_PAGE", f"m{i}", "d", f"mh{batch}_{i}")
+            for i in range(25)
+        ]
+        sinks.merge_write_items(spark, _items(spark, rows), path)
+        expected |= {r[0] for r in rows}
+        qids = {
+            r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
+        }
+        # every batch merged so far is fully present mid-race
+        assert expected <= qids, f"lost rows mid-race: {expected - qids}"
+
+    out, err = proc.communicate(timeout=240)
+    assert proc.returncode == 0, err.decode()[-2000:]
+
+    final = [r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()]
+    assert set(final) == expected
+    assert len(final) == len(expected)  # exactly once — no duplicated rows
+    # and the store still compacts cleanly after the race
+    sinks.compact_items(spark, path)
+    assert {
+        r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
+    } == expected
