@@ -738,11 +738,21 @@ def test_watermark_dedup_out_of_order_and_late(spark, tmp_path):
         )
     )
     q.processAllAvailable()
+    (src / "b3.json").write_text(
+        # A's dedup state EXPIRED long ago (10:00 + 10 min delay is far
+        # behind the 11:50 watermark) — dropDuplicatesWithinWatermark
+        # must have evicted it, so this recurrence RE-EMITS. This is the
+        # observable proof state is bounded (plain dropDuplicates keyed
+        # on title alone would hold A forever and swallow it — ADVICE
+        # r8); the idempotent MERGE sink absorbs the re-emit downstream.
+        json.dumps({"title": "A", "ts": "2026-01-01T14:00:00.000Z"})
+    )
+    q.processAllAvailable()
     q.stop()
     accepted = sorted(
         r["title"] for r in spark.sql("SELECT title FROM wm_dedup_t").collect()
     )
-    assert accepted == ["A", "B", "C", "D"]
+    assert accepted == ["A", "A", "B", "C", "D"]
 
 
 def test_sessionization_out_of_order_events(spark, tmp_path):
@@ -812,6 +822,65 @@ def test_sessionization_out_of_order_events(spark, tmp_path):
     assert rows == [
         ("2026-01-01 08:00:00", "2026-01-01 08:00:00", 1),  # straggler island
         ("2026-01-01 09:55:00", "2026-01-01 10:20:00", 4),  # extended, not regressed
+    ]
+
+
+def test_sessionization_straggler_cluster_merges(spark, tmp_path):
+    """ADVICE r8 — several cross-batch stragglers within gap_seconds of
+    EACH OTHER (all predating the open session by more than the gap)
+    must merge into ONE closed session, like the batch gaps-and-islands
+    twin — not one single-event session each. Two islands separated by
+    more than the gap stay two sessions."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "strag-in"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    events = raw.select(F.from_json(F.col("value"), schema).alias("e")).select("e.*")
+    q = (
+        sessionize_stream(events, gap_seconds=1800.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("strag_sessions")
+        .option("checkpointLocation", str(tmp_path / "strag-ck"))
+        .start()
+    )
+    # batch 1 opens the session at 12:00
+    (src / "b1.json").write_text(
+        json.dumps({"user_id": 1, "ts": "2026-01-01T12:00:00.000Z"})
+    )
+    q.processAllAvailable()
+    # batch 2: four stragglers, all > gap before 12:00 — two islands:
+    # {08:00, 08:10, 08:25} (pairwise-chained within the 30 min gap) and
+    # {10:00} (more than gap after 08:25, more than gap before 12:00)
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps({"user_id": 1, "ts": t})
+            for t in [
+                "2026-01-01T08:25:00.000Z",
+                "2026-01-01T08:00:00.000Z",
+                "2026-01-01T10:00:00.000Z",
+                "2026-01-01T08:10:00.000Z",
+            ]
+        )
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM strag_sessions").collect()
+    )
+    assert rows == [
+        ("2026-01-01 08:00:00", "2026-01-01 08:25:00", 3),  # merged island
+        ("2026-01-01 10:00:00", "2026-01-01 10:00:00", 1),  # isolated straggler
     ]
 
 

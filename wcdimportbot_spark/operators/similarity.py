@@ -234,9 +234,15 @@ def ann_recall_report(
         cols.extend(
             [
                 F.lit(float(margin_floor)).alias("margin_floor"),
-                (
+                # coalesce: an ANN result with FEWER than the deciding
+                # `need` rows for a query leaves `_deciding` NULL
+                # (element_at past the array end) — that is a degenerate
+                # output and must FAIL the strict contract, not pass it
+                # as NULL (which the driver's value hash would not flag)
+                F.coalesce(
                     F.col("_deciding")
-                    >= F.col("exact_kth_cosine") - epsilon + margin_floor
+                    >= F.col("exact_kth_cosine") - epsilon + margin_floor,
+                    F.lit(False),
                 ).alias("recall_margin_ok"),
             ]
         )
@@ -282,8 +288,15 @@ def ann_recall_margins(
         )
         .collect()
     )
+    # a NULL _deciding (ANN returned fewer than `need` rows) is the
+    # worst possible margin, not a missing data point — report -inf so
+    # a min(margins) pin fails loudly instead of skipping the query
     return {
-        int(r["query_id"]): float(r["_deciding"]) - (float(r["_kth"]) - epsilon)
+        int(r["query_id"]): (
+            float(r["_deciding"]) - (float(r["_kth"]) - epsilon)
+            if r["_deciding"] is not None
+            else float("-inf")
+        )
         for r in rows
     }
 
@@ -584,7 +597,7 @@ def embedding_near_dup_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = 1024,
+    max_bucket_size: int | None = None,
     bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH candidate generation — the
@@ -605,7 +618,12 @@ def embedding_near_dup_ann(
     contract.
 
     ``max_bucket_size`` is the bounded-posting-list guard (the df-cap
-    pattern from text_dedup heavy n-grams): pair work is Σ|bucket|², and
+    pattern from text_dedup heavy n-grams) — OPT-IN (default ``None``
+    preserves exact pre-guard recall for existing callers; pairs split
+    across salt sub-buckets in every table are deliberately forgone
+    work, so enabling the cap is a recall decision the caller makes
+    explicitly, as the registry/pipeline rows do): pair work is
+    Σ|bucket|², and
     ``planes`` only controls the EXPECTED bucket size — a degenerate
     corpus region (many identical vectors, exactly what dedup input
     contains) piles into ONE bucket and goes quadratic regardless of the
@@ -699,7 +717,7 @@ def embedding_near_dup_ann_sql(
     planes: int = 4,
     num_tables: int = 8,
     dim: int = 64,
-    max_bucket_size: int | None = 1024,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB oracle for :func:`embedding_near_dup_ann`: the SAME
     md5-parity hyperplane signs (last hex digit of md5('plane:i') even

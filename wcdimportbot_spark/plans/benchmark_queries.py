@@ -2155,7 +2155,11 @@ def dedup_embedding_cosine(spark, sf_dir):
 def _emb_ann_oracle():
     from wcdimportbot_spark.operators.similarity import embedding_near_dup_ann_sql
 
-    return embedding_near_dup_ann_sql("embeddings", threshold=0.4)
+    # max_bucket_size is opt-in (ADVICE r8): the registry row ENABLES the
+    # guard — it is the degenerate-corpus protection being verified
+    return embedding_near_dup_ann_sql(
+        "embeddings", threshold=0.4, max_bucket_size=1024
+    )
 
 
 @register(
@@ -2173,7 +2177,10 @@ def dedup_embedding_ann(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_ann(
-        emb, threshold=0.4, bucketed=_ann_stage(spark, sf_dir, "lsh_buckets")
+        emb,
+        threshold=0.4,
+        max_bucket_size=1024,
+        bucketed=_ann_stage(spark, sf_dir, "lsh_buckets"),
     )
 
 

@@ -70,18 +70,30 @@ def dedup_titles_with_watermark(
     keeps an unbounded in-memory set (event_stream.py:51-54); the
     watermark bounds it.
 
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: plain
+    ``dropDuplicates(["title"])`` only evicts state when the event-time
+    column is among the dedup keys — keyed on title alone its state set
+    grows with the title universe, which is exactly the reference's
+    unbounded-set failure re-created inside the state store (ADVICE r8).
+    The WithinWatermark variant expires each title's entry once the
+    watermark passes ``ts + delay``, so state is genuinely O(titles seen
+    within one watermark window).
+
     Late-data contract (pinned empirically by
     tests/test_streaming_sources.py::test_watermark_dedup_out_of_order):
     events WITHIN the watermark are deduped exactly, in or out of
     arrival order; events whose ts is already BEHIND the watermark are
-    dropped from the stream entirely — both repeats (whose dedup state
-    may have been evicted) and genuinely new titles. The completeness
-    backstop for too-late data is the nightly batch pass over the
-    idempotent hash-keyed store (operators/sinks.py MERGE): anything the
-    stream's lateness bound sacrificed is re-deduped there, so the
-    stream trades bounded state for at-most-once on late arrivals
-    without corrupting the stored corpus."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["title"])
+    dropped from the stream entirely — both repeats and genuinely new
+    titles. A title recurring AFTER its state expired re-emits (the
+    at-least-once face of bounded state); the completeness backstop for
+    both cases is the nightly batch pass over the idempotent hash-keyed
+    store (operators/sinks.py MERGE): re-emits are absorbed by the
+    insert-if-absent merge and too-late drops are re-deduped there, so
+    the stream trades bounded state for exactness at the edges without
+    corrupting the stored corpus."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["title"]
+    )
 
 
 def windowed_event_counts_stream(

@@ -59,17 +59,17 @@ def _sessionize_group(
         else:
             start = last = None
             n = 0
+        stragglers: list[float] = []
         for ts in rows["ts"]:
             t = ts.timestamp()
             if start is not None and t < start - gap_seconds:
                 # CROSS-BATCH late arrival predating the open session by
-                # more than the gap: gaps-and-islands would give it its
-                # own island, so emit it as a closed single-event session
-                # without disturbing the open state (the bounded-state
-                # approximation: a cluster of such stragglers emits one
-                # session each instead of merging — batch parity for the
-                # isolated case, pinned in tests)
-                closed.append((user_id, t, t, 1))
+                # more than the gap: buffer it; the in-batch islands
+                # pass below merges straggler clusters before emitting
+                # (ADVICE r8 — emitting each as its own session diverged
+                # from the batch gaps-and-islands twin whenever several
+                # stragglers fell within gap_seconds of each other)
+                stragglers.append(t)
                 continue
             if last is not None and t - last > gap_seconds:
                 closed.append((user_id, start, last, n))
@@ -82,6 +82,27 @@ def _sessionize_group(
             start = min(start, t)
             last = t if last is None else max(last, t)
             n += 1
+        # gaps-and-islands over THIS batch's stragglers (already sorted —
+        # rows were processed in ts order): consecutive stragglers within
+        # the gap merge into one closed session, matching the batch twin
+        # for any straggler cluster delivered in one micro-batch. Every
+        # straggler predates the (possibly extended) open-session start
+        # by more than the gap, so no island can touch the open state;
+        # clusters SPLIT ACROSS batches still emit one session per batch
+        # (the documented bounded-state approximation — state holds only
+        # the open session, never a straggler buffer).
+        i_start = i_last = None
+        i_n = 0
+        for t in stragglers:
+            if i_last is not None and t - i_last > gap_seconds:
+                closed.append((user_id, i_start, i_last, i_n))
+                i_start, i_n = None, 0
+            if i_start is None:
+                i_start = t
+            i_last = t
+            i_n += 1
+        if i_last is not None:
+            closed.append((user_id, i_start, i_last, i_n))
         state.update((start, last, n))
         if use_timeout:
             state.setTimeoutDuration(int(gap_seconds * 1000))
