@@ -825,6 +825,9 @@ def perplexity_buckets(
     alpha: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    threshold_mode: str = "sketch",
+    sketch_contract: bool = False,
+    rank_tolerance: float = 0.03,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank
     documents by LM perplexity and cut the corpus into terciles — head
@@ -832,37 +835,128 @@ def perplexity_buckets(
     down-weighted, tail is dropped or re-filtered.
 
     Scalable shape: NOT a global NTILE (that is a single-task sort over
-    the per-doc relation — billions of rows at 100 TB). Instead the two
-    tercile THRESHOLDS are one exact-percentile aggregate (2 scalars),
-    broadcast back over the scored relation for a per-row CASE — the
-    same compute-thresholds-once shape CCNet itself uses. Thresholds
-    round to 4 decimals like the perplexities they cut, keeping the
-    bucket assignment engine-exact (boundary docs compare equal-rounded
-    values on both sides)."""
+    the per-doc relation — billions of rows at 100 TB). The two tercile
+    THRESHOLDS are one aggregate (2 scalars), broadcast back over the
+    scored relation for a per-row CASE — the compute-thresholds-once
+    shape CCNet itself uses (CCNet's own thresholds come from a sampled
+    LM pass, not an exact global sort).
+
+    ``threshold_mode`` picks the threshold aggregate (r8 verdict #1):
+
+    - ``"sketch"`` (default — the production path): thresholds are
+      quantiles of a merged KLL sketch state
+      (``kll_sketch_agg_double``, the a14 machinery). Aggregation STATE
+      is O(k·log n) per partial — constant-bounded at 100 TB, and the
+      per-day sketch states are storable/mergeable artifacts. Accuracy
+      is KLL's rank guarantee: the cut lands within ±1.65% RANK of the
+      exact tercile (k=200, 99% conf) — a rank wobble on boundary docs,
+      never a wrong ordering.
+    - ``"exact"``: ``F.percentile`` — bit-exact tercile ranks, but the
+      aggregation state is a per-partial map over DISTINCT perplexity
+      values, potentially millions of entries per partial at corpus
+      scale. The oracle-contract twin for test scale factors, not the
+      100 TB path.
+
+    ``sketch_contract=True`` (registry/test mode) buckets on the EXACT
+    thresholds (keeping the row hash-deterministic against the DuckDB
+    twin) and verifies the sketch path against them in-row: the column
+    ``sketch_rank_ok`` asserts the EXACT rank of each sketch threshold
+    sits within ``rank_tolerance`` of 1/3 and 2/3 — what KLL actually
+    guarantees (same contract shape as a14's
+    ``kll_rank_within_tol``). Thresholds round to 4 decimals like the
+    perplexities they cut, keeping the bucket assignment engine-exact
+    (boundary docs compare equal-rounded values on both sides)."""
+    if threshold_mode not in ("exact", "sketch"):
+        raise ValueError(f"threshold_mode must be exact|sketch, got {threshold_mode!r}")
     scored = unigram_logprob(docs, vocab_size, alpha, id_col, text_col)
-    thr = scored.agg(
-        F.round(F.percentile("perplexity", F.lit(1.0 / 3)), 4).alias("_t1"),
-        F.round(F.percentile("perplexity", F.lit(2.0 / 3)), 4).alias("_t2"),
-    )
-    return (
-        scored.crossJoin(F.broadcast(thr))
-        .select(
-            id_col,
-            "n_tokens",
-            "perplexity",
-            F.when(F.col("perplexity") <= F.col("_t1"), F.lit("head"))
-            .when(F.col("perplexity") <= F.col("_t2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("ppl_bucket"),
+    if sketch_contract:
+        # one extra narrow pass over `scored` — avoid recomputing the
+        # LM join chain for each consumer
+        scored = scored.localCheckpoint(eager=False)
+
+    sketch_thr = None
+    if threshold_mode == "sketch" or sketch_contract:
+        sketch_thr = (
+            scored.agg(F.kll_sketch_agg_double("perplexity").alias("_sk"))
+            .select(
+                F.round(
+                    F.kll_sketch_get_quantile_double("_sk", F.lit(1.0 / 3)), 4
+                ).alias("_s1"),
+                F.round(
+                    F.kll_sketch_get_quantile_double("_sk", F.lit(2.0 / 3)), 4
+                ).alias("_s2"),
+            )
         )
-    )
+    if threshold_mode == "exact" or sketch_contract:
+        thr = scored.agg(
+            F.round(F.percentile("perplexity", F.lit(1.0 / 3)), 4).alias("_t1"),
+            F.round(F.percentile("perplexity", F.lit(2.0 / 3)), 4).alias("_t2"),
+        )
+    else:
+        thr = sketch_thr.select(
+            F.col("_s1").alias("_t1"), F.col("_s2").alias("_t2")
+        )
+
+    out_cols = [
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("perplexity"),
+        F.when(F.col("perplexity") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    ]
+    buckets = scored.crossJoin(F.broadcast(thr))
+    if sketch_contract:
+        # EXACT rank of each sketch threshold (one conditional-count agg
+        # over the scored relation) vs the tercile targets — the rank
+        # contract KLL guarantees, hashed as its boolean projection
+        rank_ok = (
+            scored.crossJoin(F.broadcast(sketch_thr))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(
+                    (F.col("perplexity") <= F.col("_s1")).cast("long")
+                ).alias("_le1"),
+                F.sum(
+                    (F.col("perplexity") <= F.col("_s2")).cast("long")
+                ).alias("_le2"),
+            )
+            .select(
+                (
+                    (
+                        F.abs(
+                            F.col("_le1") / F.col("_n") - F.lit(1.0 / 3)
+                        )
+                        <= rank_tolerance
+                    )
+                    & (
+                        F.abs(
+                            F.col("_le2") / F.col("_n") - F.lit(2.0 / 3)
+                        )
+                        <= rank_tolerance
+                    )
+                ).alias("sketch_rank_ok")
+            )
+        )
+        buckets = buckets.crossJoin(F.broadcast(rank_ok))
+        out_cols.append(F.col("sketch_rank_ok"))
+    return buckets.select(*out_cols)
 
 
 def perplexity_buckets_sql(
-    table: str, vocab_size: int = 65_536, alpha: float = 1.0
+    table: str,
+    vocab_size: int = 65_536,
+    alpha: float = 1.0,
+    sketch_contract: bool = False,
 ) -> str:
-    """DuckDB twin of :func:`perplexity_buckets`."""
+    """DuckDB twin of :func:`perplexity_buckets` (exact-threshold mode;
+    with ``sketch_contract`` it predicts the KLL rank flag as all-true —
+    the a11/a14 accuracy-contract pattern)."""
     inner = unigram_logprob_sql(table, vocab_size, alpha)
+    contract_col = (
+        ",\n           TRUE AS sketch_rank_ok" if sketch_contract else ""
+    )
     return f"""
     WITH ppl_scored AS ({inner}),
     thr AS (
@@ -873,6 +967,6 @@ def perplexity_buckets_sql(
     SELECT doc_id, n_tokens, perplexity,
            CASE WHEN perplexity <= t1 THEN 'head'
                 WHEN perplexity <= t2 THEN 'middle'
-                ELSE 'tail' END AS ppl_bucket
+                ELSE 'tail' END AS ppl_bucket{contract_col}
     FROM ppl_scored, thr
     """

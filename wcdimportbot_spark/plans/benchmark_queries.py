@@ -1157,7 +1157,7 @@ def _ppl_buckets_oracle():
         perplexity_buckets_sql,
     )
 
-    return perplexity_buckets_sql("documents")
+    return perplexity_buckets_sql("documents", sketch_contract=True)
 
 
 @register(
@@ -1165,15 +1165,22 @@ def _ppl_buckets_oracle():
     "text analysis (CCNet head/middle/tail)",
     "CCNet's perplexity tercile split (Wenzek 2020): head/middle/tail "
     "bucket per document — NOT a global NTILE sort; the two tercile "
-    "thresholds are one exact-percentile aggregate broadcast back over "
-    "the scored relation for a per-row CASE, the compute-once shape "
-    "CCNet itself uses at corpus scale",
+    "thresholds are one aggregate broadcast back over the scored "
+    "relation for a per-row CASE, the compute-once shape CCNet itself "
+    "uses at corpus scale. Production thresholds come from a merged KLL "
+    "sketch state (O(k log n) aggregate state — r8 verdict #1; the a14 "
+    "machinery); this row buckets on the exact-percentile oracle twin "
+    "and hash-verifies the sketch path via its rank contract "
+    "(sketch_rank_ok: exact rank of each sketch threshold within 3% of "
+    "its tercile)",
     None,  # generated SQL attached below
 )
 def quality_ppl_buckets(spark, sf_dir):
     from wcdimportbot_spark.operators.text_analysis import perplexity_buckets
 
-    return perplexity_buckets(load(spark, sf_dir, "documents"))
+    return perplexity_buckets(
+        load(spark, sf_dir, "documents"), sketch_contract=True
+    )
 
 
 QUERIES["quality_ppl_buckets"].oracle = _ppl_buckets_oracle()
