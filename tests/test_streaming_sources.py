@@ -634,14 +634,16 @@ def test_streaming_incremental_dedup_gate(spark, tmp_path):
     assert batch_fresh == fresh_ids
 
 
-def test_dedup_gate_replay_after_crash_before_merge_loses_nothing(spark, tmp_path):
-    """ADVICE r7 (medium): foreachBatch is at-least-once. Simulate the
+def test_dedup_gate_replay_after_crash_before_merge_exactly_once(spark, tmp_path):
+    """ADVICE r7 (medium) + r8 verdict #4: foreachBatch is
+    at-least-once, but the gate's outputs are EXACTLY-once. Simulate the
     crash window — batch outputs written, index merge NOT yet run — then
     replay the whole batch through the gate fn. The replayed docs must
     still be seen as FRESH (the probe read a store the crashed attempt
-    never mutated) and land in fresh_out (possibly twice — the standard
-    at-least-once duplicate, absorbable downstream), never be silently
-    classified as dups of their own half-finished ingest."""
+    never mutated) and the replay must OVERWRITE the batch's own
+    batch_id partition — each doc lands in fresh_out exactly once, never
+    duplicated, never silently classified as a dup of its own
+    half-finished ingest."""
     from pyspark.sql import functions as F
 
     from wcdimportbot_spark.operators.text_dedup import (
@@ -659,27 +661,45 @@ def test_dedup_gate_replay_after_crash_before_merge_loses_nothing(spark, tmp_pat
         ],
         "doc_id long, text string",
     )
-    # crashed first attempt: probe (read-only) + outputs written, merge lost
+    # crashed first attempt: probe (read-only) + outputs written exactly
+    # as the gate writes them (batch_id partition), merge lost
     ann, _survivors = dedup_index_probe(batch, index)
-    batch.join(ann, "doc_id").filter(F.col("fresh")).write.mode("append").parquet(
-        fresh_out
+    (
+        batch.join(ann, "doc_id")
+        .filter(F.col("fresh"))
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(fresh_out)
     )
     hashes, bands = read_dedup_index(spark, index)
     assert hashes.count() == 0 and bands.count() == 0  # probe never mutates
 
-    # replay: the engine re-delivers the same batch to the gate fn
+    # replay: the engine re-delivers the same batch under the SAME id
     incremental_dedup_batch_fn(index, fresh_out)(batch, batch_id=0)
 
     spark.catalog.refreshByPath(fresh_out)
     out = spark.read.parquet(fresh_out)
-    # no silent loss: both docs present (duplicated by the replay, which
-    # is the documented at-least-once append contract)
+    # exactly-once: the replay overwrote its own partition — both docs
+    # present ONCE, no duplicate rows for downstream to absorb
     per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
     assert set(per_doc) == {1, 2}
-    assert all(n == 2 for n in per_doc.values())
+    assert all(n == 1 for n in per_doc.values())
     # and the merge did land on the replay
     hashes, bands = read_dedup_index(spark, index)
     assert hashes.count() == 2 and bands.count() > 0
+
+    # a LATER batch writes its own partition without touching batch 0's
+    batch2 = spark.createDataFrame(
+        [(3, "yet another brand new document about window functions")],
+        "doc_id long, text string",
+    )
+    incremental_dedup_batch_fn(index, fresh_out)(batch2, batch_id=1)
+    spark.catalog.refreshByPath(fresh_out)
+    out = spark.read.parquet(fresh_out)
+    assert out.count() == 3
+    assert {r["batch_id"] for r in out.select("batch_id").distinct().collect()} == {0, 1}
 
 
 def test_watermark_dedup_out_of_order_and_late(spark, tmp_path):

@@ -48,21 +48,39 @@ def incremental_dedup_batch_fn(
     """Build the ``foreachBatch`` function for the streaming dedup gate.
 
     Per micro-batch: probe the stored index (read-only), write FRESH
-    docs (with their annotation columns) to ``fresh_out_path`` (parquet,
-    append), optionally write duplicate docs to ``rejects_out_path``
-    (the rejects side-output pattern, operators/normalize.py S11), and
-    only THEN merge the fresh survivors into the index. ``foreachBatch``
-    is at-least-once, and the outputs-before-merge order is what makes
-    that recoverable: a crash after the merge but before the append
-    would make the replayed batch see its own half-finished ingest as
-    history and silently drop those docs from ``fresh_out_path``; a
-    crash after the append but before the merge merely re-appends the
-    batch's fresh rows on replay (duplicate output rows — the standard
-    at-least-once append-sink contract, absorbed downstream), and the
-    re-merge itself is an idempotent insert-if-absent. The ingest's
-    writer lock serializes index updates, so a concurrent nightly batch
-    job and this stream compose — each merges against the snapshot the
-    other published."""
+    docs (with their annotation columns) to ``fresh_out_path``,
+    optionally write duplicate docs to ``rejects_out_path`` (the rejects
+    side-output pattern, operators/normalize.py S11), and only THEN
+    merge the fresh survivors into the index.
+
+    **Exactly-once outputs** (r8 verdict #4): both outputs are
+    partitioned by ``batch_id`` and written with DYNAMIC partition
+    overwrite — the standard ``foreachBatch`` idempotence recipe. Spark
+    replays a micro-batch under the SAME batch_id, so a replayed batch
+    overwrites exactly its own partition with identical rows instead of
+    appending duplicates; partitions of other batches are untouched.
+    This composes with the outputs-before-merge ordering, which remains
+    load-bearing for the other crash window: a crash after the merge
+    but before the outputs would make the replayed batch see its own
+    half-finished ingest as history and silently DROP those docs from
+    ``fresh_out_path`` (loss — unrecoverable downstream), while a crash
+    after the outputs but before the merge now merely overwrites the
+    batch's partition with the same rows and re-runs the idempotent
+    insert-if-absent merge. Net: exactly-once fresh/reject outputs AND
+    exactly-once index effects, with no batch-id ledger. The replayed
+    probe is guaranteed to reproduce the first attempt's annotation
+    because the probe reads the snapshot the crashed attempt never got
+    to mutate (merge runs last). The ingest's writer lock serializes
+    index updates, so a concurrent nightly batch job and this stream
+    compose — each merges against the snapshot the other published."""
+
+    def _write(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -77,14 +95,12 @@ def incremental_dedup_batch_fn(
             text_col=text_col,
             shingle_n=shingle_n,
         )
-        annotated = batch_df.join(ann, id_col)
-        annotated.filter(F.col("fresh")).write.mode("append").parquet(
-            fresh_out_path
+        annotated = batch_df.join(ann, id_col).withColumn(
+            "batch_id", F.lit(batch_id)
         )
+        _write(annotated.filter(F.col("fresh")), fresh_out_path)
         if rejects_out_path is not None:
-            annotated.filter(~F.col("fresh")).write.mode("append").parquet(
-                rejects_out_path
-            )
+            _write(annotated.filter(~F.col("fresh")), rejects_out_path)
         dedup_index_merge(
             survivors,
             index_path,
