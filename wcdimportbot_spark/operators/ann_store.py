@@ -1,0 +1,384 @@
+"""Maintained, snapshot-versioned IVFPQ ANN index store (r8 verdict #1).
+
+The dedup family already has the full production loop — stored index →
+probe → filter → append (``text_dedup.dedup_index_ingest``) — while the
+similarity family rebuilt its IVFPQ artifacts per session (a memo, not a
+store). At 100 TB an ANN index is a versioned artifact exactly like the
+dedup index and the BPE merge table: built once per corpus version,
+served by every probe, grown incrementally as ingest batches arrive, and
+retrained on an explicit staleness decision. This module publishes the
+artifacts through the same snapshot machinery (``operators/versioned``:
+staging dir → atomic pointer flip, writer lock, hardlinked unchanged
+files) the MERGE stores use.
+
+Store layout under ``base_path``::
+
+    model/_CURRENT -> vNNNNNNNN
+    model/vNNNNNNNN/centroids/*.parquet   (cluster, centroid)
+    model/vNNNNNNNN/codebooks/*.parquet   (subspace, code, center)
+    model/vNNNNNNNN/meta.json             (m, n_codes, dim, seed, n_built)
+    codes/_CURRENT -> vNNNNNNNN
+    codes/vNNNNNNNN/cluster=C/*.parquet   (vec_id, codes)
+
+- **model** is ONE snapshot holding both relations plus meta — they
+  version atomically (codebooks are trained on residuals against
+  exactly these centroids; mixing versions would decode garbage). It is
+  tiny (k×d + m×n_codes×subdim doubles ≈ a few hundred KB) and loads
+  driver-side like the PSL table or a BPE merge list.
+- **codes** is the corpus-scale artifact, PARTITIONED BY ``cluster``:
+  a probe broadcasts its (query, cluster) LUT fan-out, so the codes
+  side of the ADC join never shuffles (no Exchange — broadcast hash
+  join), and the driver-known probed-cluster set becomes a partition
+  filter, so the scan READS only ``nprobe/num_clusters`` of the files —
+  the IVF scan fraction made I/O-real, not just compute-real. Rows are
+  sorted (cluster, vec_id) per task so the partitioned writer inserts
+  no sort and row-group stats stay tight.
+
+**Incremental add-batch** assigns new vectors to the FROZEN coarse
+centroids (same argmin ‖x−c‖² as the k-means assignment), residual-
+encodes them with the FROZEN codebooks, and MERGEs them into the codes
+store under the writer lock — insert-if-absent on ``vec_id``, existing
+rows win, exactly the reference's cache-probe-then-upload idempotence
+(``src/models/wikimedia/wikipedia/wikipedia_page.py:110-141``): re-adding
+a batch after a crash is a no-op. Under a fixed model version
+``vec_id → cluster`` is deterministic, so the anti-join probe of only
+the batch's touched cluster partitions is exact.
+
+**Staleness contract.** Codebooks quantize the distribution they were
+trained on. ``meta.n_built`` records the build-time corpus size;
+:func:`ann_index_stats` reports ``growth_ratio`` (stored vectors /
+n_built). Retrain (``ann_index_build`` again — it atomically replaces
+both stores) when growth_ratio exceeds ~2× or when the serving-side
+recall contract (``ann_recall_report`` / ``recall_margin_ok`` over a
+sampled query slice) starts eroding — the margin flag is the designed
+early-warning signal. Until then, added vectors are exactly as
+searchable as built ones (same codebooks, same scan), merely quantized
+by a slightly stale model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wcdimportbot_spark.operators import versioned
+
+MODEL_DIR = "model"
+CODES_DIR = "codes"
+
+CODES_SCHEMA = "vec_id long, cluster int, codes array<int>"
+
+
+def _model_path(base_path: str) -> str:
+    return os.path.join(base_path, MODEL_DIR)
+
+
+def _codes_path(base_path: str) -> str:
+    return os.path.join(base_path, CODES_DIR)
+
+
+def _write_codes_unlocked(df: DataFrame, path: str) -> None:
+    """Stage + publish a codes snapshot partitioned by ``cluster``;
+    caller holds the writer lock. Sorted (cluster, vec_id): the prefix
+    satisfies the partitioned writer (no inserted sort), the suffix
+    keeps vec_id row-group stats tight for point probes."""
+    version, vdir = versioned.stage_new(path)
+    df.sortWithinPartitions("cluster", "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(vdir)
+    versioned.publish(path, version)
+
+
+def ann_index_build(
+    embeddings: DataFrame,
+    base_path: str,
+    num_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Build the IVFPQ index from scratch and publish it as the store's
+    next version (model + full codes rewrite, each under its writer
+    lock). Returns build stats."""
+    from wcdimportbot_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_residual_index,
+    )
+
+    spark = embeddings.sparkSession
+    ivf = ivf_index(embeddings, num_clusters, id_col, vec_col, seed)
+    codes_df, books = ivfpq_residual_index(
+        embeddings, ivf, m, n_codes, id_col, vec_col, seed=seed
+    )
+    _assigned, centroids = ivf
+    codes_out = codes_df.select(
+        F.col(id_col).alias("vec_id"), "cluster", "codes"
+    ).localCheckpoint(eager=True)  # materialize before any store mutates
+    n_built = codes_out.count()
+    dim = len(centroids[0])
+
+    mpath = _model_path(base_path)
+    with versioned.writer_lock(mpath):
+        version, vdir = versioned.stage_new(mpath)
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+        ]
+        spark.createDataFrame(
+            cent_rows, "cluster int, centroid array<double>"
+        ).coalesce(1).write.parquet(os.path.join(vdir, "centroids"))
+        book_rows = [
+            (j, kk, [float(x) for x in books[j, kk]])
+            for j in range(books.shape[0])
+            for kk in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            book_rows, "subspace int, code int, center array<double>"
+        ).coalesce(1).write.parquet(os.path.join(vdir, "codebooks"))
+        meta = {
+            "num_clusters": int(num_clusters),
+            "m": int(books.shape[0]),
+            "n_codes": int(books.shape[1]),
+            "subdim": int(books.shape[2]),
+            "dim": int(dim),
+            "seed": int(seed),
+            "n_built": int(n_built),
+        }
+        with open(os.path.join(vdir, "meta.json"), "w", encoding="ascii") as f:
+            json.dump(meta, f)
+        versioned.publish(mpath, version)
+
+    cpath = _codes_path(base_path)
+    with versioned.writer_lock(cpath):
+        _write_codes_unlocked(codes_out, cpath)
+    return {"n_built": int(n_built), "model_version": version, **meta}
+
+
+def load_ann_model(spark: SparkSession, base_path: str):
+    """(centroids ndarray (k, d), codebooks ndarray (m, n_codes, subdim),
+    meta dict) from the CURRENT model snapshot — a bounded driver-side
+    load (a few hundred KB), the PSL-table/BPE-merge-list serving
+    pattern."""
+    import numpy as np
+
+    d = versioned.data_dir(_model_path(base_path))
+    with open(os.path.join(d, "meta.json"), encoding="ascii") as f:
+        meta = json.load(f)
+    cent = np.zeros((meta["num_clusters"], meta["dim"]), dtype=np.float64)
+    for r in spark.read.parquet(os.path.join(d, "centroids")).collect():
+        cent[r["cluster"]] = r["centroid"]
+    books = np.zeros(
+        (meta["m"], meta["n_codes"], meta["subdim"]), dtype=np.float64
+    )
+    for r in spark.read.parquet(os.path.join(d, "codebooks")).collect():
+        books[r["subspace"], r["code"]] = r["center"]
+    return cent, books, meta
+
+
+def read_ann_codes(spark: SparkSession, base_path: str) -> DataFrame:
+    """The CURRENT codes snapshot (vec_id, cluster, codes) — an
+    immutable tree; concurrent add-batches publish without tearing it."""
+    from wcdimportbot_spark.operators import sinks
+
+    return sinks.read_snapshot(spark, _codes_path(base_path)).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "codes"
+    )
+
+
+def _encode_with_model(
+    vecs: DataFrame, cent, books, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign + residual-encode a batch under a FROZEN model: cluster =
+    argmin ‖x−c‖² against the stored centroids (the k-means assignment
+    rule), codes = per-subspace nearest codebook center of ``x − c``.
+    One Arrow-batched pass; the model matrices ride the closure
+    (hundreds of KB)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.operators.similarity import _nearest_center
+
+    m, _n_codes, subdim = books.shape
+
+    def encode(it):
+        for pdf in it:
+            vmat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            clus = _nearest_center(vmat, cent)
+            res = vmat - cent[clus]
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                x = res[:, j * subdim : (j + 1) * subdim]
+                codes[:, j] = _nearest_center(x, books[j])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["_id"],
+                    "cluster": clus.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    return vecs.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(encode, schema)
+
+
+def ann_index_add_batch(
+    new_embeddings: DataFrame,
+    base_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add a batch to the stored index: encode under the
+    frozen model, then MERGE into the codes store — insert-if-absent on
+    ``vec_id`` probing only the batch's touched cluster partitions,
+    hardlinked snapshot with dynamic overwrite of exactly those
+    partitions, atomic publish. Replaying a batch is a no-op (the
+    reference's conflict-means-success idempotence). Returns
+    {added, skipped, version}."""
+    spark = new_embeddings.sparkSession
+    cent, books, _meta = load_ann_model(spark, base_path)
+    enc = _encode_with_model(
+        new_embeddings, cent, books, id_col, vec_col
+    ).dropDuplicates(["vec_id"])
+    cpath = _codes_path(base_path)
+    from wcdimportbot_spark.operators import sinks
+
+    with versioned.writer_lock(cpath):
+        if not sinks.has_parquet_data(cpath):
+            staged = enc.localCheckpoint(eager=True)
+            n = staged.count()
+            if n:
+                _write_codes_unlocked(staged, cpath)
+            return {"added": int(n), "skipped": 0}
+        spark.catalog.refreshByPath(cpath)
+        current_dir = versioned.data_dir(cpath)
+        enc = enc.localCheckpoint(eager=True)
+        n_batch = enc.count()
+        clusters = [
+            int(r["cluster"])
+            for r in enc.select("cluster").distinct().collect()
+        ]
+        existing = read_ann_codes(spark, base_path).filter(
+            F.col("cluster").isin(clusters)
+        )
+        fresh = enc.join(
+            existing.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_fresh = fresh.count()
+        if not n_fresh:
+            return {"added": 0, "skipped": int(n_batch)}
+        touched = [
+            int(r["cluster"])
+            for r in fresh.select("cluster").distinct().collect()
+        ]
+        merged = existing.filter(
+            F.col("cluster").isin(touched)
+        ).unionByName(fresh).localCheckpoint(eager=True)
+        version, vdir = versioned.stage_new(cpath)
+        versioned.link_tree(current_dir, vdir)
+        merged.sortWithinPartitions("cluster", "vec_id").write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "cluster"
+        ).parquet(vdir)
+        versioned.publish(cpath, version)
+        return {
+            "added": int(n_fresh),
+            "skipped": int(n_batch - n_fresh),
+            "version": version,
+        }
+
+
+def ann_index_probe(
+    embeddings: DataFrame,
+    base_path: str,
+    num_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 6,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from the MAINTAINED index: load the frozen model
+    (driver-side, bounded), prune the codes scan to the driver-known
+    probed-cluster set (a PARTITION filter over the cluster-partitioned
+    store — only nprobe/num_clusters of the files are read), and run the
+    standard residual-ADC scan + exact refine
+    (:func:`similarity.ivfpq_residual_topk` with the stored artifacts
+    injected). ``embeddings`` supplies the raw vectors for the query
+    side and the exact-refine rescan — the corpus table the index was
+    built over."""
+    from wcdimportbot_spark.operators.similarity import (
+        _probe_clusters,
+        ivfpq_residual_topk,
+    )
+
+    spark = embeddings.sparkSession
+    cent, books, _meta = load_ann_model(spark, base_path)
+    cent_list = [[float(x) for x in c] for c in cent]
+    codes = read_ann_codes(spark, base_path)
+    assigned = embeddings.join(
+        codes.select(F.col("vec_id").alias(id_col), "cluster"), id_col
+    )
+    queries = assigned.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probed = sorted(
+        int(r["cluster"])
+        for r in _probe_clusters(spark, queries, cent_list, nprobe)
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    # partition pruning: `cluster` is the store's partition column, so
+    # this filter reaches the scan as a PartitionFilter — unprobed
+    # clusters' files are never opened (plan-pinned in tests)
+    codes_pruned = codes.filter(F.col("cluster").isin(probed)).withColumnsRenamed(
+        {"vec_id": id_col}
+    )
+    return ivfpq_residual_topk(
+        embeddings,
+        num_queries=num_queries,
+        k=k,
+        nprobe=nprobe,
+        refine=refine,
+        id_col=id_col,
+        vec_col=vec_col,
+        ivf=(assigned, cent_list),
+        rindex=(codes_pruned, books),
+    )
+
+
+def ann_index_stats(spark: SparkSession, base_path: str) -> DataFrame:
+    """Per-cluster stored-vector counts plus the staleness ratio
+    (stored / n_built) — the retrain signal next to the recall-margin
+    contract. O(num_clusters) rows."""
+    _cent, _books, meta = load_ann_model(spark, base_path)
+    codes = read_ann_codes(spark, base_path)
+    return (
+        codes.groupBy("cluster")
+        .agg(F.count("*").alias("n_vectors"))
+        .withColumn("n_built", F.lit(int(meta["n_built"])))
+        .withColumn(
+            "growth_ratio",
+            F.round(
+                F.sum("n_vectors").over(Window.partitionBy())
+                / F.col("n_built"),
+                4,
+            ),
+        )
+        .orderBy("cluster")
+    )

@@ -2442,6 +2442,57 @@ QUERIES["sim_ann_ivfpq"].oracle = _ann_oracle(margin_floor=0.01)
 
 
 @register(
+    "sim_ann_index_maint",
+    "similarity search (maintained versioned index store)",
+    "the ANN index as a MAINTAINED store (r8 verdict #1, closing the "
+    "similarity family's production loop): build IVFPQ on 2/3 of the "
+    "corpus and publish the artifacts through the snapshot store "
+    "(model = centroids + residual codebooks + meta versioned "
+    "atomically; codes PARTITIONED BY cluster), incrementally add the "
+    "remaining 1/3 under the frozen model via the insert-if-absent "
+    "MERGE (idempotent replay, writer-locked), then serve top-k from "
+    "the stored artifacts with the probed-cluster set pushed down as a "
+    "PARTITION filter (only nprobe/num_clusters of the files are "
+    "read). Emitted as the epsilon-recall + strict-margin contract "
+    "(measured min margin 0.0258/0.0426/0.0167 at sf0.001/0.01/0.1 at "
+    "nprobe=8, refine=4); unlike the other sim_ann rows this one runs "
+    "the FULL build->add->probe maintenance loop per invocation — it "
+    "measures the loop, so no session memo",
+    None,
+)
+def sim_ann_index_maint(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_add_batch,
+        ann_index_build,
+        ann_index_probe,
+    )
+    from wcdimportbot_spark.operators.similarity import ann_recall_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="wcd-annstore-")
+    try:
+        ann_index_build(emb.filter(F.col("vec_id") % 3 != 2), base)
+        ann_index_add_batch(emb.filter(F.col("vec_id") % 3 == 2), base)
+        # materialize before the store is removed: the report's approx
+        # side must not re-read deleted parquet
+        approx = ann_index_probe(
+            emb, base, num_queries=10, k=5, nprobe=8, refine=4
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return ann_recall_report(
+        emb, approx, num_queries=10, k=5, epsilon=0.05, recall_floor=0.6,
+        margin_floor=0.01,
+    )
+
+
+QUERIES["sim_ann_index_maint"].oracle = _ann_oracle(margin_floor=0.01)
+
+
+@register(
     "q7_volume_shipping",
     "J3,A1 composite (TPC-H Q7 shape)",
     "bilateral trade volume: supplier-nation ↔ customer-nation pairs by year",
