@@ -133,6 +133,60 @@ def incremental_distinct_sketch(
     )
 
 
+def windowed_distinct_sketch(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    window: str = "1 day",
+    lg_k: int = 14,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Per-EVENT-TIME-WINDOW mergeable HLL distincts (r8 verdict #7):
+    the a12 lifetime-distinct maintenance keyed additionally by the
+    tumbling window, so the A7 counter family answers BOTH "distinct
+    users ever" and "distinct users per day" from stored O(2^lg_k)-byte
+    sketch states per (window, group) — any ad-hoc time RANGE is then a
+    union of stored per-window states, never a raw re-scan.
+
+    Same two-batch construction as a12: a deterministic row-hash split
+    builds partial sketches independently (the same key lands in both
+    batches, so the union genuinely dedups), ``hll_union_agg`` merges
+    the binary states per (window_start, group), and the estimate comes
+    off the merged state. Contract columns: exact per-window distinct
+    count + a within-tolerance flag the oracle predicts as all-true
+    (HLL is exact in its sparse range, so small windows are safe).
+    The streaming twin is
+    ``streaming/sketch_gate.windowed_distinct_sketch_batch_fn`` —
+    identical stored-state shape, replay-idempotent by HLL-union
+    construction."""
+    win_start = F.window("ts", window).getField("start").alias("window_start")
+    batches = events.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(key), F.col("ts")), F.lit(2))
+    )
+    partial = batches.groupBy(
+        win_start, F.col(group), F.col("_b")
+    ).agg(F.hll_sketch_agg(key, F.lit(lg_k)).alias("_sk"))
+    merged = partial.groupBy("window_start", group).agg(
+        F.hll_union_agg("_sk").alias("_sk")
+    )
+    exact = events.groupBy(win_start, F.col(group)).agg(
+        F.countDistinct(key).alias("n_exact")
+    )
+    return merged.join(exact, ["window_start", group]).select(
+        "window_start",
+        group,
+        "n_exact",
+        (
+            F.abs(
+                F.hll_sketch_estimate("_sk").cast("double")
+                - F.col("n_exact")
+            )
+            / F.greatest(F.col("n_exact").cast("double"), F.lit(1.0))
+            <= tolerance
+        ).alias("sketch_within_tol"),
+    )
+
+
 def theta_overlap_sketch(
     events: DataFrame,
     key: str = "user_id",

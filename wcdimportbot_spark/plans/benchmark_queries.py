@@ -1232,6 +1232,33 @@ def a12_sketch_union_distinct(spark, sf_dir):
 
 
 @register(
+    "a15_windowed_sketch_distinct",
+    "A7 (windowed mergeable-sketch distincts)",
+    "a12's HLL sketch maintenance keyed by EVENT-TIME tumbling window: "
+    "partial sketches from two deterministic row-hash batches merge per "
+    "(day, event_type) — lifetime AND windowed distincts from the same "
+    "O(2^lg_k)-byte stored states, any time range a further union of "
+    "stored windows; streaming twin is the per-window sketch gate "
+    "(streaming/sketch_gate.py, replay-idempotent, no watermark needed: "
+    "late events union into their window's state, eventually exact); "
+    "contract = exact per-window distinct + within-tolerance flag",
+    """
+    SELECT date_trunc('day', ts) AS window_start,
+           event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           true AS sketch_within_tol
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a15_windowed_sketch_distinct(spark, sf_dir):
+    from wcdimportbot_spark.operators.analytics import (
+        windowed_distinct_sketch,
+    )
+
+    return windowed_distinct_sketch(load(spark, sf_dir, "events"))
+
+
+@register(
     "a13_theta_batch_overlap",
     "A1,A2 (theta sketch set algebra)",
     "retention/churn between two ingest batches from STORED theta "

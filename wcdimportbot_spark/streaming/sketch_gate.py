@@ -80,3 +80,67 @@ def read_distinct_estimates(
         group,
         F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
     )
+
+
+def windowed_distinct_sketch_batch_fn(
+    store_path: str,
+    key: str = "user_id",
+    group: str = "event_type",
+    window: str = "1 day",
+    lg_k: int = 14,
+):
+    """Per-EVENT-TIME-WINDOW variant of the gate (r8 verdict #7): each
+    micro-batch's events are sketched per (tumbling window, group) and
+    folded into the stored states keyed on (window_start, group) — the
+    A7 family gets lifetime AND windowed distincts from the same
+    O(2^lg_k)-bytes-per-key store. Unlike the engine's windowed
+    aggregations there is NO watermark and no state eviction problem:
+    a late event simply unions into its (already published) window's
+    sketch state — per-window results are eventually-exact under
+    arbitrary lateness, and replay stays idempotent because HLL
+    insertion/union is a register max. Stored state grows with
+    DISTINCT (window, group) pairs actually seen — bounded by data
+    coverage, not by the key universe, and prunable by window age the
+    way any date-partitioned store is."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.groupBy(
+            F.window("ts", window).getField("start").alias("window_start"),
+            F.col(group),
+        ).agg(F.hll_sketch_agg(key, F.lit(lg_k)).alias("sketch"))
+        from wcdimportbot_spark.operators import sinks, versioned
+
+        with versioned.writer_lock(store_path):
+            if sinks.has_parquet_data(store_path):
+                stored = sinks.read_snapshot(spark, store_path)
+                merged = (
+                    stored.unionByName(batch_sk)
+                    .groupBy("window_start", group)
+                    .agg(F.hll_union_agg("sketch").alias("sketch"))
+                )
+            else:
+                merged = batch_sk
+            staged = merged.localCheckpoint(eager=True)
+            version, vdir = versioned.stage_new(store_path)
+            staged.coalesce(1).write.mode("overwrite").parquet(vdir)
+            versioned.publish(store_path, version)
+
+    return fn
+
+
+def read_windowed_distinct_estimates(
+    spark: SparkSession, store_path: str, group: str = "event_type"
+) -> DataFrame:
+    """Per-(window, group) distinct estimates off the stored states;
+    any time-RANGE distinct is a further ``hll_union_agg`` over the
+    windows it covers — stored-artifact algebra, no raw re-scan."""
+    from wcdimportbot_spark.operators import sinks
+
+    return sinks.read_snapshot(spark, store_path).select(
+        "window_start",
+        group,
+        F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+    )
