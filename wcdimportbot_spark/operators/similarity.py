@@ -787,6 +787,68 @@ def embedding_near_dup_ann_sql(
     """
 
 
+def semantic_dedup_cluster_stats(
+    embeddings: DataFrame,
+    planes: int = 4,
+    dim: int = 64,
+    max_cluster_size: int | None = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The "no silent caps" companion to :func:`semantic_dedup` (r8
+    verdict #6 — the embedding_ann_bucket_stats treatment for the
+    semantic row): per OVERSIZED cluster, its size, the salt-split
+    count, and the pair-work bounds. Unlike the near-dup ANN guard
+    there is no multi-table redundancy here — a pair separated into
+    different salts of its (single) cluster is never compared, so both
+    members can survive. ``forgone_pairs`` = uncapped − bound is the
+    upper bound on such unexamined pairs; a pipeline logs it (or
+    re-runs the oversized clusters with more planes) instead of
+    silently under-deduplicating. Empty result == the guard was a
+    no-op (byte-identical dedup output)."""
+    if max_cluster_size is None:
+        raise ValueError("cluster stats need a max_cluster_size")
+    planes_df = _plane_matrix_df(embeddings.sparkSession, planes, 1, dim)
+    clustered = (
+        fan_out(embeddings, id_col)
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            F.element_at(
+                _buckets_from_signs(
+                    _signs_against(F.col(vec_col), F.col("_planes")), planes, 1
+                ),
+                1,
+            ).alias("cluster"),
+        )
+    )
+    return (
+        clustered.groupBy("cluster")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > max_cluster_size)
+        .withColumn(
+            "nsplit",
+            F.ceil(
+                F.col("cluster_size") / F.lit(float(max_cluster_size))
+            ).cast("long"),
+        )
+        .withColumn(
+            "uncapped_pairs",
+            (F.col("cluster_size") * (F.col("cluster_size") - 1) / 2).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "capped_pairs_bound",
+            (F.col("cluster_size") * F.lit(max_cluster_size) / 2).cast("long"),
+        )
+        .withColumn(
+            "forgone_pairs",
+            F.col("uncapped_pairs") - F.col("capped_pairs_bound"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -824,7 +886,15 @@ def semantic_dedup(
       then one distinct + anti-join. ``max_cluster_size`` applies the
       same md5 salt-split guard as :func:`embedding_near_dup_ann`
       (centroids always aggregate the FULL cluster — only the
-      quadratic pair stage is bounded).
+      quadratic pair stage is bounded). Unlike the near-dup ANN there
+      is no cross-table redundancy and no CC reunite downstream: a
+      similar pair split across salts of one degenerate cluster is
+      never compared and BOTH members survive — a deterministic,
+      bounded trade (≤ ``forgone_pairs`` unexamined pairs, reported by
+      :func:`semantic_dedup_cluster_stats`; pinned by the
+      degenerate-cluster test). Pipelines log those stats — or grow
+      ``planes`` for the oversized regions — instead of silently
+      under-deduplicating.
 
     Returns (vec_id, cluster, centroid_cosine, kept) for EVERY input
     vector — the annotation form, so the registry row hash-verifies the
