@@ -54,6 +54,20 @@ N_DOCS = 50_000
 N_VECS = 20_000
 DIM = 64
 
+#: planted CHAIN-shaped near-dup clusters (r8 verdict #5): the 31-word
+#: vocabulary gives every organic bigram a document frequency far above
+#: ngram_jaccard's max_gram_df=50 cap, so the sf1 pair relation was
+#: EMPTY and the deep-graph CC path rehearsed on nothing. Each chain c
+#: gets its own rare token sequence (df <= CHAIN_LEN << 50, so its
+#: bigrams SURVIVE the cap); doc j of the chain is the 8-token sliding
+#: window at offset j, making consecutive docs bigram-Jaccard 0.75
+#: (>= 0.5 threshold) while docs 2+ apart fall to 0.4 — a PATH graph of
+#: diameter CHAIN_LEN-1 per chain, the shape min-label CC needs
+#: diameter rounds for and large/small-star contracts geometrically.
+N_CHAINS = 40
+CHAIN_LEN = 12
+CHAIN_WIN = 8
+
 
 def _h(*cols):
     """Deterministic unsigned 32-bit hash of the concatenated columns —
@@ -101,7 +115,7 @@ def gen_documents(spark):
         text
     )
     langs = F.array(*[F.lit(x) for x in LANGS])
-    return base.select(
+    organic = base.select(
         "doc_id",
         text.alias("text"),
         F.element_at(langs, (_h("lang", F.col("doc_id")) % 10).cast("int") + 1).alias(
@@ -110,7 +124,49 @@ def gen_documents(spark):
         F.concat(
             F.lit("src"), (_h("src", F.col("doc_id")) % 20).cast("string")
         ).alias("source"),
-    ).withColumn("n_chars", F.length("text"))
+    )
+    return organic.unionByName(gen_chain_docs(organic.sparkSession)).withColumn(
+        "n_chars", F.length("text")
+    )
+
+
+def _letters(n):
+    """Deterministic pure-[a-z] encoding of an int column (base-26,
+    3 digits) — chain tokens must survive the lowercase-alpha
+    tokenizer unsplit."""
+    a = F.array(*[F.lit(chr(ord("a") + i)) for i in range(26)])
+    return F.concat(
+        F.element_at(a, (n / 676).cast("int") % 26 + 1),
+        F.element_at(a, (n / 26).cast("int") % 26 + 1),
+        F.element_at(a, n.cast("int") % 26 + 1),
+    )
+
+
+def gen_chain_docs(spark):
+    """N_CHAINS path-shaped near-dup clusters appended after the organic
+    docs: doc j of chain c = the CHAIN_WIN-token window at offset j over
+    chain c's private rare-token sequence ``q<c>x<pos>``."""
+    rows = spark.range(N_CHAINS * CHAIN_LEN).select(
+        (F.lit(N_DOCS) + F.col("id")).alias("doc_id"),
+        (F.col("id") / CHAIN_LEN).cast("int").alias("_c"),
+        (F.col("id") % CHAIN_LEN).cast("int").alias("_j"),
+    )
+    tok = lambda pos: F.concat(
+        F.lit("q"), _letters(F.col("_c")), F.lit("x"), _letters(pos)
+    )
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(CHAIN_WIN - 1)),
+            lambda d: tok(F.col("_j") + d),
+        ),
+        " ",
+    )
+    return rows.select(
+        "doc_id",
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("chain"), F.col("_c").cast("string")).alias("source"),
+    )
 
 
 def gen_embeddings(spark):
