@@ -7,20 +7,19 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  104 queries, all DuckDB-verified — the ANN top-k variants emit an
+  107 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window prioritizes, in round 8: the
-  eleven new rows (``dedup_semantic``, ``quality_classifier``,
-  ``decon_semantic``, ``quality_gopher_rules``, the BPE tokenizer trio
-  ``bpe_merge_table``/``bpe_encode_stats``/``bpe_vocab_coverage``,
-  ``quality_ppl_buckets``, and the mergeable-sketch trio
-  ``a12_sketch_union_distinct``/``a13_theta_batch_overlap``/
-  ``a14_kll_quantile_merge``), every row whose plan or result schema
-  changed this round (the ANN recall-margin contract columns, the
-  bucket-split guard on the embedding near-dup, the cc_star singleton
-  union, and the crash-safe probe/merge ingest refactor), and sentinels
-  — one per operator family already driver-verified in r5-r7 — for the
-  rest.
+  ordered so the driver's 50-query window prioritizes, in round 9: the
+  three new rows (``sim_ann_index_maint`` — the ANN index as a
+  maintained versioned store, full build→add→probe loop per invocation;
+  ``a15_windowed_sketch_distinct`` — per-event-time-window mergeable HLL
+  states; ``bpe_train_local`` — the driver-local production training
+  path), every row whose plan or result schema changed this round
+  (``quality_ppl_buckets``'s KLL sketch-threshold contract column, the
+  ``dedup_cc_star`` singleton fold, the ``recall_margin_ok`` NULL→False
+  coalesce on ``sim_ann_ivfpq``, the explicit bucket-cap opt-in on
+  ``dedup_embedding_ann``), and sentinels — one per operator family
+  already driver-verified in r5-r8 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
   count so the docs cannot drift from ``len(QUERIES)`` again.
 """

@@ -3775,7 +3775,16 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the six new round-8 rows ---
+    # --- the three new round-9 rows ---
+    "sim_ann_index_maint",       # maintained versioned ANN index store
+    "a15_windowed_sketch_distinct",  # per-window HLL sketch states
+    "bpe_train_local",           # driver-local BPE training path
+    # --- rows whose plan/schema changed in round 9: re-verify ---
+    "quality_ppl_buckets",       # KLL sketch-threshold contract column
+    "dedup_cc_star",             # singleton pass folded into left join
+    "sim_ann_ivfpq",             # recall_margin_ok NULL->False coalesce
+    "dedup_embedding_ann",       # bucket cap now explicit opt-in
+    # --- round-8 rows kept for standing coverage ---
     "dedup_semantic",            # SemDeDup cluster-centroid dedup
     "quality_classifier",        # hashed n-gram linear gate
     "decon_semantic",            # embedding-level eval decontamination
@@ -3783,17 +3792,12 @@ _WINDOW = [
     "bpe_merge_table",           # learned BPE tokenizer: training
     "bpe_encode_stats",          # learned BPE tokenizer: encoding
     "bpe_vocab_coverage",        # learned BPE tokenizer: vocab audit
-    "quality_ppl_buckets",       # CCNet head/middle/tail tercile split
     "a12_sketch_union_distinct", # mergeable HLL sketch maintenance
     "a13_theta_batch_overlap",   # theta sketch set algebra
     "a14_kll_quantile_merge",    # KLL quantile sketch maintenance
-    # --- rows whose plan/schema changed in round 8: re-verify ---
-    "sim_ann_ivfpq",             # margin contract columns added
-    "sim_ann_lsh",               # ann_recall_report agg reshaped
-    "sim_ann_ivf",               # ann_recall_report agg reshaped
-    "sim_ann_pq",                # ann_recall_report agg reshaped
-    "dedup_embedding_ann",       # bucket-size salt-split guard
-    "dedup_cc_star",             # self-pair singleton union
+    # (sim_ann_lsh / sim_ann_ivf / sim_ann_pq rotated out this round —
+    # r8 driver-verified, plans untouched in r9; the ANN family signal
+    # is carried by sim_ann_ivfpq + the new sim_ann_index_maint)
     "dedup_incremental",         # probe/merge split refactor
     "dedup_incremental_maint",   # band-before-hash merge order
     "dedup_canonical_keep",      # consumes connected_components
