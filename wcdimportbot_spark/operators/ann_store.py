@@ -126,20 +126,54 @@ def ann_index_build(
     mpath = _model_path(base_path)
     with versioned.writer_lock(mpath):
         version, vdir = versioned.stage_new(mpath)
-        cent_rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(centroids)
-        ]
-        spark.createDataFrame(
-            cent_rows, "cluster int, centroid array<double>"
-        ).coalesce(1).write.parquet(os.path.join(vdir, "centroids"))
-        book_rows = [
-            (j, kk, [float(x) for x in books[j, kk]])
-            for j in range(books.shape[0])
-            for kk in range(books.shape[1])
-        ]
-        spark.createDataFrame(
-            book_rows, "subspace int, code int, center array<double>"
-        ).coalesce(1).write.parquet(os.path.join(vdir, "codebooks"))
+        # the model is driver-sized (a few hundred KB): write it with
+        # pyarrow directly — plain parquet Spark can read, but without
+        # two Spark write JOBS for 2k tiny rows (measured ~8s of pure
+        # job overhead vs ~10ms here; the corpus-scale artifact below
+        # still goes through the distributed writer)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(vdir, "centroids"))
+        pq.write_table(
+            pa.table(
+                {
+                    "cluster": pa.array(
+                        range(len(centroids)), type=pa.int32()
+                    ),
+                    "centroid": pa.array(
+                        [[float(x) for x in c] for c in centroids],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            os.path.join(vdir, "centroids", "part-0.parquet"),
+        )
+        os.makedirs(os.path.join(vdir, "codebooks"))
+        n_sub, n_cd = books.shape[0], books.shape[1]
+        pq.write_table(
+            pa.table(
+                {
+                    "subspace": pa.array(
+                        [j for j in range(n_sub) for _ in range(n_cd)],
+                        type=pa.int32(),
+                    ),
+                    "code": pa.array(
+                        [kk for _ in range(n_sub) for kk in range(n_cd)],
+                        type=pa.int32(),
+                    ),
+                    "center": pa.array(
+                        [
+                            [float(x) for x in books[j, kk]]
+                            for j in range(n_sub)
+                            for kk in range(n_cd)
+                        ],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            os.path.join(vdir, "codebooks", "part-0.parquet"),
+        )
         meta = {
             "num_clusters": int(num_clusters),
             "m": int(books.shape[0]),
@@ -164,19 +198,28 @@ def load_ann_model(spark: SparkSession, base_path: str):
     meta dict) from the CURRENT model snapshot — a bounded driver-side
     load (a few hundred KB), the PSL-table/BPE-merge-list serving
     pattern."""
+    import glob
+
     import numpy as np
+    import pyarrow.parquet as pq
 
     d = versioned.data_dir(_model_path(base_path))
     with open(os.path.join(d, "meta.json"), encoding="ascii") as f:
         meta = json.load(f)
     cent = np.zeros((meta["num_clusters"], meta["dim"]), dtype=np.float64)
-    for r in spark.read.parquet(os.path.join(d, "centroids")).collect():
-        cent[r["cluster"]] = r["centroid"]
+    ct = pq.read_table(glob.glob(os.path.join(d, "centroids", "*.parquet"))[0])
+    for cl, vec in zip(ct["cluster"].to_pylist(), ct["centroid"].to_pylist()):
+        cent[cl] = vec
     books = np.zeros(
         (meta["m"], meta["n_codes"], meta["subdim"]), dtype=np.float64
     )
-    for r in spark.read.parquet(os.path.join(d, "codebooks")).collect():
-        books[r["subspace"], r["code"]] = r["center"]
+    bt = pq.read_table(glob.glob(os.path.join(d, "codebooks", "*.parquet"))[0])
+    for j, kk, c in zip(
+        bt["subspace"].to_pylist(),
+        bt["code"].to_pylist(),
+        bt["center"].to_pylist(),
+    ):
+        books[j, kk] = c
     return cent, books, meta
 
 
@@ -330,10 +373,7 @@ def ann_index_probe(
     cent, books, _meta = load_ann_model(spark, base_path)
     cent_list = [[float(x) for x in c] for c in cent]
     codes = read_ann_codes(spark, base_path)
-    assigned = embeddings.join(
-        codes.select(F.col("vec_id").alias(id_col), "cluster"), id_col
-    )
-    queries = assigned.filter(F.col(id_col) < num_queries).select(
+    queries = embeddings.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     probed = sorted(
@@ -349,6 +389,9 @@ def ann_index_probe(
     codes_pruned = codes.filter(F.col("cluster").isin(probed)).withColumnsRenamed(
         {"vec_id": id_col}
     )
+    # `ivf[0]` feeds only the QUERY side of the scan (id + vector —
+    # clusters come from the stored codes), so the raw corpus relation
+    # drops in directly: no corpus-wide join just to fetch |Q| vectors
     return ivfpq_residual_topk(
         embeddings,
         num_queries=num_queries,
@@ -357,7 +400,7 @@ def ann_index_probe(
         refine=refine,
         id_col=id_col,
         vec_col=vec_col,
-        ivf=(assigned, cent_list),
+        ivf=(embeddings, cent_list),
         rindex=(codes_pruned, books),
     )
 
