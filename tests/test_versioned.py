@@ -585,3 +585,323 @@ def test_compaction_races_merge_without_losing_rows(spark, tmp_path):
     assert {
         r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
     } == expected
+
+
+# ---------------------------------------------------------------------------
+# Optimistic (lock-free) commit protocol
+# ---------------------------------------------------------------------------
+
+
+def test_try_publish_rename_is_commit_arbiter(tmp_path):
+    """Two writers stage the SAME target number; the rename arbiter lets
+    exactly one commit, the loser's staging is discarded, and the loser's
+    next resolve bases on the winner's tree with the next number."""
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+
+    _, _, target = versioned.resolve_latest(path)
+    assert target == "v00000001"
+    stage_a = versioned.stage_optimistic(path, target)
+    stage_b = versioned.stage_optimistic(path, target)
+    assert stage_a != stage_b  # writer-unique staging names
+    open(os.path.join(stage_a, "_SUCCESS"), "w").write("")
+    open(os.path.join(stage_a, "a.parquet"), "w").write("A")
+    open(os.path.join(stage_b, "_SUCCESS"), "w").write("")
+    open(os.path.join(stage_b, "b.parquet"), "w").write("B")
+
+    assert versioned.try_publish(path, target, stage_a) is True
+    # winner's tree is live, pointer advanced
+    assert versioned.list_versions(path) == ["v00000001"]
+    assert versioned.current_version(path) == "v00000001"
+    assert os.path.exists(os.path.join(path, "v00000001", "a.parquet"))
+
+    assert versioned.try_publish(path, target, stage_b) is False
+    # loser's staging discarded, winner's tree untouched
+    assert not os.path.exists(stage_b)
+    assert os.path.exists(os.path.join(path, "v00000001", "a.parquet"))
+    assert not os.path.exists(os.path.join(path, "v00000001", "b.parquet"))
+
+    # the loser rebases: next resolve sees the winner as base
+    base, base_dir, nxt = versioned.resolve_latest(path)
+    assert (base, nxt) == ("v00000001", "v00000002")
+    assert base_dir.endswith("v00000001")
+
+
+def test_advance_current_is_monotone(tmp_path):
+    """Out-of-order winners: the v2 winner flips the pointer before the
+    v1 winner gets scheduled — the late v1 advance must NOT regress it."""
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    for target in ("v00000001", "v00000002"):
+        d = versioned.stage_optimistic(path, target)
+        open(os.path.join(d, "_SUCCESS"), "w").write("")
+        assert versioned.try_publish(path, target, d)
+    assert versioned.current_version(path) == "v00000002"
+    versioned._advance_current(path, "v00000001")  # late, out of order
+    assert versioned.current_version(path) == "v00000002"
+
+
+def test_optimistic_merge_roundtrip_no_lock_file(spark, tmp_path):
+    """Single-writer sanity under protocol='optimistic': first commit
+    births a versioned store (never a legacy root), the second merges
+    insert-if-absent, and the writer lock is never taken."""
+    path = str(tmp_path / "items")
+    a = _items(
+        spark,
+        [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"h{i}") for i in range(6)],
+    )
+    sinks.merge_write_items(spark, a, path, protocol="optimistic")
+    assert versioned.list_versions(path) == ["v00000001"]
+    assert not os.path.exists(os.path.join(path, versioned.LOCK_FILE))
+
+    b = _items(
+        spark,
+        [("Q0", "WIKIPEDIA_PAGE", "dup", "d", "h0"),  # conflict: existing wins
+         ("Q9", "WIKIPEDIA_PAGE", "new", "d", "h9")],
+    )
+    sinks.merge_write_items(spark, b, path, protocol="optimistic")
+    got = {
+        r["qid"]: r["label"]
+        for r in sinks.read_items(spark, path).select("qid", "label").collect()
+    }
+    assert set(got) == {f"Q{i}" for i in range(6)} | {"Q9"}
+    assert got["Q0"] == "p0"  # conflict-as-success: first write won
+    assert versioned.current_version(path) == "v00000002"
+    assert not os.path.exists(os.path.join(path, versioned.LOCK_FILE))
+
+
+def test_optimistic_merge_rebases_after_lost_race(spark, tmp_path, monkeypatch):
+    """A competitor commits BETWEEN our merge and our publish: the rename
+    arbiter rejects our number, and the rebase re-merges against the
+    competitor's tree — no rows lost on either side (the lost-update
+    scenario the locked protocol prevents by serializing)."""
+    path = str(tmp_path / "items")
+    sinks.merge_write_items(
+        spark,
+        _items(spark, [("Q0", "WIKIPEDIA_PAGE", "p0", "d", "h0")]),
+        path,
+        protocol="optimistic",
+    )
+
+    orig = versioned.try_publish
+    state = {"hijacked": False}
+
+    def hijack(p, target, staged):
+        if not state["hijacked"]:
+            state["hijacked"] = True
+            # competitor wins the target number while we hold our staging
+            sinks.merge_write_items(
+                spark,
+                _items(spark, [("QC", "WIKIPEDIA_PAGE", "comp", "d", "hc")]),
+                path,
+                protocol="optimistic",
+            )
+        return orig(p, target, staged)
+
+    monkeypatch.setattr(versioned, "try_publish", hijack)
+    sinks.merge_write_items(
+        spark,
+        _items(spark, [("QM", "WIKIPEDIA_PAGE", "mine", "d", "hm")]),
+        path,
+        protocol="optimistic",
+    )
+    monkeypatch.setattr(versioned, "try_publish", orig)
+
+    qids = {
+        r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
+    }
+    assert qids == {"Q0", "QC", "QM"}, "lost update across racing commits"
+    # base v1, competitor v2, our rebased commit v3
+    assert versioned.current_version(path) == "v00000003"
+
+
+def test_optimistic_noop_merge_publishes_nothing(spark, tmp_path):
+    path = str(tmp_path / "items")
+    rows = _items(spark, [("Q0", "WIKIPEDIA_PAGE", "p0", "d", "h0")])
+    sinks.merge_write_items(spark, rows, path, protocol="optimistic")
+    sinks.merge_write_items(spark, rows, path, protocol="optimistic")
+    assert versioned.list_versions(path) == ["v00000001"]
+
+
+def test_optimistic_refuses_legacy_root(spark, tmp_path):
+    """A pre-versioning root mixes data files with in-flight stagings in
+    one directory — lock-free reads of it would be torn. The protocol
+    demands the one-time locked migration instead of guessing."""
+    import pytest
+
+    path = str(tmp_path / "legacy")
+    _items(spark, [("Q0", "WIKIPEDIA_PAGE", "p0", "d", "h0")]).write.parquet(
+        path
+    )
+    with pytest.raises(ValueError, match="legacy root"):
+        sinks.merge_write_items(
+            spark,
+            _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p1", "d", "h1")]),
+            path,
+            protocol="optimistic",
+        )
+
+
+def test_restore_as_commit_republishes_old_content(spark, tmp_path):
+    """Optimistic RESTORE is a forward commit (Delta RESTORE semantics):
+    the pointer never regresses, so lock-free writers — whose base is the
+    log max — see the restored state like any other commit."""
+    path = str(tmp_path / "items")
+    sinks.merge_write_items(
+        spark,
+        _items(spark, [("Q0", "WIKIPEDIA_PAGE", "p0", "d", "h0")]),
+        path,
+        protocol="optimistic",
+    )
+    sinks.merge_write_items(
+        spark,
+        _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p1", "d", "h1")]),
+        path,
+        protocol="optimistic",
+    )
+    new_v = versioned.restore_as_commit(path, "v00000001")
+    assert new_v == "v00000003"
+    assert versioned.current_version(path) == "v00000003"
+    qids = {
+        r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
+    }
+    assert qids == {"Q0"}  # v1 content, republished forward
+    # and a later merge bases on the restore, not the rolled-back-over v2
+    sinks.merge_write_items(
+        spark,
+        _items(spark, [("Q2", "WIKIPEDIA_PAGE", "p2", "d", "h2")]),
+        path,
+        protocol="optimistic",
+    )
+    qids = {
+        r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
+    }
+    assert qids == {"Q0", "Q2"}
+
+
+def test_optimistic_compaction_roundtrip(spark, tmp_path):
+    """Lock-free compaction: same content, one file per partition, one
+    new version through the rename arbiter."""
+    path = str(tmp_path / "items")
+    for batch in range(3):
+        rows = [
+            (f"Q{batch}_{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"h{batch}_{i}")
+            for i in range(8)
+        ]
+        sinks.merge_write_items(
+            spark, _items(spark, rows), path, protocol="optimistic"
+        )
+    before = {
+        r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
+    }
+    stats = sinks.compact_store(
+        spark,
+        path,
+        sort_key="hash",
+        partitions=["instance_of", sinks.BUCKET_COL],
+        protocol="optimistic",
+    )
+    assert stats["compacted_partitions"] > 0
+    after = {
+        r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
+    }
+    assert after == before
+    # already compact: second pass publishes nothing
+    again = sinks.compact_store(
+        spark,
+        path,
+        sort_key="hash",
+        partitions=["instance_of", sinks.BUCKET_COL],
+        protocol="optimistic",
+    )
+    assert again == {"compacted_partitions": 0, "files_before": 0}
+
+
+def test_optimistic_multiwriter_stress_no_lock(spark, tmp_path):
+    """Two OS processes race lock-free merges into ONE store. No writer
+    lock is ever taken; the rename arbiter + rebase must deliver the same
+    guarantees the locked stress test pins: no lost rows, and every
+    mid-race read sees none or ALL of a writer's set."""
+    import subprocess
+    import sys
+    import time
+
+    path = str(tmp_path / "items")
+    base_qids = {f"Q{i}" for i in range(4)}
+    sinks.merge_write_items(
+        spark,
+        _items(
+            spark,
+            [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"base{i}") for i in range(4)],
+        ),
+        path,
+        protocol="optimistic",
+    )
+
+    child = tmp_path / "opt_writer_child.py"
+    child.write_text(
+        'import os, sys, time\n'
+        'sys.path.insert(0, "/root/repo")\n'
+        'os.environ.setdefault("PYTHONPATH", "/root/repo")\n'
+        'os.environ["WCD_STORE_PROTOCOL"] = "optimistic"\n'
+        'tag, store, ready, go = sys.argv[1:5]\n'
+        'from pyspark.sql import SparkSession\n'
+        'spark = (SparkSession.builder.master("local[2]")\n'
+        '         .appName("opt-writer-" + tag)\n'
+        '         .config("spark.sql.shuffle.partitions", "4")\n'
+        '         .config("spark.ui.enabled", "false")\n'
+        '         .getOrCreate())\n'
+        'from wcdimportbot_spark.operators import sinks\n'
+        'rows = [(tag + str(i), "WIKIPEDIA_PAGE", tag + "-p" + str(i), "d",\n'
+        '         "hash-" + tag + str(i)) for i in range(6)]\n'
+        'df = spark.createDataFrame(rows, "qid string, instance_of string, '
+        'label string, description string, hash string")\n'
+        'df.count()\n'
+        'open(ready, "w").write("ready")\n'
+        'while not os.path.exists(go):\n'
+        '    time.sleep(0.02)\n'
+        'sinks.merge_write_items(spark, df, store)\n'
+        'spark.stop()\n'
+    )
+    go = tmp_path / "go"
+    procs, readies = [], []
+    for tag in ("A", "B"):
+        ready = tmp_path / f"ready-{tag}"
+        readies.append(ready)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(child), tag, path, str(ready), str(go)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    deadline = time.time() + 240
+    while not all(r.exists() for r in readies):
+        assert time.time() < deadline, "writer children failed to boot"
+        assert all(p.poll() is None for p in procs), "writer child died pre-race"
+        time.sleep(0.2)
+    go.write_text("go")
+
+    a_set = {f"A{i}" for i in range(6)}
+    b_set = {f"B{i}" for i in range(6)}
+    lock_file = os.path.join(path, versioned.LOCK_FILE)
+    while any(p.poll() is None for p in procs) and time.time() < deadline:
+        assert not os.path.exists(lock_file), "optimistic writer took the lock"
+        try:
+            qids = {
+                r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()
+            }
+        except Exception:
+            # same reader contract as the locked stress: a snapshot
+            # resolved KEEP_VERSIONS publishes ago may prune mid-read
+            continue
+        assert qids & a_set in (set(), a_set), f"partial writer-A state: {qids}"
+        assert qids & b_set in (set(), b_set), f"partial writer-B state: {qids}"
+        assert base_qids <= qids
+        time.sleep(0.25)
+
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err.decode(errors="replace")[-3000:]
+    final = {r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()}
+    assert final == base_qids | a_set | b_set, "lost update across lock-free writers"

@@ -38,6 +38,7 @@ the writers for Delta MERGE — the function contracts are unchanged.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,12 +59,23 @@ def has_parquet_data(path: str) -> bool:
     partitioned write leaves a directory with only ``_SUCCESS``, and
     schema inference on it would poison every later read
     (UNABLE_TO_INFER_SCHEMA)."""
-    base = versioned.data_dir(path)
+    return _tree_has_parquet(versioned.data_dir(path))
+
+
+def _tree_has_parquet(base: str) -> bool:
+    """`has_parquet_data` body over an ALREADY-RESOLVED snapshot
+    directory (the optimistic path resolves via the version log, not the
+    ``_CURRENT`` pointer, so it must not re-resolve here)."""
     for root, dirs, files in os.walk(base):
         if root == base:
             # legacy-root resolution must not count data of an
-            # unpublished (crashed-writer) staged version
-            dirs[:] = [d for d in dirs if not versioned.is_version_name(d)]
+            # unpublished (crashed or in-flight) staged version
+            dirs[:] = [
+                d
+                for d in dirs
+                if not versioned.is_version_name(d)
+                and not d.endswith(".staging")
+            ]
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
@@ -233,12 +245,145 @@ def _merge_write(
         versioned.publish(path, version)
 
 
+#: commit-race rebase budget: each retry re-merges against the winner's
+#: tree, so this bounds pathological contention, not normal operation
+#: (N writers racing resolve in at most N rounds — every round commits
+#: someone).
+MAX_OPTIMISTIC_ATTEMPTS = 12
+
+
+def _merge_protocol(protocol: str | None) -> str:
+    """Per-call override > ``WCD_STORE_PROTOCOL`` env > ``lock``. One
+    table must be written under ONE protocol (see versioned.py §optimistic
+    docstring) — the switch exists per deployment, not per call site."""
+    p = protocol or os.environ.get("WCD_STORE_PROTOCOL", "lock")
+    if p not in ("lock", "optimistic"):
+        raise ValueError(f"unknown store write protocol {p!r}")
+    return p
+
+
+def _merge_write_optimistic(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    *,
+    bucket_key: str,
+    anti_key: str,
+    partitions: list[str],
+    dedup_key: str | None,
+) -> None:
+    """Lock-free MERGE under the optimistic commit protocol
+    (versioned.py §optimistic): resolve the base from the version LOG,
+    merge against it, stage under a writer-unique name, and let the
+    rename arbiter decide. Losing a commit race costs a rebase — the
+    merge recomputes against the winner's tree (exactly Delta's conflict
+    retry: recompute, re-commit) — and can never lose rows: the target
+    number is bound to the base, so a commit this writer didn't read
+    holds the very number it is about to claim.
+
+    A read racing a competitor's prune (our resolved base aged out while
+    we merged — takes KEEP_VERSIONS commits landing mid-merge) surfaces
+    as a read error; it is caught and retried, because by construction
+    that same race guarantees our rename would have lost anyway."""
+    if dedup_key is not None:
+        new_df = new_df.dropDuplicates([dedup_key])
+    new_b = with_bucket(new_df, bucket_key)
+    # doubles as the empty-batch guard: no buckets == no rows (saves the
+    # separate isEmpty job per commit)
+    buckets = [
+        r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
+    ]
+    if not buckets:
+        return
+    last_err: Exception | None = None
+    for attempt in range(MAX_OPTIMISTIC_ATTEMPTS):
+        if attempt:
+            time.sleep(0.05 * attempt)
+        base, base_dir, target = versioned.resolve_latest(path)
+        if base is None and _tree_has_parquet(path):
+            # a legacy (pre-versioning) root mixes its data files with
+            # in-flight stagings in ONE directory, so a lock-free read of
+            # it could list a competitor's half-written files. Migration
+            # to the versioned layout is a one-time locked write.
+            raise ValueError(
+                f"optimistic writes need a versioned store; migrate the "
+                f"legacy root {path} with one locked merge_write first"
+            )
+        try:
+            spark.catalog.refreshByPath(base_dir)
+            if not _tree_has_parquet(base_dir):
+                # first commit: never write a legacy root — the store is
+                # born versioned, and two racing first-writers are
+                # arbitrated on v00000001 like any other number
+                vdir = versioned.stage_optimistic(path, target)
+                (
+                    _sorted_on(new_b, bucket_key)
+                    .write.mode("overwrite")
+                    .partitionBy(*partitions)
+                    .parquet(vdir)
+                )
+                if versioned.try_publish(path, target, vdir):
+                    return
+                continue
+            existing = spark.read.parquet(base_dir).filter(
+                F.col(BUCKET_COL).isin(buckets)
+            )
+            fresh = new_b.join(
+                existing.select(anti_key).distinct(), anti_key, "left_anti"
+            ).localCheckpoint(eager=True)
+            pairs = fresh.select(*partitions).distinct().collect()
+            if not pairs:
+                # every row already present in base — and merges never
+                # delete, so present in every later version too: nothing
+                # to publish regardless of who else commits
+                return
+            merged = existing.filter(
+                _partition_values_predicate(pairs, partitions)
+            ).unionByName(fresh)
+            # materialize BEFORE staging: after this the data lives in the
+            # block manager, decoupled from base files a competitor's
+            # prune might remove
+            staged = merged.localCheckpoint(eager=True)
+            vdir = versioned.stage_optimistic(path, target)
+            versioned.link_tree(base_dir, vdir)
+            (
+                _sorted_on(staged, bucket_key)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partitions)
+                .parquet(vdir)
+            )
+            if versioned.try_publish(path, target, vdir):
+                return
+        except Exception as e:  # pruned-base read race: rebase and retry
+            last_err = e
+            continue
+    raise TimeoutError(
+        f"optimistic merge into {path} lost {MAX_OPTIMISTIC_ATTEMPTS} "
+        f"commit races"
+    ) from last_err
+
+
 def merge_write_items(
-    spark: SparkSession, new_items: DataFrame, path: str
+    spark: SparkSession,
+    new_items: DataFrame,
+    path: str,
+    protocol: str | None = None,
 ) -> None:
     """S9 incremental MERGE — insert-if-absent by hash; existing items keep
     their row (conflict-as-success). Delta form: MERGE INTO items USING new
     ON items.hash = new.hash WHEN NOT MATCHED THEN INSERT *."""
+    if _merge_protocol(protocol) == "optimistic":
+        _merge_write_optimistic(
+            spark,
+            new_items,
+            path,
+            bucket_key="hash",
+            anti_key="hash",
+            partitions=["instance_of", BUCKET_COL],
+            dedup_key="hash",
+        )
+        return
     _merge_write(
         spark,
         new_items,
@@ -253,7 +398,10 @@ def merge_write_items(
 
 
 def merge_write_claims(
-    spark: SparkSession, new_claims: DataFrame, path: str
+    spark: SparkSession,
+    new_claims: DataFrame,
+    path: str,
+    protocol: str | None = None,
 ) -> None:
     """Claim-level conflict-as-success, bucket-incrementally: a subject
     already in the store keeps its existing claim rows verbatim (first
@@ -263,6 +411,17 @@ def merge_write_claims(
     store-side backstop). Never row-level dedup — claims differing only in
     qualifiers or value_quantity must both survive (duplicate-page batches
     are deduped on page_id before the pipeline, not here)."""
+    if _merge_protocol(protocol) == "optimistic":
+        _merge_write_optimistic(
+            spark,
+            new_claims,
+            path,
+            bucket_key="subject_qid",
+            anti_key="subject_qid",
+            partitions=["property", BUCKET_COL],
+            dedup_key=None,
+        )
+        return
     _merge_write(
         spark,
         new_claims,
@@ -309,6 +468,7 @@ def compact_store(
     sort_key: str,
     partitions: list[str],
     max_files: int = 1,
+    protocol: str | None = None,
 ) -> dict:
     """Compact multi-file partitions of a MERGE store into one sorted
     file each, published as a new snapshot (read-only content change:
@@ -334,7 +494,20 @@ def compact_store(
     pinned to the old version keeps its small files (hardlinks keep
     inodes alive). A store already compact publishes NOTHING.
 
-    Returns ``{"compacted_partitions": n, "files_before": m}``."""
+    Returns ``{"compacted_partitions": n, "files_before": m}``.
+
+    Under the optimistic protocol (``protocol="optimistic"`` or
+    ``WCD_STORE_PROTOCOL``) the same content rewrite commits through the
+    rename arbiter instead of the lock: compaction is just another
+    writer, and LOSING a race to a merge is the correct outcome — the
+    merge's new files make the just-computed layout stale, so the rebase
+    recomputes which partitions are still over-filed against the
+    winner's tree."""
+    if _merge_protocol(protocol) == "optimistic":
+        return _compact_store_optimistic(
+            spark, path, sort_key=sort_key, partitions=partitions,
+            max_files=max_files,
+        )
     with versioned.writer_lock(path):
         if not has_parquet_data(path):
             return {"compacted_partitions": 0, "files_before": 0}
@@ -377,6 +550,67 @@ def compact_store(
             "compacted_partitions": len(over),
             "files_before": int(sum(r["n_files"] for r in over)),
         }
+
+
+def _compact_store_optimistic(
+    spark: SparkSession,
+    path: str,
+    *,
+    sort_key: str,
+    partitions: list[str],
+    max_files: int,
+) -> dict:
+    """Lock-free :func:`compact_store` body — same mechanics, committed
+    through :func:`versioned.try_publish`. See compact_store docstring."""
+    last_err: Exception | None = None
+    for attempt in range(MAX_OPTIMISTIC_ATTEMPTS):
+        if attempt:
+            time.sleep(0.05 * attempt)
+        base, base_dir, target = versioned.resolve_latest(path)
+        if base is None:
+            # empty or legacy store: nothing versioned to compact
+            return {"compacted_partitions": 0, "files_before": 0}
+        try:
+            spark.catalog.refreshByPath(base_dir)
+            snap = spark.read.parquet(base_dir)
+            over = (
+                snap.select(
+                    *partitions, F.input_file_name().alias("_file")
+                )
+                .groupBy(*partitions)
+                .agg(F.countDistinct("_file").alias("n_files"))
+                .filter(F.col("n_files") > max_files)
+                .collect()
+            )
+            if not over:
+                return {"compacted_partitions": 0, "files_before": 0}
+            touched = snap.filter(
+                _partition_values_predicate(over, partitions)
+            )
+            staged = (
+                touched.repartition(*[F.col(c) for c in partitions])
+                .sortWithinPartitions(*partitions, sort_key)
+            ).localCheckpoint(eager=True)
+            vdir = versioned.stage_optimistic(path, target)
+            versioned.link_tree(base_dir, vdir)
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partitions)
+                .parquet(vdir)
+            )
+            if versioned.try_publish(path, target, vdir):
+                return {
+                    "compacted_partitions": len(over),
+                    "files_before": int(sum(r["n_files"] for r in over)),
+                }
+        except Exception as e:  # pruned-base read race: rebase and retry
+            last_err = e
+            continue
+    raise TimeoutError(
+        f"optimistic compaction of {path} lost "
+        f"{MAX_OPTIMISTIC_ATTEMPTS} commit races"
+    ) from last_err
 
 
 def compact_items(spark: SparkSession, path: str) -> dict:

@@ -39,8 +39,11 @@ writer's rows are lost (pinned by the multi-process stress test in
 ``_CURRENT`` once and read an immutable tree. Staleness bound: a resolved snapshot survives at least
 ``KEEP_VERSIONS - 1`` subsequent publishes before pruning can delete it;
 a reader must re-resolve rather than hold one snapshot across many
-writes. Cross-process on one host only (pid liveness is local) — the
-cluster-scale answer is the table format's own commit protocol.
+writes. Pid liveness is local, so the LOCK protocol is cross-process on
+one host only — the cluster-scale answer is the optimistic commit
+protocol at the bottom of this module (the Delta-on-HDFS put-if-absent
+discipline over plain directories), selected per deployment via
+``WCD_STORE_PROTOCOL=optimistic``.
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ import os
 import re
 import shutil
 import time
+import uuid
 
 CURRENT_FILE = "_CURRENT"
 LOCK_FILE = "_WRITER.lock"
@@ -242,12 +246,15 @@ def link_tree(src: str, dst: str) -> None:
             dirs[:] = [
                 d
                 for d in dirs
-                if not _VERSION_RE.match(d) and not _STAGING_RE.match(d)
+                if not _VERSION_RE.match(d)
+                and not _STAGING_RE.match(d)
+                and not _OPT_STAGING_RE.match(d)
             ]
             files = [
                 f
                 for f in files
-                if not f.startswith(CURRENT_FILE) and f != LOCK_FILE
+                if not f.startswith(CURRENT_FILE)
+                and f not in (LOCK_FILE, POINTER_LOCK_FILE)
             ]
         rel = os.path.relpath(root, src)
         out = dst if rel == "." else os.path.join(dst, rel)
@@ -258,3 +265,218 @@ def link_tree(src: str, dst: str) -> None:
                 os.link(os.path.join(root, f), target)
             except OSError:
                 shutil.copy2(os.path.join(root, f), target)
+
+
+# ---------------------------------------------------------------------------
+# Optimistic (lock-free) commit protocol
+#
+# The writer-lock protocol above serializes writers with a pid-liveness
+# lock — correct, but single-host by construction (a pid means nothing on
+# another machine). This section is the cluster-shaped alternative: the
+# Delta-on-HDFS commit discipline re-expressed over plain directories.
+#
+#   - The version LOG — the set of complete ``vNNNNNNNN`` trees — is the
+#     authority. A commit is the atomic ``rename(2)`` of a uniquely-named
+#     staging tree onto the next version number; rename onto an existing
+#     non-empty directory fails (ENOTEMPTY), so each number has exactly
+#     ONE winner. This is Delta's put-if-absent log append with the
+#     directory rename standing in for the log-file create (HDFS rename
+#     has the same put-if-absent property; S3 needs an external
+#     coordinator — the same caveat Delta itself carries there).
+#   - A writer binds its target number to the base it merged against
+#     (target = base + 1) at RESOLVE time. A concurrent commit therefore
+#     necessarily contends for the same number; the loser's staging is
+#     discarded and it REBASES: re-resolve, re-merge against the winner's
+#     tree, retry with the next number. Lost updates are structurally
+#     impossible — there is no window in which a writer can publish
+#     without having read every earlier committed tree.
+#   - ``_CURRENT`` degrades to a read hint. It advances monotonically
+#     (winners can be scheduled out of order) under a microsecond-held
+#     mtime lease — never across data work, so the lease is not a lock in
+#     the throughput sense. Readers keep the exact contract they had:
+#     resolve once, read an immutable tree.
+#   - RESTORE is a new commit (``restore_as_commit``) that republishes an
+#     old tree's content as the next version — Delta's RESTORE semantics.
+#     The locked protocol's pointer-regressing ``rollback`` is correct
+#     only under the writer lock and must not be mixed with lock-free
+#     committers (their base resolution would not see the regression).
+#
+# A table's writers must all use ONE protocol (lock or optimistic), like
+# any log-structured table format; readers need no coordination either
+# way. Pinned by tests/test_versioned.py (rename-arbiter unit race,
+# in-process rebase, multi-process stress with no lock file present).
+# ---------------------------------------------------------------------------
+
+#: optimistic stagings: ``vNNNNNNNN.<nonce>.opt.staging`` — disjoint from
+#: the locked protocol's ``vNNNNNNNN.staging`` so neither protocol's
+#: orphan sweep can delete the other's live work.
+OPT_STAGING_SUFFIX = ".opt.staging"
+_OPT_STAGING_RE = re.compile(r"^v\d{8}\.[0-9a-f]{8,}\.opt\.staging$")
+POINTER_LOCK_FILE = "_POINTER.lock"
+#: optimistic staging orphans older than this are presumed crashed and
+#: swept by a later writer's stage_optimistic call
+STALE_STAGING_SECS = 3600.0
+#: a pointer lease older than this is presumed crashed and stolen
+POINTER_LEASE_STALE_SECS = 10.0
+
+
+def resolve_latest(path: str) -> tuple[str | None, str, str]:
+    """Resolve ``(base_version, base_dir, target_version)`` for one
+    optimistic attempt.
+
+    The log, not the pointer, is the authority: a concurrent winner's
+    rename lands its complete tree atomically BEFORE it advances
+    ``_CURRENT``, so a merge based on the pointer could miss the newest
+    commit entirely — and, having claimed a later number, publish over
+    it (a silent lost update). Resolving ``max(complete trees ∪
+    pointer)`` closes that window: any commit this writer failed to read
+    holds the exact number this writer will try to take, and the rename
+    arbiter hands the number to exactly one of them.
+
+    ``base_version`` is ``None`` for an empty or legacy (pre-versioning)
+    store, where ``base_dir`` is the table root."""
+    os.makedirs(path, exist_ok=True)
+    nums = [int(v[1:]) for v in list_versions(path)]
+    cur = current_version(path)
+    if cur:
+        nums.append(int(cur[1:]))
+    base_n = max(nums) if nums else 0
+    base = f"v{base_n:08d}" if base_n else None
+    if base and os.path.isdir(os.path.join(path, base)):
+        base_dir = os.path.join(path, base)
+    else:
+        # empty store, legacy root data, or (defensively) a pointer whose
+        # tree is gone — read the root
+        base_dir = path
+    return base, base_dir, f"v{base_n + 1:08d}"
+
+
+def stage_optimistic(path: str, target: str) -> str:
+    """Create this writer's UNIQUELY-NAMED staging directory for
+    ``target``. Concurrent writers each get their own tree (nonce in the
+    name), so staging needs no coordination at all; the contention point
+    is deferred entirely to :func:`try_publish`'s rename. Stale orphans
+    (a crashed writer's leftovers, mtime older than
+    ``STALE_STAGING_SECS``) are swept; a live competitor's staging is
+    never touched."""
+    now = time.time()
+    for d in os.listdir(path):
+        if _OPT_STAGING_RE.match(d):
+            p = os.path.join(path, d)
+            try:
+                stale = now - os.path.getmtime(p) > STALE_STAGING_SECS
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
+    nonce = uuid.uuid4().hex[:12]
+    vdir = os.path.join(path, f"{target}.{nonce}{OPT_STAGING_SUFFIX}")
+    os.makedirs(vdir)
+    return vdir
+
+
+def try_publish(path: str, target: str, staged_dir: str) -> bool:
+    """Attempt to commit ``staged_dir`` as version ``target`` — the
+    put-if-absent arbiter. ``os.rename`` onto an existing non-empty
+    directory fails, so exactly one writer wins each version number; a
+    staged tree always holds at least Spark's ``_SUCCESS`` marker, so a
+    committed version can never be clobbered as an "empty dst".
+
+    Win: the tree is live in the log the instant the rename returns
+    (readers listing versions see it complete or not at all); the
+    pointer then advances and superseded snapshots are pruned. Loss: the
+    staging is discarded and the caller must rebase — re-resolve,
+    re-merge, retry with the next number."""
+    final = os.path.join(path, target)
+    try:
+        os.rename(staged_dir, final)
+    except OSError:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        return False
+    _advance_current(path, target)
+    _prune(path, target)
+    return True
+
+
+@contextlib.contextmanager
+def _pointer_lock(path: str, timeout: float = 30.0, poll: float = 0.01):
+    """Micro-lease serializing ``_CURRENT`` writes ONLY — held for the
+    microseconds of a pointer compare-and-write, never across data work,
+    so it bounds no writer's throughput. Liveness is mtime-based rather
+    than pid-based precisely so it stays valid across hosts on a shared
+    filesystem: a lease older than ``POINTER_LEASE_STALE_SECS`` is
+    presumed crashed and stolen (unlink + O_EXCL retry — the re-create
+    race again has exactly one winner)."""
+    lock = os.path.join(path, POINTER_LOCK_FILE)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between open and stat
+            if age > POINTER_LEASE_STALE_SECS:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+                continue
+            if time.monotonic() >= deadline:
+                raise TimeoutError(f"pointer lease wedged: {lock}")
+            time.sleep(poll)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
+
+
+def _advance_current(path: str, version: str) -> None:
+    """Monotone pointer advance: ``_CURRENT`` moves to ``version`` only
+    from behind it. Winners of successive numbers can be SCHEDULED out
+    of order (the v6 winner may flip before the v5 winner runs again);
+    the compare under the lease makes the pointer converge to the max
+    committed version instead of regressing to a late-arriving older
+    one."""
+    with _pointer_lock(path):
+        cur = current_version(path)
+        if cur is not None and cur >= version:
+            return
+        tmp = os.path.join(path, CURRENT_FILE + ".opt.tmp")
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, CURRENT_FILE))
+
+
+def restore_as_commit(path: str, version: str, max_attempts: int = 16) -> str:
+    """Optimistic-protocol RESTORE: republish a retained older snapshot's
+    CONTENT as a new version — Delta's RESTORE is itself a commit, and
+    for the same reason: lock-free committers resolve their base from
+    the log's max, so a pointer regression (the locked protocol's
+    :func:`rollback`) would simply not be seen by them. Publishing the
+    restore through the log preserves the one rule every optimistic
+    writer relies on — newest state == highest complete tree. The
+    restored-FROM version's files live on as hardlinks inside the new
+    commit, so it may prune normally afterwards.
+
+    :raises ValueError: when ``version`` is not a retained snapshot."""
+    if version not in list_versions(path):
+        raise ValueError(
+            f"cannot restore {path} to {version!r}: retained "
+            f"versions are {list_versions(path)}"
+        )
+    for attempt in range(max_attempts):
+        if attempt:
+            time.sleep(0.01 * attempt)
+        _base, _base_dir, target = resolve_latest(path)
+        vdir = stage_optimistic(path, target)
+        link_tree(os.path.join(path, version), vdir)
+        if try_publish(path, target, vdir):
+            return target
+    raise TimeoutError(
+        f"restore of {path} to {version} lost {max_attempts} commit races"
+    )

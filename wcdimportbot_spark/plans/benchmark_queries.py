@@ -1928,6 +1928,66 @@ def domain_item_counts(spark, sf_dir):
 
 
 @register(
+    "s9_optimistic_commits",
+    "S9 + versioned store, lock-free commit protocol",
+    "three OVERLAPPING item batches MERGE through the optimistic "
+    "(rename-arbiter) commit protocol into one versioned store; final "
+    "store content counted by type vs the domain_item_counts closed form "
+    "(insert-if-absent must drop every resent row, the three commits must "
+    "land as v1..v3 with no writer lock taken)",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of, COUNT(*) AS n FROM documents
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE', COUNT(*) + 10 FROM documents
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT)
+    """,
+)
+def s9_optimistic_commits(spark, sf_dir):
+    """S9 store pipeline under the OPTIMISTIC commit protocol
+    (versioned.py §optimistic — the jar-free Delta-on-HDFS discipline):
+    the first commit births the versioned store, the second and third
+    overlap it (batch 2 resends batch 1's rows, batch 3 resends
+    everything), so the row hash-verifies both the rename-arbiter
+    publish path and MERGE insert-if-absent composing across commits.
+    Reference parity: the conflict-means-success upload loop
+    (wikipedia_page.py:110-141), here committed lock-free."""
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    # narrow batch relations: the store write fans out over (type, bucket)
+    # partition dirs, so feeding it 32 near-empty input partitions per
+    # batch just multiplies writer tasks at test scale
+    items = _domain_stage(spark, sf_dir, "items").coalesce(4)
+    store = tempfile.mkdtemp(prefix="wcd-optstore-")
+    try:
+        third = F.pmod(F.xxhash64(F.col("hash")), F.lit(3))
+        batches = (
+            items.filter(third == 0),
+            items.filter(third != 2),  # resends every batch-1 row
+            items,  # full resend: only third==2 is fresh
+        )
+        for b in batches:
+            sinks.merge_write_items(spark, b, store, protocol="optimistic")
+        n_versions = len(versioned.list_versions(store))
+        n_retained = min(3, versioned.KEEP_VERSIONS)
+        assert n_versions == n_retained, (
+            f"expected {n_retained} retained of 3 commits, saw {n_versions}"
+        )
+        out = (
+            sinks.read_items(spark, store)
+            .groupBy("instance_of")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+@register(
     "domain_claim_families",
     "J5,A5,F25,F15-F17,F24 end-to-end",
     "one import run, three claim-family aggregates vs closed-form oracles: "
@@ -3775,10 +3835,11 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the three new round-9 rows ---
+    # --- the four new round-9 rows ---
     "sim_ann_index_maint",       # maintained versioned ANN index store
     "a15_windowed_sketch_distinct",  # per-window HLL sketch states
     "bpe_train_local",           # driver-local BPE training path
+    "s9_optimistic_commits",     # lock-free store commit protocol
     # --- rows whose plan/schema changed in round 9: re-verify ---
     "quality_ppl_buckets",       # KLL sketch-threshold contract column
     "dedup_cc_star",             # singleton pass folded into left join
@@ -3831,7 +3892,9 @@ _WINDOW = [
     # f24_claims_melt rotated out this round — r7 driver-verified; the
     # end-to-end domain_claim_families row below composes F24-F26)
     "domain_claim_families",     # end-to-end import pipeline
-    "domain_item_counts",        # S7/S9 store pipeline
+    # domain_item_counts rotated out this round — r8 driver-verified; the
+    # new s9_optimistic_commits row above carries the same closed-form
+    # oracle THROUGH the store write/read path, a strict superset
     "dedup_exact",               # exact dedup
     "dedup_minhash_lsh",         # MinHash-LSH dedup (url-canonical twin
     # dedup_url_canonical rotated out this round — r7 driver-verified)
