@@ -104,31 +104,57 @@ def merge_into_cache(
     return cache.unionByName(fresh)
 
 
-def write_cache(cache: DataFrame, path: str) -> None:
+def write_cache(
+    cache: DataFrame, path: str, protocol: str | None = None
+) -> None:
     """S7 full-rewrite sink (bootstrap / flush paths) as a fresh published
     snapshot; hash-bucketed like the graph stores. The incremental import
-    path is :func:`merge_write_cache`."""
+    path is :func:`merge_write_cache`. Under the optimistic protocol the
+    same snapshot commits lock-free through the rename arbiter
+    (last-writer-wins, a lost race costs only a re-target)."""
     from wcdimportbot_spark.operators import sinks, versioned
 
     # materialize before writing: the plan may read the current snapshot
     staged = sinks.with_bucket(cache, "hash").localCheckpoint(eager=True)
-    with versioned.writer_lock(path):
-        version, vdir = versioned.stage_new(path)
+
+    def _populate(vdir: str) -> None:
         # sorted-on-hash output: parquet min/max stats prune point lookups (S6)
         staged.sortWithinPartitions("hash").write.mode("overwrite").partitionBy(
             sinks.BUCKET_COL
         ).parquet(vdir)
+
+    if sinks._merge_protocol(protocol) == "optimistic":
+        versioned.publish_full_optimistic(path, _populate)
+        return
+    with versioned.writer_lock(path):
+        version, vdir = versioned.stage_new(path)
+        _populate(vdir)
         versioned.publish(path, version)
 
 
 def merge_write_cache(
-    spark: SparkSession, new_mappings: DataFrame, path: str
+    spark: SparkSession,
+    new_mappings: DataFrame,
+    path: str,
+    protocol: str | None = None,
 ) -> None:
     """S7+S9 incremental MERGE: insert-if-absent by hash (existing mapping
     wins — conflict-as-success) via the shared bucket-MERGE engine in
     operators/sinks.py. Delta form: MERGE INTO cache USING new ON hash
     WHEN NOT MATCHED INSERT."""
     from wcdimportbot_spark.operators import sinks, versioned
+
+    if sinks._merge_protocol(protocol) == "optimistic":
+        sinks._merge_write_optimistic(
+            spark,
+            new_mappings.select("hash", "qid"),
+            path,
+            bucket_key="hash",
+            anti_key="hash",
+            partitions=[sinks.BUCKET_COL],
+            dedup_key="hash",
+        )
+        return
 
     def write_fn(df: DataFrame, p: str) -> None:
         # _merge_write already holds the writer lock for the whole merge

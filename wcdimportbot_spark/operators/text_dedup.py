@@ -733,6 +733,7 @@ def dedup_index_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    protocol: str | None = None,
 ) -> DataFrame:
     """The production dedup LOOP, one batch: probe the stored index
     (:func:`incremental_dedup`), then MERGE the FRESH survivors' hashes
@@ -751,7 +752,14 @@ def dedup_index_ingest(
         new_docs, base_path, num_hashes, bands, id_col, text_col, shingle_n
     )
     dedup_index_merge(
-        survivors, base_path, num_hashes, bands, id_col, text_col, shingle_n
+        survivors,
+        base_path,
+        num_hashes,
+        bands,
+        id_col,
+        text_col,
+        shingle_n,
+        protocol=protocol,
     )
     return ann
 
@@ -795,6 +803,7 @@ def dedup_index_merge(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    protocol: str | None = None,
 ) -> None:
     """Merge a batch's surviving documents into the persistent index.
 
@@ -816,6 +825,29 @@ def dedup_index_merge(
     s_hashes, s_bands = dedup_index(
         survivors, num_hashes, bands, id_col, text_col, shingle_n
     )
+    if sinks._merge_protocol(protocol) == "optimistic":
+        # same bands-before-hashes crash ordering, committed lock-free
+        # through the rename arbiter (versioned.py §optimistic) — the
+        # multi-host form of the production ingest loop
+        sinks._merge_write_optimistic(
+            spark,
+            _with_band_key(s_bands),
+            os.path.join(base_path, "bands"),
+            bucket_key="bk",
+            anti_key="bk",
+            partitions=[sinks.BUCKET_COL],
+            dedup_key="bk",
+        )
+        sinks._merge_write_optimistic(
+            spark,
+            s_hashes,
+            os.path.join(base_path, "hashes"),
+            bucket_key="text_hash",
+            anti_key="text_hash",
+            partitions=[sinks.BUCKET_COL],
+            dedup_key="text_hash",
+        )
+        return
     sinks._merge_write(
         spark,
         _with_band_key(s_bands),
@@ -1032,7 +1064,9 @@ def incremental_maint_sql(
     """
 
 
-def compact_dedup_index(spark, base_path: str) -> dict:
+def compact_dedup_index(
+    spark, base_path: str, protocol: str | None = None
+) -> dict:
     """Small-file maintenance for the persistent dedup index: every
     ingest batch appends one file per touched hash bucket of the
     ``hashes`` and ``bands`` stores, so a long-running ingest loop (or
@@ -1052,7 +1086,11 @@ def compact_dedup_index(spark, base_path: str) -> dict:
         p = os.path.join(base_path, name)
         if sinks.has_parquet_data(p):
             out[name] = sinks.compact_store(
-                spark, p, sort_key=sort_key, partitions=[sinks.BUCKET_COL]
+                spark,
+                p,
+                sort_key=sort_key,
+                partitions=[sinks.BUCKET_COL],
+                protocol=protocol,
             )
         else:
             out[name] = {"compacted_partitions": 0, "files_before": 0}

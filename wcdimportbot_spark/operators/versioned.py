@@ -375,7 +375,9 @@ def stage_optimistic(path: str, target: str) -> str:
     return vdir
 
 
-def try_publish(path: str, target: str, staged_dir: str) -> bool:
+def try_publish(
+    path: str, target: str, staged_dir: str, discard_on_loss: bool = True
+) -> bool:
     """Attempt to commit ``staged_dir`` as version ``target`` — the
     put-if-absent arbiter. ``os.rename`` onto an existing non-empty
     directory fails, so exactly one writer wins each version number; a
@@ -386,12 +388,16 @@ def try_publish(path: str, target: str, staged_dir: str) -> bool:
     (readers listing versions see it complete or not at all); the
     pointer then advances and superseded snapshots are pruned. Loss: the
     staging is discarded and the caller must rebase — re-resolve,
-    re-merge, retry with the next number."""
+    re-merge, retry with the next number. ``discard_on_loss=False``
+    keeps the staging for FULL-REWRITE commits, whose content does not
+    depend on the base: the caller re-targets the SAME tree at the next
+    number instead of re-populating it."""
     final = os.path.join(path, target)
     try:
         os.rename(staged_dir, final)
     except OSError:
-        shutil.rmtree(staged_dir, ignore_errors=True)
+        if discard_on_loss:
+            shutil.rmtree(staged_dir, ignore_errors=True)
         return False
     _advance_current(path, target)
     _prune(path, target)
@@ -450,6 +456,33 @@ def _advance_current(path: str, version: str) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(path, CURRENT_FILE))
+
+
+def publish_full_optimistic(
+    path: str, populate_fn, max_attempts: int = 32
+) -> str:
+    """Lock-free FULL-REWRITE commit (last-writer-wins semantics — the
+    bootstrap / flush / retrain paths): populate a writer-unique staging
+    ONCE via ``populate_fn(staged_dir)``, then race the rename. A full
+    snapshot's content does not depend on the base, so a lost race costs
+    only a re-target of the SAME staged tree at the next number — never
+    a rewrite (the asymmetry vs MERGE commits, which must rebase their
+    content). Racing full writers therefore all commit, in log order,
+    and the highest number wins the readers — exactly the last-writer-
+    wins contract of the locked ``write_*`` twins."""
+    _base, _base_dir, target = resolve_latest(path)
+    vdir = stage_optimistic(path, target)
+    populate_fn(vdir)
+    for attempt in range(max_attempts):
+        if attempt:
+            time.sleep(0.01 * attempt)
+            _base, _base_dir, target = resolve_latest(path)
+        if try_publish(path, target, vdir, discard_on_loss=False):
+            return target
+    shutil.rmtree(vdir, ignore_errors=True)
+    raise TimeoutError(
+        f"full publish into {path} lost {max_attempts} commit races"
+    )
 
 
 def restore_as_commit(path: str, version: str, max_attempts: int = 16) -> str:
