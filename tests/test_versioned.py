@@ -3,6 +3,7 @@ before a write keeps seeing its snapshot; a reader resolved after sees the
 whole new state; the pointer flip is the only mutation readers observe."""
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -111,6 +112,60 @@ def test_merge_hardlinks_untouched_files(spark, tmp_path):
     assert all(p in shared for p in before if "instance_of=WIKIPEDIA_PAGE" in p)
 
 
+def _parquet_inodes(base):
+    out = {}
+    for root, _d, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, base)] = os.stat(p).st_ino
+    return out
+
+
+def test_merge_write_cost_is_o_batch(spark, tmp_path):
+    """r9 verdict #1 (the weak): insert-only MERGE must be APPEND-ONLY —
+    every base file survives into the next version as a hardlink (same
+    relpath, same inode), INCLUDING files of partitions the batch
+    touches, and the new version gains at most ONE new file per touched
+    partition. Pinned at two batch sizes, the second larger than
+    N_BUCKETS so the old union-rewrite form would have rewritten ~every
+    bucket."""
+    path = str(tmp_path / "items")
+    rows = [
+        (f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(256)
+    ]
+    sinks.write_items(_items(spark, rows), path)
+    before = _parquet_inodes(versioned.data_dir(path))
+    n_parts_before = len({os.path.dirname(p) for p in before})
+    assert n_parts_before >= sinks.N_BUCKETS  # all buckets populated
+
+    start = 1000
+    for batch_size in (1, 3 * sinks.N_BUCKETS):
+        batch = _items(
+            spark,
+            [
+                (f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}")
+                for i in range(start, start + batch_size)
+            ],
+        )
+        sinks.merge_write_items(spark, batch, path)
+        after = _parquet_inodes(versioned.data_dir(path))
+        # append-only: every pre-merge file survives verbatim (hardlink)
+        missing = [p for p, ino in before.items() if after.get(p) != ino]
+        assert not missing, f"base files rewritten, not linked: {missing[:5]}"
+        # O(batch) writes: at most one new file per touched partition
+        new_files = [p for p in after if p not in before]
+        touched = {os.path.dirname(p) for p in new_files}
+        assert len(touched) <= min(batch_size, sinks.N_BUCKETS)
+        assert len(new_files) == len(touched), (
+            "one appended file per touched partition expected"
+        )
+        before = after
+        start += batch_size
+    # content is still exactly base ∪ batches
+    assert sinks.read_items(spark, path).count() == 256 + 1 + 3 * sinks.N_BUCKETS
+
+
 def test_noop_merge_publishes_no_version(spark, tmp_path):
     path = str(tmp_path / "items")
     base = _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p", "d", "hash1")])
@@ -120,7 +175,10 @@ def test_noop_merge_publishes_no_version(spark, tmp_path):
     assert versioned.current_version(path) == v
 
 
-def test_publish_is_pointer_flip_and_prunes(spark, tmp_path):
+def test_publish_is_pointer_flip_and_prunes(spark, tmp_path, monkeypatch):
+    """Count-based pruning (age floor disabled): beyond KEEP_VERSIONS,
+    superseded snapshots are deleted at publish time."""
+    monkeypatch.setattr(versioned, "RETAIN_SECS", 0.0)
     path = str(tmp_path / "cache")
     df = spark.createDataFrame([("h1", "Q1")], "hash string, qid string")
     cache_ops.write_cache(df, path)
@@ -130,6 +188,41 @@ def test_publish_is_pointer_flip_and_prunes(spark, tmp_path):
     assert len(versions) == versioned.KEEP_VERSIONS
     assert versioned.current_version(path) == versions[-1]
     assert cache_ops.read_cache(spark, path).count() == 1
+
+
+def test_retention_age_floor_protects_readers(spark, tmp_path, monkeypatch):
+    """r9 verdict #3: a seconds-old superseded snapshot must SURVIVE a
+    rapid commit train (age floor), so an external reader that resolved
+    it can finish its scan; once past the floor, the count bound prunes
+    as before. Also pins the read_snapshot retry contract: a reader
+    resolving mid-train gets a usable snapshot, never a torn error."""
+    monkeypatch.setattr(versioned, "RETAIN_SECS", 600.0)
+    path = str(tmp_path / "cache")
+    df = spark.createDataFrame([("h1", "Q1")], "hash string, qid string")
+    cache_ops.write_cache(df, path)
+    # reader resolves v1 NOW; KEEP_VERSIONS more commits land under it
+    pinned = sinks.read_snapshot(spark, path, version="v00000001")
+    for i in range(2, 2 + versioned.KEEP_VERSIONS + 1):
+        cache_ops.merge_write_cache(
+            spark,
+            spark.createDataFrame([(f"h{i}", f"Q{i}")], df.schema),
+            path,
+        )
+    # v1 is beyond the count bound but younger than the age floor:
+    # retained, and the pinned reader's scan still completes
+    assert "v00000001" in versioned.list_versions(path)
+    assert pinned.count() == 1
+    # age the old versions out: next publish prunes them
+    now = time.time()
+    for v in versioned.list_versions(path)[:-1]:
+        os.utime(os.path.join(path, v), (now - 7200, now - 7200))
+    cache_ops.merge_write_cache(
+        spark, spark.createDataFrame([("hz", "Qz")], df.schema), path
+    )
+    assert "v00000001" not in versioned.list_versions(path)
+    # everything merged is still present in the current snapshot
+    n = 2 + versioned.KEEP_VERSIONS + 1  # h1 + train + hz
+    assert cache_ops.read_cache(spark, path).count() == n
 
 
 def test_legacy_unversioned_store_migrates(spark, tmp_path):

@@ -37,8 +37,11 @@ Store layout under ``base_path``::
 **Incremental add-batch** assigns new vectors to the FROZEN coarse
 centroids (same argmin ‖x−c‖² as the k-means assignment), residual-
 encodes them with the FROZEN codebooks, and MERGEs them into the codes
-store under the writer lock — insert-if-absent on ``vec_id``, existing
-rows win, exactly the reference's cache-probe-then-upload idempotence
+store through the shared engine (locked or lock-free optimistic, like
+every other MERGE store) — insert-if-absent on ``vec_id``, existing
+rows win, and APPEND-ONLY writes: fresh codes land as new part files in
+their cluster dirs, never a rewrite of stored rows (O(batch) bytes per
+ingest). Exactly the reference's cache-probe-then-upload idempotence
 (``src/models/wikimedia/wikipedia/wikipedia_page.py:110-141``): re-adding
 a batch after a crash is a no-op. Under a fixed model version
 ``vec_id → cluster`` is deterministic, so the anti-join probe of only
@@ -93,6 +96,58 @@ def _write_codes_unlocked(df: DataFrame, path: str) -> None:
     versioned.publish(path, version)
 
 
+def _populate_model(vdir: str, centroids, books, meta: dict) -> None:
+    """Write one model snapshot (centroids + codebooks + meta) into a
+    staging dir. The model is driver-sized (a few hundred KB): written
+    with pyarrow directly — plain parquet Spark can read, but without
+    two Spark write JOBS for 2k tiny rows (measured ~8s of pure job
+    overhead vs ~10ms here; the corpus-scale codes artifact still goes
+    through the distributed writer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(vdir, "centroids"))
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(range(len(centroids)), type=pa.int32()),
+                "centroid": pa.array(
+                    [[float(x) for x in c] for c in centroids],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        os.path.join(vdir, "centroids", "part-0.parquet"),
+    )
+    os.makedirs(os.path.join(vdir, "codebooks"))
+    n_sub, n_cd = books.shape[0], books.shape[1]
+    pq.write_table(
+        pa.table(
+            {
+                "subspace": pa.array(
+                    [j for j in range(n_sub) for _ in range(n_cd)],
+                    type=pa.int32(),
+                ),
+                "code": pa.array(
+                    [kk for _ in range(n_sub) for kk in range(n_cd)],
+                    type=pa.int32(),
+                ),
+                "center": pa.array(
+                    [
+                        [float(x) for x in books[j, kk]]
+                        for j in range(n_sub)
+                        for kk in range(n_cd)
+                    ],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        os.path.join(vdir, "codebooks", "part-0.parquet"),
+    )
+    with open(os.path.join(vdir, "meta.json"), "w", encoding="ascii") as f:
+        json.dump(meta, f)
+
+
 def ann_index_build(
     embeddings: DataFrame,
     base_path: str,
@@ -102,10 +157,20 @@ def ann_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    protocol: str | None = None,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Build the IVFPQ index from scratch and publish it as the store's
-    next version (model + full codes rewrite, each under its writer
-    lock). Returns build stats."""
+    next version — model first, then the full codes rewrite. Both are
+    FULL-REWRITE commits (content independent of the base), so under
+    ``protocol="optimistic"`` they publish lock-free via
+    ``publish_full_optimistic`` (last-writer-wins, a lost race re-targets
+    the same staged tree); the default commits under each store's writer
+    lock. Because every publish is a NEW retained version, a rebuild
+    over a live store is exactly the RETRAIN path: concurrent probes
+    keep serving the old snapshots (age-based retention,
+    versioned.RETAIN_SECS) until they re-resolve. Returns build stats."""
+    from wcdimportbot_spark.operators import sinks
     from wcdimportbot_spark.operators.similarity import (
         ivf_index,
         ivfpq_residual_index,
@@ -121,76 +186,75 @@ def ann_index_build(
         F.col(id_col).alias("vec_id"), "cluster", "codes"
     ).localCheckpoint(eager=True)  # materialize before any store mutates
     n_built = codes_out.count()
-    dim = len(centroids[0])
+    meta = {
+        "num_clusters": int(num_clusters),
+        "m": int(books.shape[0]),
+        "n_codes": int(books.shape[1]),
+        "subdim": int(books.shape[2]),
+        "dim": int(len(centroids[0])),
+        "seed": int(seed),
+        "n_built": int(n_built),
+        **(extra_meta or {}),
+    }
 
     mpath = _model_path(base_path)
-    with versioned.writer_lock(mpath):
-        version, vdir = versioned.stage_new(mpath)
-        # the model is driver-sized (a few hundred KB): write it with
-        # pyarrow directly — plain parquet Spark can read, but without
-        # two Spark write JOBS for 2k tiny rows (measured ~8s of pure
-        # job overhead vs ~10ms here; the corpus-scale artifact below
-        # still goes through the distributed writer)
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(os.path.join(vdir, "centroids"))
-        pq.write_table(
-            pa.table(
-                {
-                    "cluster": pa.array(
-                        range(len(centroids)), type=pa.int32()
-                    ),
-                    "centroid": pa.array(
-                        [[float(x) for x in c] for c in centroids],
-                        type=pa.list_(pa.float64()),
-                    ),
-                }
-            ),
-            os.path.join(vdir, "centroids", "part-0.parquet"),
-        )
-        os.makedirs(os.path.join(vdir, "codebooks"))
-        n_sub, n_cd = books.shape[0], books.shape[1]
-        pq.write_table(
-            pa.table(
-                {
-                    "subspace": pa.array(
-                        [j for j in range(n_sub) for _ in range(n_cd)],
-                        type=pa.int32(),
-                    ),
-                    "code": pa.array(
-                        [kk for _ in range(n_sub) for kk in range(n_cd)],
-                        type=pa.int32(),
-                    ),
-                    "center": pa.array(
-                        [
-                            [float(x) for x in books[j, kk]]
-                            for j in range(n_sub)
-                            for kk in range(n_cd)
-                        ],
-                        type=pa.list_(pa.float64()),
-                    ),
-                }
-            ),
-            os.path.join(vdir, "codebooks", "part-0.parquet"),
-        )
-        meta = {
-            "num_clusters": int(num_clusters),
-            "m": int(books.shape[0]),
-            "n_codes": int(books.shape[1]),
-            "subdim": int(books.shape[2]),
-            "dim": int(dim),
-            "seed": int(seed),
-            "n_built": int(n_built),
-        }
-        with open(os.path.join(vdir, "meta.json"), "w", encoding="ascii") as f:
-            json.dump(meta, f)
-        versioned.publish(mpath, version)
-
     cpath = _codes_path(base_path)
-    with versioned.writer_lock(cpath):
-        _write_codes_unlocked(codes_out, cpath)
+    optimistic = sinks._merge_protocol(protocol) == "optimistic"
+    if optimistic:
+        version = versioned.publish_full_optimistic(
+            mpath, lambda vdir: _populate_model(vdir, centroids, books, meta)
+        )
+        versioned.publish_full_optimistic(
+            cpath,
+            lambda vdir: codes_out.sortWithinPartitions("cluster", "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(vdir),
+        )
+    else:
+        with versioned.writer_lock(mpath):
+            version, vdir = versioned.stage_new(mpath)
+            _populate_model(vdir, centroids, books, meta)
+            versioned.publish(mpath, version)
+        with versioned.writer_lock(cpath):
+            _write_codes_unlocked(codes_out, cpath)
     return {"n_built": int(n_built), "model_version": version, **meta}
+
+
+def ann_retrain(
+    embeddings: DataFrame,
+    base_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    protocol: str | None = None,
+) -> dict:
+    """Execute the staleness contract's retrain decision (r9 verdict #2):
+    rebuild model + codes from the CURRENT corpus under the hyperparams
+    the store was built with (read from the stored meta — retrain is a
+    refresh, not a re-design), publishing both stores as new snapshot
+    versions while concurrent probes keep serving the superseded ones
+    (snapshot isolation via age-based retention). ``retrained_from``
+    in the new meta records lineage; ``n_built`` resets to the retrain
+    corpus size, so ``growth_ratio`` drops back to ~1 and the margin
+    contract recovers — the post-retrain index is bit-identical to a
+    fresh build over the same corpus (pinned by the sim_ann_retrain
+    registry row's fresh-build oracle)."""
+    spark = embeddings.sparkSession
+    _cent, _books, meta = load_ann_model(spark, base_path)
+    return ann_index_build(
+        embeddings,
+        base_path,
+        num_clusters=meta["num_clusters"],
+        m=meta["m"],
+        n_codes=meta["n_codes"],
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=meta["seed"],
+        protocol=protocol,
+        extra_meta={
+            "retrained_from": versioned.current_version(_model_path(base_path))
+        },
+    )
 
 
 def load_ann_model(spark: SparkSession, base_path: str):
@@ -283,66 +347,53 @@ def ann_index_add_batch(
     base_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    protocol: str | None = None,
 ) -> dict:
     """Incrementally add a batch to the stored index: encode under the
-    frozen model, then MERGE into the codes store — insert-if-absent on
-    ``vec_id`` probing only the batch's touched cluster partitions,
-    hardlinked snapshot with dynamic overwrite of exactly those
-    partitions, atomic publish. Replaying a batch is a no-op (the
-    reference's conflict-means-success idempotence). Returns
-    {added, skipped, version}."""
-    spark = new_embeddings.sparkSession
-    cent, books, _meta = load_ann_model(spark, base_path)
-    enc = _encode_with_model(
-        new_embeddings, cent, books, id_col, vec_col
-    ).dropDuplicates(["vec_id"])
-    cpath = _codes_path(base_path)
+    frozen model, then MERGE into the codes store through the shared
+    engine (operators/sinks.py) — insert-if-absent on ``vec_id`` probing
+    only the batch's touched cluster partitions, and APPEND-ONLY on the
+    write side: the fresh codes land as new sorted part files inside
+    their cluster dirs of a hardlinked snapshot, so a streaming ingest's
+    per-batch write cost is O(batch), never O(store) (r9 verdict #1).
+    Replaying a batch is a no-op (the reference's conflict-means-success
+    idempotence). ``protocol="optimistic"`` (or ``WCD_STORE_PROTOCOL``)
+    commits lock-free through the rename arbiter, so a cross-host ingest
+    fleet can grow the index concurrently (r9 verdict #5). Returns
+    {added, skipped}."""
     from wcdimportbot_spark.operators import sinks
 
-    with versioned.writer_lock(cpath):
-        if not sinks.has_parquet_data(cpath):
-            staged = enc.localCheckpoint(eager=True)
-            n = staged.count()
-            if n:
-                _write_codes_unlocked(staged, cpath)
-            return {"added": int(n), "skipped": 0}
-        spark.catalog.refreshByPath(cpath)
-        current_dir = versioned.data_dir(cpath)
-        enc = enc.localCheckpoint(eager=True)
-        n_batch = enc.count()
-        clusters = [
-            int(r["cluster"])
-            for r in enc.select("cluster").distinct().collect()
-        ]
-        existing = read_ann_codes(spark, base_path).filter(
-            F.col("cluster").isin(clusters)
+    spark = new_embeddings.sparkSession
+    cent, books, _meta = load_ann_model(spark, base_path)
+    enc = (
+        _encode_with_model(new_embeddings, cent, books, id_col, vec_col)
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)  # encode once: batch count + merge
+    )
+    n_batch = enc.count()
+    cpath = _codes_path(base_path)
+    merge_kwargs = dict(
+        bucket_key=None,  # partition layout is the domain-derived cluster
+        anti_key="vec_id",
+        partitions=["cluster"],
+        dedup_key=None,  # already deduped above
+        prune_col="cluster",
+        sort_key="vec_id",
+    )
+    if sinks._merge_protocol(protocol) == "optimistic":
+        n_fresh = sinks._merge_write_optimistic(
+            spark, enc, cpath, **merge_kwargs
         )
-        fresh = enc.join(
-            existing.select("vec_id"), "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)
-        n_fresh = fresh.count()
-        if not n_fresh:
-            return {"added": 0, "skipped": int(n_batch)}
-        touched = [
-            int(r["cluster"])
-            for r in fresh.select("cluster").distinct().collect()
-        ]
-        merged = existing.filter(
-            F.col("cluster").isin(touched)
-        ).unionByName(fresh).localCheckpoint(eager=True)
-        version, vdir = versioned.stage_new(cpath)
-        versioned.link_tree(current_dir, vdir)
-        merged.sortWithinPartitions("cluster", "vec_id").write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "cluster"
-        ).parquet(vdir)
-        versioned.publish(cpath, version)
-        return {
-            "added": int(n_fresh),
-            "skipped": int(n_batch - n_fresh),
-            "version": version,
-        }
+    else:
+        n_fresh = sinks._merge_write(
+            spark,
+            enc,
+            cpath,
+            read_fn=sinks.read_snapshot,
+            write_fn=_write_codes_unlocked,
+            **merge_kwargs,
+        )
+    return {"added": int(n_fresh), "skipped": int(n_batch - n_fresh)}
 
 
 def ann_index_probe(

@@ -13,10 +13,21 @@ contract on plain parquet:
   a subject's claims co-locate in one bucket;
 - **incremental merge** (one shared engine, :func:`_merge_write`): only the
   buckets TOUCHED by the incoming batch are read for the insert-if-absent
-  anti-join (exact — the anti-join key determines the bucket), only the
-  partitions that actually GAIN rows are rewritten (dynamic partition
-  overwrite), and a batch that adds nothing writes nothing. Conflict =
-  success: the existing row wins, mirroring ``crud/create.py:39-45``.
+  anti-join (exact — the anti-join key determines the bucket), and the
+  write side is **append-only**: the fresh (anti-joined) rows land as NEW
+  sorted part files inside their partition dirs of a hardlinked snapshot —
+  existing rows are NEVER read-and-rewritten (r9 verdict #1: the
+  union-then-dynamic-overwrite form rewrote every touched partition, which
+  with uniform hash buckets means ~the whole store per batch — fatal for a
+  streaming micro-batch ingest at 100 TB). Merges never delete and the
+  anti-join guarantees disjointness, so base ∪ fresh-files IS the merged
+  relation — exactly Delta's insert-only MERGE (append new files, no
+  rewrite). Bytes written per merge are O(batch); the compaction companion
+  (:func:`compact_store`) folds the accumulated small files on its own
+  schedule, and each appended file is itself sorted so row-group min/max
+  pruning keeps working between compactions. A batch that adds nothing
+  writes nothing. Conflict = success: the existing row wins, mirroring
+  ``crud/create.py:39-45``.
 - files are written sorted on the lookup key so parquet row-group min/max
   statistics prune point lookups (S6/J2) to one row group.
 
@@ -139,6 +150,13 @@ def read_snapshot(
     returned plan references the immutable version directory, so
     concurrent writers can publish without tearing it.
 
+    Current-snapshot resolution retries a bounded number of times when
+    the resolved tree is pruned between the pointer read and the schema
+    read (rapid commit trains; r9 verdict #3) — re-resolving is the
+    documented reader contract, so the wrapper does it for the caller.
+    The age-based retention floor (``versioned.RETAIN_SECS``) is what
+    protects the returned plan during its subsequent SCAN.
+
     :raises ValueError: when ``version`` names a pruned or never-published
         snapshot."""
     if version is not None:
@@ -148,12 +166,24 @@ def read_snapshot(
                 f"unknown or pruned snapshot {version!r} of {path}; "
                 f"retained versions: {versioned.list_versions(path)}"
             )
-    else:
+        spark.catalog.refreshByPath(p)
+        return spark.read.parquet(p)
+    last_err: Exception | None = None
+    for attempt in range(4):
+        if attempt:
+            time.sleep(0.05 * attempt)
         p = versioned.data_dir(path)
-    # versioned snapshots are immutable, but a legacy (unversioned) store
-    # is rewritten in place — drop any stale file-listing cache
-    spark.catalog.refreshByPath(p)
-    return spark.read.parquet(p)
+        try:
+            # versioned snapshots are immutable, but a legacy
+            # (unversioned) store is rewritten in place — drop any stale
+            # file-listing cache
+            spark.catalog.refreshByPath(p)
+            return spark.read.parquet(p)
+        except Exception as e:
+            if not versioned.is_transient_read_race(e):
+                raise
+            last_err = e
+    raise last_err
 
 
 def read_items(spark: SparkSession, path: str) -> DataFrame:
@@ -177,25 +207,77 @@ def _partition_values_predicate(rows, cols: list[str]):
     return cond
 
 
+def _check_merge_schema(fresh_cols: list[str], existing_cols: list[str]) -> None:
+    """Append-only merges never union against the base relation, so the
+    column-set guard the old ``unionByName`` gave for free lives here: a
+    batch whose columns diverge from the store must fail LOUDLY before
+    any file lands (a silent parquet-by-name schema drift would poison
+    every later read). Column ORDER is irrelevant — parquet resolves by
+    name across files."""
+    missing = sorted(set(existing_cols) - set(fresh_cols))
+    extra = sorted(set(fresh_cols) - set(existing_cols))
+    if missing or extra:
+        raise ValueError(
+            f"merge batch schema mismatch vs store: missing {missing}, "
+            f"unexpected {extra}"
+        )
+
+
+def _append_fresh(
+    fresh: DataFrame, vdir: str, partitions: list[str], sort_key: str
+) -> None:
+    """Land the anti-joined fresh rows as NEW part files inside their
+    partition dirs of the hardlinked staged tree — ``mode("append")``
+    only ever ADDS uniquely-named files, so the base version's
+    hardlinked files are untouched and bytes written are O(batch).
+    Repartitioned on the partition columns first (an O(batch) shuffle —
+    the batch, not the store), so each touched partition dir gains
+    EXACTLY ONE new file per merge instead of one per (input partition ×
+    dir) — the small-file growth rate compaction has to absorb stays
+    linear in merges, not in cluster width. Sorted (partition cols, sort
+    key): the prefix satisfies the partitioned writer (it inserts no
+    sort of its own), the suffix keeps each appended file's row-group
+    min/max stats tight for point lookups."""
+    (
+        fresh.repartition(*[F.col(c) for c in partitions])
+        .sortWithinPartitions(*partitions, sort_key)
+        .write.mode("append")
+        .partitionBy(*partitions)
+        .parquet(vdir)
+    )
+
+
 def _merge_write(
     spark: SparkSession,
     new_df: DataFrame,
     path: str,
     *,
-    bucket_key: str,
+    bucket_key: str | None,
     anti_key: str,
     partitions: list[str],
     dedup_key: str | None,
     read_fn,
     write_fn,
-) -> None:
+    prune_col: str = BUCKET_COL,
+    sort_key: str | None = None,
+) -> int:
     """Shared bucket-level MERGE engine (insert-if-absent, existing rows
-    win). ``anti_key`` must determine the bucket (it does for all three
-    stores: hash / subject_qid / hash) so probing only touched buckets is
-    exact. A batch with nothing fresh writes NOTHING."""
+    win). ``anti_key`` must determine ``prune_col`` (it does for every
+    store: hash / subject_qid / bk / vec_id→cluster) so probing only
+    touched partitions for the anti-join is exact. The write side is
+    APPEND-ONLY: fresh rows land as new sorted part files inside the
+    hardlinked snapshot (see module docstring) — existing rows are never
+    rewritten, so write cost is O(batch) regardless of store size. A
+    batch with nothing fresh writes NOTHING. Returns the number of fresh
+    rows inserted.
+
+    ``bucket_key=None`` skips the hash-bucket attach for stores whose
+    partition layout is domain-derived (the ANN codes store's
+    ``cluster``) — ``new_df`` must then already carry ``prune_col``."""
+    sort_key = sort_key or anti_key
     if dedup_key is not None:
         new_df = new_df.dropDuplicates([dedup_key])
-    new_b = with_bucket(new_df, bucket_key)
+    new_b = with_bucket(new_df, bucket_key) if bucket_key else new_df
     # The writer lock covers the WHOLE read → anti-join → stage → publish
     # sequence, not just the staging write: a merge computed against a
     # snapshot resolved outside the lock would race a concurrent writer's
@@ -209,40 +291,36 @@ def _merge_write(
         # a concurrent writer may have created the store between our
         # caller's check and lock acquisition — re-check under the lock
         if not has_parquet_data(path):
-            if not new_b.isEmpty():
-                write_fn(new_b, path)
-            return
+            staged = new_b.localCheckpoint(eager=True)
+            n = staged.count()
+            if n:
+                write_fn(staged, path)
+            return int(n)
         spark.catalog.refreshByPath(path)
         current_dir = versioned.data_dir(path)
-        buckets = [
-            r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
+        touched = [
+            r[prune_col] for r in new_b.select(prune_col).distinct().collect()
         ]
-        existing = read_fn(spark, path).filter(F.col(BUCKET_COL).isin(buckets))
+        if not touched:
+            return 0
+        existing = read_fn(spark, path).filter(F.col(prune_col).isin(touched))
+        _check_merge_schema(new_b.columns, existing.columns)
+        # materialize before staging: the plan reads the current snapshot
         fresh = new_b.join(
             existing.select(anti_key).distinct(), anti_key, "left_anti"
         ).localCheckpoint(eager=True)
-        pairs = fresh.select(*partitions).distinct().collect()
-        if not pairs:
-            return
-        merged = existing.filter(
-            _partition_values_predicate(pairs, partitions)
-        ).unionByName(fresh)
-        # materialize before writing: the plan reads the current snapshot
-        staged = merged.localCheckpoint(eager=True)
-        # next snapshot = hardlinks of every current file (metadata-only),
-        # with the touched partitions dynamically overwritten; publish is
-        # an atomic pointer flip, so concurrent readers see old or new,
-        # never partial.
+        n_fresh = fresh.count()
+        if not n_fresh:
+            return 0
+        # next snapshot = hardlinks of every current file (metadata-only)
+        # plus the fresh rows APPENDED as new files; publish is an atomic
+        # pointer flip, so concurrent readers see old or new, never
+        # partial.
         version, vdir = versioned.stage_new(path)
         versioned.link_tree(current_dir, vdir)
-        (
-            _sorted_on(staged, bucket_key)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partitions)
-            .parquet(vdir)
-        )
+        _append_fresh(fresh, vdir, partitions, sort_key)
         versioned.publish(path, version)
+        return int(n_fresh)
 
 
 #: commit-race rebase budget: each retry re-merges against the winner's
@@ -267,11 +345,13 @@ def _merge_write_optimistic(
     new_df: DataFrame,
     path: str,
     *,
-    bucket_key: str,
+    bucket_key: str | None,
     anti_key: str,
     partitions: list[str],
     dedup_key: str | None,
-) -> None:
+    prune_col: str = BUCKET_COL,
+    sort_key: str | None = None,
+) -> int:
     """Lock-free MERGE under the optimistic commit protocol
     (versioned.py §optimistic): resolve the base from the version LOG,
     merge against it, stage under a writer-unique name, and let the
@@ -279,22 +359,27 @@ def _merge_write_optimistic(
     merge recomputes against the winner's tree (exactly Delta's conflict
     retry: recompute, re-commit) — and can never lose rows: the target
     number is bound to the base, so a commit this writer didn't read
-    holds the very number it is about to claim.
+    holds the very number it is about to claim. The write side is the
+    same APPEND-ONLY fresh-files-into-hardlinked-snapshot as the locked
+    engine: O(batch) bytes per commit. Returns fresh rows inserted.
 
     A read racing a competitor's prune (our resolved base aged out while
-    we merged — takes KEEP_VERSIONS commits landing mid-merge) surfaces
-    as a read error; it is caught and retried, because by construction
-    that same race guarantees our rename would have lost anyway."""
+    we merged — takes KEEP_VERSIONS commits landing mid-merge, all older
+    than the RETAIN_SECS floor) surfaces as a read error; ONLY that
+    failure class is caught and rebased (``is_transient_read_race``) —
+    genuine defects (schema mismatch, analysis errors) surface
+    immediately instead of burning every retry (r9 ADVICE)."""
+    sort_key = sort_key or anti_key
     if dedup_key is not None:
         new_df = new_df.dropDuplicates([dedup_key])
-    new_b = with_bucket(new_df, bucket_key)
-    # doubles as the empty-batch guard: no buckets == no rows (saves the
-    # separate isEmpty job per commit)
-    buckets = [
-        r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
+    new_b = with_bucket(new_df, bucket_key) if bucket_key else new_df
+    # doubles as the empty-batch guard: no touched partitions == no rows
+    # (saves the separate isEmpty job per commit)
+    touched = [
+        r[prune_col] for r in new_b.select(prune_col).distinct().collect()
     ]
-    if not buckets:
-        return
+    if not touched:
+        return 0
     last_err: Exception | None = None
     for attempt in range(MAX_OPTIMISTIC_ATTEMPTS):
         if attempt:
@@ -315,47 +400,42 @@ def _merge_write_optimistic(
                 # first commit: never write a legacy root — the store is
                 # born versioned, and two racing first-writers are
                 # arbitrated on v00000001 like any other number
+                staged = new_b.localCheckpoint(eager=True)
+                n = staged.count()
                 vdir = versioned.stage_optimistic(path, target)
                 (
-                    _sorted_on(new_b, bucket_key)
+                    staged.sortWithinPartitions(*partitions, sort_key)
                     .write.mode("overwrite")
                     .partitionBy(*partitions)
                     .parquet(vdir)
                 )
                 if versioned.try_publish(path, target, vdir):
-                    return
+                    return int(n)
                 continue
             existing = spark.read.parquet(base_dir).filter(
-                F.col(BUCKET_COL).isin(buckets)
+                F.col(prune_col).isin(touched)
             )
-            fresh = new_b.join(
-                existing.select(anti_key).distinct(), anti_key, "left_anti"
-            ).localCheckpoint(eager=True)
-            pairs = fresh.select(*partitions).distinct().collect()
-            if not pairs:
-                # every row already present in base — and merges never
-                # delete, so present in every later version too: nothing
-                # to publish regardless of who else commits
-                return
-            merged = existing.filter(
-                _partition_values_predicate(pairs, partitions)
-            ).unionByName(fresh)
+            _check_merge_schema(new_b.columns, existing.columns)
             # materialize BEFORE staging: after this the data lives in the
             # block manager, decoupled from base files a competitor's
             # prune might remove
-            staged = merged.localCheckpoint(eager=True)
+            fresh = new_b.join(
+                existing.select(anti_key).distinct(), anti_key, "left_anti"
+            ).localCheckpoint(eager=True)
+            n_fresh = fresh.count()
+            if not n_fresh:
+                # every row already present in base — and merges never
+                # delete, so present in every later version too: nothing
+                # to publish regardless of who else commits
+                return 0
             vdir = versioned.stage_optimistic(path, target)
             versioned.link_tree(base_dir, vdir)
-            (
-                _sorted_on(staged, bucket_key)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*partitions)
-                .parquet(vdir)
-            )
+            _append_fresh(fresh, vdir, partitions, sort_key)
             if versioned.try_publish(path, target, vdir):
-                return
-        except Exception as e:  # pruned-base read race: rebase and retry
+                return int(n_fresh)
+        except Exception as e:
+            if not versioned.is_transient_read_race(e):
+                raise  # genuine defect — not the pruned-base race
             last_err = e
             continue
     raise TimeoutError(
@@ -604,7 +684,9 @@ def _compact_store_optimistic(
                     "compacted_partitions": len(over),
                     "files_before": int(sum(r["n_files"] for r in over)),
                 }
-        except Exception as e:  # pruned-base read race: rebase and retry
+        except Exception as e:
+            if not versioned.is_transient_read_race(e):
+                raise  # genuine defect — not the pruned-base race
             last_err = e
             continue
     raise TimeoutError(

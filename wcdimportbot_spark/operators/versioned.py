@@ -61,6 +61,40 @@ LOCK_FILE = "_WRITER.lock"
 #: versions kept after a publish (current + history for in-flight readers)
 KEEP_VERSIONS = 2
 
+#: minimum AGE (seconds) a superseded version must reach before pruning
+#: may delete it, regardless of how many newer publishes exist. The
+#: count-based bound alone is hostile to EXTERNAL readers under rapid
+#: commit trains (a probe that resolved a snapshot loses its tree after
+#: just KEEP_VERSIONS micro-batch merges — seconds apart in the
+#: streaming gates); the age floor gives every reader a wall-clock
+#: window to finish its scan, exactly Delta/Iceberg's time-based
+#: snapshot retention. Hardlinked layouts make retained history cheap:
+#: an old version costs only the files a later commit REPLACED.
+RETAIN_SECS = float(os.environ.get("WCD_STORE_RETAIN_SECS", "600"))
+
+
+def is_transient_read_race(e: Exception) -> bool:
+    """True when ``e`` looks like the pruned-base / swept-tree READ race
+    the snapshot protocols document (a competitor's publish aged our
+    resolved tree out mid-scan) — the only failure class the optimistic
+    rebase loops and the read-retry wrapper may swallow. Anything else
+    (schema mismatch, analysis errors, misconfigured partitions) is a
+    genuine defect and must surface immediately, not after burning every
+    retry (r9 ADVICE)."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    s = f"{type(e).__name__}: {e}"
+    markers = (
+        "FileNotFoundException",
+        "PATH_NOT_FOUND",
+        "Path does not exist",
+        "does not exist",
+        "No such file",
+        "UNABLE_TO_INFER_SCHEMA",  # tree emptied between list and read
+        "FileStreamSink",
+    )
+    return any(m in s for m in markers)
+
 
 @contextlib.contextmanager
 def writer_lock(path: str, timeout: float = 120.0, poll: float = 0.1):
@@ -189,11 +223,23 @@ def publish(path: str, version: str) -> None:
 
 
 def _prune(path: str, current: str) -> None:
+    """Delete superseded snapshots that are BOTH beyond the
+    ``KEEP_VERSIONS`` count bound AND older than ``RETAIN_SECS`` — the
+    age floor is what lets an external reader (a probe mid-scan, a bench
+    query) survive a rapid commit train without re-resolving (r9 verdict
+    #3). A version dir's mtime is its staging-write time ≈ publish time."""
     versions = sorted(
         d for d in os.listdir(path) if _VERSION_RE.match(d) and d <= current
     )
+    now = time.time()
     for stale in versions[:-KEEP_VERSIONS]:
-        shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+        p = os.path.join(path, stale)
+        try:
+            if now - os.path.getmtime(p) < RETAIN_SECS:
+                continue
+        except OSError:
+            continue  # already being removed by a competitor's prune
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def list_versions(path: str) -> list[str]:
@@ -351,23 +397,42 @@ def resolve_latest(path: str) -> tuple[str | None, str, str]:
     return base, base_dir, f"v{base_n + 1:08d}"
 
 
+def _tree_newest_mtime(p: str) -> float:
+    """Newest mtime anywhere under ``p`` (dirs and files). A live
+    distributed write lands part files in partition SUBDIRS without
+    refreshing the top-level dir's mtime, so staleness keyed on the root
+    alone would sweep a >STALE_STAGING_SECS write mid-flight (r9 ADVICE):
+    any file activity in the tree counts as a heartbeat."""
+    newest = 0.0
+    for root, _dirs, files in os.walk(p):
+        for name in (None, *files):
+            try:
+                newest = max(
+                    newest,
+                    os.path.getmtime(
+                        root if name is None else os.path.join(root, name)
+                    ),
+                )
+            except OSError:
+                continue  # racing a competitor's sweep of the same orphan
+    return newest
+
+
 def stage_optimistic(path: str, target: str) -> str:
     """Create this writer's UNIQUELY-NAMED staging directory for
     ``target``. Concurrent writers each get their own tree (nonce in the
     name), so staging needs no coordination at all; the contention point
     is deferred entirely to :func:`try_publish`'s rename. Stale orphans
-    (a crashed writer's leftovers, mtime older than
-    ``STALE_STAGING_SECS``) are swept; a live competitor's staging is
-    never touched."""
+    (a crashed writer's leftovers — NEWEST mtime in the tree older than
+    ``STALE_STAGING_SECS``, i.e. no file activity for an hour) are
+    swept; a live competitor's staging, however long its write has been
+    running, keeps landing files and is never touched."""
     now = time.time()
     for d in os.listdir(path):
         if _OPT_STAGING_RE.match(d):
             p = os.path.join(path, d)
-            try:
-                stale = now - os.path.getmtime(p) > STALE_STAGING_SECS
-            except OSError:
-                continue
-            if stale:
+            newest = _tree_newest_mtime(p)
+            if newest and now - newest > STALE_STAGING_SECS:
                 shutil.rmtree(p, ignore_errors=True)
     nonce = uuid.uuid4().hex[:12]
     vdir = os.path.join(path, f"{target}.{nonce}{OPT_STAGING_SUFFIX}")
@@ -411,8 +476,20 @@ def _pointer_lock(path: str, timeout: float = 30.0, poll: float = 0.01):
     so it bounds no writer's throughput. Liveness is mtime-based rather
     than pid-based precisely so it stays valid across hosts on a shared
     filesystem: a lease older than ``POINTER_LEASE_STALE_SECS`` is
-    presumed crashed and stolen (unlink + O_EXCL retry — the re-create
-    race again has exactly one winner)."""
+    presumed crashed and stolen. The steal is rename-then-unlink, NOT
+    check-then-unlink: two stealers both observing age>stale would each
+    unlink, and the second unlink could hit the FIRST stealer's freshly
+    created lock — two holders at once (r9 ADVICE). ``os.rename`` of the
+    same stale source to two different nonce names has exactly one
+    winner (the loser gets ENOENT), so exactly one stealer removes the
+    stale lease and both re-race the O_EXCL create.
+
+    Residual (documented, accepted): a HOLDER paused longer than the
+    stale threshold inside the microsecond critical section (GC/NFS
+    stall) can have its lease stolen and briefly share the section with
+    a newer winner; the pointer compare keeps the effect to a bounded
+    stale read — writers are immune (resolve_latest takes max(trees
+    and pointer)) and the pointer self-heals on the next advance."""
     lock = os.path.join(path, POINTER_LOCK_FILE)
     deadline = time.monotonic() + timeout
     while True:
@@ -426,8 +503,13 @@ def _pointer_lock(path: str, timeout: float = 30.0, poll: float = 0.01):
             except OSError:
                 continue  # holder released between open and stat
             if age > POINTER_LEASE_STALE_SECS:
+                grave = f"{lock}.{uuid.uuid4().hex[:8]}.stale"
+                try:
+                    os.rename(lock, grave)
+                except OSError:
+                    continue  # another stealer won the rename; re-race
                 with contextlib.suppress(OSError):
-                    os.unlink(lock)
+                    os.unlink(grave)
                 continue
             if time.monotonic() >= deadline:
                 raise TimeoutError(f"pointer lease wedged: {lock}")

@@ -1971,10 +1971,13 @@ def s9_optimistic_commits(spark, sf_dir):
         )
         for b in batches:
             sinks.merge_write_items(spark, b, store, protocol="optimistic")
+        # all three commits must land as v1..v3; the age-based retention
+        # floor (versioned.RETAIN_SECS, r9 verdict #3) keeps every
+        # seconds-old version, so none may have pruned yet
+        assert versioned.current_version(store) == "v00000003"
         n_versions = len(versioned.list_versions(store))
-        n_retained = min(3, versioned.KEEP_VERSIONS)
-        assert n_versions == n_retained, (
-            f"expected {n_retained} retained of 3 commits, saw {n_versions}"
+        assert n_versions == 3, (
+            f"age floor must retain all 3 fresh commits, saw {n_versions}"
         )
         out = (
             sinks.read_items(spark, store)
