@@ -1329,3 +1329,113 @@ def test_semantic_dedup_degenerate_cluster_bound_and_stats(spark):
         [(i, base) for i in range(10)], "vec_id long, embedding array<double>"
     )
     assert semantic_dedup_cluster_stats(small, max_cluster_size=cap).count() == 0
+
+
+def test_ann_retrain_loop_staleness_and_snapshot_isolation(spark, sf_dir, tmp_path):
+    """r9 verdict #2 — the staleness contract made executable: build on
+    1/3 of the corpus, grow it 3x via add-batches (frozen, increasingly
+    stale model), watch growth_ratio cross the documented ~2x retrain
+    threshold, RETRAIN, and verify (a) a reader pinned to the
+    pre-retrain codes snapshot finishes its scan (snapshot isolation via
+    the age-based retention floor), (b) the retrained store is
+    bit-identical to a fresh build over the same corpus (same seed/
+    hyperparams read from meta), (c) growth_ratio resets to ~1 and meta
+    records the lineage."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_build,
+        ann_index_stats,
+        ann_retrain,
+        load_ann_model,
+        read_ann_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    base = str(tmp_path / "ann")
+    built = ann_index_build(emb.filter(F.col("vec_id") % 3 == 0), base)
+    from wcdimportbot_spark.operators.ann_store import ann_index_add_batch
+
+    ann_index_add_batch(emb.filter(F.col("vec_id") % 3 == 1), base)
+    ann_index_add_batch(emb.filter(F.col("vec_id") % 3 == 2), base)
+
+    stats = ann_index_stats(spark, base).collect()
+    growth = stats[0]["growth_ratio"]
+    assert growth >= 2.0, growth  # the documented retrain signal fired
+    old_model_version = versioned.current_version(f"{base}/model")
+
+    # a reader resolves the PRE-retrain codes snapshot now...
+    pinned = read_ann_codes(spark, base)
+
+    retrained = ann_retrain(emb, base)
+    assert retrained["n_built"] == n
+    assert retrained["retrained_from"] == old_model_version
+
+    # ...and still completes its scan after the retrain published new
+    # versions of both stores (age floor keeps the superseded tree)
+    assert pinned.count() == n
+
+    # post-retrain serving state: growth ratio back to ~1, fresh-build
+    # bit-parity (deterministic k-means/codebooks under the stored seed)
+    stats2 = ann_index_stats(spark, base).collect()
+    assert abs(stats2[0]["growth_ratio"] - 1.0) < 0.01
+    fresh = str(tmp_path / "ann-fresh")
+    ann_index_build(emb, fresh)
+
+    def codes_set(b):
+        return {
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in read_ann_codes(spark, b).collect()
+        }
+
+    assert codes_set(base) == codes_set(fresh)
+    _c, _b, meta = load_ann_model(spark, base)
+    assert meta["n_built"] == n and meta["retrained_from"] == old_model_version
+
+
+def test_ann_store_optimistic_protocol_takes_no_lock(spark, sf_dir, tmp_path):
+    """r9 verdict #5 — the ANN store's writers work lock-free under
+    protocol='optimistic': build, add-batch, idempotent replay, and
+    retrain all commit through the rename arbiter. writer_lock is
+    monkeypatched to explode, so ANY lock acquisition fails the test;
+    content and idempotence are then verified through the normal read
+    path (the shared-engine multi-process stress in test_versioned.py
+    covers cross-process arbitration for this same code path)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators import ann_store as ann
+
+    def _boom(*a, **kw):
+        raise AssertionError("optimistic ANN path took the writer lock")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    base = str(tmp_path / "ann-opt")
+    mp = pytest.MonkeyPatch()
+    mp.setattr(versioned, "writer_lock", _boom)
+    try:
+        ann.ann_index_build(
+            emb.filter(F.col("vec_id") % 3 != 2), base, protocol="optimistic"
+        )
+        r1 = ann.ann_index_add_batch(
+            emb.filter(F.col("vec_id") % 3 == 2), base, protocol="optimistic"
+        )
+        assert r1["added"] > 0 and r1["skipped"] == 0
+        r2 = ann.ann_index_add_batch(  # replay: idempotent no-op
+            emb.filter(F.col("vec_id") % 3 == 2), base, protocol="optimistic"
+        )
+        assert r2["added"] == 0 and r2["skipped"] == r1["added"]
+        ann.ann_retrain(emb, base, protocol="optimistic")
+    finally:
+        mp.undo()
+    assert ann.read_ann_codes(spark, base).count() == n
+    import os
+
+    for sub in ("model", "codes"):
+        assert not os.path.exists(
+            os.path.join(base, sub, versioned.LOCK_FILE)
+        )

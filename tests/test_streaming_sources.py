@@ -1054,3 +1054,138 @@ def test_streaming_windowed_sketch_distincts(spark, tmp_path):
     # full at-least-once replay from a fresh checkpoint: idempotent
     run_stream(1)
     assert estimates() == est
+
+
+def test_ann_ingest_gate_stream_batch_parity_and_replay(spark, sf_dir, tmp_path):
+    """r9 verdict #4 — the streaming ANN ingest gate (the similarity
+    twin of the dedup gate): micro-batches grow the stored index through
+    the idempotent add-batch loop. Pins (a) streaming↔batch parity —
+    the gate-fed store holds bit-identical codes to the batch
+    maintenance loop over the same splits, (b) at-least-once replay —
+    re-delivering a batch under the same batch_id leaves zero duplicate
+    codes and overwrites its own accepted-ledger partition, (c) probe
+    parity — serving from either store returns the same neighbors."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_add_batch,
+        ann_index_build,
+        ann_index_probe,
+        read_ann_codes,
+    )
+    from wcdimportbot_spark.streaming.ann_gate import ann_ingest_batch_fn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    built = emb.filter(F.col("vec_id") % 3 != 2)
+    rest = emb.filter(F.col("vec_id") % 3 == 2)
+    b1 = rest.filter(F.col("vec_id") % 2 == 0)
+    b2 = rest.filter(F.col("vec_id") % 2 == 1)
+
+    stream_store = str(tmp_path / "ann-stream")
+    batch_store = str(tmp_path / "ann-batch")
+    ann_index_build(built, stream_store)
+    ann_index_build(built, batch_store)
+
+    ledger = str(tmp_path / "accepted")
+    fn = ann_ingest_batch_fn(stream_store, accepted_out_path=ledger)
+    fn(b1, 0)
+    fn(b2, 1)
+    ann_index_add_batch(b1, batch_store)
+    ann_index_add_batch(b2, batch_store)
+
+    def codes_set(base):
+        return {
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in read_ann_codes(spark, base).collect()
+        }
+
+    parity = codes_set(stream_store)
+    assert parity == codes_set(batch_store)  # streaming == batch loop
+    assert len(parity) == emb.count()
+
+    # replay batch 0 (at-least-once delivery): zero duplicate codes,
+    # ledger partition overwritten in place — each vec_id exactly once
+    fn(b1, 0)
+    assert codes_set(stream_store) == parity
+    spark.catalog.refreshByPath(ledger)
+    led = spark.read.parquet(ledger)
+    per_vec = led.groupBy("vec_id").count().filter(F.col("count") > 1)
+    assert per_vec.isEmpty()
+    assert led.count() == rest.count()
+    assert {r["batch_id"] for r in led.select("batch_id").distinct().collect()} == {0, 1}
+
+    # probe parity: identical neighbors from either store
+    def probe_set(base):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_index_probe(emb, base, num_queries=5, k=3)
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+
+    assert probe_set(stream_store) == probe_set(batch_store)
+
+
+def test_windowed_sketch_retention_prune(spark, tmp_path):
+    """r9 verdict #7 — the windowed sketch store's documented
+    window-age bound, enforced: pruning folds aged-out windows into the
+    lifetime row (window_start NULL). Per-window estimates survive only
+    for retained windows; LIFETIME estimates stay exact across prune
+    passes and straggler re-folds (HLL union is a register max — no
+    double count)."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.streaming.sketch_gate import (
+        prune_windowed_sketches,
+        read_lifetime_distinct_estimates,
+        read_windowed_distinct_estimates,
+        windowed_distinct_sketch_batch_fn,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    store = str(tmp_path / "sketchstore")
+    fn = windowed_distinct_sketch_batch_fn(store, lg_k=12)
+    fn(ev([(i, "2024-03-01T10:00:00", i, "click") for i in range(1, 6)]), 0)
+    fn(ev([(i, "2024-03-02T10:00:00", i, "click") for i in range(4, 10)]), 1)
+
+    def lifetime():
+        return {
+            r["event_type"]: r["n_distinct_est"]
+            for r in read_lifetime_distinct_estimates(spark, store).collect()
+        }
+
+    def windows():
+        return {
+            (str(r["window_start"]), r["event_type"]): r["n_distinct_est"]
+            for r in read_windowed_distinct_estimates(spark, store).collect()
+        }
+
+    assert lifetime() == {"click": 9}  # users 1..9
+    assert len(windows()) == 2
+
+    out = prune_windowed_sketches(spark, store, "2024-03-02")
+    assert out["pruned_windows"] == 1  # day 1 folded
+    assert set(windows()) == {("2024-03-02 00:00:00", "click")}
+    assert windows()[("2024-03-02 00:00:00", "click")] == 6
+    assert lifetime() == {"click": 9}  # folded history still counted
+
+    # straggler for the PRUNED window: its row is re-created holding
+    # only the late arrivals; lifetime picks up the new user
+    fn(ev([(9001, "2024-03-01T23:00:00", 100, "click")]), 99)
+    assert windows()[("2024-03-01 00:00:00", "click")] == 1
+    assert lifetime() == {"click": 10}
+
+    # re-pruning folds the straggler window again — no double count
+    out = prune_windowed_sketches(spark, store, "2024-03-02")
+    assert out["pruned_windows"] == 1
+    assert set(windows()) == {("2024-03-02 00:00:00", "click")}
+    assert lifetime() == {"click": 10}
+
+    # nothing old enough: publishes nothing
+    assert prune_windowed_sketches(spark, store, "2024-03-02") == {
+        "pruned_windows": 0
+    }

@@ -89,6 +89,18 @@ def main(argv=None) -> int:
         help="compact multi-file store partitions into one sorted file "
         "each (MERGE-store maintenance, published as a new snapshot)",
     )
+    parser.add_argument(
+        "--sketch-store",
+        metavar="DIR",
+        help="windowed distinct-sketch store directory (for --sketch-prune)",
+    )
+    parser.add_argument(
+        "--sketch-prune",
+        metavar="CUTOFF",
+        help="fold windows with window_start older than CUTOFF "
+        "(e.g. '2024-03-01') of --sketch-store into the lifetime sketch "
+        "row — window-age retention for the streaming sketch gate",
+    )
     parser.add_argument("--live", action="store_true", help="fetch titles over MediaWiki REST")
     parser.add_argument(
         "--curate",
@@ -282,6 +294,22 @@ def main(argv=None) -> int:
 
             out["dedup_index"] = compact_dedup_index(spark, args.dedup_index)
         print(json.dumps(out, sort_keys=True))
+
+    elif args.sketch_prune:
+        if not args.sketch_store:
+            parser.error("--sketch-prune needs --sketch-store <dir>")
+        from wcdimportbot_spark.streaming.sketch_gate import (
+            prune_windowed_sketches,
+        )
+
+        print(
+            json.dumps(
+                prune_windowed_sketches(
+                    spark, args.sketch_store, args.sketch_prune
+                ),
+                sort_keys=True,
+            )
+        )
 
     elif args.statistics:
         from wcdimportbot_spark.operators.analytics import (

@@ -136,11 +136,93 @@ def read_windowed_distinct_estimates(
 ) -> DataFrame:
     """Per-(window, group) distinct estimates off the stored states;
     any time-RANGE distinct is a further ``hll_union_agg`` over the
-    windows it covers — stored-artifact algebra, no raw re-scan."""
+    windows it covers — stored-artifact algebra, no raw re-scan. The
+    folded pruned-history row (``window_start IS NULL``, written by
+    :func:`prune_windowed_sketches`) is excluded — it belongs to the
+    lifetime view, not any window."""
     from wcdimportbot_spark.operators import sinks
 
-    return sinks.read_snapshot(spark, store_path).select(
-        "window_start",
-        group,
-        F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+    return (
+        sinks.read_snapshot(spark, store_path)
+        .filter(F.col("window_start").isNotNull())
+        .select(
+            "window_start",
+            group,
+            F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+        )
+    )
+
+
+def prune_windowed_sketches(
+    spark: SparkSession,
+    store_path: str,
+    older_than: str,
+    group: str = "event_type",
+) -> dict:
+    """Window-age retention for the windowed sketch store (r9 verdict
+    #7 — the documented "prunable by window age" bound, now enforced).
+    Windows with ``window_start < older_than`` are FOLDED into one
+    lifetime sketch per group (stored under ``window_start IS NULL``)
+    rather than dropped, so:
+
+    - per-window estimates exist only for RETAINED windows (that is
+      what pruning means; a late event for a pruned window re-creates
+      its row holding just the stragglers);
+    - LIFETIME estimates stay correct forever:
+      :func:`read_lifetime_distinct_estimates` unions retained windows
+      with the folded row, and HLL union is a register max, so a
+      straggler window re-folding later can never double-count.
+
+    The store stays O(retained windows × groups + groups) bytes. Runs
+    under the writer lock like every read-modify-write on this store;
+    publishes nothing when no window is old enough. Returns
+    ``{"pruned_windows": n}``."""
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    with versioned.writer_lock(store_path):
+        if not sinks.has_parquet_data(store_path):
+            return {"pruned_windows": 0}
+        stored = sinks.read_snapshot(spark, store_path)
+        cutoff = F.to_timestamp(F.lit(older_than))
+        is_old = F.col("window_start").isNotNull() & (
+            F.col("window_start") < cutoff
+        )
+        # bounded by the partition-schema-sized key space, never events
+        n_old = stored.filter(is_old).count()
+        if not n_old:
+            return {"pruned_windows": 0}
+        folded = (
+            stored.withColumn(
+                "window_start",
+                F.when(is_old, F.lit(None).cast("timestamp")).otherwise(
+                    F.col("window_start")
+                ),
+            )
+            .groupBy("window_start", group)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+        staged = folded.localCheckpoint(eager=True)
+        version, vdir = versioned.stage_new(store_path)
+        staged.coalesce(1).write.mode("overwrite").parquet(vdir)
+        versioned.publish(store_path, version)
+        return {"pruned_windows": int(n_old)}
+
+
+def read_lifetime_distinct_estimates(
+    spark: SparkSession, store_path: str, group: str = "event_type"
+) -> DataFrame:
+    """Per-group LIFETIME distinct estimates from the windowed store:
+    union of every retained window's sketch plus the folded
+    pruned-history row — correct across any number of prune passes
+    (HLL union idempotence)."""
+    from wcdimportbot_spark.operators import sinks
+
+    return (
+        sinks.read_snapshot(spark, store_path)
+        .groupBy(group)
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch")
+            ).alias("n_distinct_est")
+        )
     )
