@@ -7,19 +7,22 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  108 queries, all DuckDB-verified — the ANN top-k variants emit an
+  110 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window prioritizes, in round 9: the
-  three new rows (``sim_ann_index_maint`` — the ANN index as a
-  maintained versioned store, full build→add→probe loop per invocation;
-  ``a15_windowed_sketch_distinct`` — per-event-time-window mergeable HLL
-  states; ``bpe_train_local`` — the driver-local production training
-  path), every row whose plan or result schema changed this round
-  (``quality_ppl_buckets``'s KLL sketch-threshold contract column, the
-  ``dedup_cc_star`` singleton fold, the ``recall_margin_ok`` NULL→False
-  coalesce on ``sim_ann_ivfpq``, the explicit bucket-cap opt-in on
-  ``dedup_embedding_ann``), and sentinels — one per operator family
-  already driver-verified in r5-r8 — for the rest.
+  ordered so the driver's 50-query window prioritizes, in round 10: the
+  two new rows (``s10_append_only_merge`` — the O(batch)
+  write-amplification contract of the append-only insert MERGE, pinned
+  on real file inodes in-row; ``sim_ann_retrain`` — the ANN staleness
+  contract executed: build → 3× growth → retrain → probe under the
+  recall+margin contract, with in-row snapshot-isolation assertions),
+  every row whose write path changed with the append-only MERGE engine
+  and the age-based retention floor (``s9_optimistic_commits``,
+  ``sim_ann_index_maint``, ``dedup_incremental``,
+  ``dedup_incremental_maint``), the guarded-default restore on
+  ``dedup_embedding_ann`` (r9 ADVICE), the quiet-host watch item
+  ``sim_ann_lsh`` (windowed back in for a fresh driver number), and
+  sentinels — one per operator family already driver-verified in
+  r5-r9 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
   count so the docs cannot drift from ``len(QUERIES)`` again.
 """

@@ -597,7 +597,7 @@ def embedding_near_dup_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1024,
     bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH candidate generation — the
@@ -618,12 +618,15 @@ def embedding_near_dup_ann(
     contract.
 
     ``max_bucket_size`` is the bounded-posting-list guard (the df-cap
-    pattern from text_dedup heavy n-grams) — OPT-IN (default ``None``
-    preserves exact pre-guard recall for existing callers; pairs split
-    across salt sub-buckets in every table are deliberately forgone
-    work, so enabling the cap is a recall decision the caller makes
-    explicitly, as the registry/pipeline rows do): pair work is
-    Σ|bucket|², and
+    pattern from text_dedup heavy n-grams) — ON BY DEFAULT (1024, like
+    ``semantic_dedup``'s cluster cap; r9 ADVICE restored the guarded
+    default after a round with opt-in semantics, because an external
+    caller relying on the default must get the degenerate-bucket
+    quadratic protection, not silently lose it). Pass
+    ``max_bucket_size=None`` to opt OUT explicitly — the exact unguarded
+    form for callers who know their corpus has no degenerate regions and
+    want pre-guard recall (pairs split across salt sub-buckets in every
+    table are deliberately forgone work). Pair work is Σ|bucket|², and
     ``planes`` only controls the EXPECTED bucket size — a degenerate
     corpus region (many identical vectors, exactly what dedup input
     contains) piles into ONE bucket and goes quadratic regardless of the
@@ -717,7 +720,7 @@ def embedding_near_dup_ann_sql(
     planes: int = 4,
     num_tables: int = 8,
     dim: int = 64,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1024,
 ) -> str:
     """DuckDB oracle for :func:`embedding_near_dup_ann`: the SAME
     md5-parity hyperplane signs (last hex digit of md5('plane:i') even
