@@ -223,24 +223,40 @@ def _check_merge_schema(fresh_cols: list[str], existing_cols: list[str]) -> None
         )
 
 
+#: fresh-row count at or under which the append write runs as ONE task
+#: (shuffle-free coalesce) instead of a repartition on the partition
+#: columns — a streaming micro-batch or nightly increment pays no fixed
+#: shuffle latency; a bulk batch still parallelizes one task per
+#: partition tuple. Either shape yields exactly one file per touched dir.
+SMALL_BATCH_ROWS = 100_000
+
+
 def _append_fresh(
-    fresh: DataFrame, vdir: str, partitions: list[str], sort_key: str
+    fresh: DataFrame,
+    vdir: str,
+    partitions: list[str],
+    sort_key: str,
+    n_fresh: int,
 ) -> None:
     """Land the anti-joined fresh rows as NEW part files inside their
     partition dirs of the hardlinked staged tree — ``mode("append")``
     only ever ADDS uniquely-named files, so the base version's
     hardlinked files are untouched and bytes written are O(batch).
-    Repartitioned on the partition columns first (an O(batch) shuffle —
-    the batch, not the store), so each touched partition dir gains
-    EXACTLY ONE new file per merge instead of one per (input partition ×
-    dir) — the small-file growth rate compaction has to absorb stays
-    linear in merges, not in cluster width. Sorted (partition cols, sort
+    Shaped so each touched partition dir gains EXACTLY ONE new file per
+    merge instead of one per (input partition × dir) — the small-file
+    growth rate compaction has to absorb stays linear in merges, not in
+    cluster width: small batches coalesce to one task (no shuffle),
+    large ones repartition on the partition columns (an O(batch)
+    shuffle — the batch, never the store). Sorted (partition cols, sort
     key): the prefix satisfies the partitioned writer (it inserts no
     sort of its own), the suffix keeps each appended file's row-group
     min/max stats tight for point lookups."""
+    if n_fresh <= SMALL_BATCH_ROWS:
+        shaped = fresh.coalesce(1)
+    else:
+        shaped = fresh.repartition(*[F.col(c) for c in partitions])
     (
-        fresh.repartition(*[F.col(c) for c in partitions])
-        .sortWithinPartitions(*partitions, sort_key)
+        shaped.sortWithinPartitions(*partitions, sort_key)
         .write.mode("append")
         .partitionBy(*partitions)
         .parquet(vdir)
@@ -318,7 +334,7 @@ def _merge_write(
         # partial.
         version, vdir = versioned.stage_new(path)
         versioned.link_tree(current_dir, vdir)
-        _append_fresh(fresh, vdir, partitions, sort_key)
+        _append_fresh(fresh, vdir, partitions, sort_key, n_fresh)
         versioned.publish(path, version)
         return int(n_fresh)
 
@@ -430,7 +446,7 @@ def _merge_write_optimistic(
                 return 0
             vdir = versioned.stage_optimistic(path, target)
             versioned.link_tree(base_dir, vdir)
-            _append_fresh(fresh, vdir, partitions, sort_key)
+            _append_fresh(fresh, vdir, partitions, sort_key, n_fresh)
             if versioned.try_publish(path, target, vdir):
                 return int(n_fresh)
         except Exception as e:
