@@ -865,8 +865,9 @@ def test_ivfpq_recall_margin_headroom(spark, sf):
     vector from red — pin the per-query MARGIN (flag-deciding ANN cosine
     above the eps-floor) at every sf, tighter than the registry row's
     margin_floor=0.01, so erosion fails here before the driver's hashed
-    flag ever flips. Measured minima at refine=5:
-    0.0151 / 0.0429 / 0.0232 — widen refine (exact rescans are cheap)
+    flag ever flips. Measured minima at refine=5
+    (r10 driver-side kmeans++ IVF fit, canonical sample order):
+    0.0443 / 0.0429 / 0.0240 — widen refine (exact rescans are cheap)
     rather than loosening this floor."""
     from wcdimportbot_spark.operators.similarity import (
         ann_recall_margins,

@@ -2573,7 +2573,7 @@ QUERIES["sim_ann_pq"].oracle = _ann_oracle()
     "LSH/IVF/PQ rows (raw-codebook composition kept as ivfpq_topk), "
     "HARDENED with the strict margin flag: recall_margin_ok pins the "
     "flag-deciding ANN cosine >= 0.01 above the eps-floor (measured min "
-    "margin 0.0151/0.0429/0.0232 at sf0.001/0.01/0.1, refine=5), so "
+    "margin 0.0443/0.0429/0.0240 at sf0.001/0.01/0.1, refine=5; r10 driver-side kmeans++ IVF fit, canonical sample order), so "
     "margin erosion flips this tighter flag before the real recall "
     "contract ever goes red",
     None,
@@ -2617,8 +2617,8 @@ QUERIES["sim_ann_ivfpq"].oracle = _ann_oracle(margin_floor=0.01)
     "the stored artifacts with the probed-cluster set pushed down as a "
     "PARTITION filter (only nprobe/num_clusters of the files are "
     "read). Emitted as the epsilon-recall + strict-margin contract "
-    "(measured min margin 0.0258/0.0426/0.0167 at sf0.001/0.01/0.1 at "
-    "nprobe=8, refine=4); unlike the other sim_ann rows this one runs "
+    "(measured min margin 0.0500/0.0500/0.0413 at sf0.001/0.01/0.1 at "
+    "nprobe=8, refine=10); unlike the other sim_ann rows this one runs "
     "the FULL build->add->probe maintenance loop per invocation — it "
     "measures the loop, so no session memo",
     None,
@@ -2642,7 +2642,7 @@ def sim_ann_index_maint(spark, sf_dir):
         # materialize before the store is removed: the report's approx
         # side must not re-read deleted parquet
         approx = ann_index_probe(
-            emb, base, num_queries=10, k=5, nprobe=8, refine=4
+            emb, base, num_queries=10, k=5, nprobe=8, refine=10
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -2669,7 +2669,7 @@ QUERIES["sim_ann_index_maint"].oracle = _ann_oracle(margin_floor=0.01)
     "artifacts. Emitted as the epsilon-recall + strict-margin contract "
     "(the post-retrain margin must clear the same floor a fresh build "
     "does — margin RECOVERY is the verified outcome; measured min "
-    "margin 0.0167+ at sf0.001/0.01/0.1 at nprobe=8, refine=4). Runs "
+    "margin 0.0413+ at sf0.001/0.01/0.1 at nprobe=8, refine=10). Runs "
     "the FULL build->grow->retrain->probe lifecycle per invocation — "
     "it measures the loop, so no session memo",
     None,
@@ -2704,7 +2704,7 @@ def sim_ann_retrain(spark, sf_dir):
         # even though both stores republished underneath it
         assert pinned.count() == retrained["n_built"]
         approx = ann_index_probe(
-            emb, base, num_queries=10, k=5, nprobe=8, refine=4
+            emb, base, num_queries=10, k=5, nprobe=8, refine=10
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
