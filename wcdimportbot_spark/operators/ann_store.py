@@ -84,15 +84,29 @@ def _codes_path(base_path: str) -> str:
     return os.path.join(base_path, CODES_DIR)
 
 
+def _codes_shaped(df: DataFrame) -> DataFrame:
+    """One writer task per cluster (the compaction layout discipline):
+    without the repartition every input partition writes its own file
+    into every cluster dir it holds — tasks × clusters tiny files whose
+    footers every probe then opens. One sorted file per cluster dir is
+    both the fastest write and the fastest scan at this artifact's
+    shape. At 100 TB with clusters too large for one task, repartition
+    on (cluster, salt) instead — the probe's partition filter is
+    unchanged."""
+    return df.repartition(F.col("cluster")).sortWithinPartitions(
+        "cluster", "vec_id"
+    )
+
+
 def _write_codes_unlocked(df: DataFrame, path: str) -> None:
     """Stage + publish a codes snapshot partitioned by ``cluster``;
     caller holds the writer lock. Sorted (cluster, vec_id): the prefix
     satisfies the partitioned writer (no inserted sort), the suffix
     keeps vec_id row-group stats tight for point probes."""
     version, vdir = versioned.stage_new(path)
-    df.sortWithinPartitions("cluster", "vec_id").write.mode(
-        "overwrite"
-    ).partitionBy("cluster").parquet(vdir)
+    _codes_shaped(df).write.mode("overwrite").partitionBy("cluster").parquet(
+        vdir
+    )
     versioned.publish(path, version)
 
 
@@ -206,7 +220,7 @@ def ann_index_build(
         )
         versioned.publish_full_optimistic(
             cpath,
-            lambda vdir: codes_out.sortWithinPartitions("cluster", "vec_id")
+            lambda vdir: _codes_shaped(codes_out)
             .write.mode("overwrite")
             .partitionBy("cluster")
             .parquet(vdir),
