@@ -424,3 +424,41 @@ def test_cli_dedup_ingest_two_batches(spark, tmp_path, capsys):
     spark.catalog.refreshByPath(fresh_out)
     fresh_ids = {r["doc_id"] for r in spark.read.parquet(fresh_out).collect()}
     assert fresh_ids == {10, 11, 22}
+
+
+def test_cli_ann_compact_and_sketch_prune(spark, tmp_path, capsys):
+    """Round-10 maintenance surface: --compact --ann-store folds the ANN
+    codes store alongside the graph stores; --sketch-prune ages windows
+    out of the sketch store (folding them into the lifetime row)."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_add_batch,
+        ann_index_build,
+    )
+    from wcdimportbot_spark.streaming.sketch_gate import (
+        windowed_distinct_sketch_batch_fn,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ann = str(tmp_path / "ann")
+    ann_index_build(emb.filter(F.col("vec_id") % 2 == 0), ann)
+    ann_index_add_batch(emb.filter(F.col("vec_id") % 2 == 1), ann)
+
+    store = str(tmp_path / "store")
+    assert main(["--store", store, "--compact", "--ann-store", ann]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ann_codes"]["compacted_partitions"] > 0
+
+    sk = str(tmp_path / "sketch")
+    ev = spark.createDataFrame(
+        [(1, "2024-03-01T10:00:00", 1, "click"),
+         (2, "2024-03-02T10:00:00", 2, "click")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    windowed_distinct_sketch_batch_fn(sk, lg_k=12)(ev, 0)
+    assert main(
+        ["--store", store, "--sketch-store", sk, "--sketch-prune", "2024-03-02"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"pruned_windows": 1}

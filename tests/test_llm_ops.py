@@ -1440,3 +1440,68 @@ def test_ann_store_optimistic_protocol_takes_no_lock(spark, sf_dir, tmp_path):
         assert not os.path.exists(
             os.path.join(base, sub, versioned.LOCK_FILE)
         )
+
+
+def test_ann_codes_compaction_folds_appended_files(spark, sf_dir, tmp_path):
+    """Append-only add-batches grow one file per touched cluster per
+    batch; compact_ann_codes (and the gate's compact_every inline form)
+    folds them back to one sorted file per cluster — content and probe
+    results byte-identical, file count flat. The operational companion
+    the O(batch) write contract relies on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_build,
+        ann_index_probe,
+        compact_ann_codes,
+        read_ann_codes,
+    )
+    from wcdimportbot_spark.streaming.ann_gate import ann_ingest_batch_fn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = str(tmp_path / "ann")
+    ann_index_build(emb.filter(F.col("vec_id") % 4 == 0), base)
+
+    def n_files():
+        d = versioned.data_dir(os.path.join(base, "codes"))
+        return sum(
+            1
+            for root, _d, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    base_files = n_files()
+    # three micro-batches through the gate, compaction inline every 2nd
+    fn = ann_ingest_batch_fn(base, compact_every=2)
+    for i, rem in enumerate((1, 2, 3)):
+        fn(emb.filter(F.col("vec_id") % 4 == rem), i)
+    before = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in read_ann_codes(spark, base).collect()
+    }
+    assert len(before) == emb.count()
+    # batch_id=2 did not trigger inline compaction (2 % 2 != 1): files
+    # accumulated past the compact floor; one explicit pass folds them
+    out = compact_ann_codes(spark, base)
+    assert out["compacted_partitions"] > 0
+    assert n_files() <= base_files
+    after = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in read_ann_codes(spark, base).collect()
+    }
+    assert after == before  # read-only content change
+    # compacting an already-compact store publishes nothing
+    assert compact_ann_codes(spark, base) == {
+        "compacted_partitions": 0,
+        "files_before": 0,
+    }
+    # probes serve the compacted store identically
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_index_probe(emb, base, num_queries=5, k=3).collect()
+    }
+    assert len(got) == 15

@@ -1189,3 +1189,47 @@ def test_windowed_sketch_retention_prune(spark, tmp_path):
     assert prune_windowed_sketches(spark, store, "2024-03-02") == {
         "pruned_windows": 0
     }
+
+
+def test_dedup_gate_inline_compaction(spark, tmp_path):
+    """compact_every on the dedup gate: after the Nth micro-batch the
+    index stores fold to one sorted file per partition, and the gate's
+    dedup semantics are unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.streaming.dedup_gate import incremental_dedup_batch_fn
+
+    index = str(tmp_path / "idx")
+    fresh_out = str(tmp_path / "fresh")
+    fn = incremental_dedup_batch_fn(index, fresh_out, compact_every=2)
+    fn(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    fn(
+        spark.createDataFrame(
+            [
+                (2, "a wholly distinct sentence about shuffle partitions"),
+                (3, "the quick brown fox jumps over the lazy dog tonight"),
+            ],
+            "doc_id long, text string",
+        ),
+        1,  # 1 % 2 == 1 -> inline compaction after this batch
+    )
+    for store in ("hashes", "bands"):
+        d = versioned.data_dir(os.path.join(index, store))
+        per_dir = {}
+        for root, _dirs, files in os.walk(d):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n:
+                per_dir[root] = n
+        assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+    spark.catalog.refreshByPath(fresh_out)
+    fresh_ids = {r["doc_id"] for r in spark.read.parquet(fresh_out).collect()}
+    assert fresh_ids == {1, 2}  # 3 is an exact dup of 1 across batches

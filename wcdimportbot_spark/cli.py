@@ -95,6 +95,12 @@ def main(argv=None) -> int:
         help="windowed distinct-sketch store directory (for --sketch-prune)",
     )
     parser.add_argument(
+        "--ann-store",
+        metavar="DIR",
+        help="maintained ANN index store directory — with --compact, its "
+        "codes store is folded alongside the graph stores",
+    )
+    parser.add_argument(
         "--sketch-prune",
         metavar="CUTOFF",
         help="fold windows with window_start older than CUTOFF "
@@ -293,6 +299,12 @@ def main(argv=None) -> int:
             )
 
             out["dedup_index"] = compact_dedup_index(spark, args.dedup_index)
+        if args.ann_store:
+            from wcdimportbot_spark.operators.ann_store import (
+                compact_ann_codes,
+            )
+
+            out["ann_codes"] = compact_ann_codes(spark, args.ann_store)
         print(json.dumps(out, sort_keys=True))
 
     elif args.sketch_prune:

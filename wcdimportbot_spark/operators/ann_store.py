@@ -490,3 +490,25 @@ def ann_index_stats(spark: SparkSession, base_path: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def compact_ann_codes(
+    spark: SparkSession, base_path: str, protocol: str | None = None
+) -> dict:
+    """Fold the per-add-batch appended files back to one sorted file per
+    cluster partition (the maintenance companion every append-only MERGE
+    store has — items/claims/cache/dedup-index get it via ``--compact``;
+    this is the codes-store form). Read-only content change published as
+    a new snapshot; a store already compact publishes nothing. Under
+    ``protocol="optimistic"`` it commits through the rename arbiter and
+    correctly LOSES races to concurrent add-batches (their new files
+    make the computed layout stale — the rebase recomputes)."""
+    from wcdimportbot_spark.operators import sinks
+
+    return sinks.compact_store(
+        spark,
+        _codes_path(base_path),
+        sort_key="vec_id",
+        partitions=["cluster"],
+        protocol=protocol,
+    )

@@ -49,13 +49,26 @@ def ann_ingest_batch_fn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     protocol: str | None = None,
+    compact_every: int | None = None,
 ):
     """Build the ``foreachBatch`` function for the streaming ANN ingest
     gate. Per micro-batch: optionally write the batch's rows (with
     their ``batch_id``) to the exactly-once accepted ledger, then
     encode-and-merge them into the stored index (idempotent on
-    ``vec_id``; replay is a no-op)."""
-    from wcdimportbot_spark.operators.ann_store import ann_index_add_batch
+    ``vec_id``; replay is a no-op).
+
+    ``compact_every=N`` runs the codes-store compaction after every Nth
+    micro-batch (keyed on ``batch_id % N``, so a replayed batch re-runs
+    the same — idempotent — maintenance): append-only merges add one
+    file per touched cluster per batch, and inline periodic compaction
+    is the standard companion (Delta auto-OPTIMIZE) that keeps probe
+    footer counts flat without a separate scheduler. A compaction that
+    loses an optimistic commit race to a concurrent writer simply
+    rebases — it is just another writer."""
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_add_batch,
+        compact_ann_codes,
+    )
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -73,5 +86,9 @@ def ann_ingest_batch_fn(
             batch, base_path, id_col=id_col, vec_col=vec_col,
             protocol=protocol,
         )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_ann_codes(
+                batch_df.sparkSession, base_path, protocol=protocol
+            )
 
     return fn

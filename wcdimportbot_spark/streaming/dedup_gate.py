@@ -44,6 +44,7 @@ def incremental_dedup_batch_fn(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    compact_every: int | None = None,
 ):
     """Build the ``foreachBatch`` function for the streaming dedup gate.
 
@@ -72,7 +73,14 @@ def incremental_dedup_batch_fn(
     because the probe reads the snapshot the crashed attempt never got
     to mutate (merge runs last). The ingest's writer lock serializes
     index updates, so a concurrent nightly batch job and this stream
-    compose — each merges against the snapshot the other published."""
+    compose — each merges against the snapshot the other published.
+
+    ``compact_every=N`` runs the index compaction
+    (``text_dedup.compact_dedup_index``) after every Nth micro-batch
+    (keyed on ``batch_id % N`` — a replay re-runs the same idempotent
+    maintenance): append-only merges add one file per touched bucket
+    per batch, so inline periodic compaction (Delta auto-OPTIMIZE)
+    keeps probe footer counts flat without a separate scheduler."""
 
     def _write(df: DataFrame, path: str) -> None:
         (
@@ -110,5 +118,11 @@ def incremental_dedup_batch_fn(
             text_col=text_col,
             shingle_n=shingle_n,
         )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            from wcdimportbot_spark.operators.text_dedup import (
+                compact_dedup_index,
+            )
+
+            compact_dedup_index(batch_df.sparkSession, index_path)
 
     return fn
