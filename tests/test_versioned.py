@@ -998,3 +998,24 @@ def test_optimistic_multiwriter_stress_no_lock(spark, tmp_path):
         assert p.returncode == 0, err.decode(errors="replace")[-3000:]
     final = {r["qid"] for r in sinks.read_items(spark, path).select("qid").collect()}
     assert final == base_qids | a_set | b_set, "lost update across lock-free writers"
+
+
+def test_merge_probe_reads_only_touched_buckets(spark, tmp_path):
+    """The anti-join's store read must reach the parquet scan as a
+    PARTITION filter on the hash bucket (plan-pinned): `hb` is a
+    partition column, so probing the touched buckets opens only their
+    files — the read-side half of the O(batch) merge contract."""
+    path = str(tmp_path / "items")
+    rows = [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(64)]
+    sinks.write_items(_items(spark, rows), path)
+    probe = sinks.read_items(spark, path).filter(
+        F.col(sinks.BUCKET_COL).isin([3, 7])
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "hb" in pf[1][:200], plan[:1500]
+    # and the column-pruned anti-key projection reads ONE data column
+    narrow = probe.select("hash")
+    plan2 = narrow._jdf.queryExecution().executedPlan().toString()
+    rs = plan2.split("ReadSchema", 1)
+    assert len(rs) == 2 and "hash" in rs[1][:120] and "label" not in rs[1][:200], plan2[:1500]
