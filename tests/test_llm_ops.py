@@ -1505,3 +1505,33 @@ def test_ann_codes_compaction_folds_appended_files(spark, sf_dir, tmp_path):
         for r in ann_index_probe(emb, base, num_queries=5, k=3).collect()
     }
     assert len(got) == 15
+
+
+def test_incremental_dedup_probe_never_shuffles_the_store(spark, tmp_path):
+    """Round-10 join-side inversion, plan-pinned: the index probe runs
+    as TWO LeftSemi broadcast joins per store (store LEFT-SEMI
+    broadcast(batch keys), then batch LEFT-SEMI broadcast(matched
+    keys)), so the corpus-scale store is only ever a streamed scan —
+    never the build side it cannot be at 100 TB, never under a
+    SortMergeJoin that would shuffle it per micro-batch. A reversion to
+    the single batch-LEFT-SEMI-store join halves the LeftSemi count and
+    fails here even though AQE hides it locally by broadcasting the
+    tiny test store."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index_ingest,
+        incremental_dedup,
+        read_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "idx")
+    dedup_index_ingest(docs.filter(F.col("doc_id") % 2 == 0), base)
+    h, b = read_dedup_index(spark, base)
+    ann = incremental_dedup(docs.filter(F.col("doc_id") % 50 == 1), h, b)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert plan.count("LeftSemi") == 4, plan[:1500]

@@ -633,8 +633,22 @@ def incremental_dedup(
     index once; every batch after that runs this probe and appends its
     own hashes/buckets."""
     hashed = new_docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    # Join-side inversion (round 10): the obvious probe shape —
+    # batch LEFT-SEMI store — puts the CORPUS-scale index on the build
+    # side (a left-semi can only build its right side), which at 100 TB
+    # cannot broadcast and degenerates to shuffling the whole store per
+    # micro-batch. Flipping it — store LEFT-SEMI broadcast(batch keys),
+    # then batch LEFT-SEMI broadcast(matched keys, ≤|batch| rows) —
+    # keeps the store a pure streamed SCAN (no Exchange on it, ever)
+    # with both hash tables bounded by the batch. Same membership
+    # semantics; plan-pinned in tests/test_llm_ops.py.
+    matched_hashes = history_hashes.join(
+        F.broadcast(hashed.select("text_hash").distinct()),
+        "text_hash",
+        "left_semi",
+    )
     exact_ids = (
-        hashed.join(history_hashes, "text_hash", "left_semi")
+        hashed.join(F.broadcast(matched_hashes), "text_hash", "left_semi")
         .select(id_col)
         .withColumn("_e", F.lit(True))
     )
@@ -648,8 +662,15 @@ def incremental_dedup(
             bands,
             id_col,
         )
+    matched_buckets = history_bands.join(
+        F.broadcast(new_bands.select("band", "bucket").distinct()),
+        ["band", "bucket"],
+        "left_semi",
+    )
     near_ids = (
-        new_bands.join(history_bands, ["band", "bucket"], "left_semi")
+        new_bands.join(
+            F.broadcast(matched_buckets), ["band", "bucket"], "left_semi"
+        )
         .select(id_col)
         .distinct()
         .withColumn("_n", F.lit(True))
