@@ -207,6 +207,29 @@ def _partition_values_predicate(rows, cols: list[str]):
     return cond
 
 
+def _matched_keys(existing: DataFrame, new_b: DataFrame, anti_key: str):
+    """The batch keys ALREADY present in the store, computed with the
+    store on the STREAM side (round-10 join inversion, same reasoning as
+    the dedup probe, text_dedup.incremental_dedup): the naive
+    ``batch LEFT-ANTI existing-keys`` builds a hash table of every
+    existing key in the touched partitions — at 100 TB that is the
+    store, which cannot broadcast, degenerating the insert-if-absent
+    probe to a per-batch store shuffle. Here the store is scanned once
+    (column-pruned to the key), semi-joined against the BROADCAST batch
+    keys, and deduped — every hash table and the result are bounded by
+    the batch. The caller anti-joins the batch against the broadcast of
+    this ≤|batch|-row relation."""
+    return (
+        existing.select(anti_key)
+        .join(
+            F.broadcast(new_b.select(anti_key).distinct()),
+            anti_key,
+            "left_semi",
+        )
+        .distinct()
+    )
+
+
 def _check_merge_schema(fresh_cols: list[str], existing_cols: list[str]) -> None:
     """Append-only merges never union against the base relation, so the
     column-set guard the old ``unionByName`` gave for free lives here: a
@@ -323,7 +346,9 @@ def _merge_write(
         _check_merge_schema(new_b.columns, existing.columns)
         # materialize before staging: the plan reads the current snapshot
         fresh = new_b.join(
-            existing.select(anti_key).distinct(), anti_key, "left_anti"
+            F.broadcast(_matched_keys(existing, new_b, anti_key)),
+            anti_key,
+            "left_anti",
         ).localCheckpoint(eager=True)
         n_fresh = fresh.count()
         if not n_fresh:
@@ -436,7 +461,9 @@ def _merge_write_optimistic(
             # block manager, decoupled from base files a competitor's
             # prune might remove
             fresh = new_b.join(
-                existing.select(anti_key).distinct(), anti_key, "left_anti"
+                F.broadcast(_matched_keys(existing, new_b, anti_key)),
+                anti_key,
+                "left_anti",
             ).localCheckpoint(eager=True)
             n_fresh = fresh.count()
             if not n_fresh:
