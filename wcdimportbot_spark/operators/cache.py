@@ -80,14 +80,21 @@ def split_hits_and_misses(
     broadcast would be the wrong unmarked path. Pass ``broadcast=True``
     only when the cache is known-small (local harness, bootstrap runs) —
     AQE picks broadcast automatically anyway when the runtime size is
-    under the threshold."""
+    under the threshold.
+
+    The miss side derives from the HIT keys rather than a direct
+    ``entities LEFT-ANTI cache`` (round-10 join inversion, the
+    text_dedup/sinks probe reasoning): an anti-join can only build its
+    right side, so at scale it would hash-build the billion-row cache;
+    the inner join has no such constraint (the small batch side builds),
+    and its distinct hit keys — bounded by the batch — broadcast into
+    the anti-join instead."""
     cache_side = F.broadcast(cache) if broadcast else cache
     hits = entities.join(
         cache_side, entities[hash_col] == cache_side["hash"], "inner"
     ).drop(cache_side["hash"])
-    misses = entities.join(
-        cache_side, entities[hash_col] == cache_side["hash"], "left_anti"
-    )
+    matched = hits.select(hash_col).distinct()
+    misses = entities.join(F.broadcast(matched), hash_col, "left_anti")
     return hits, misses
 
 
