@@ -55,8 +55,21 @@ def import_pages_to_store(
         "_page_hash",
         page_hash(F.col("title"), F.col("language_code"), F.col("page_id")),
     )
+    # join inversion (round 10, see operators/sinks._matched_keys): the
+    # anti-join builds its right side, and at scale the cache cannot
+    # broadcast — probe with the cache on the STREAM side instead, then
+    # anti-join the batch against the broadcast matched keys (≤|batch|)
+    _seen = (
+        cache.select(F.col("hash").alias("_page_hash"))
+        .join(
+            F.broadcast(pages.select("_page_hash").distinct()),
+            "_page_hash",
+            "left_semi",
+        )
+        .distinct()
+    )
     pages = pages.join(
-        cache.select(F.col("hash").alias("_page_hash")), "_page_hash", "left_anti"
+        F.broadcast(_seen), "_page_hash", "left_anti"
     ).drop("_page_hash")
     result = run_import(pages, cache=cache)
     # materialize counts BEFORE the writers overwrite the store paths these
