@@ -462,3 +462,48 @@ def test_cli_ann_compact_and_sketch_prune(spark, tmp_path, capsys):
     ) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"pruned_windows": 1}
+
+
+def test_cli_ann_lifecycle(spark, tmp_path, capsys):
+    """--ann-build / --ann-add / --ann-probe / --ann-retrain: the full
+    maintained-index lifecycle drivable from the command surface, like
+    the dedup loop's --dedup-ingest."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    built = str(tmp_path / "built.parquet")
+    rest = str(tmp_path / "rest.parquet")
+    emb.filter(F.col("vec_id") % 3 != 2).write.parquet(built)
+    emb.filter(F.col("vec_id") % 3 == 2).write.parquet(rest)
+    full = "/root/testdata/sf0.001/embeddings.parquet"
+    store = str(tmp_path / "store")
+    ann = str(tmp_path / "ann")
+
+    assert main(["--store", store, "--ann-store", ann, "--ann-build", built]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_built = out["n_built"]
+    assert n_built > 0 and out["model_version"] == "v00000001"
+
+    assert main(["--store", store, "--ann-store", ann, "--ann-add", rest]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["added"] > 0 and out["skipped"] == 0
+    added = out["added"]
+
+    # replay: idempotent
+    assert main(["--store", store, "--ann-store", ann, "--ann-add", rest]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"added": 0, "skipped": added}
+
+    assert main(
+        ["--store", store, "--ann-store", ann, "--ann-probe", full,
+         "--num-queries", "3", "--topk", "2"]
+    ) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 6
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(r["rank"] in (1, 2) for r in rows)
+
+    assert main(["--store", store, "--ann-store", ann, "--ann-retrain", full]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_built"] == n_built + added
+    assert out["retrained_from"] == "v00000001"

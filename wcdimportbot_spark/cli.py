@@ -98,7 +98,42 @@ def main(argv=None) -> int:
         "--ann-store",
         metavar="DIR",
         help="maintained ANN index store directory — with --compact, its "
-        "codes store is folded alongside the graph stores",
+        "codes store is folded alongside the graph stores; target of the "
+        "--ann-build/--ann-add/--ann-probe/--ann-retrain lifecycle",
+    )
+    parser.add_argument(
+        "--ann-build",
+        metavar="EMB",
+        help="build the IVFPQ index from an embeddings parquet into "
+        "--ann-store (full rewrite, new snapshot versions)",
+    )
+    parser.add_argument(
+        "--ann-add",
+        metavar="EMB",
+        help="incrementally add an embeddings parquet to --ann-store "
+        "under the frozen model (idempotent insert-if-absent; the "
+        "production ingest loop)",
+    )
+    parser.add_argument(
+        "--ann-probe",
+        metavar="EMB",
+        help="serve top-k neighbors for the first --num-queries vectors "
+        "of an embeddings parquet from the stored index; prints JSON "
+        "rows",
+    )
+    parser.add_argument(
+        "--ann-retrain",
+        metavar="EMB",
+        help="rebuild --ann-store from an embeddings parquet under the "
+        "stored hyperparameters (the staleness-contract retrain; "
+        "concurrent probes keep serving the superseded snapshots)",
+    )
+    parser.add_argument(
+        "--topk", type=int, default=5, help="with --ann-probe: neighbors per query"
+    )
+    parser.add_argument(
+        "--num-queries", type=int, default=10,
+        help="with --ann-probe: how many leading vectors to use as queries",
     )
     parser.add_argument(
         "--sketch-prune",
@@ -443,6 +478,43 @@ def main(argv=None) -> int:
                 }
             )
         )
+
+    elif args.ann_build or args.ann_add or args.ann_probe or args.ann_retrain:
+        if not args.ann_store:
+            parser.error("the --ann-* lifecycle needs --ann-store <dir>")
+        from wcdimportbot_spark.operators import ann_store as ann
+
+        if args.ann_build:
+            stats = ann.ann_index_build(
+                spark.read.parquet(args.ann_build), args.ann_store
+            )
+            print(json.dumps({k: stats[k] for k in ("n_built", "model_version",
+                                                    "num_clusters", "m", "n_codes")}))
+        elif args.ann_add:
+            res = ann.ann_index_add_batch(
+                spark.read.parquet(args.ann_add), args.ann_store
+            )
+            print(json.dumps(res))
+        elif args.ann_retrain:
+            stats = ann.ann_retrain(
+                spark.read.parquet(args.ann_retrain), args.ann_store
+            )
+            print(json.dumps({k: stats[k] for k in ("n_built", "model_version",
+                                                    "retrained_from")}))
+        else:
+            rows = ann.ann_index_probe(
+                spark.read.parquet(args.ann_probe),
+                args.ann_store,
+                num_queries=args.num_queries,
+                k=args.topk,
+            ).collect()
+            for r in rows:
+                print(json.dumps({
+                    "query_id": r["query_id"],
+                    "neighbor_id": r["neighbor_id"],
+                    "cosine": r["cosine"],
+                    "rank": r["rank"],
+                }))
 
     elif args.bpe_train or args.bpe_encode:
         from wcdimportbot_spark.operators.bpe import (
