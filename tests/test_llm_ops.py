@@ -1535,3 +1535,110 @@ def test_incremental_dedup_probe_never_shuffles_the_store(spark, tmp_path):
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan[:1500]
     assert plan.count("LeftSemi") == 4, plan[:1500]
+
+
+def test_ann_pair_probe_survives_model_only_publish(spark, sf_dir, tmp_path):
+    """r10 ADVICE (medium #1): model and codes are separate versioned
+    stores, so a probe racing a retrain could pair the NEW centroids
+    with OLD codes (residuals decoded against the wrong centroids).
+    The codes snapshot's _MODEL_VERSION stamp closes the window: after
+    a model-only publish (exactly the crash/race window mid-retrain),
+    the probe must still load the STAMPED v1 model and return identical
+    results — never the fresh model."""
+    import numpy as np
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.ann_store import (
+        _model_path,
+        _populate_model,
+        ann_index_build,
+        ann_index_probe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = str(tmp_path / "ann")
+    built = ann_index_build(emb, base)
+    assert built["model_version"] == "v00000001"
+    before = sorted(
+        tuple(r)
+        for r in ann_index_probe(emb, base, num_queries=5, k=3).collect()
+    )
+    # model-only publish: garbage centroids/codebooks as model v2 (the
+    # state between a retrain's two publishes, or its crash window)
+    meta = {k: built[k] for k in ("num_clusters", "m", "n_codes", "subdim", "dim", "seed")}
+    meta["n_built"] = 1
+    garbage_cent = np.zeros((meta["num_clusters"], meta["dim"]))
+    garbage_books = np.zeros((meta["m"], meta["n_codes"], meta["subdim"]))
+    mpath = _model_path(base)
+    with versioned.writer_lock(mpath):
+        version, vdir = versioned.stage_new(mpath)
+        _populate_model(vdir, garbage_cent, garbage_books, meta)
+        versioned.publish(mpath, version)
+    assert versioned.current_version(mpath) == "v00000002"
+    after = sorted(
+        tuple(r)
+        for r in ann_index_probe(emb, base, num_queries=5, k=3).collect()
+    )
+    assert after == before, "probe paired fresh model with old codes"
+
+
+def test_ann_add_batch_reencodes_after_retrain_race(spark, sf_dir, tmp_path, monkeypatch):
+    """r10 ADVICE (medium #2): a retrain publishing between an
+    add-batch's model load and its merge must force a RE-ENCODE — the
+    optimistic rebase alone re-runs only the anti-join, so without the
+    stamp guard the stale-cluster codes would merge and be pinned
+    forever by insert-if-absent. Simulated deterministically: the first
+    encode triggers a full retrain mid-call; the guard must reject the
+    stale batch, and the retry's codes must match a reference encode
+    under the NEW model."""
+    from wcdimportbot_spark.operators import ann_store
+    from wcdimportbot_spark.operators.ann_store import (
+        _codes_path,
+        _encode_with_model,
+        _read_model_stamp,
+        ann_index_add_batch,
+        ann_index_build,
+        ann_retrain,
+        load_ann_model,
+        read_ann_codes,
+    )
+    from wcdimportbot_spark.operators import versioned
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    batch = emb.filter(F.col("vec_id") % 3 != 0)
+    base = str(tmp_path / "ann")
+    ann_index_build(first, base)
+
+    calls = {"n": 0}
+    real_encode = _encode_with_model
+
+    def racing_encode(vecs, cent, books, id_col, vec_col):
+        calls["n"] += 1
+        out = real_encode(vecs, cent, books, id_col, vec_col)
+        if calls["n"] == 1:
+            # the concurrent retrain, landing between model load & merge
+            ann_retrain(first, base)
+        return out
+
+    monkeypatch.setattr(ann_store, "_encode_with_model", racing_encode)
+    res = ann_index_add_batch(batch, base)
+    assert calls["n"] == 2, "stale batch must be re-encoded, not rebased"
+    assert res["added"] == batch.count()
+    # stored codes for the batch == a reference encode under the NEW model
+    mv = versioned.current_version(ann_store._model_path(base))
+    stamp = _read_model_stamp(versioned.data_dir(_codes_path(base)))
+    assert stamp == mv == "v00000002"
+    cent, books, _meta = load_ann_model(spark, base, version=mv)
+    want = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in real_encode(batch, cent, books, "vec_id", "embedding").collect()
+    }
+    got = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in read_ann_codes(spark, base)
+        .join(batch.select("vec_id"), "vec_id", "left_semi")
+        .collect()
+    }
+    assert got == want, "merged codes are not the new-model encoding"

@@ -412,38 +412,33 @@ def main(argv=None) -> int:
                 & (F.col("label") == shorten(F.lit(args.delete_page), 250))
             )
             .select("qid", "hash")
-            # materialize: this plan is reused by the claims anti-join AFTER
-            # write_items has replaced the files it reads
+            # materialize: reused by three pruned deletes, each of which
+            # replaces the snapshot the plan would otherwise re-read
             .localCheckpoint(eager=True)
-        )
-        n = doomed.count()
-        kept_items = items.join(doomed.select("qid"), "qid", "left_anti").localCheckpoint(
-            eager=True
         )
         from wcdimportbot_spark.operators import cache as cache_ops
         from wcdimportbot_spark.operators import sinks
 
-        sinks.write_items(kept_items, paths["items"])
+        # pruned copy-on-write deletes (r10 verdict #1): untouched bucket
+        # dirs survive as hardlinks in the new snapshot; only buckets
+        # actually holding the doomed page are rewritten. Deleting an
+        # already-deleted page is swallowed (n == 0), the reference's
+        # tolerant delete (crud/delete.py:44-61).
+        n = sinks.merge_delete_items(spark, doomed.select("hash"), paths["items"])
         if claims is not None:
-            kept_claims = claims.join(
+            sinks.merge_delete_claims(
+                spark,
                 doomed.select(F.col("qid").alias("subject_qid")),
-                "subject_qid",
-                "left_anti",
-            ).localCheckpoint(eager=True)
-            sinks.write_claims(kept_claims, paths["claims"])
+                paths["claims"],
+            )
         # the reference also deletes the page hash from the cache
         # (src/__init__.py:181); without this the import path's P12
         # already-uploaded anti-join sees the stale hash and a deleted page
         # can never be re-imported ("0 new items" forever)
-        if n > 0:
-            from wcdimportbot_spark.operators.sinks import has_parquet_data
-
-            if has_parquet_data(paths["cache"]):
-                cache = cache_ops.read_cache(spark, paths["cache"])
-                kept_cache = cache_ops.delete_keys(
-                    cache, doomed.select("hash")
-                ).localCheckpoint(eager=True)
-                cache_ops.write_cache(kept_cache, paths["cache"])
+        if n > 0 and sinks.has_parquet_data(paths["cache"]):
+            cache_ops.merge_delete_cache(
+                spark, doomed.select("hash"), paths["cache"]
+            )
         print(f"deleted {n} page item(s) titled {args.delete_page!r}")
 
     elif args.dedup_ingest:

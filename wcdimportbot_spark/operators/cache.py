@@ -82,18 +82,29 @@ def split_hits_and_misses(
     AQE picks broadcast automatically anyway when the runtime size is
     under the threshold.
 
-    The miss side derives from the HIT keys rather than a direct
+    The miss side derives from the MATCHED keys rather than a direct
     ``entities LEFT-ANTI cache`` (round-10 join inversion, the
     text_dedup/sinks probe reasoning): an anti-join can only build its
-    right side, so at scale it would hash-build the billion-row cache;
-    the inner join has no such constraint (the small batch side builds),
-    and its distinct hit keys — bounded by the batch — broadcast into
-    the anti-join instead."""
+    right side, so at scale it would hash-build the billion-row cache.
+    Matched keys are computed INDEPENDENTLY of the hits plan — cache
+    column-pruned to its key, semi-joined against the broadcast batch
+    keys (the ``sinks._matched_keys`` shape) — so an action on
+    ``misses`` scans the cache once through a cheap semi-join instead
+    of re-executing the full entities×cache hits JOIN a second time
+    (r10 ADVICE)."""
     cache_side = F.broadcast(cache) if broadcast else cache
     hits = entities.join(
         cache_side, entities[hash_col] == cache_side["hash"], "inner"
     ).drop(cache_side["hash"])
-    matched = hits.select(hash_col).distinct()
+    matched = (
+        cache.select(F.col("hash").alias(hash_col))
+        .join(
+            F.broadcast(entities.select(hash_col).distinct()),
+            hash_col,
+            "left_semi",
+        )
+        .distinct()
+    )
     misses = entities.join(F.broadcast(matched), hash_col, "left_anti")
     return hits, misses
 
@@ -185,5 +196,35 @@ def merge_write_cache(
 
 
 def delete_keys(cache: DataFrame, hashes: DataFrame) -> DataFrame:
-    """S8 — ``DELETE WHERE hash IN (...)`` as an anti-join rewrite."""
+    """S8 — ``DELETE WHERE hash IN (...)`` as an anti-join RELATION (no
+    write): correct for in-memory pipelines and for delete-all/rinse,
+    where the full rewrite is the optimal plan. The persisted point-
+    delete path is :func:`merge_delete_cache`, which rewrites only the
+    touched buckets (r10 verdict #1)."""
     return cache.join(hashes.select("hash"), "hash", "left_anti")
+
+
+def merge_delete_cache(
+    spark: SparkSession,
+    hashes: DataFrame,
+    path: str,
+    protocol: str | None = None,
+) -> int:
+    """S8 persisted point delete: partition-pruned copy-on-write through
+    the shared delete engine (operators/sinks.delete_from_store) —
+    untouched bucket dirs are hardlinked into the new snapshot, only
+    buckets holding doomed hashes are rewritten minus those rows.
+    O(touched buckets) instead of the old full anti-join rewrite.
+    Deleting an absent hash is swallowed (returns 0), mirroring SSDB's
+    tolerant delete in the reference (``cache.py:16-162``)."""
+    from wcdimportbot_spark.operators import sinks
+
+    return sinks.delete_from_store(
+        spark,
+        hashes,
+        path,
+        key="hash",
+        bucket_key="hash",
+        partitions=[sinks.BUCKET_COL],
+        protocol=protocol,
+    )

@@ -309,11 +309,14 @@ def ann_recall_report_sql(
     recall_floor: float = 0.6,
     dim: int = 64,
     margin_floor: float | None = None,
+    exclude_sql: str | None = None,
 ) -> str:
     """Closed-form DuckDB oracle for :func:`ann_recall_report`: exact top-1
     and k-th cosine per query point by brute force, the contract constants,
     and all-true tolerance flags (including the strict margin flag when
-    ``margin_floor`` is set)."""
+    ``margin_floor`` is set). ``exclude_sql`` is an extra predicate on the
+    NEIGHBOR side (alias ``v``) — the delete-propagation row's oracle
+    computes exact top-k over the corpus MINUS the deleted ids."""
     margin_cols = (
         f""",
            CAST({margin_floor} AS DOUBLE) AS margin_floor,
@@ -329,6 +332,7 @@ def ann_recall_report_sql(
                SQRT(SUM(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) AS vn
         FROM {table} q, {table} v, UNNEST(range(1, {dim + 1})) AS t(i)
         WHERE q.vec_id < {num_queries} AND v.vec_id <> q.vec_id
+          {f"AND ({exclude_sql})" if exclude_sql else ""}
         GROUP BY 1, 2
     ),
     ranked AS (
@@ -1306,13 +1310,23 @@ def _kmeans_train(sample: "np.ndarray", k: int, seed: int):
         c2 = (centers ** 2).sum(axis=1)
         scores = c2[None, :] - 2.0 * (sample @ centers.T)
         assign = scores.argmin(axis=1)
+        d_far = None  # lazily built; only iterations with empty clusters pay
         for c in range(kk):
             mask = assign == c
             if mask.any():
                 centers[c] = sample[mask].mean(axis=0)
             else:
-                # true squared distance needs the ||x||² term back
-                centers[c] = sample[(scores.min(axis=1) + x2).argmax()]
+                # true squared distance needs the ||x||² term back.
+                # Knock each chosen point out of the ranking so several
+                # clusters emptying in the SAME iteration reseed to
+                # DISTINCT farthest points — reusing one point would
+                # duplicate centroids, and argmin ties to the lowest
+                # index, permanently merging those clusters (r10 ADVICE)
+                if d_far is None:
+                    d_far = scores.min(axis=1) + x2
+                far = int(d_far.argmax())
+                centers[c] = sample[far]
+                d_far[far] = -np.inf
     if kk < k:  # tiny corpus: pad by repeating centers (ties pick the
         # lowest index in _nearest_center's argmin — deterministic)
         centers = np.concatenate(

@@ -48,6 +48,7 @@ the writers for Delta MERGE — the function contracts are unchanged.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -230,20 +231,89 @@ def _matched_keys(existing: DataFrame, new_b: DataFrame, anti_key: str):
     )
 
 
-def _check_merge_schema(fresh_cols: list[str], existing_cols: list[str]) -> None:
+#: per-snapshot sidecar recording the store's CURRENT logical schema —
+#: the plain-parquet analog of Delta's log-held schema. Needed the moment
+#: additive evolution lands a column that exists only in fresh files:
+#: default parquet schema inference reads ONE footer, so the new column
+#: would be invisible (or visible) depending on which file wins, and a
+#: full-footer mergeSchema sweep is exactly what a 100 TB store cannot
+#: afford per read. Reads pass the sidecar schema explicitly; parquet's
+#: by-name resolution then fills the column with nulls in old files.
+#: Spark ignores ``_``-prefixed files; hardlinking carries it forward.
+SCHEMA_SIDECAR = "_SCHEMA.json"
+
+
+def _write_schema_sidecar(vdir: str, schema) -> None:
+    """Record ``schema`` (a StructType) as the staged version's logical
+    schema. Unlink-then-write: the file may be a HARDLINK shared with
+    retained older versions (link_tree carries it forward); writing in
+    place would corrupt the immutable snapshots' copy."""
+    p = os.path.join(vdir, SCHEMA_SIDECAR)
+    if os.path.exists(p):
+        os.unlink(p)
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(schema.json())
+
+
+def _sidecar_schema(snapshot_dir: str):
+    """The snapshot's recorded logical schema, or None for stores that
+    never evolved (single-footer inference is then exact)."""
+    from pyspark.sql import types as T
+
+    try:
+        with open(
+            os.path.join(snapshot_dir, SCHEMA_SIDECAR), encoding="utf-8"
+        ) as f:
+            return T.StructType.fromJson(json.loads(f.read()))
+    except OSError:
+        return None
+
+
+def _read_tree(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read an already-resolved snapshot directory, honoring the schema
+    sidecar when present — EVERY reader of store bytes (merge base,
+    compaction, delete, read_snapshot) must come through here or an
+    evolved column silently vanishes for old files."""
+    spark.catalog.refreshByPath(snapshot_dir)
+    schema = _sidecar_schema(snapshot_dir)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(snapshot_dir)
+    return spark.read.parquet(snapshot_dir)
+
+
+def _check_merge_schema(
+    fresh_cols: list[str],
+    existing_cols: list[str],
+    allow_additive: bool = False,
+) -> list[str]:
     """Append-only merges never union against the base relation, so the
     column-set guard the old ``unionByName`` gave for free lives here: a
     batch whose columns diverge from the store must fail LOUDLY before
     any file lands (a silent parquet-by-name schema drift would poison
     every later read). Column ORDER is irrelevant — parquet resolves by
-    name across files."""
+    name across files.
+
+    ``allow_additive=True`` is the explicit evolution opt-in (Delta's
+    ``mergeSchema``): a batch may carry NEW columns — they land in the
+    fresh files only, the snapshot's schema sidecar grows, and old rows
+    read as null. MISSING columns still fail loudly either way (the
+    reference's record type only ever accretes optional fields,
+    ``wikipedia_page_reference.py:81-420`` — it never drops them).
+    Returns the new column names (empty unless evolving)."""
     missing = sorted(set(existing_cols) - set(fresh_cols))
     extra = sorted(set(fresh_cols) - set(existing_cols))
-    if missing or extra:
+    if missing or (extra and not allow_additive):
         raise ValueError(
             f"merge batch schema mismatch vs store: missing {missing}, "
             f"unexpected {extra}"
+            + (
+                ""
+                if allow_additive
+                else " (pass allow_additive=True to evolve the store "
+                "schema with new columns)"
+            )
         )
+    return extra
 
 
 #: fresh-row count at or under which the append write runs as ONE task
@@ -299,6 +369,7 @@ def _merge_write(
     write_fn,
     prune_col: str = BUCKET_COL,
     sort_key: str | None = None,
+    base_guard=None,
 ) -> int:
     """Shared bucket-level MERGE engine (insert-if-absent, existing rows
     win). ``anti_key`` must determine ``prune_col`` (it does for every
@@ -312,7 +383,13 @@ def _merge_write(
 
     ``bucket_key=None`` skips the hash-bucket attach for stores whose
     partition layout is domain-derived (the ANN codes store's
-    ``cluster``) — ``new_df`` must then already carry ``prune_col``."""
+    ``cluster``) — ``new_df`` must then already carry ``prune_col``.
+
+    ``base_guard(base_dir)`` — optional precondition on the RESOLVED
+    base snapshot, evaluated under the writer lock so it holds for the
+    exact tree being merged against (the ANN add-batch verifies the
+    codes store's recorded model version matches the model the batch
+    was encoded under — r10 ADVICE). Raise to abort the merge."""
     sort_key = sort_key or anti_key
     if dedup_key is not None:
         new_df = new_df.dropDuplicates([dedup_key])
@@ -337,6 +414,8 @@ def _merge_write(
             return int(n)
         spark.catalog.refreshByPath(path)
         current_dir = versioned.data_dir(path)
+        if base_guard is not None:
+            base_guard(current_dir)
         touched = [
             r[prune_col] for r in new_b.select(prune_col).distinct().collect()
         ]
@@ -392,6 +471,7 @@ def _merge_write_optimistic(
     dedup_key: str | None,
     prune_col: str = BUCKET_COL,
     sort_key: str | None = None,
+    base_guard=None,
 ) -> int:
     """Lock-free MERGE under the optimistic commit protocol
     (versioned.py §optimistic): resolve the base from the version LOG,
@@ -453,6 +533,11 @@ def _merge_write_optimistic(
                 if versioned.try_publish(path, target, vdir):
                     return int(n)
                 continue
+            if base_guard is not None:
+                # re-checked on EVERY rebase: the race the guard exists
+                # for (a retrain publishing between encode and commit)
+                # can equally land between two attempts (r10 ADVICE)
+                base_guard(base_dir)
             existing = spark.read.parquet(base_dir).filter(
                 F.col(prune_col).isin(touched)
             )
@@ -555,6 +640,271 @@ def merge_write_claims(
         dedup_key=None,
         read_fn=read_claims,
         write_fn=_write_claims_unlocked,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pruned copy-on-write DELETE (r10 verdict #1 — the symmetric twin of the
+# append-only insert fix). A point delete (one page re-imported, a
+# GDPR-style purge of 100 hashes) must not rewrite a 100 TB store the way
+# the full anti-join rewrite does: the partition layout already prunes the
+# READ side of every merge, so the WRITE side of a delete can reuse it —
+# hardlink every untouched partition dir into the new version (metadata
+# only), rewrite only the touched partitions minus the doomed rows.
+# Cost: O(touched partitions), not O(store). Delta's DELETE does exactly
+# this (rewrite only files containing matches); rinse/delete-all keeps the
+# full-rewrite writers — for those the full rewrite IS the optimal plan.
+# ---------------------------------------------------------------------------
+
+
+def _partition_relpath(tuple_row, partitions: list[str]) -> str:
+    """The snapshot-relative directory a partition tuple lives in —
+    Spark's ``col=value`` layout. Our partition values are plain
+    identifiers and ints (instance_of/property names, bucket/cluster
+    numbers), which Spark writes literally; the caller verifies each
+    constructed path actually exists in the base tree, so an escaping
+    mismatch surfaces as a loud error, never a silently-unpruned dir."""
+    return "/".join(f"{c}={tuple_row[c]}" for c in partitions)
+
+
+def _delete_plan(
+    spark: SparkSession,
+    base_dir: str,
+    keys_b: DataFrame,
+    *,
+    key: str,
+    partitions: list[str],
+    prune_col: str,
+    touched_prunes: list,
+):
+    """Shared read-side body of both delete protocols, against an
+    already-resolved immutable snapshot: returns ``(n_doomed,
+    touched_tuples, exclude_relpaths, kept_df)`` where ``kept_df`` is the
+    MATERIALIZED rewrite content for the touched partitions (empty
+    partitions simply produce no rows → their dir is absent from the new
+    version, which a dynamic overwrite could never do). ``n_doomed`` of 0
+    means nothing matched — delete-twice is swallowed, mirroring the
+    reference's tolerant delete (``crud/delete.py:44-61``).
+
+    Scale shape: the store is read ONCE, partition-pruned to the buckets
+    the key list can possibly live in; the doomed-row probe is the
+    round-10 inversion (store scanned stream-side, semi-joined against
+    the BROADCAST key list), so every hash table is bounded by the key
+    list, never the store."""
+    snap = spark.read.parquet(base_dir)
+    pruned = snap.filter(F.col(prune_col).isin(touched_prunes))
+    keys_only = F.broadcast(keys_b.select(key).distinct())
+    # one pass gives both the touched partition tuples (bounded by the
+    # partition schema) and the doomed-row count
+    stats = (
+        pruned.join(keys_only, key, "left_semi")
+        .groupBy(*partitions)
+        .agg(F.count("*").alias("_n_doomed"))
+        .collect()
+    )
+    if not stats:
+        return 0, [], set(), None
+    n_doomed = int(sum(r["_n_doomed"] for r in stats))
+    exclude = {_partition_relpath(r, partitions) for r in stats}
+    missing = [p for p in exclude if not os.path.isdir(os.path.join(base_dir, p))]
+    if missing:
+        raise ValueError(
+            f"partition dirs not found under {base_dir}: {missing} — "
+            f"value escaping mismatch; refusing an unpruned delete"
+        )
+    kept = (
+        pruned.filter(_partition_values_predicate(stats, partitions))
+        .join(keys_only, key, "left_anti")
+        .localCheckpoint(eager=True)  # decouple from base files pre-stage
+    )
+    return n_doomed, stats, exclude, kept
+
+
+def _write_kept(
+    kept: DataFrame, vdir: str, partitions: list[str], sort_key: str
+) -> None:
+    """One task per rewritten partition tuple → exactly one file each,
+    sorted (partition cols, lookup key) like every store writer."""
+    (
+        kept.repartition(*[F.col(c) for c in partitions])
+        .sortWithinPartitions(*partitions, sort_key)
+        .write.mode("append")
+        .partitionBy(*partitions)
+        .parquet(vdir)
+    )
+
+
+def delete_from_store(
+    spark: SparkSession,
+    doomed_keys: DataFrame,
+    path: str,
+    *,
+    key: str,
+    bucket_key: str | None,
+    partitions: list[str],
+    prune_col: str = BUCKET_COL,
+    sort_key: str | None = None,
+    protocol: str | None = None,
+) -> int:
+    """``DELETE FROM store WHERE key IN (doomed_keys)`` as a partition-
+    pruned copy-on-write snapshot: every UNTOUCHED partition dir is
+    hardlinked into the new version (no data copied, same inodes —
+    pinned by the ``s11_pruned_delete`` registry row exactly like the
+    insert side's ``s10_append_only_merge``), and only partitions
+    actually holding doomed rows are rewritten minus those rows. Keys
+    absent from the store are swallowed (delete-twice is a no-op
+    returning 0 — the reference's tolerant delete contract,
+    ``crud/delete.py:44-61``; ``tests/test_wikibase_crud.py:168-342``).
+    Returns the number of rows deleted.
+
+    ``bucket_key`` derives ``prune_col`` from ``key`` for hash-bucketed
+    stores; pass ``None`` when ``doomed_keys`` already carries
+    ``prune_col`` (the ANN codes store's domain-derived ``cluster``).
+    ``protocol="optimistic"`` (or ``WCD_STORE_PROTOCOL``) commits
+    lock-free through the rename arbiter like every other writer."""
+    sort_key = sort_key or key
+    keys_b = (
+        with_bucket(doomed_keys.select(key), key)
+        if bucket_key
+        else doomed_keys.select(key, prune_col)
+    )
+    touched_prunes = [
+        r[prune_col] for r in keys_b.select(prune_col).distinct().collect()
+    ]
+    if not touched_prunes:
+        return 0
+    if _merge_protocol(protocol) == "optimistic":
+        return _delete_from_store_optimistic(
+            spark,
+            keys_b,
+            path,
+            key=key,
+            partitions=partitions,
+            prune_col=prune_col,
+            sort_key=sort_key,
+            touched_prunes=touched_prunes,
+        )
+    with versioned.writer_lock(path):
+        if not has_parquet_data(path):
+            return 0
+        spark.catalog.refreshByPath(path)
+        current_dir = versioned.data_dir(path)
+        n_doomed, _stats, exclude, kept = _delete_plan(
+            spark,
+            current_dir,
+            keys_b,
+            key=key,
+            partitions=partitions,
+            prune_col=prune_col,
+            touched_prunes=touched_prunes,
+        )
+        if not n_doomed:
+            return 0
+        version, vdir = versioned.stage_new(path)
+        versioned.link_tree(current_dir, vdir, exclude_rel_dirs=exclude)
+        _write_kept(kept, vdir, partitions, sort_key)
+        versioned.publish(path, version)
+        return n_doomed
+
+
+def _delete_from_store_optimistic(
+    spark: SparkSession,
+    keys_b: DataFrame,
+    path: str,
+    *,
+    key: str,
+    partitions: list[str],
+    prune_col: str,
+    sort_key: str,
+    touched_prunes: list,
+) -> int:
+    """Lock-free :func:`delete_from_store` body: same pruned
+    copy-on-write, committed through the rename arbiter. A lost race
+    rebases — the winner may have APPENDED new rows into a touched
+    partition (or even re-inserted a doomed key), so the kept-content
+    recompute against the winner's tree is required for correctness,
+    exactly like the MERGE rebase. Only the transient pruned-base read
+    race is retried; real defects surface immediately."""
+    last_err: Exception | None = None
+    for attempt in range(MAX_OPTIMISTIC_ATTEMPTS):
+        if attempt:
+            time.sleep(0.05 * attempt)
+        base, base_dir, target = versioned.resolve_latest(path)
+        if base is None:
+            if _tree_has_parquet(path):
+                raise ValueError(
+                    f"optimistic deletes need a versioned store; migrate "
+                    f"the legacy root {path} with one locked write first"
+                )
+            return 0  # empty store: nothing to delete
+        try:
+            spark.catalog.refreshByPath(base_dir)
+            n_doomed, _stats, exclude, kept = _delete_plan(
+                spark,
+                base_dir,
+                keys_b,
+                key=key,
+                partitions=partitions,
+                prune_col=prune_col,
+                touched_prunes=touched_prunes,
+            )
+            if not n_doomed:
+                return 0
+            vdir = versioned.stage_optimistic(path, target)
+            versioned.link_tree(base_dir, vdir, exclude_rel_dirs=exclude)
+            _write_kept(kept, vdir, partitions, sort_key)
+            if versioned.try_publish(path, target, vdir):
+                return n_doomed
+        except Exception as e:
+            if not versioned.is_transient_read_race(e):
+                raise
+            last_err = e
+            continue
+    raise TimeoutError(
+        f"optimistic delete from {path} lost {MAX_OPTIMISTIC_ATTEMPTS} "
+        f"commit races"
+    ) from last_err
+
+
+def merge_delete_items(
+    spark: SparkSession,
+    hashes: DataFrame,
+    path: str,
+    protocol: str | None = None,
+) -> int:
+    """S10 point delete on the items store: O(touched buckets), not
+    O(store). ``hashes`` is a (hash) relation; the identity hash
+    determines the bucket, so only ``(instance_of, hb)`` dirs actually
+    holding doomed items are rewritten."""
+    return delete_from_store(
+        spark,
+        hashes,
+        path,
+        key="hash",
+        bucket_key="hash",
+        partitions=["instance_of", BUCKET_COL],
+        protocol=protocol,
+    )
+
+
+def merge_delete_claims(
+    spark: SparkSession,
+    subject_qids: DataFrame,
+    path: str,
+    protocol: str | None = None,
+) -> int:
+    """Point delete of every claim row of the given subjects —
+    ``subject_qids`` is a (subject_qid) relation; the subject determines
+    the bucket, so only ``(property, hb)`` dirs holding those subjects'
+    claims are rewritten."""
+    return delete_from_store(
+        spark,
+        subject_qids,
+        path,
+        key="subject_qid",
+        bucket_key="subject_qid",
+        partitions=["property", BUCKET_COL],
+        protocol=protocol,
     )
 
 

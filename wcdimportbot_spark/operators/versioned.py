@@ -88,7 +88,11 @@ def is_transient_read_race(e: Exception) -> bool:
         "FileNotFoundException",
         "PATH_NOT_FOUND",
         "Path does not exist",
-        "does not exist",
+        # NOT the bare "does not exist": it also matches permanent
+        # misconfiguration ("Table does not exist", a wrong store path),
+        # which must fail fast instead of burning the whole retry /
+        # rebase budget before surfacing (r10 ADVICE). The specific
+        # path-shaped markers above cover the real pruned-base race.
         "No such file",
         "UNABLE_TO_INFER_SCHEMA",  # tree emptied between list and read
         "FileStreamSink",
@@ -279,15 +283,27 @@ def rollback(path: str, version: str) -> None:
         os.replace(tmp, os.path.join(path, CURRENT_FILE))
 
 
-def link_tree(src: str, dst: str) -> None:
+def link_tree(
+    src: str, dst: str, exclude_rel_dirs: set[str] | None = None
+) -> None:
     """Populate ``dst`` with hardlinks to every data file under ``src``
     (version bookkeeping entries are skipped, so a legacy store root is a
     valid source). Hardlinks share the inode: no data is copied, and the
     original version's files are untouched when a later dynamic overwrite
     replaces links in ``dst``. Falls back to a copy when the filesystem
-    refuses to link (e.g. cross-device)."""
+    refuses to link (e.g. cross-device).
+
+    ``exclude_rel_dirs``: src-relative directory paths (e.g. partition
+    leaf dirs ``instance_of=X/hb=3``) whose ENTIRE subtrees are skipped —
+    the pruned copy-on-write DELETE links every untouched partition and
+    rewrites only the excluded ones (operators/sinks.delete_from_store)."""
     src = os.path.abspath(src)
+    exclude = exclude_rel_dirs or set()
     for root, dirs, files in os.walk(src):
+        rel_root = os.path.relpath(root, src)
+        if rel_root in exclude:
+            dirs[:] = []  # prune the walk: nothing under it is linked
+            continue
         if root == src:
             dirs[:] = [
                 d

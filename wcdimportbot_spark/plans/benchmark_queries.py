@@ -890,12 +890,12 @@ def sim_cosine_topk(spark, sf_dir):
 QUERIES["sim_cosine_topk"].oracle = _cosine_oracle()
 
 
-def _ann_oracle(margin_floor=None):
+def _ann_oracle(margin_floor=None, exclude_sql=None):
     from wcdimportbot_spark.operators.similarity import ann_recall_report_sql
 
     return ann_recall_report_sql(
         "embeddings", num_queries=10, k=5, epsilon=0.05, recall_floor=0.6, dim=64,
-        margin_floor=margin_floor,
+        margin_floor=margin_floor, exclude_sql=exclude_sql,
     )
 
 
@@ -2063,6 +2063,127 @@ def s10_append_only_merge(spark, sf_dir):
 
 
 @register(
+    "s11_pruned_delete",
+    "S8/S10 + versioned store, O(touched-buckets) DELETE contract",
+    "the r10-verdict weak made a verifiable contract (the symmetric twin "
+    "of s10_append_only_merge): bootstrap the item store on the full "
+    "corpus, MERGE a doomed batch of synthetic rows confined to buckets "
+    "0-2, then POINT-DELETE exactly those rows via the partition-pruned "
+    "copy-on-write engine and pin — in-row, on real file inodes — that "
+    "the delete rewrote ONLY the touched (instance_of, hb<=2) dirs: "
+    "every file of an untouched bucket dir survives as a hardlink (same "
+    "relpath+inode), every touched dir holds only NEW files, the doomed "
+    "count matches, and a second identical delete is swallowed (returns "
+    "0, publishes nothing). Final store content hash-verifies against "
+    "the domain closed form",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of, COUNT(*) AS n,
+           TRUE AS untouched_linked, TRUE AS touched_rewritten,
+           TRUE AS delete_bounded
+    FROM documents
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE', COUNT(*) + 10, TRUE, TRUE, TRUE
+    FROM documents
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT), TRUE, TRUE, TRUE
+    """,
+)
+def s11_pruned_delete(spark, sf_dir):
+    """Point-delete write cost is O(touched buckets), not O(store) —
+    Delta's DELETE behavior (rewrite only files containing matches) on
+    the plain-parquet snapshot store (operators/sinks.delete_from_store).
+    The pre-r11 delete path produced the kept relation and rewrote the
+    ENTIRE snapshot — for a point delete (one page re-imported, a
+    GDPR-style purge of 100 hashes) that is the same class of
+    scale-killer round 10 eliminated on the insert side. The booleans
+    are computed from the actual inode layout, so a regression to
+    rewrite semantics flips them and the driver hash mismatches.
+    Reference contracts preserved: delete page → gone, delete twice →
+    swallowed (crud/delete.py:44-61; tests/test_wikibase_crud.py:
+    168-342)."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    def inodes(base):
+        out = {}
+        for root, _d, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, base)] = os.stat(p).st_ino
+        return out
+
+    items = _domain_stage(spark, sf_dir, "items").coalesce(4)
+    store = tempfile.mkdtemp(prefix="wcd-delstore-")
+    try:
+        sinks.write_items(items, store)  # bootstrap v1: the full corpus
+        # doomed batch: synthetic hashes confined to buckets 0-2, so the
+        # delete must leave buckets 3-15 untouched (hardlinks) — the
+        # pruning this row exists to pin
+        doomed = items.withColumn(
+            "hash", F.concat(F.lit("doomed"), F.col("hash"))
+        ).filter(
+            F.pmod(F.xxhash64(F.col("hash")), F.lit(sinks.N_BUCKETS)) <= 2
+        )
+        sinks.merge_write_items(spark, doomed, store)  # v2: append-only
+        n_doomed = doomed.count()
+        touched_dirs = {
+            f"instance_of={r['instance_of']}/hb={r['hb']}"
+            for r in sinks.with_bucket(
+                doomed.select("instance_of", "hash"), "hash"
+            )
+            .select("instance_of", sinks.BUCKET_COL)
+            .distinct()
+            .collect()
+        }
+        before = inodes(versioned.data_dir(store))
+        n = sinks.merge_delete_items(spark, doomed.select("hash"), store)
+        after = inodes(versioned.data_dir(store))
+        in_touched = lambda p: os.path.dirname(p) in touched_dirs  # noqa: E731
+        untouched_linked = (
+            all(
+                after.get(p) == ino
+                for p, ino in before.items()
+                if not in_touched(p)
+            )
+            and {p for p in after if not in_touched(p)}
+            == {p for p in before if not in_touched(p)}
+            and len(touched_dirs) < len({os.path.dirname(p) for p in before})
+        )
+        before_touched_inodes = {
+            ino for p, ino in before.items() if in_touched(p)
+        }
+        touched_rewritten = all(
+            ino not in before_touched_inodes
+            for p, ino in after.items()
+            if in_touched(p)
+        ) and any(in_touched(p) for p in after)
+        # delete twice → swallowed: no rows, no new version published
+        v_after = versioned.current_version(store)
+        n_again = sinks.merge_delete_items(spark, doomed.select("hash"), store)
+        delete_bounded = (
+            n == n_doomed
+            and n_again == 0
+            and versioned.current_version(store) == v_after
+        )
+        out = (
+            sinks.read_items(spark, store)
+            .groupBy("instance_of")
+            .agg(F.count("*").alias("n"))
+            .withColumn("untouched_linked", F.lit(bool(untouched_linked)))
+            .withColumn("touched_rewritten", F.lit(bool(touched_rewritten)))
+            .withColumn("delete_bounded", F.lit(bool(delete_bounded)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+@register(
     "domain_claim_families",
     "J5,A5,F25,F15-F17,F24 end-to-end",
     "one import run, three claim-family aggregates vs closed-form oracles: "
@@ -2715,6 +2836,79 @@ def sim_ann_retrain(spark, sf_dir):
 
 
 QUERIES["sim_ann_retrain"].oracle = _ann_oracle(margin_floor=0.01)
+
+
+@register(
+    "sim_ann_delete",
+    "similarity search (index lifecycle: delete propagation)",
+    "document deletes propagated into the maintained ANN index (r10 "
+    "verdict Next #4): build IVFPQ over the corpus, DELETE ~1/5 of the "
+    "stored vectors (vec_id % 5 == 3, sparing the query points) via the "
+    "same partition-pruned copy-on-write engine as the graph stores — "
+    "only cluster dirs holding doomed vectors are rewritten, untouched "
+    "clusters survive as hardlinks — then serve top-k from the shrunk "
+    "store. In-row asserts: no deleted id is ever served (the codes "
+    "store IS the candidate set), deleting absent ids is swallowed, "
+    "and the epsilon-recall + strict-margin contract holds against the "
+    "exact top-k of the REMAINING corpus (the DuckDB oracle excludes "
+    "the deleted ids; measured margin-green at sf0.001/0.01/0.1 at "
+    "nprobe=8, refine=10). Runs the full build->delete->probe loop per "
+    "invocation — it measures the loop, so no session memo",
+    None,
+)
+def sim_ann_delete(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_build,
+        ann_index_delete,
+        ann_index_probe,
+        read_ann_codes,
+    )
+    from wcdimportbot_spark.operators.similarity import ann_recall_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    doomed_cond = (F.col("vec_id") % 5 == 3) & (F.col("vec_id") >= 10)
+    base = tempfile.mkdtemp(prefix="wcd-anndelete-")
+    try:
+        ann_index_build(emb, base)
+        doomed = emb.filter(doomed_cond).select("vec_id")
+        n_deleted = ann_index_delete(doomed, base)
+        assert n_deleted == doomed.count(), "every stored doomed id leaves"
+        # deleted rows are gone from the store; re-delete is swallowed
+        remaining = read_ann_codes(spark, base)
+        assert (
+            remaining.join(F.broadcast(doomed), "vec_id", "left_semi").count()
+            == 0
+        )
+        assert ann_index_delete(doomed, base) == 0, "delete-twice swallowed"
+        approx = ann_index_probe(
+            emb, base, num_queries=10, k=5, nprobe=8, refine=10
+        ).localCheckpoint(eager=True)
+        served_doomed = approx.filter(
+            (F.col("neighbor_id") % 5 == 3) & (F.col("neighbor_id") >= 10)
+        ).count()
+        assert served_doomed == 0, "a deleted id must never be served"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # exact side = the corpus MINUS the deleted vectors (what a correct
+    # index must now approximate); the oracle carries the same exclusion
+    return ann_recall_report(
+        emb.filter(~doomed_cond),
+        approx,
+        num_queries=10,
+        k=5,
+        epsilon=0.05,
+        recall_floor=0.6,
+        margin_floor=0.01,
+    )
+
+
+QUERIES["sim_ann_delete"].oracle = _ann_oracle(
+    margin_floor=0.01,
+    exclude_sql="NOT (v.vec_id % 5 = 3 AND v.vec_id >= 10)",
+)
 
 
 @register(
