@@ -1298,3 +1298,75 @@ def test_ann_index_delete_propagates(spark, tmp_path):
     n_pairs = pairs.count()
     assert ann_index_delete(pairs, base) == n_pairs
     assert read_ann_codes(spark, base).count() == 300 - len(doomed_ids) - n_pairs
+
+
+def test_schema_evolution_additive_opt_in(spark, tmp_path):
+    """Additive evolution (r10 verdict Missing #3 / Next #2): default
+    merges reject ANY drift loudly; allow_additive lets a batch carry
+    NEW columns — they land in fresh files only (base inodes preserved),
+    the snapshot's _SCHEMA.json sidecar grows, old rows read as null.
+    Missing columns still fail loudly after evolution, and compaction +
+    pruned delete both preserve the evolved column (they read through
+    the sidecar, never one arbitrary footer)."""
+    import pytest
+
+    path = str(tmp_path / "items")
+    rows = [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(20)]
+    sinks.write_items(_items(spark, rows), path)
+    evolved = spark.createDataFrame(
+        [(f"R{i}", "WIKIPEDIA_PAGE", f"r{i}", "d", f"ehash{i}", 0.5) for i in range(5)],
+        "qid string, instance_of string, label string, description string, "
+        "hash string, quality double",
+    )
+    with pytest.raises(ValueError, match="unexpected.*quality"):
+        sinks.merge_write_items(spark, evolved, path)
+    before = _parquet_inodes(versioned.data_dir(path))
+    sinks.merge_write_items(spark, evolved, path, allow_additive=True)
+    after = _parquet_inodes(versioned.data_dir(path))
+    assert all(after.get(p) == i for p, i in before.items()), "evolution rewrote base files"
+    assert os.path.exists(
+        os.path.join(versioned.data_dir(path), sinks.SCHEMA_SIDECAR)
+    )
+    snap = sinks.read_items(spark, path)
+    assert "quality" in snap.columns and snap.count() == 25
+    assert snap.filter(F.col("quality").isNotNull()).count() == 5
+    assert snap.filter(
+        F.col("hash").startswith("hash") & F.col("quality").isNotNull()
+    ).count() == 0, "pre-evolution rows must read the new column as null"
+    # a batch MISSING the evolved column now fails loudly either way
+    late = _items(spark, [("S1", "WIKIPEDIA_PAGE", "s", "d", "shash1")])
+    with pytest.raises(ValueError, match="missing.*quality"):
+        sinks.merge_write_items(spark, late, path, allow_additive=True)
+    # compaction and pruned delete read through the sidecar
+    sinks.compact_items(spark, path)
+    snap2 = sinks.read_items(spark, path)
+    assert snap2.filter(F.col("quality").isNotNull()).count() == 5
+    n = sinks.merge_delete_items(
+        spark, spark.createDataFrame([("ehash0",)], "hash string"), path
+    )
+    assert n == 1
+    snap3 = sinks.read_items(spark, path)
+    assert snap3.filter(F.col("quality").isNotNull()).count() == 4
+    assert snap3.count() == 24
+
+
+def test_schema_evolution_optimistic_and_time_travel(spark, tmp_path):
+    """The lock-free twin evolves identically, and TIME TRAVEL reads a
+    pre-evolution snapshot with its ORIGINAL schema (the sidecar is
+    per-snapshot, exactly Delta's log-held schema per version)."""
+    path = str(tmp_path / "items")
+    rows = [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(8)]
+    sinks.merge_write_items(spark, _items(spark, rows), path, protocol="optimistic")
+    evolved = spark.createDataFrame(
+        [("R1", "WIKIPEDIA_PAGE", "r", "d", "ehash1", 7)],
+        "qid string, instance_of string, label string, description string, "
+        "hash string, rank int",
+    )
+    sinks.merge_write_items(
+        spark, evolved, path, protocol="optimistic", allow_additive=True
+    )
+    snap = sinks.read_items(spark, path)
+    assert "rank" in snap.columns and snap.count() == 9
+    assert snap.filter(F.col("rank").isNotNull()).count() == 1
+    old = sinks.read_snapshot(spark, path, version="v00000001")
+    assert "rank" not in old.columns and old.count() == 8

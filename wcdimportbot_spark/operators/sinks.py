@@ -167,8 +167,7 @@ def read_snapshot(
                 f"unknown or pruned snapshot {version!r} of {path}; "
                 f"retained versions: {versioned.list_versions(path)}"
             )
-        spark.catalog.refreshByPath(p)
-        return spark.read.parquet(p)
+        return _read_tree(spark, p)
     last_err: Exception | None = None
     for attempt in range(4):
         if attempt:
@@ -177,9 +176,9 @@ def read_snapshot(
         try:
             # versioned snapshots are immutable, but a legacy
             # (unversioned) store is rewritten in place — drop any stale
-            # file-listing cache
-            spark.catalog.refreshByPath(p)
-            return spark.read.parquet(p)
+            # file-listing cache. _read_tree honors the schema sidecar,
+            # so evolved columns resolve by name (null in old files).
+            return _read_tree(spark, p)
         except Exception as e:
             if not versioned.is_transient_read_race(e):
                 raise
@@ -267,6 +266,19 @@ def _sidecar_schema(snapshot_dir: str):
             return T.StructType.fromJson(json.loads(f.read()))
     except OSError:
         return None
+
+
+def _evolved_schema(existing_schema, batch_schema, new_cols: list[str]):
+    """existing fields + the batch's new columns, forced nullable (old
+    files lack them; parquet by-name resolution reads them as null)."""
+    from pyspark.sql import types as T
+
+    fields = list(existing_schema.fields) + [
+        T.StructField(f.name, f.dataType, True)
+        for f in batch_schema.fields
+        if f.name in set(new_cols)
+    ]
+    return T.StructType(fields)
 
 
 def _read_tree(spark: SparkSession, snapshot_dir: str) -> DataFrame:
@@ -370,6 +382,7 @@ def _merge_write(
     prune_col: str = BUCKET_COL,
     sort_key: str | None = None,
     base_guard=None,
+    allow_additive: bool = False,
 ) -> int:
     """Shared bucket-level MERGE engine (insert-if-absent, existing rows
     win). ``anti_key`` must determine ``prune_col`` (it does for every
@@ -422,7 +435,9 @@ def _merge_write(
         if not touched:
             return 0
         existing = read_fn(spark, path).filter(F.col(prune_col).isin(touched))
-        _check_merge_schema(new_b.columns, existing.columns)
+        new_cols = _check_merge_schema(
+            new_b.columns, existing.columns, allow_additive=allow_additive
+        )
         # materialize before staging: the plan reads the current snapshot
         fresh = new_b.join(
             F.broadcast(_matched_keys(existing, new_b, anti_key)),
@@ -439,6 +454,12 @@ def _merge_write(
         version, vdir = versioned.stage_new(path)
         versioned.link_tree(current_dir, vdir)
         _append_fresh(fresh, vdir, partitions, sort_key, n_fresh)
+        if new_cols:
+            # the evolved logical schema: existing fields + the new
+            # columns (nullable — absent in every pre-evolution file)
+            _write_schema_sidecar(
+                vdir, _evolved_schema(existing.schema, new_b.schema, new_cols)
+            )
         versioned.publish(path, version)
         return int(n_fresh)
 
@@ -472,6 +493,7 @@ def _merge_write_optimistic(
     prune_col: str = BUCKET_COL,
     sort_key: str | None = None,
     base_guard=None,
+    allow_additive: bool = False,
 ) -> int:
     """Lock-free MERGE under the optimistic commit protocol
     (versioned.py §optimistic): resolve the base from the version LOG,
@@ -538,10 +560,12 @@ def _merge_write_optimistic(
                 # for (a retrain publishing between encode and commit)
                 # can equally land between two attempts (r10 ADVICE)
                 base_guard(base_dir)
-            existing = spark.read.parquet(base_dir).filter(
+            existing = _read_tree(spark, base_dir).filter(
                 F.col(prune_col).isin(touched)
             )
-            _check_merge_schema(new_b.columns, existing.columns)
+            new_cols = _check_merge_schema(
+                new_b.columns, existing.columns, allow_additive=allow_additive
+            )
             # materialize BEFORE staging: after this the data lives in the
             # block manager, decoupled from base files a competitor's
             # prune might remove
@@ -559,6 +583,11 @@ def _merge_write_optimistic(
             vdir = versioned.stage_optimistic(path, target)
             versioned.link_tree(base_dir, vdir)
             _append_fresh(fresh, vdir, partitions, sort_key, n_fresh)
+            if new_cols:
+                _write_schema_sidecar(
+                    vdir,
+                    _evolved_schema(existing.schema, new_b.schema, new_cols),
+                )
             if versioned.try_publish(path, target, vdir):
                 return int(n_fresh)
         except Exception as e:
@@ -577,10 +606,14 @@ def merge_write_items(
     new_items: DataFrame,
     path: str,
     protocol: str | None = None,
+    allow_additive: bool = False,
 ) -> None:
     """S9 incremental MERGE — insert-if-absent by hash; existing items keep
     their row (conflict-as-success). Delta form: MERGE INTO items USING new
-    ON items.hash = new.hash WHEN NOT MATCHED THEN INSERT *."""
+    ON items.hash = new.hash WHEN NOT MATCHED THEN INSERT *.
+    ``allow_additive=True`` opts into additive schema evolution (new batch
+    columns land in fresh files only, old rows read as null — Delta's
+    mergeSchema); the default keeps drift LOUD."""
     if _merge_protocol(protocol) == "optimistic":
         _merge_write_optimistic(
             spark,
@@ -590,6 +623,7 @@ def merge_write_items(
             anti_key="hash",
             partitions=["instance_of", BUCKET_COL],
             dedup_key="hash",
+            allow_additive=allow_additive,
         )
         return
     _merge_write(
@@ -602,6 +636,7 @@ def merge_write_items(
         dedup_key="hash",
         read_fn=read_items,
         write_fn=_write_items_unlocked,
+        allow_additive=allow_additive,
     )
 
 
@@ -610,6 +645,7 @@ def merge_write_claims(
     new_claims: DataFrame,
     path: str,
     protocol: str | None = None,
+    allow_additive: bool = False,
 ) -> None:
     """Claim-level conflict-as-success, bucket-incrementally: a subject
     already in the store keeps its existing claim rows verbatim (first
@@ -628,6 +664,7 @@ def merge_write_claims(
             anti_key="subject_qid",
             partitions=["property", BUCKET_COL],
             dedup_key=None,
+            allow_additive=allow_additive,
         )
         return
     _merge_write(
@@ -640,6 +677,7 @@ def merge_write_claims(
         dedup_key=None,
         read_fn=read_claims,
         write_fn=_write_claims_unlocked,
+        allow_additive=allow_additive,
     )
 
 
@@ -691,7 +729,7 @@ def _delete_plan(
     round-10 inversion (store scanned stream-side, semi-joined against
     the BROADCAST key list), so every hash table is bounded by the key
     list, never the store."""
-    snap = spark.read.parquet(base_dir)
+    snap = _read_tree(spark, base_dir)
     pruned = snap.filter(F.col(prune_col).isin(touched_prunes))
     keys_only = F.broadcast(keys_b.select(key).distinct())
     # one pass gives both the touched partition tuples (bounded by the
@@ -986,7 +1024,7 @@ def compact_store(
             return {"compacted_partitions": 0, "files_before": 0}
         spark.catalog.refreshByPath(path)
         current_dir = versioned.data_dir(path)
-        snap = spark.read.parquet(current_dir)
+        snap = _read_tree(spark, current_dir)
         over = (
             # input_file_name is non-deterministic: project it BEFORE
             # aggregating (Spark rejects it inside an aggregate argument)
@@ -1044,8 +1082,7 @@ def _compact_store_optimistic(
             # empty or legacy store: nothing versioned to compact
             return {"compacted_partitions": 0, "files_before": 0}
         try:
-            spark.catalog.refreshByPath(base_dir)
-            snap = spark.read.parquet(base_dir)
+            snap = _read_tree(spark, base_dir)
             over = (
                 snap.select(
                     *partitions, F.input_file_name().alias("_file")

@@ -2184,6 +2184,98 @@ def s11_pruned_delete(spark, sf_dir):
 
 
 @register(
+    "s11_schema_evolution",
+    "S9 + versioned store, additive schema evolution (opt-in)",
+    "the reference's record type accretes optional fields over time "
+    "(wikipedia_page_reference.py:81-420, ~300 optional params); at "
+    "100 TB 'add a column' must not rewrite the store. Bootstrap the "
+    "item store, MERGE a batch carrying one NEW column under the "
+    "explicit allow_additive opt-in: the column lands in the FRESH "
+    "files only (append-only inodes preserved — pinned in-row), the "
+    "snapshot's schema sidecar grows, and old rows read the column as "
+    "NULL by parquet name-resolution. Default mode must still reject "
+    "the same batch LOUDLY (drift stays an error unless opted in — "
+    "pinned in-row). Final content vs the closed form with per-type "
+    "evolved-column counts",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of, 2 * COUNT(*) AS n,
+           COUNT(*) AS n_scored,
+           TRUE AS default_rejects_drift, TRUE AS append_preserved
+    FROM documents
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE', COUNT(*) + 10, CAST(0 AS BIGINT),
+           TRUE, TRUE
+    FROM documents
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE
+    """,
+)
+def s11_schema_evolution(spark, sf_dir):
+    """Delta's ``mergeSchema`` behavior on the plain-parquet store: new
+    columns in fresh files only, reads resolve by name via the
+    per-snapshot ``_SCHEMA.json`` sidecar (the log-held-schema analog —
+    a full-footer mergeSchema sweep is exactly what a 100 TB store
+    cannot afford per read), absent→null, missing columns still fail
+    loudly. sinks._check_merge_schema / _read_tree."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    items = _domain_stage(spark, sf_dir, "items").coalesce(4)
+    store = tempfile.mkdtemp(prefix="wcd-evostore-")
+    try:
+        sinks.write_items(items, store)  # bootstrap v1
+        # the evolved batch: fresh page rows carrying a NEW column
+        batch = (
+            items.filter(F.col("instance_of") == "WIKIPEDIA_PAGE")
+            .withColumn("hash", F.concat(F.lit("evo"), F.col("hash")))
+            .withColumn("quality_score", F.lit(0.5))
+        )
+        # default mode: the same batch must be rejected LOUDLY
+        try:
+            sinks.merge_write_items(spark, batch, store)
+            default_rejects_drift = False
+        except ValueError:
+            default_rejects_drift = True
+
+        def inodes(base):
+            out = {}
+            for root, _d, files in os.walk(base):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[os.path.relpath(p, base)] = os.stat(p).st_ino
+            return out
+
+        before = inodes(versioned.data_dir(store))
+        sinks.merge_write_items(spark, batch, store, allow_additive=True)
+        after = inodes(versioned.data_dir(store))
+        # evolution must not degrade the merge to a rewrite: every base
+        # file survives as a hardlink (the s10 contract holds under it)
+        append_preserved = all(
+            after.get(p) == ino for p, ino in before.items()
+        )
+        out = (
+            sinks.read_items(spark, store)
+            .groupBy("instance_of")
+            .agg(
+                F.count("*").alias("n"),
+                F.count("quality_score").alias("n_scored"),
+            )
+            .withColumn(
+                "default_rejects_drift", F.lit(bool(default_rejects_drift))
+            )
+            .withColumn("append_preserved", F.lit(bool(append_preserved)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+@register(
     "domain_claim_families",
     "J5,A5,F25,F15-F17,F24 end-to-end",
     "one import run, three claim-family aggregates vs closed-form oracles: "
