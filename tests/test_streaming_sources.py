@@ -1233,3 +1233,79 @@ def test_dedup_gate_inline_compaction(spark, tmp_path):
     spark.catalog.refreshByPath(fresh_out)
     fresh_ids = {r["doc_id"] for r in spark.read.parquet(fresh_out).collect()}
     assert fresh_ids == {1, 2}  # 3 is an exact dup of 1 across batches
+
+
+def test_streaming_curation_increment_gate(spark, tmp_path):
+    """The nightly curation loop's STREAMING twin (r10 verdict Next #3):
+    micro-batches drive plans/curation_nightly.curate_increment through
+    foreachBatch against the same maintained stores the nightly job
+    uses. Batch 2's resends of batch 1's texts are dropped as history
+    duplicates, low-quality docs never reach the corpus, the final
+    corpus content equals the ONE-SHOT curation of all distinct docs,
+    a wholesale REPLAY micro-batch publishes nothing (exactly-once by
+    content hash, no batch-id ledger), and the streaming engine keeps
+    ZERO state (history lives in the stores)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.plans.curation_nightly import (
+        _corpus_path,
+        curation_increment_batch_fn,
+        read_curated_corpus,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    other = "completely different words about spark catalyst optimizer plans and joins"
+    bad = "a a a a a a a a"  # fails the quality gate deterministically
+    b1_rows = [{"doc_id": 1, "text": good}, {"doc_id": 2, "text": bad}]
+    b2_rows = [
+        {"doc_id": 3, "text": good},   # resend of batch-1 winner: dup_of_history
+        {"doc_id": 4, "text": other},  # genuinely novel
+        {"doc_id": 5, "text": other},  # in-batch duplicate of 4
+        {"doc_id": 6, "text": bad},    # resend of the low-quality text: still dup
+    ]
+    src = tmp_path / "cur-in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1_rows))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(F.from_json(F.col("value"), schema).alias("e"))
+        .select("e.*")
+    )
+    base = str(tmp_path / "cur-store")
+    q = (
+        stream.writeStream.foreachBatch(curation_increment_batch_fn(base))
+        .option("checkpointLocation", str(tmp_path / "cur-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2_rows))
+    q.processAllAvailable()
+    assert q.lastProgress["stateOperators"] == []  # history is in the stores
+    q.stop()
+
+    corpus = read_curated_corpus(spark, base)
+    kept = {(r["doc_id"], r["detected_lang"]) for r in corpus.collect()}
+    # one row per distinct KEPT text, first-seen doc wins: good via 1,
+    # other via 4; bad never passes quality
+    assert {d for d, _l in kept} == {1, 4}
+    v = versioned.current_version(_corpus_path(base))
+    # wholesale replay: re-run batch 2 as a fresh micro-batch — nothing
+    # publishes (every text is history; insert-if-absent absorbs rests)
+    fn = curation_increment_batch_fn(base)
+    fn(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in b2_rows], "doc_id long, text string"
+        ),
+        99,
+    )
+    assert versioned.current_version(_corpus_path(base)) == v
+    assert read_curated_corpus(spark, base).count() == 2

@@ -1,0 +1,285 @@
+"""Nightly incremental curation as a MAINTAINED store (r10 verdict
+Next #3): the one loop a 100 TB pretraining pipeline actually runs.
+
+``curation_pipeline`` (plans/benchmark_queries.py) verifies the one-shot
+composition — profile → exact-dedup winner → quality gate → per-language
+yield — over a whole corpus in memory. Production never runs one-shot:
+documents arrive in nightly batches, and the pipeline's STATE (which
+texts were already seen; which docs were accepted) must live in stores
+that each increment probes and grows. This module is that composition
+over the round-8/10 store machinery:
+
+- the **dedup index** (text_dedup's two snapshot-versioned MERGE stores:
+  exact text hashes + LSH band buckets) answers "seen before?" per
+  batch via partition-pruned, join-inverted probes;
+- the **curated corpus store** (same MERGE engine, bucketed on
+  ``text_hash``) holds the accepted documents with their profile
+  columns; insert-if-absent on the content hash makes acceptance
+  exactly-once across replays and across racing increments;
+- the increment itself is the same stateless profile expressions as
+  ``curation_pipeline`` (quality_score / detect_language — identical
+  constants, so the two-batch chain is DuckDB-verifiable against the
+  one-shot closed form: the ``curation_incremental_store`` registry
+  row).
+
+Semantics (ORDER-INDEPENDENT by construction, which is what makes the
+two-batch == one-shot contract testable):
+
+- in-batch exact dedup: first ``id_col`` per ``text_hash`` wins (the
+  one-shot row_number rule applied within the batch);
+- cross-batch exact dedup: winners whose hash the index already holds
+  are dropped as history duplicates;
+- quality gate: survivors below ``min_quality`` are dropped but their
+  hashes STILL enter the index — a re-sent low-quality text is a
+  duplicate, not a fresh quality decision (same outcome either way
+  since hash determines text determines score; recording it makes the
+  re-probe a cheap index hit instead of a re-scoring);
+- near-dup LSH flags are carried as ANNOTATION but do not gate
+  acceptance here: near-dup policy is corpus-specific and its
+  maintenance loop is separately verified (``dedup_incremental*``
+  rows); the corpus store's hash key guarantees exactly-once regardless
+  of annotation-policy choices.
+
+Durability ordering mirrors the streaming dedup gate (outputs BEFORE
+index merge): a crash between the corpus append and the index merge
+re-runs the batch, re-accepts the same rows (insert-if-absent absorbs
+them), and completes the merge — no loss, no duplicates. The reverse
+order would make a replayed batch see its own half-finished ingest as
+history and silently drop accepted docs.
+
+Reference scope: beyond-reference (mandated LLM-pipeline composition);
+the store machinery cites ``crud/create.py:25-45`` idempotence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wcdimportbot_spark.operators import sinks, versioned
+
+#: store layout under the curation base path
+CORPUS_DIR = "corpus"
+INDEX_DIR = "dedup_index"
+
+#: the one-shot pipeline's quality threshold (curation_pipeline row)
+MIN_QUALITY = 0.7
+
+
+def _corpus_path(base_path: str) -> str:
+    return os.path.join(base_path, CORPUS_DIR)
+
+
+def _index_path(base_path: str) -> str:
+    return os.path.join(base_path, INDEX_DIR)
+
+
+def _write_corpus_unlocked(df: DataFrame, path: str) -> None:
+    """Bootstrap writer for the curated corpus store (hash-bucketed on
+    the content hash, sorted for point-lookup row-group pruning)."""
+    version, vdir = versioned.stage_new(path)
+    sinks._sorted_on(
+        sinks.with_bucket(df, "text_hash"), "text_hash"
+    ).write.mode("overwrite").partitionBy(sinks.BUCKET_COL).parquet(vdir)
+    versioned.publish(path, version)
+
+
+def read_curated_corpus(spark: SparkSession, base_path: str) -> DataFrame:
+    """The CURRENT curated-corpus snapshot
+    (doc_id, text_hash, quality, detected_lang)."""
+    return sinks.read_snapshot(spark, _corpus_path(base_path)).drop(
+        sinks.BUCKET_COL
+    )
+
+
+def merge_curated_corpus(
+    spark: SparkSession,
+    accepted: DataFrame,
+    base_path: str,
+    protocol: str | None = None,
+) -> int:
+    """Insert-if-absent by content hash through the shared MERGE engine
+    (append-only writes, O(batch) bytes): acceptance is exactly-once
+    across replays and across racing increments."""
+    path = _corpus_path(base_path)
+    if sinks._merge_protocol(protocol) == "optimistic":
+        return sinks._merge_write_optimistic(
+            spark,
+            accepted,
+            path,
+            bucket_key="text_hash",
+            anti_key="text_hash",
+            partitions=[sinks.BUCKET_COL],
+            dedup_key="text_hash",
+        )
+    return sinks._merge_write(
+        spark,
+        accepted,
+        path,
+        bucket_key="text_hash",
+        anti_key="text_hash",
+        partitions=[sinks.BUCKET_COL],
+        dedup_key="text_hash",
+        read_fn=sinks.read_snapshot,
+        write_fn=_write_corpus_unlocked,
+    )
+
+
+def curate_increment(
+    batch_docs: DataFrame,
+    base_path: str,
+    min_quality: float = MIN_QUALITY,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    protocol: str | None = None,
+) -> DataFrame:
+    """Run ONE nightly curation increment against the maintained stores.
+
+    Returns the batch annotation (one row per input doc, materialized
+    against the PRE-increment snapshots): ``text_hash``, ``quality``,
+    ``detected_lang``, ``dup_of_batch`` (lost the in-batch hash race),
+    ``dup_of_history`` (hash already in the index),
+    ``near_dup_of_history`` (LSH flag, annotation only), ``low_quality``
+    and ``kept``. Effects: accepted docs land in the corpus store
+    (insert-if-absent on hash), then all novel winners' hashes + band
+    buckets merge into the dedup index (outputs-before-merge ordering —
+    see module docstring).
+
+    Scale shape per increment: one stateless projection over the batch,
+    one window on md5(text) (near-uniform shuffle of the BATCH), two
+    partition-pruned join-inverted index probes, and O(batch) appends to
+    three stores. Nothing scans the corpus."""
+    from wcdimportbot_spark.operators.text_analysis import (
+        detect_language,
+        quality_score,
+    )
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index_merge,
+        dedup_index_probe,
+    )
+
+    spark = batch_docs.sparkSession
+    text = F.col(text_col)
+    profiled = batch_docs.select(
+        id_col,
+        text_col,
+        F.md5(text).alias("text_hash"),
+        quality_score(text).alias("quality"),
+        detect_language(text).alias("detected_lang"),
+    )
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    # materialize ONCE: the profile expressions + window feed four
+    # separate actions below (probe bands, corpus merge, index merge,
+    # annotation) — without the checkpoint each action re-runs the
+    # whole scoring chain over the batch (measured 4× the increment)
+    ranked = (
+        profiled.withColumn("rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    winners = ranked.filter(F.col("rn") == 1).drop("rn")
+    # read-only probe against the PRE-increment index snapshot; ann is
+    # materialized inside, so later merges can't tear its plan
+    ann, _fresh = dedup_index_probe(
+        winners.select(id_col, text_col),
+        _index_path(base_path),
+        num_hashes,
+        bands,
+        id_col,
+        text_col,
+        shingle_n,
+    )
+    flags = winners.join(
+        ann.select(
+            id_col,
+            F.col("exact_dup_of_history").alias("dup_of_history"),
+            "near_dup_of_history",
+        ),
+        id_col,
+    )
+    novel = flags.filter(~F.col("dup_of_history"))
+    accepted = novel.filter(F.col("quality") >= min_quality).select(
+        id_col, "text_hash", "quality", "detected_lang"
+    )
+    # OUTPUTS FIRST: corpus append (idempotent by content hash) ...
+    merge_curated_corpus(spark, accepted, base_path, protocol=protocol)
+    # ... THEN the index learns every novel winner (kept or low-quality:
+    # its hash is now history either way)
+    dedup_index_merge(
+        novel.select(id_col, text_col),
+        _index_path(base_path),
+        num_hashes,
+        bands,
+        id_col,
+        text_col,
+        shingle_n,
+        protocol=protocol,
+    )
+    out = (
+        ranked.select(id_col, "text_hash", "quality", "detected_lang", "rn")
+        .join(
+            flags.select(
+                id_col, "dup_of_history", "near_dup_of_history"
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "text_hash",
+            "quality",
+            "detected_lang",
+            (F.col("rn") > 1).alias("dup_of_batch"),
+            F.coalesce(F.col("dup_of_history"), F.lit(False)).alias(
+                "dup_of_history"
+            ),
+            F.coalesce(F.col("near_dup_of_history"), F.lit(False)).alias(
+                "near_dup_of_history"
+            ),
+            (F.col("quality") < min_quality).alias("low_quality"),
+            (
+                (F.col("rn") == 1)
+                & F.coalesce(~F.col("dup_of_history"), F.lit(True))
+                & (F.col("quality") >= min_quality)
+            ).alias("kept"),
+        )
+    )
+    # the annotation references only pre-increment snapshots (ann was
+    # materialized by the probe; ranked is batch-local), so no further
+    # checkpoint is needed — but localCheckpoint keeps the contract
+    # obvious for callers that mutate stores next
+    return out.localCheckpoint(eager=True)
+
+
+def curation_increment_batch_fn(
+    base_path: str,
+    min_quality: float = MIN_QUALITY,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``foreachBatch`` adapter — the STREAMING twin: each micro-batch
+    runs one curation increment against the same maintained stores the
+    nightly job uses (batch/streaming share state through snapshots,
+    not Spark state stores). Idempotent under replay with NO batch-id
+    ledger: a replayed micro-batch's docs are either in-batch winners
+    that re-accept into the corpus (insert-if-absent absorbs them) or
+    index hits that drop; either way the stores converge to the same
+    content — pinned by the streaming test."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        curate_increment(
+            batch_df,
+            base_path,
+            min_quality=min_quality,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    return fn
