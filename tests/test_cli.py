@@ -507,3 +507,68 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_built"] == n_built + added
     assert out["retrained_from"] == "v00000001"
+
+
+def test_import_manifest_detects_crash_between_publishes(spark, tmp_path, monkeypatch, capsys):
+    """Cross-store commit manifest (r10 verdict Next #6): one import
+    publishes items → claims → cache sequentially; a crash inside that
+    window leaves a version skew that was previously only IMPLICITLY
+    healed by idempotent replay. The manifest makes the window
+    detectable: kill the import between the items and claims publishes,
+    assert --verify-store reports 'ahead' with the skewed store named,
+    then REPLAY the batch and assert convergence (consistent manifest,
+    content identical to a never-crashed import)."""
+    from wcdimportbot_spark.operators import sinks, versioned
+    from wcdimportbot_spark.plans.store_import import (
+        verify_import_consistency,
+    )
+
+    store = str(tmp_path / "store")
+    assert main(["--store", store, "--import-title", "Easter Island"]) == 0
+    capsys.readouterr()
+    assert verify_import_consistency(store)["status"] == "consistent"
+    assert main(["--store", store, "--verify-store"]) == 0
+    assert json.loads(capsys.readouterr().out)["status"] == "consistent"
+
+    # kill point: items published, claims/cache not, manifest stale
+    real_claims = sinks.merge_write_claims
+
+    def boom(*a, **k):
+        raise RuntimeError("killed between the items and claims publishes")
+
+    monkeypatch.setattr(sinks, "merge_write_claims", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="killed between"):
+        main(["--store", store, "--import-title", "Mars"])
+    capsys.readouterr()
+    report = verify_import_consistency(store)
+    assert report["status"] == "in-flight-or-crashed"
+    d = report["detail"]
+    # forensics: items advanced past its at-start version, claims did not
+    assert d["versions_now"]["items"] > d["versions_at_start"]["items"]
+    assert d["versions_now"]["claims"] == d["versions_at_start"]["claims"]
+    assert main(["--store", store, "--verify-store"]) == 1  # non-zero exit
+    capsys.readouterr()
+
+    # replay heals: items merge is a no-op, claims/cache catch up, the
+    # manifest recommits — and the content equals a clean import's
+    monkeypatch.setattr(sinks, "merge_write_claims", real_claims)
+    assert main(["--store", store, "--import-title", "Mars"]) == 0
+    capsys.readouterr()
+    assert verify_import_consistency(store)["status"] == "consistent"
+    assert main(["--store", store, "--statistics"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["items"]["WIKIPEDIA_PAGE"] == 2
+
+    # maintenance writers advance versions WITHOUT a false positive: the
+    # two-phase marker (not version comparison) carries the signal
+    assert main(["--store", store, "--split-bucket", "1"]) == 0
+    capsys.readouterr()
+    assert verify_import_consistency(store)["status"] == "consistent"
+
+    # 'behind' (rollback / operator intervention) is surfaced, not healed
+    items_path = str(tmp_path / "store" / "items")
+    old = versioned.list_versions(items_path)[0]
+    versioned.rollback(items_path, old)
+    assert verify_import_consistency(store)["status"] == "behind"

@@ -84,6 +84,26 @@ def main(argv=None) -> int:
     parser.add_argument("--rinse", action="store_true", help="delete all items and flush the cache")
     parser.add_argument("-s", "--statistics", action="store_true", help="print graph statistics")
     parser.add_argument(
+        "--verify-store",
+        action="store_true",
+        help="check the cross-store commit manifest: detects an import "
+        "crashed between the items/claims/cache publishes (status "
+        "'ahead' — replay the batch to converge)",
+    )
+    parser.add_argument(
+        "--split-bucket",
+        type=int,
+        help="split one hot hash bucket into two children (extendible "
+        "hashing; cost linear in that bucket, every other dir hardlinks "
+        "through)",
+    )
+    parser.add_argument(
+        "--split-table",
+        choices=("items", "claims", "cache"),
+        default="items",
+        help="which store table --split-bucket operates on",
+    )
+    parser.add_argument(
         "--compact",
         action="store_true",
         help="compact multi-file store partitions into one sorted file "
@@ -313,6 +333,30 @@ def main(argv=None) -> int:
         if claims is not None:
             qids = lookup_qids_for_hash(claims, args.lookup_md5hash).collect()
             print(f"claims: {[r['subject_qid'] for r in qids]}")
+
+    elif args.split_bucket is not None:
+        from wcdimportbot_spark.operators import sinks as sinks_ops
+
+        layouts = {
+            "items": ("hash", ["instance_of", sinks_ops.BUCKET_COL]),
+            "claims": ("subject_qid", ["property", sinks_ops.BUCKET_COL]),
+            "cache": ("hash", [sinks_ops.BUCKET_COL]),
+        }
+        key, parts = layouts[args.split_table]
+        info = sinks_ops.split_bucket(
+            spark, paths[args.split_table], args.split_bucket,
+            key=key, partitions=parts,
+        )
+        print(json.dumps(info, sort_keys=True))
+
+    elif args.verify_store:
+        from wcdimportbot_spark.plans.store_import import (
+            verify_import_consistency,
+        )
+
+        report = verify_import_consistency(args.store)
+        print(json.dumps(report, indent=2, sort_keys=True))
+        return 0 if report["status"] in ("consistent", "no-manifest") else 1
 
     elif args.compact:
         from wcdimportbot_spark.operators.sinks import (

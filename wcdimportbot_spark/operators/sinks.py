@@ -93,12 +93,92 @@ def _tree_has_parquet(base: str) -> bool:
     return False
 
 
-def with_bucket(df: DataFrame, key: str) -> DataFrame:
-    """Attach the deterministic hash bucket for ``key`` (idempotent)."""
+#: per-snapshot bucket-map sidecar (r10 verdict Next #5). ``N_BUCKETS``
+#: is frozen at store creation; at 100 TB a HOT bucket must gain fanout
+#: without a full-store rewrite. The map is extendible hashing on the
+#: partition layout: each leaf bucket ``b`` has a depth ``d`` and holds
+#: the keys with ``xxhash64(key) mod (N_BUCKETS * 2^d) == b``; splitting
+#: rewrites ONE bucket's dirs into two children (cost linear in that
+#: bucket) and bumps the map. The map lives INSIDE the snapshot (like
+#: ``_SCHEMA.json``) so a reader/writer always pairs data with the map
+#: that produced its layout; hardlinks carry it forward unchanged.
+BUCKET_MANIFEST = "_BUCKETS.json"
+
+
+def _bucket_leaves(snapshot_dir: str) -> dict[int, int] | None:
+    """{leaf_bucket_id: depth} for a resolved snapshot, or None for a
+    never-split store (the implicit base map: every b in [0, N_BUCKETS)
+    at depth 0 — kept implicit so default stores pay zero overhead)."""
+    try:
+        with open(
+            os.path.join(snapshot_dir, BUCKET_MANIFEST), encoding="ascii"
+        ) as f:
+            raw = json.load(f)
+        return {int(k): int(v) for k, v in raw["leaves"].items()}
+    except OSError:
+        return None
+
+
+def _write_bucket_manifest(vdir: str, leaves: dict[int, int]) -> None:
+    """Unlink-then-write (the sidecar may be a hardlink shared with
+    retained snapshots — see _write_schema_sidecar)."""
+    p = os.path.join(vdir, BUCKET_MANIFEST)
+    if os.path.exists(p):
+        os.unlink(p)
+    with open(p, "w", encoding="ascii") as f:
+        json.dump(
+            {"base": N_BUCKETS, "leaves": {str(k): v for k, v in leaves.items()}},
+            f,
+        )
+
+
+def _bucket_column(key: str, leaves: dict[int, int] | None):
+    """The bucket expression for ``key`` under a bucket map: the default
+    ``pmod(xxhash64(key), N_BUCKETS)``, or — for a split store — a CASE
+    over the leaf set (leaves PARTITION the key space, so exactly one
+    branch matches; the expression is O(#leaves), driver-known, pure
+    codegen)."""
+    h = F.xxhash64(F.col(key))
+    if leaves is None:
+        return F.pmod(h, F.lit(N_BUCKETS))
+    expr = None
+    for b, d in sorted(leaves.items()):
+        cond = F.pmod(h, F.lit(N_BUCKETS * (2 ** d))) == F.lit(b)
+        expr = F.when(cond, F.lit(b).cast("long")) if expr is None else expr.when(
+            cond, F.lit(b).cast("long")
+        )
+    return expr
+
+
+def with_bucket(
+    df: DataFrame, key: str, leaves: dict[int, int] | None = None
+) -> DataFrame:
+    """Attach the deterministic hash bucket for ``key`` (idempotent).
+    ``leaves`` is a split store's bucket map (engines resolve it from
+    the base snapshot under their lock/attempt so batch bucketing always
+    matches the layout being merged against)."""
     if BUCKET_COL in df.columns:
         return df
-    return df.withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS))
+    return df.withColumn(BUCKET_COL, _bucket_column(key, leaves))
+
+
+def _rebucket_for_base(
+    new_b: DataFrame, bucket_key: str | None, base_dir: str
+) -> tuple[DataFrame, dict[int, int] | None]:
+    """Re-derive the batch's bucket column under the BASE snapshot's
+    bucket map when the store has been split (no-op — the common case —
+    when the map is absent). Domain-partitioned stores
+    (``bucket_key=None``) never split via this mechanism."""
+    if bucket_key is None:
+        return new_b, None
+    leaves = _bucket_leaves(base_dir)
+    if leaves is None:
+        return new_b, None
+    return (
+        new_b.drop(BUCKET_COL).withColumn(
+            BUCKET_COL, _bucket_column(bucket_key, leaves)
+        ),
+        leaves,
     )
 
 
@@ -429,6 +509,10 @@ def _merge_write(
         current_dir = versioned.data_dir(path)
         if base_guard is not None:
             base_guard(current_dir)
+        # a SPLIT store's layout is defined by its snapshot's bucket map:
+        # re-bucket the batch under it so the touched-partition probe and
+        # the appended dirs match the base exactly (no-op when unsplit)
+        new_b, _leaves = _rebucket_for_base(new_b, bucket_key, current_dir)
         touched = [
             r[prune_col] for r in new_b.select(prune_col).distinct().collect()
         ]
@@ -560,17 +644,26 @@ def _merge_write_optimistic(
                 # for (a retrain publishing between encode and commit)
                 # can equally land between two attempts (r10 ADVICE)
                 base_guard(base_dir)
+            # a split store's bucket map binds to THIS base — re-bucket
+            # and recompute the touched set per attempt (a rebase may
+            # land on a tree a concurrent split just published)
+            batch_b, leaves = _rebucket_for_base(new_b, bucket_key, base_dir)
+            if leaves is not None:
+                touched = [
+                    r[prune_col]
+                    for r in batch_b.select(prune_col).distinct().collect()
+                ]
             existing = _read_tree(spark, base_dir).filter(
                 F.col(prune_col).isin(touched)
             )
             new_cols = _check_merge_schema(
-                new_b.columns, existing.columns, allow_additive=allow_additive
+                batch_b.columns, existing.columns, allow_additive=allow_additive
             )
             # materialize BEFORE staging: after this the data lives in the
             # block manager, decoupled from base files a competitor's
             # prune might remove
-            fresh = new_b.join(
-                F.broadcast(_matched_keys(existing, new_b, anti_key)),
+            fresh = batch_b.join(
+                F.broadcast(_matched_keys(existing, batch_b, anti_key)),
                 anti_key,
                 "left_anti",
             ).localCheckpoint(eager=True)
@@ -586,7 +679,7 @@ def _merge_write_optimistic(
             if new_cols:
                 _write_schema_sidecar(
                     vdir,
-                    _evolved_schema(existing.schema, new_b.schema, new_cols),
+                    _evolved_schema(existing.schema, batch_b.schema, new_cols),
                 )
             if versioned.try_publish(path, target, vdir):
                 return int(n_fresh)
@@ -817,6 +910,7 @@ def delete_from_store(
             keys_b,
             path,
             key=key,
+            bucket_key=bucket_key,
             partitions=partitions,
             prune_col=prune_col,
             sort_key=sort_key,
@@ -827,6 +921,13 @@ def delete_from_store(
             return 0
         spark.catalog.refreshByPath(path)
         current_dir = versioned.data_dir(path)
+        # split stores: the doomed keys' buckets follow the snapshot's map
+        keys_b, leaves = _rebucket_for_base(keys_b, bucket_key, current_dir)
+        if leaves is not None:
+            touched_prunes = [
+                r[prune_col]
+                for r in keys_b.select(prune_col).distinct().collect()
+            ]
         n_doomed, _stats, exclude, kept = _delete_plan(
             spark,
             current_dir,
@@ -851,6 +952,7 @@ def _delete_from_store_optimistic(
     path: str,
     *,
     key: str,
+    bucket_key: str | None,
     partitions: list[str],
     prune_col: str,
     sort_key: str,
@@ -877,10 +979,16 @@ def _delete_from_store_optimistic(
             return 0  # empty store: nothing to delete
         try:
             spark.catalog.refreshByPath(base_dir)
+            batch_keys, leaves = _rebucket_for_base(keys_b, bucket_key, base_dir)
+            if leaves is not None:
+                touched_prunes = [
+                    r[prune_col]
+                    for r in batch_keys.select(prune_col).distinct().collect()
+                ]
             n_doomed, _stats, exclude, kept = _delete_plan(
                 spark,
                 base_dir,
-                keys_b,
+                batch_keys,
                 key=key,
                 partitions=partitions,
                 prune_col=prune_col,
@@ -901,6 +1009,152 @@ def _delete_from_store_optimistic(
     raise TimeoutError(
         f"optimistic delete from {path} lost {MAX_OPTIMISTIC_ATTEMPTS} "
         f"commit races"
+    ) from last_err
+
+
+def split_bucket(
+    spark: SparkSession,
+    path: str,
+    bucket: int,
+    *,
+    key: str,
+    partitions: list[str],
+    sort_key: str | None = None,
+    protocol: str | None = None,
+) -> dict:
+    """Split ONE hot bucket into two children without touching the rest
+    of the store (r10 verdict Next #5) — extendible hashing on the
+    partition layout. A leaf bucket ``b`` at depth ``d`` holds keys with
+    ``xxhash64(key) mod (N_BUCKETS·2^d) == b``; the split rewrites only
+    that bucket's dirs, redistributing its rows between ``b`` and
+    ``b + N_BUCKETS·2^d`` at depth ``d+1``, and bumps the snapshot's
+    ``_BUCKETS.json`` map. Every other partition dir hardlinks into the
+    new version (the s10/s11 inode discipline) — cost is linear in the
+    SPLIT bucket, never the store. All writers (merge/delete) re-derive
+    batch buckets from the base snapshot's map under their
+    lock/attempt, so a split racing a merge composes: the loser simply
+    works against the winner's layout.
+
+    Children may split again independently (depth grows per-leaf), so a
+    single pathological bucket can gain unbounded fanout while cold
+    buckets keep the base layout. Returns
+    ``{"bucket", "children", "depth", "rows_moved"}``.
+
+    :raises ValueError: when ``bucket`` is not currently a leaf."""
+    sort_key = sort_key or key
+    if _merge_protocol(protocol) == "optimistic":
+        return _split_bucket_optimistic(
+            spark, path, bucket, key=key, partitions=partitions,
+            sort_key=sort_key,
+        )
+    with versioned.writer_lock(path):
+        if not has_parquet_data(path):
+            raise ValueError(f"cannot split bucket of empty store {path}")
+        spark.catalog.refreshByPath(path)
+        current_dir = versioned.data_dir(path)
+        n, vdir, info = _stage_split(
+            spark, path, current_dir, bucket, key, partitions, sort_key,
+            staged_dir=None,
+        )
+        versioned.publish(path, info.pop("_version"))
+        return info
+
+
+def _split_leaf_layout(current_dir: str, bucket: int):
+    """(old leaves, new leaves, child id, depth) for splitting ``bucket``."""
+    leaves = _bucket_leaves(current_dir)
+    if leaves is None:
+        leaves = {b: 0 for b in range(N_BUCKETS)}
+    if bucket not in leaves:
+        raise ValueError(
+            f"bucket {bucket} is not a leaf; leaves: {sorted(leaves)}"
+        )
+    d = leaves[bucket]
+    child = bucket + N_BUCKETS * (2 ** d)
+    new_leaves = dict(leaves)
+    new_leaves[bucket] = d + 1
+    new_leaves[child] = d + 1
+    return leaves, new_leaves, child, d
+
+
+def _stage_split(
+    spark, path, current_dir, bucket, key, partitions, sort_key, staged_dir
+):
+    """Shared split body: stage the post-split tree (hardlink everything
+    except the split bucket's dirs, rewrite its rows under the child
+    map, bump the manifest). Returns (rows_moved, staged_dir, info)."""
+    _old, new_leaves, child, d = _split_leaf_layout(current_dir, bucket)
+    snap = _read_tree(spark, current_dir)
+    rows = (
+        snap.filter(F.col(BUCKET_COL) == bucket)
+        .drop(BUCKET_COL)
+        .withColumn(BUCKET_COL, _bucket_column(key, new_leaves))
+        .localCheckpoint(eager=True)
+    )
+    n = rows.count()
+    exclude = set()
+    for root, dirs, _files in os.walk(current_dir):
+        for dname in dirs:
+            if dname == f"{BUCKET_COL}={bucket}":
+                exclude.add(
+                    os.path.relpath(os.path.join(root, dname), current_dir)
+                )
+    if staged_dir is None:
+        version, vdir = versioned.stage_new(path)
+    else:
+        version, vdir = None, staged_dir
+    versioned.link_tree(current_dir, vdir, exclude_rel_dirs=exclude)
+    if n:
+        (
+            rows.repartition(*[F.col(c) for c in partitions])
+            .sortWithinPartitions(*partitions, sort_key)
+            .write.mode("append")
+            .partitionBy(*partitions)
+            .parquet(vdir)
+        )
+    _write_bucket_manifest(vdir, new_leaves)
+    info = {
+        "bucket": int(bucket),
+        "children": [int(bucket), int(child)],
+        "depth": int(d + 1),
+        "rows_moved": int(n),
+        "_version": version,
+    }
+    return n, vdir, info
+
+
+def _split_bucket_optimistic(
+    spark, path, bucket, *, key, partitions, sort_key
+) -> dict:
+    """Lock-free split: same staged tree, committed through the rename
+    arbiter. Losing to a concurrent merge is the correct outcome — the
+    winner's new rows in the split bucket must be redistributed too, so
+    the rebase recomputes against the winner's tree."""
+    last_err: Exception | None = None
+    for attempt in range(MAX_OPTIMISTIC_ATTEMPTS):
+        if attempt:
+            time.sleep(0.05 * attempt)
+        base, base_dir, target = versioned.resolve_latest(path)
+        if base is None:
+            raise ValueError(f"cannot split bucket of empty store {path}")
+        try:
+            spark.catalog.refreshByPath(base_dir)
+            vdir = versioned.stage_optimistic(path, target)
+            _n, vdir, info = _stage_split(
+                spark, path, base_dir, bucket, key, partitions, sort_key,
+                staged_dir=vdir,
+            )
+            info.pop("_version")
+            if versioned.try_publish(path, target, vdir):
+                return info
+        except Exception as e:
+            if not versioned.is_transient_read_race(e):
+                raise
+            last_err = e
+            continue
+    raise TimeoutError(
+        f"optimistic bucket split of {path} lost "
+        f"{MAX_OPTIMISTIC_ATTEMPTS} commit races"
     ) from last_err
 
 

@@ -30,6 +30,111 @@ def store_paths(store: str) -> dict[str, str]:
     }
 
 
+#: cross-store commit manifest (r10 verdict Next #6). One import batch
+#: publishes THREE stores sequentially (items → claims → cache); a crash
+#: between publishes leaves a version skew that replay heals only because
+#: every merge is idempotent. The manifest makes that window DETECTABLE
+#: as a TWO-PHASE marker: the import atomically records ``pending``
+#: BEFORE its first publish and rewrites to ``committed`` after its
+#: last, so a crash anywhere inside the window leaves ``pending`` on
+#: disk. Version numbers alone cannot carry this signal — maintenance
+#: writers (compaction, bucket split, point deletes) legitimately
+#: advance store versions between imports, so "current > recorded"
+#: means nothing; the explicit state does. Recorded versions are kept
+#: for forensics and for the one comparison that stays meaningful:
+#: a store BEHIND its committed version means rollback / intervention.
+MANIFEST_FILE = "_IMPORT_MANIFEST.json"
+
+_MANIFEST_STORES = ("items", "claims", "cache")
+
+
+def _write_manifest(store_root: str, payload: dict) -> None:
+    """Atomic write-temp + rename (the _CURRENT discipline)."""
+    import json
+
+    os.makedirs(store_root, exist_ok=True)
+    p = os.path.join(store_root, MANIFEST_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def _store_versions(paths: dict[str, str]) -> dict:
+    from wcdimportbot_spark.operators import versioned
+
+    return {
+        name: versioned.current_version(paths[name])
+        for name in _MANIFEST_STORES
+    }
+
+
+def begin_import_manifest(store_root: str, paths: dict[str, str]) -> None:
+    """Mark an import IN FLIGHT (called before the first publish): a
+    crash anywhere in the multi-store window leaves this marker, which
+    verify_import_consistency surfaces as replay-needed."""
+    _write_manifest(
+        store_root,
+        {"state": "pending", "versions_at_start": _store_versions(paths)},
+    )
+
+
+def commit_import_manifest(store_root: str, paths: dict[str, str]) -> dict:
+    """The batch's commit marker: all three stores published."""
+    payload = {"state": "committed", "versions": _store_versions(paths)}
+    _write_manifest(store_root, payload)
+    return payload
+
+
+def verify_import_consistency(store_root: str) -> dict:
+    """Check the cross-store commit marker.
+
+    Returns ``{"status": ..., "detail": ...}`` with status one of:
+
+    - ``"consistent"`` — the last import ran to completion through its
+      commit marker; versions past the recorded ones are ordinary
+      maintenance (compaction / split / delete), which is fine;
+    - ``"in-flight-or-crashed"`` — a ``pending`` marker is on disk: an
+      import is running right now, or crashed inside its multi-store
+      publish window. Safe remediation after a crash is to REPLAY the
+      batch — every merge is insert-if-absent, so stores that published
+      absorb the resend as a no-op and the rest catch up
+      (kill-point-pinned in tests);
+    - ``"behind"`` — some store is OLDER than its committed version
+      (rollback or manual intervention): surfaced, never auto-healed;
+    - ``"no-manifest"`` — pre-manifest store (or never imported)."""
+    import json
+
+    from wcdimportbot_spark.operators import versioned
+
+    p = os.path.join(store_root, MANIFEST_FILE)
+    try:
+        with open(p, encoding="ascii") as f:
+            manifest = json.load(f)
+    except OSError:
+        return {"status": "no-manifest", "detail": {}}
+    paths = store_paths(store_root)
+    if manifest.get("state") == "pending":
+        return {
+            "status": "in-flight-or-crashed",
+            "detail": {
+                "versions_at_start": manifest.get("versions_at_start", {}),
+                "versions_now": _store_versions(paths),
+            },
+        }
+    skew = {}
+    for name in _MANIFEST_STORES:
+        want = (manifest.get("versions") or {}).get(name)
+        got = versioned.current_version(paths[name])
+        if want is not None and (got or "") < want:
+            skew[name] = {"committed": want, "current": got}
+    if skew:
+        return {"status": "behind", "detail": skew}
+    return {"status": "consistent", "detail": {}}
+
+
 def import_pages_to_store(
     spark: SparkSession, pages: DataFrame, paths: dict[str, str]
 ) -> tuple[int, int]:
@@ -80,12 +185,19 @@ def import_pages_to_store(
     # partitions their own inputs may lazily read
     new_items = result.items.localCheckpoint(eager=True)
     new_claims = result.claims.localCheckpoint(eager=True)
+    # two-phase marker: pending BEFORE the first publish (see manifest
+    # docstring) — crash anywhere below leaves it for --verify-store
+    begin_import_manifest(os.path.dirname(paths["items"]), paths)
     sinks.merge_write_items(spark, new_items, paths["items"])
     sinks.merge_write_claims(spark, new_claims, paths["claims"])
     cache_ops.merge_write_cache(
         spark, new_items.select("hash", "qid"), paths["cache"]
     )
     sinks.write_rejects(result.rejects, paths["rejects"])
+    # commit marker: all three stores published (pairs with the pending
+    # marker written before the first publish — a crash in between is
+    # detectable and replay-safe; merges are idempotent)
+    commit_import_manifest(os.path.dirname(paths["items"]), paths)
     return n_pages, n_new
 
 
