@@ -4361,36 +4361,38 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the two new round-10 rows ---
+    # --- the four new round-11 rows ---
+    "s11_pruned_delete",         # O(touched-buckets) DELETE inode contract
+    "s11_schema_evolution",      # additive evolution, sidecar reads
+    "sim_ann_delete",            # ANN delete propagation + recall contract
+    "curation_incremental_store",  # nightly loop == one-shot closed form
+    # --- rows whose WRITE/READ PATH changed in round 11 (sidecar-aware
+    # _read_tree on every store reader, bucket-map-aware engines, ANN
+    # model/codes pair loading + stamp guard): re-verify ---
     "s10_append_only_merge",     # O(batch) MERGE write-amp contract
-    "sim_ann_retrain",           # ANN staleness contract executed
-    # --- rows whose WRITE PATH changed in round 10 (append-only MERGE
-    # engine + age-based retention floor): re-verify ---
-    "s9_optimistic_commits",     # lock-free commits, now append-only
-    "sim_ann_index_maint",       # add-batch through the shared engine
-    "dedup_incremental",         # index merges append-only
+    "s9_optimistic_commits",     # lock-free commits
+    "sim_ann_retrain",           # lifecycle now publishes pair stamps
+    "sim_ann_index_maint",       # add-batch re-encode guard + pair probe
+    "dedup_incremental",         # index merges through changed engine
     "dedup_incremental_maint",   # two-batch maintenance loop
-    # --- r9 ADVICE default restore + quiet-host watch item ---
-    "dedup_embedding_ann",       # guarded bucket-cap default restored
-    "sim_ann_lsh",               # r9 watch #2: fresh driver number
-    # --- round-9 rows kept for standing coverage ---
-    "a15_windowed_sketch_distinct",  # per-window HLL sketch states
-    "bpe_train_local",           # driver-local BPE training path
-    "quality_ppl_buckets",       # KLL sketch-threshold contract column
-    "dedup_cc_star",             # deep-graph CC star variant
+    # --- kmeans reseed fix touches every driver-side fit: re-verify the
+    # clustering-consuming rows (r10 ADVICE low #5) ---
     "sim_ann_ivfpq",             # composed ANN + margin contract
     "dedup_semantic",            # SemDeDup cluster-centroid dedup
-    "quality_classifier",        # hashed n-gram linear gate
     "decon_semantic",            # embedding-level eval decontamination
+    "dedup_embedding_ann",       # bucketed embedding near-dup
+    # --- round-10/9 rows kept for standing coverage ---
+    "a15_windowed_sketch_distinct",  # per-window HLL sketch states
+    "dedup_cc_star",             # deep-graph CC star variant
+    "quality_classifier",        # hashed n-gram linear gate
     "bpe_merge_table",           # learned BPE tokenizer: training
     "a12_sketch_union_distinct", # mergeable HLL sketch maintenance
-    "a13_theta_batch_overlap",   # theta sketch set algebra
     "a14_kll_quantile_merge",    # KLL quantile sketch maintenance
     "dedup_canonical_keep",      # consumes connected_components
-    # (quality_gopher_rules / bpe_encode_stats / bpe_vocab_coverage
-    # rotated out this round — r9 driver-verified, plans untouched in
-    # r10; their families stay covered by quality_classifier /
-    # quality_ppl_buckets and bpe_train_local / bpe_merge_table)
+    # (sim_ann_lsh / bpe_train_local / quality_ppl_buckets /
+    # a13_theta_batch_overlap rotated out this round -- r10
+    # driver-verified, plans untouched in r11; families stay covered by
+    # the sim_ann_* rows, bpe_merge_table, quality_classifier, a12/a14)
     # --- 36 sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
