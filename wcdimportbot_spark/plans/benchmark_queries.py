@@ -2276,6 +2276,105 @@ def s11_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s11_bucket_split",
+    "store maintenance: hot-bucket split (extendible hashing)",
+    "N_BUCKETS is frozen at store creation; at 100 TB a hot bucket "
+    "needs more fanout WITHOUT a full-store rewrite. Bootstrap the item "
+    "store, SPLIT one bucket (leaf depth 0 -> children b and b+16 at "
+    "depth 1) and pin — in-row, on real file inodes — that ONLY that "
+    "bucket's dirs were rewritten (every other file survives as a "
+    "hardlink), that the moved rows land exactly by the child modulus, "
+    "and that a full corpus RESEND after the split merges through the "
+    "snapshot's bucket map as a pure no-op (nothing fresh, nothing "
+    "published). Store content then hash-verifies against the domain "
+    "closed form",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of, COUNT(*) AS n,
+           TRUE AS untouched_linked, TRUE AS redistributed,
+           TRUE AS resend_noop
+    FROM documents
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE', COUNT(*) + 10, TRUE, TRUE, TRUE
+    FROM documents
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT), TRUE, TRUE, TRUE
+    """,
+)
+def s11_bucket_split(spark, sf_dir):
+    """sinks.split_bucket: extendible hashing on the partition layout —
+    cost linear in the SPLIT bucket, never the store; the per-snapshot
+    _BUCKETS.json map travels with the data and every writer re-derives
+    batch buckets from the base snapshot's map (composition with
+    concurrent merges is stress-pinned in tests/test_versioned.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    def inodes(base):
+        out = {}
+        for root, _d, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, base)] = os.stat(p).st_ino
+        return out
+
+    items = _domain_stage(spark, sf_dir, "items").coalesce(4)
+    store = tempfile.mkdtemp(prefix="wcd-splitstore-")
+    hot = 2
+    try:
+        sinks.write_items(items, store)  # bootstrap v1
+        n_hot = (
+            sinks.with_bucket(items.select("hash"), "hash")
+            .filter(F.col(sinks.BUCKET_COL) == hot)
+            .count()
+        )
+        before = inodes(versioned.data_dir(store))
+        info = sinks.split_bucket(
+            spark, store, hot, key="hash",
+            partitions=["instance_of", sinks.BUCKET_COL],
+        )
+        after = inodes(versioned.data_dir(store))
+        hot_dir = f"{sinks.BUCKET_COL}={hot}"
+        in_hot = lambda p: hot_dir in p.split(os.sep)  # noqa: E731
+        untouched_linked = (
+            all(after.get(p) == i for p, i in before.items() if not in_hot(p))
+            and {p for p in after if not in_hot(p) and f"{sinks.BUCKET_COL}={info['children'][1]}" not in p}
+            == {p for p in before if not in_hot(p)}
+        )
+        snap = sinks.read_items(spark, store)
+        child = info["children"][1]
+        redistributed = (
+            info["rows_moved"] == n_hot
+            and snap.filter(F.col(sinks.BUCKET_COL).isin(hot, child))
+            .filter(
+                F.pmod(F.xxhash64(F.col("hash")), F.lit(2 * sinks.N_BUCKETS))
+                != F.col(sinks.BUCKET_COL)
+            )
+            .count()
+            == 0
+        )
+        # resend the whole corpus through the split map: pure no-op
+        v = versioned.current_version(store)
+        sinks.merge_write_items(spark, items, store)
+        resend_noop = versioned.current_version(store) == v
+        out = (
+            sinks.read_items(spark, store)
+            .groupBy("instance_of")
+            .agg(F.count("*").alias("n"))
+            .withColumn("untouched_linked", F.lit(bool(untouched_linked)))
+            .withColumn("redistributed", F.lit(bool(redistributed)))
+            .withColumn("resend_noop", F.lit(bool(resend_noop)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+@register(
     "domain_claim_families",
     "J5,A5,F25,F15-F17,F24 end-to-end",
     "one import run, three claim-family aggregates vs closed-form oracles: "
@@ -4366,6 +4465,7 @@ _WINDOW = [
     "s11_schema_evolution",      # additive evolution, sidecar reads
     "sim_ann_delete",            # ANN delete propagation + recall contract
     "curation_incremental_store",  # nightly loop == one-shot closed form
+    "s11_bucket_split",          # hot-bucket split inode contract
     # --- rows whose WRITE/READ PATH changed in round 11 (sidecar-aware
     # _read_tree on every store reader, bucket-map-aware engines, ANN
     # model/codes pair loading + stamp guard): re-verify ---
@@ -4387,12 +4487,12 @@ _WINDOW = [
     "quality_classifier",        # hashed n-gram linear gate
     "bpe_merge_table",           # learned BPE tokenizer: training
     "a12_sketch_union_distinct", # mergeable HLL sketch maintenance
-    "a14_kll_quantile_merge",    # KLL quantile sketch maintenance
     "dedup_canonical_keep",      # consumes connected_components
     # (sim_ann_lsh / bpe_train_local / quality_ppl_buckets /
-    # a13_theta_batch_overlap rotated out this round -- r10
-    # driver-verified, plans untouched in r11; families stay covered by
-    # the sim_ann_* rows, bpe_merge_table, quality_classifier, a12/a14)
+    # a13_theta_batch_overlap / a14_kll_quantile_merge rotated out this
+    # round -- r10 driver-verified, plans untouched in r11; families
+    # stay covered by the sim_ann_* rows, bpe_merge_table,
+    # quality_classifier, a12/a15)
     # --- 36 sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
