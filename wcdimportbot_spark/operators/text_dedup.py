@@ -769,8 +769,18 @@ def dedup_index_ingest(
     own buckets and concurrent readers never block. DuckDB-verified as
     the two-batch chain (``dedup_incremental_maint`` registry row /
     :func:`incremental_maint_sql`)."""
-    ann, survivors = dedup_index_probe(
-        new_docs, base_path, num_hashes, bands, id_col, text_col, shingle_n
+    ann, survivors, new_bands = dedup_index_probe(
+        new_docs, base_path, num_hashes, bands, id_col, text_col, shingle_n,
+        with_bands=True,
+    )
+    fresh_ids = ann.filter(F.col("fresh")).select(id_col)
+    pre_hashes = (
+        ann.filter(F.col("fresh")).select("text_hash").distinct()
+    )
+    pre_bands = (
+        new_bands.join(fresh_ids, id_col, "left_semi")
+        .select("band", "bucket")
+        .distinct()
     )
     dedup_index_merge(
         survivors,
@@ -781,6 +791,7 @@ def dedup_index_ingest(
         text_col,
         shingle_n,
         protocol=protocol,
+        precomputed=(pre_hashes, pre_bands),
     )
     return ann
 
@@ -793,7 +804,8 @@ def dedup_index_probe(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-) -> tuple[DataFrame, DataFrame]:
+    with_bands: bool = False,
+):
     """Read-only half of the ingest loop: annotate the batch against the
     current index snapshot, WITHOUT mutating the store. Returns
     ``(ann, survivors)`` — the annotation (materialized, so its plan is
@@ -804,15 +816,31 @@ def dedup_index_probe(
     batch sees its own half-finished ingest as history and its docs
     never reach the output sink — silent loss; outputs-then-merge flips
     the recovery failure mode to duplicate output rows, which append
-    sinks absorb downstream (the standard at-least-once contract)."""
+    sinks absorb downstream (the standard at-least-once contract).
+
+    ``with_bands=True`` returns ``(ann, survivors, new_bands)`` where
+    ``new_bands`` is the batch's MATERIALIZED (id, band, bucket)
+    relation — shingling + minhash is the expensive part of the loop,
+    and the merge needs exactly these rows again, so callers pass them
+    back via ``dedup_index_merge(precomputed=...)`` instead of paying
+    the signature computation twice per batch."""
     spark = new_docs.sparkSession
     hashes, bands_rel = read_dedup_index(spark, base_path)
+    new_bands = lsh_bands(
+        minhash_signatures(new_docs, num_hashes, id_col, shingle_n),
+        num_hashes,
+        bands,
+        id_col,
+    ).localCheckpoint(eager=True)  # one signature pass: probe AND merge
     ann = incremental_dedup(
-        new_docs, hashes, bands_rel, num_hashes, bands, id_col, text_col, shingle_n
+        new_docs, hashes, bands_rel, num_hashes, bands, id_col, text_col,
+        shingle_n, new_bands=new_bands,
     ).localCheckpoint(eager=True)
     survivors = new_docs.join(
         ann.filter(F.col("fresh")).select(id_col), id_col, "left_semi"
     )
+    if with_bands:
+        return ann, survivors, new_bands
     return ann, survivors
 
 
@@ -825,6 +853,7 @@ def dedup_index_merge(
     text_col: str = "text",
     shingle_n: int = 3,
     protocol: str | None = None,
+    precomputed: tuple[DataFrame, DataFrame] | None = None,
 ) -> None:
     """Merge a batch's surviving documents into the persistent index.
 
@@ -843,9 +872,14 @@ def dedup_index_merge(
     from wcdimportbot_spark.operators import sinks
 
     spark = survivors.sparkSession
-    s_hashes, s_bands = dedup_index(
-        survivors, num_hashes, bands, id_col, text_col, shingle_n
-    )
+    if precomputed is not None:
+        # the probe already paid the shingle+minhash pass for exactly
+        # these docs (dedup_index_probe(with_bands=True)) — reuse it
+        s_hashes, s_bands = precomputed
+    else:
+        s_hashes, s_bands = dedup_index(
+            survivors, num_hashes, bands, id_col, text_col, shingle_n
+        )
     if sinks._merge_protocol(protocol) == "optimistic":
         # same bands-before-hashes crash ordering, committed lock-free
         # through the rename arbiter (versioned.py §optimistic) — the

@@ -184,8 +184,11 @@ def curate_increment(
     )
     winners = ranked.filter(F.col("rn") == 1).drop("rn")
     # read-only probe against the PRE-increment index snapshot; ann is
-    # materialized inside, so later merges can't tear its plan
-    ann, _fresh = dedup_index_probe(
+    # materialized inside, so later merges can't tear its plan.
+    # with_bands: the batch's minhash signature pass is the expensive
+    # part of the loop — reuse it for the index merge below instead of
+    # re-shingling the novel docs
+    ann, _fresh, new_bands = dedup_index_probe(
         winners.select(id_col, text_col),
         _index_path(base_path),
         num_hashes,
@@ -193,6 +196,7 @@ def curate_increment(
         id_col,
         text_col,
         shingle_n,
+        with_bands=True,
     )
     flags = winners.join(
         ann.select(
@@ -209,7 +213,8 @@ def curate_increment(
     # OUTPUTS FIRST: corpus append (idempotent by content hash) ...
     merge_curated_corpus(spark, accepted, base_path, protocol=protocol)
     # ... THEN the index learns every novel winner (kept or low-quality:
-    # its hash is now history either way)
+    # its hash is now history either way), reusing the probe's
+    # already-materialized signature pass
     dedup_index_merge(
         novel.select(id_col, text_col),
         _index_path(base_path),
@@ -219,6 +224,12 @@ def curate_increment(
         text_col,
         shingle_n,
         protocol=protocol,
+        precomputed=(
+            novel.select("text_hash").distinct(),
+            new_bands.join(novel.select(id_col), id_col, "left_semi")
+            .select("band", "bucket")
+            .distinct(),
+        ),
     )
     out = (
         ranked.select(id_col, "text_hash", "quality", "detected_lang", "rn")
