@@ -1496,3 +1496,107 @@ def test_split_bucket_under_concurrent_merges_loses_nothing(spark, tmp_path):
         "_want", sinks._bucket_column("hash", leaves)
     ).filter(F.col("_want") != F.col(sinks.BUCKET_COL))
     assert misplaced.count() == 0
+
+
+def test_upsert_atomic_and_prunes(spark, tmp_path, monkeypatch):
+    """Full-MERGE upsert (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT): matched rows are REPLACED in one atomic snapshot publish
+    (a crash mid-upsert leaves the store fully pre-upsert — never the
+    deleted-but-not-reinserted half), untouched buckets hardlink
+    through, a row whose partition value changed MOVES dirs, and the
+    bucket-split map composes."""
+    import pytest
+
+    path = str(tmp_path / "items")
+    rows = [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(64)]
+    rows.append(("Q900", "WEBSITE_ITEM", "w", "d", "hash900"))
+    sinks.write_items(_items(spark, rows), path)
+    before = _parquet_inodes(versioned.data_dir(path))
+
+    batch = _items(
+        spark,
+        [
+            ("Q0", "WIKIPEDIA_PAGE", "UPDATED", "d", "hash0"),
+            # partition move: same identity, reclassified type
+            ("Q1", "WIKIPEDIA_REFERENCE", "moved", "d", "hash1"),
+            ("QF", "WIKIPEDIA_PAGE", "fresh", "d", "hashF"),
+        ],
+    )
+    # crash BEFORE publish: store must stay fully pre-upsert
+    def boom(p, v):
+        raise RuntimeError("killed before upsert publish")
+
+    real_publish = versioned.publish
+    monkeypatch.setattr(versioned, "publish", boom)
+    with pytest.raises(RuntimeError, match="killed before"):
+        sinks.upsert_write_items(spark, batch, path)
+    monkeypatch.setattr(versioned, "publish", real_publish)
+    snap0 = sinks.read_items(spark, path)
+    assert snap0.count() == 65
+    assert snap0.filter(F.col("label") == "UPDATED").count() == 0
+
+    res = sinks.upsert_write_items(spark, batch, path)
+    assert res == {"updated": 2, "inserted": 1}
+    after = _parquet_inodes(versioned.data_dir(path))
+    touched = {
+        f"instance_of={r['instance_of']}/hb={r['hb']}"
+        for r in sinks.with_bucket(batch, "hash")
+        .select("instance_of", sinks.BUCKET_COL)
+        .distinct()
+        .collect()
+    } | {
+        # the moved row's OLD dir is touched too
+        f"instance_of=WIKIPEDIA_PAGE/hb={r['hb']}"
+        for r in sinks.with_bucket(
+            batch.filter(F.col("qid") == "Q1"), "hash"
+        ).select(sinks.BUCKET_COL).collect()
+    }
+    unt = {p: i for p, i in before.items() if os.path.dirname(p) not in touched}
+    assert unt and all(after.get(p) == i for p, i in unt.items())
+    snap = sinks.read_items(spark, path)
+    assert snap.count() == 66
+    assert snap.select("hash").distinct().count() == 66
+    assert snap.filter(F.col("hash") == "hash0").first()["label"] == "UPDATED"
+    moved = snap.filter(F.col("hash") == "hash1").collect()
+    assert len(moved) == 1 and moved[0]["instance_of"] == "WIKIPEDIA_REFERENCE"
+    # composes with a split store (batch re-bucketed under the map)
+    sinks.split_bucket(
+        spark, path, 4, key="hash", partitions=["instance_of", sinks.BUCKET_COL]
+    )
+    res2 = sinks.upsert_write_items(
+        spark,
+        _items(spark, [("Q0", "WIKIPEDIA_PAGE", "UPDATED-2", "d", "hash0")]),
+        path,
+    )
+    assert res2 == {"updated": 1, "inserted": 0}
+    snap2 = sinks.read_items(spark, path)
+    assert snap2.count() == 66
+    assert snap2.filter(F.col("hash") == "hash0").first()["label"] == "UPDATED-2"
+    leaves = sinks._bucket_leaves(versioned.data_dir(path))
+    assert (
+        snap2.withColumn("_want", sinks._bucket_column("hash", leaves))
+        .filter(F.col("_want") != F.col(sinks.BUCKET_COL))
+        .count()
+        == 0
+    )
+
+
+def test_upsert_optimistic_rebases_over_concurrent_merge(spark, tmp_path):
+    """Lock-free upsert converges with concurrent inserts: rows merged
+    by a competitor after the upsert's first resolution are still
+    replaced/kept correctly because the rebase recomputes against the
+    winner's tree."""
+    path = str(tmp_path / "items")
+    base = _items(
+        spark, [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(16)]
+    )
+    sinks.merge_write_items(spark, base, path, protocol="optimistic")
+    batch = _items(
+        spark, [("Q0", "WIKIPEDIA_PAGE", "UPDATED", "d", "hash0")]
+    )
+    res = sinks.upsert_write_items(spark, batch, path, protocol="optimistic")
+    assert res == {"updated": 1, "inserted": 0}
+    assert not os.path.exists(os.path.join(path, versioned.LOCK_FILE))
+    snap = sinks.read_items(spark, path)
+    assert snap.count() == 16
+    assert snap.filter(F.col("hash") == "hash0").first()["label"] == "UPDATED"

@@ -1012,6 +1012,262 @@ def _delete_from_store_optimistic(
     ) from last_err
 
 
+def upsert_into_store(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    *,
+    key: str,
+    bucket_key: str | None,
+    partitions: list[str],
+    prune_col: str = BUCKET_COL,
+    sort_key: str | None = None,
+    protocol: str | None = None,
+    allow_additive: bool = False,
+) -> dict:
+    """Delta's full MERGE semantics — WHEN MATCHED UPDATE, WHEN NOT
+    MATCHED INSERT — at the same O(touched buckets) cost as the pruned
+    DELETE it composes with: every UNTOUCHED partition dir hardlinks
+    into the new snapshot; only partitions holding matched rows or
+    receiving batch rows are rewritten as (kept-minus-matched ∪ batch).
+    Last-writer-wins per key within one call (the batch is deduped on
+    ``key``); the whole upsert is ONE atomic snapshot publish, so a
+    reader never sees the delete half without the insert half.
+
+    Beyond-reference: the bot's write path is insert-only
+    conflict-as-success (``crud/create.py:25-45`` — no update.py
+    exists); a training-data pipeline needs this for re-crawls (same
+    document identity, fresh content/quality columns). The insert-only
+    fast path stays :func:`_merge_write` — cheaper (append-only, no
+    bucket rewrite) whenever existing rows must win.
+
+    Returns ``{"updated": n, "inserted": n}``."""
+    sort_key = sort_key or key
+    new_df = new_df.dropDuplicates([key])
+    new_b = with_bucket(new_df, bucket_key) if bucket_key else new_df
+    if _merge_protocol(protocol) == "optimistic":
+        return _upsert_into_store_optimistic(
+            spark,
+            new_b,
+            path,
+            key=key,
+            bucket_key=bucket_key,
+            partitions=partitions,
+            prune_col=prune_col,
+            sort_key=sort_key,
+            allow_additive=allow_additive,
+        )
+    with versioned.writer_lock(path):
+        if not has_parquet_data(path):
+            staged = new_b.localCheckpoint(eager=True)
+            n = staged.count()
+            if n:
+                version, vdir = versioned.stage_new(path)
+                (
+                    staged.sortWithinPartitions(*partitions, sort_key)
+                    .write.mode("overwrite")
+                    .partitionBy(*partitions)
+                    .parquet(vdir)
+                )
+                versioned.publish(path, version)
+            return {"updated": 0, "inserted": int(n)}
+        spark.catalog.refreshByPath(path)
+        current_dir = versioned.data_dir(path)
+        new_b, _leaves = _rebucket_for_base(new_b, bucket_key, current_dir)
+        res = _stage_upsert(
+            spark,
+            path,
+            current_dir,
+            new_b,
+            key=key,
+            partitions=partitions,
+            prune_col=prune_col,
+            sort_key=sort_key,
+            allow_additive=allow_additive,
+            staged_dir=None,
+        )
+        versioned.publish(path, res.pop("_version"))
+        return res
+
+
+def _stage_upsert(
+    spark,
+    path,
+    base_dir,
+    new_b,
+    *,
+    key,
+    partitions,
+    prune_col,
+    sort_key,
+    allow_additive,
+    staged_dir,
+):
+    """Shared upsert body against a resolved base snapshot: compute the
+    touched partition set (batch dirs ∪ matched-row dirs — an update may
+    MOVE a row when a non-bucket partition value changed, e.g. a
+    reclassified ``instance_of``), stage hardlinks for everything else,
+    and rewrite touched partitions as kept ∪ batch. Returns
+    {updated, inserted, "_version"}."""
+    snap = _read_tree(spark, base_dir)
+    new_cols = _check_merge_schema(
+        new_b.columns, snap.columns, allow_additive=allow_additive
+    )
+    batch = new_b.localCheckpoint(eager=True)
+    n_batch = batch.count()
+    touched_prunes = [
+        r[prune_col] for r in batch.select(prune_col).distinct().collect()
+    ]
+    pruned = snap.filter(F.col(prune_col).isin(touched_prunes))
+    keys_only = F.broadcast(batch.select(key).distinct())
+    matched_stats = (
+        pruned.join(keys_only, key, "left_semi")
+        .groupBy(*partitions)
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    n_matched = int(sum(r["_n"] for r in matched_stats))
+    batch_tuples = batch.select(*partitions).distinct().collect()
+    touched = {tuple(r[c] for c in partitions) for r in matched_stats} | {
+        tuple(r[c] for c in partitions) for r in batch_tuples
+    }
+    touched_rows = [dict(zip(partitions, t)) for t in sorted(touched)]
+    exclude = {
+        _partition_relpath(r, partitions)
+        for r in touched_rows
+        if os.path.isdir(
+            os.path.join(base_dir, _partition_relpath(r, partitions))
+        )
+    }
+    kept = (
+        pruned.filter(_partition_values_predicate(touched_rows, partitions))
+        .join(keys_only, key, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if new_cols:
+        # evolved columns: old kept rows read null via the base sidecar
+        # only if the store already evolved; otherwise align by adding
+        # the nulls explicitly so the union below is by-name complete
+        for f in new_b.schema.fields:
+            if f.name in set(new_cols):
+                kept = kept.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+    content = kept.unionByName(batch)
+    if staged_dir is None:
+        version, vdir = versioned.stage_new(path)
+    else:
+        version, vdir = None, staged_dir
+    versioned.link_tree(base_dir, vdir, exclude_rel_dirs=exclude)
+    (
+        content.repartition(*[F.col(c) for c in partitions])
+        .sortWithinPartitions(*partitions, sort_key)
+        .write.mode("append")
+        .partitionBy(*partitions)
+        .parquet(vdir)
+    )
+    if new_cols:
+        _write_schema_sidecar(
+            vdir, _evolved_schema(snap.schema, new_b.schema, new_cols)
+        )
+    return {
+        "updated": n_matched,
+        "inserted": int(n_batch - n_matched),
+        "_version": version,
+    }
+
+
+def _upsert_into_store_optimistic(
+    spark,
+    new_b,
+    path,
+    *,
+    key,
+    bucket_key,
+    partitions,
+    prune_col,
+    sort_key,
+    allow_additive,
+) -> dict:
+    """Lock-free upsert: the rebase recomputes kept ∪ batch against the
+    winner's tree (a concurrent merge may have inserted rows the upsert
+    must now replace). Only the transient pruned-base race retries."""
+    last_err: Exception | None = None
+    for attempt in range(MAX_OPTIMISTIC_ATTEMPTS):
+        if attempt:
+            time.sleep(0.05 * attempt)
+        base, base_dir, target = versioned.resolve_latest(path)
+        if base is None:
+            if _tree_has_parquet(path):
+                raise ValueError(
+                    f"optimistic upserts need a versioned store; migrate "
+                    f"the legacy root {path} with one locked write first"
+                )
+            staged = new_b.localCheckpoint(eager=True)
+            n = staged.count()
+            vdir = versioned.stage_optimistic(path, target)
+            (
+                staged.sortWithinPartitions(*partitions, sort_key)
+                .write.mode("overwrite")
+                .partitionBy(*partitions)
+                .parquet(vdir)
+            )
+            if versioned.try_publish(path, target, vdir):
+                return {"updated": 0, "inserted": int(n)}
+            continue
+        try:
+            spark.catalog.refreshByPath(base_dir)
+            batch, _leaves = _rebucket_for_base(new_b, bucket_key, base_dir)
+            vdir = versioned.stage_optimistic(path, target)
+            res = _stage_upsert(
+                spark,
+                path,
+                base_dir,
+                batch,
+                key=key,
+                partitions=partitions,
+                prune_col=prune_col,
+                sort_key=sort_key,
+                allow_additive=allow_additive,
+                staged_dir=vdir,
+            )
+            res.pop("_version")
+            if versioned.try_publish(path, target, vdir):
+                return res
+        except Exception as e:
+            if not versioned.is_transient_read_race(e):
+                raise
+            last_err = e
+            continue
+    raise TimeoutError(
+        f"optimistic upsert into {path} lost {MAX_OPTIMISTIC_ATTEMPTS} "
+        f"commit races"
+    ) from last_err
+
+
+def upsert_write_items(
+    spark: SparkSession,
+    new_items: DataFrame,
+    path: str,
+    protocol: str | None = None,
+    allow_additive: bool = False,
+) -> dict:
+    """Full-MERGE upsert on the items store (hash identity): matched
+    items are REPLACED by the batch row, fresh ones insert — the
+    re-crawl path. The insert-only conflict-as-success path remains
+    :func:`merge_write_items`."""
+    return upsert_into_store(
+        spark,
+        new_items,
+        path,
+        key="hash",
+        bucket_key="hash",
+        partitions=["instance_of", BUCKET_COL],
+        protocol=protocol,
+        allow_additive=allow_additive,
+    )
+
+
 def split_bucket(
     spark: SparkSession,
     path: str,

@@ -2276,6 +2276,115 @@ def s11_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "s11_upsert_rewrite",
+    "store maintenance: full-MERGE upsert (WHEN MATCHED UPDATE)",
+    "Delta's full MERGE on the plain-parquet store at the pruned-delete "
+    "cost — beyond-reference (the bot's write path is insert-only "
+    "conflict-as-success; a training pipeline needs re-crawls to "
+    "REPLACE rows): bootstrap the item store, UPSERT a batch that "
+    "rewrites every page row's label (matched -> replaced) plus fresh "
+    "synthetic rows (not matched -> inserted), in ONE atomic snapshot "
+    "publish. Pinned in-row on inodes: partitions holding neither "
+    "matched nor batch rows survive as hardlinks; counts stay exact "
+    "(no duplicate identities, updated+inserted splits verified). "
+    "Content hash-verifies against the closed form with per-type "
+    "updated-row counts",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of, 2 * COUNT(*) AS n,
+           COUNT(*) AS n_updated,
+           TRUE AS untouched_linked, TRUE AS counts_exact
+    FROM documents
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE', COUNT(*) + 10, CAST(0 AS BIGINT),
+           TRUE, TRUE
+    FROM documents
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, TRUE
+    """,
+)
+def s11_upsert_rewrite(spark, sf_dir):
+    """sinks.upsert_into_store: touched partitions = batch dirs ∪
+    matched-row dirs; kept-minus-matched ∪ batch rewrites them, all
+    other dirs hardlink through (O(touched buckets), one atomic
+    publish — a reader never sees the delete half without the insert
+    half). The insert-only fast path stays merge_write_items."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    def inodes(base):
+        out = {}
+        for root, _d, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, base)] = os.stat(p).st_ino
+        return out
+
+    items = _domain_stage(spark, sf_dir, "items").coalesce(4)
+    store = tempfile.mkdtemp(prefix="wcd-upsertstore-")
+    try:
+        sinks.write_items(items, store)  # bootstrap v1
+        pages = items.filter(F.col("instance_of") == "WIKIPEDIA_PAGE")
+        updated = pages.withColumn(
+            "label", F.concat(F.lit("recrawl: "), F.col("label"))
+        )
+        fresh = pages.withColumn(
+            "hash", F.concat(F.lit("up"), F.col("hash"))
+        )
+        before = inodes(versioned.data_dir(store))
+        res = sinks.upsert_write_items(
+            spark, updated.unionByName(fresh), store
+        )
+        after = inodes(versioned.data_dir(store))
+        n_pages = pages.count()
+        counts_exact = (
+            res["updated"] == n_pages and res["inserted"] == n_pages
+        )
+        touched = {
+            f"instance_of={r['instance_of']}/hb={r['hb']}"
+            for r in sinks.with_bucket(
+                updated.unionByName(fresh).select("instance_of", "hash"),
+                "hash",
+            )
+            .select("instance_of", sinks.BUCKET_COL)
+            .distinct()
+            .collect()
+        }
+        unt = {
+            p: i for p, i in before.items() if os.path.dirname(p) not in touched
+        }
+        untouched_linked = (
+            len(unt) > 0
+            and all(after.get(p) == i for p, i in unt.items())
+            # reference/website dirs hold no matched or batch rows
+            and any("WIKIPEDIA_REFERENCE" in p for p in unt)
+        )
+        snap = sinks.read_items(spark, store)
+        counts_exact = (
+            counts_exact
+            and snap.count() == snap.select("hash").distinct().count()
+        )
+        out = (
+            snap.groupBy("instance_of")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.col("label").startswith("recrawl: ").cast("long")
+                ).alias("n_updated"),
+            )
+            .withColumn("untouched_linked", F.lit(bool(untouched_linked)))
+            .withColumn("counts_exact", F.lit(bool(counts_exact)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+@register(
     "s11_bucket_split",
     "store maintenance: hot-bucket split (extendible hashing)",
     "N_BUCKETS is frozen at store creation; at 100 TB a hot bucket "
@@ -4466,6 +4575,7 @@ _WINDOW = [
     "sim_ann_delete",            # ANN delete propagation + recall contract
     "curation_incremental_store",  # nightly loop == one-shot closed form
     "s11_bucket_split",          # hot-bucket split inode contract
+    "s11_upsert_rewrite",        # full-MERGE upsert inode contract
     # --- rows whose WRITE/READ PATH changed in round 11 (sidecar-aware
     # _read_tree on every store reader, bucket-map-aware engines, ANN
     # model/codes pair loading + stamp guard): re-verify ---
@@ -4486,13 +4596,12 @@ _WINDOW = [
     "dedup_cc_star",             # deep-graph CC star variant
     "quality_classifier",        # hashed n-gram linear gate
     "bpe_merge_table",           # learned BPE tokenizer: training
-    "a12_sketch_union_distinct", # mergeable HLL sketch maintenance
     "dedup_canonical_keep",      # consumes connected_components
     # (sim_ann_lsh / bpe_train_local / quality_ppl_buckets /
-    # a13_theta_batch_overlap / a14_kll_quantile_merge rotated out this
-    # round -- r10 driver-verified, plans untouched in r11; families
-    # stay covered by the sim_ann_* rows, bpe_merge_table,
-    # quality_classifier, a12/a15)
+    # a13_theta_batch_overlap / a14_kll_quantile_merge /
+    # a12_sketch_union_distinct rotated out this round -- r10
+    # driver-verified, plans untouched in r11; families stay covered by
+    # the sim_ann_* rows, bpe_merge_table, quality_classifier, a15)
     # --- 36 sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
