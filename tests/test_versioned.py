@@ -1600,3 +1600,99 @@ def test_upsert_optimistic_rebases_over_concurrent_merge(spark, tmp_path):
     snap = sinks.read_items(spark, path)
     assert snap.count() == 16
     assert snap.filter(F.col("hash") == "hash0").first()["label"] == "UPDATED"
+
+
+def test_upsert_missing_matched_dir_raises(spark, tmp_path, monkeypatch):
+    """r11 ADVICE (medium): a matched partition whose constructed
+    relpath does not exist on disk is a value-escaping mismatch. The
+    upsert must fail LOUDLY before staging anything — silently dropping
+    it from the exclude set would hardlink the old dir AND append
+    kept+batch rows for it (matched rows surviving alongside their
+    replacements). Batch-only tuples may legitimately be absent."""
+    import pytest
+
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(
+            spark,
+            [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(8)],
+        ),
+        path,
+    )
+    v_before = versioned.current_version(path)
+
+    real = sinks._partition_relpath
+
+    def wrong(tuple_row, partitions):
+        return real(tuple_row, partitions) + "_ESCAPED"
+
+    monkeypatch.setattr(sinks, "_partition_relpath", wrong)
+    with pytest.raises(ValueError, match="refusing an unpruned upsert"):
+        sinks.upsert_write_items(
+            spark,
+            _items(spark, [("Q0", "WIKIPEDIA_PAGE", "UPDATED", "d", "hash0")]),
+            path,
+        )
+    monkeypatch.setattr(sinks, "_partition_relpath", real)
+    # nothing staged, nothing published, store intact
+    assert versioned.current_version(path) == v_before
+    snap = sinks.read_items(spark, path)
+    assert snap.count() == 8
+    assert snap.filter(F.col("label") == "UPDATED").count() == 0
+
+
+def test_upsert_counts_distinct_matched_keys(spark, tmp_path):
+    """r11 ADVICE (low): on a store whose key is NOT unique per row
+    (claims-shaped), 'updated' must count matched distinct batch keys —
+    counting matched STORE rows inflates it and skews 'inserted'
+    negative. All matched rows are still replaced by the batch's one
+    row per key (last-writer-wins within the call)."""
+    path = str(tmp_path / "kv")
+    df = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b"), ("k2", "c")], "k string, v string"
+    )
+    sinks.upsert_into_store(
+        spark, df, path, key="k", bucket_key="k", partitions=[sinks.BUCKET_COL]
+    )
+    res = sinks.upsert_into_store(
+        spark,
+        spark.createDataFrame([("k1", "NEW"), ("k3", "x")], "k string, v string"),
+        path,
+        key="k",
+        bucket_key="k",
+        partitions=[sinks.BUCKET_COL],
+    )
+    # pre-fix this reported {"updated": 2, "inserted": 0}
+    assert res == {"updated": 1, "inserted": 1}
+    snap = sinks.read_snapshot(spark, path)
+    assert snap.count() == 3
+    assert [r["v"] for r in snap.filter(F.col("k") == "k1").collect()] == ["NEW"]
+
+
+def test_ann_optimistic_first_commit_stamps_model(spark, tmp_path):
+    """r11 ADVICE (low): a codes store BORN from an optimistic
+    add-batch (build ran elsewhere / codes wiped) must still carry the
+    _MODEL_VERSION stamp, or load_ann_pair silently degrades to the
+    unverified current-of-each pairing the r10 fix exists to prevent."""
+    import shutil
+
+    from wcdimportbot_spark.operators.ann_store import (
+        _codes_path,
+        _model_path,
+        _read_model_stamp,
+        ann_index_add_batch,
+        ann_index_build,
+        read_ann_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    base = str(tmp_path / "ann")
+    ann_index_build(emb, base)
+    mv = versioned.current_version(_model_path(base))
+    # simulate "build ran elsewhere": model present, codes store absent
+    shutil.rmtree(_codes_path(base))
+    res = ann_index_add_batch(emb, base, protocol="optimistic")
+    assert res["added"] > 0
+    stamp = _read_model_stamp(versioned.data_dir(_codes_path(base)))
+    assert stamp == mv, f"optimistic first commit left stamp={stamp!r}"
+    assert read_ann_codes(spark, base).count() == res["added"]

@@ -525,6 +525,20 @@ def ann_index_add_batch(
                 n_fresh = sinks._merge_write_optimistic(
                     spark, enc, cpath, base_guard=guard, **merge_kwargs
                 )
+                # the optimistic FIRST-commit path writes the store body
+                # itself (no write_fn hook), so a codes store born from
+                # an optimistic add-batch would carry no _MODEL_VERSION
+                # and load_ann_pair would silently degrade to the
+                # unverified current-of-each pairing (r11 ADVICE). Stamp
+                # post-commit when absent: purely additive metadata the
+                # guard treats as unverified until it lands, racing
+                # add-batches under the same model converge on the same
+                # stamp, and link_tree carries it into every later
+                # snapshot.
+                if versioned.current_version(cpath) is not None:
+                    cur = versioned.data_dir(cpath)
+                    if _read_model_stamp(cur) is None:
+                        _write_model_stamp(cur, mv)
             else:
                 n_fresh = sinks._merge_write(
                     spark,

@@ -607,6 +607,12 @@ def _merge_write_optimistic(
     ]
     if not touched:
         return 0
+    # the default-map touched list, kept so a rebase landing on a base
+    # WITHOUT a bucket manifest (e.g. a restore republished a pre-split
+    # tree after an earlier attempt computed a split-map list) resets to
+    # the list matching new_b's default buckets instead of filtering the
+    # wrong partitions with a stale split-map list (r11 ADVICE)
+    default_touched = touched
     last_err: Exception | None = None
     for attempt in range(MAX_OPTIMISTIC_ATTEMPTS):
         if attempt:
@@ -653,6 +659,8 @@ def _merge_write_optimistic(
                     r[prune_col]
                     for r in batch_b.select(prune_col).distinct().collect()
                 ]
+            else:
+                touched = default_touched
             existing = _read_tree(spark, base_dir).filter(
                 F.col(prune_col).isin(touched)
             )
@@ -965,6 +973,9 @@ def _delete_from_store_optimistic(
     recompute against the winner's tree is required for correctness,
     exactly like the MERGE rebase. Only the transient pruned-base read
     race is retried; real defects surface immediately."""
+    # see _merge_write_optimistic: reset to the default-map list when a
+    # rebase lands on a manifest-less base (r11 ADVICE)
+    default_touched = list(touched_prunes)
     last_err: Exception | None = None
     for attempt in range(MAX_OPTIMISTIC_ATTEMPTS):
         if attempt:
@@ -985,6 +996,8 @@ def _delete_from_store_optimistic(
                     r[prune_col]
                     for r in batch_keys.select(prune_col).distinct().collect()
                 ]
+            else:
+                touched_prunes = default_touched
             n_doomed, _stats, exclude, kept = _delete_plan(
                 spark,
                 base_dir,
@@ -1126,19 +1139,45 @@ def _stage_upsert(
         .agg(F.count("*").alias("_n"))
         .collect()
     )
-    n_matched = int(sum(r["_n"] for r in matched_stats))
+    # the updated/inserted split counts matched BATCH KEYS, not matched
+    # store rows: a layout whose key is not unique per row (the
+    # claims-shaped stores this generic API accepts) holds several rows
+    # per key, which would inflate "updated" and skew "inserted"
+    # negative (r11 ADVICE). matched_stats stays row-grained — it feeds
+    # only the touched-partition set.
+    n_matched_keys = (
+        int(
+            pruned.join(keys_only, key, "left_semi")
+            .select(key)
+            .distinct()
+            .count()
+        )
+        if matched_stats
+        else 0
+    )
     batch_tuples = batch.select(*partitions).distinct().collect()
-    touched = {tuple(r[c] for c in partitions) for r in matched_stats} | {
+    matched_tuples = {tuple(r[c] for c in partitions) for r in matched_stats}
+    touched = matched_tuples | {
         tuple(r[c] for c in partitions) for r in batch_tuples
     }
     touched_rows = [dict(zip(partitions, t)) for t in sorted(touched)]
-    exclude = {
-        _partition_relpath(r, partitions)
-        for r in touched_rows
-        if os.path.isdir(
-            os.path.join(base_dir, _partition_relpath(r, partitions))
-        )
-    }
+    exclude = set()
+    for r in touched_rows:
+        rel = _partition_relpath(r, partitions)
+        if os.path.isdir(os.path.join(base_dir, rel)):
+            exclude.add(rel)
+        elif tuple(r[c] for c in partitions) in matched_tuples:
+            # a BATCH-only tuple may legitimately be absent (brand-new
+            # partition: nothing to exclude), but every matched tuple
+            # came from real base files — a missing constructed dir is a
+            # value-escaping mismatch, and hardlinking it would keep the
+            # matched rows alongside their replacements while the batch
+            # rows append duplicates: fail loudly like _delete_plan
+            # instead of silently corrupting the store (r11 ADVICE)
+            raise ValueError(
+                f"matched partition dir not found under {base_dir}: {rel}"
+                f" — value escaping mismatch; refusing an unpruned upsert"
+            )
     kept = (
         pruned.filter(_partition_values_predicate(touched_rows, partitions))
         .join(keys_only, key, "left_anti")
@@ -1171,8 +1210,8 @@ def _stage_upsert(
             vdir, _evolved_schema(snap.schema, new_b.schema, new_cols)
         )
     return {
-        "updated": n_matched,
-        "inserted": int(n_batch - n_matched),
+        "updated": n_matched_keys,
+        "inserted": int(n_batch - n_matched_keys),
         "_version": version,
     }
 
