@@ -662,10 +662,17 @@ def incremental_dedup(
             bands,
             id_col,
         )
-    matched_buckets = history_bands.join(
-        F.broadcast(new_bands.select("band", "bucket").distinct()),
-        ["band", "bucket"],
-        "left_semi",
+    matched_buckets = (
+        history_bands.select("band", "bucket")
+        .join(
+            F.broadcast(new_bands.select("band", "bucket").distinct()),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        # the attributed store (r12) keeps one row per contributing
+        # hash: dedup before broadcasting so the matched set stays
+        # bounded by the BATCH's bucket count, never the store's fan-in
+        .distinct()
     )
     near_ids = (
         new_bands.join(
@@ -718,10 +725,74 @@ def _write_band_store_unlocked(df: DataFrame, path: str) -> None:
 
 
 def _with_band_key(bands_rel: DataFrame) -> DataFrame:
-    """Single-column merge key for the (band, bucket) relation — the
-    MERGE engine's anti-join/bucketing key must be one column."""
+    """Single-column merge key for the ATTRIBUTED band relation
+    (text_hash, band, bucket): ``bk = text_hash#band`` — the MERGE
+    engine's anti-join/bucketing key must be one column.
+
+    Keying band rows by their contributing CONTENT HASH (r12: the
+    delete path) rather than by the bucket value does three things at
+    once: (a) deletes are derivable from the doomed hashes ALONE —
+    ``bk`` enumerates as hash × band index, no signature recompute and
+    no stored hash→bands side relation; (b) refcounting is automatic —
+    a (band, bucket) shared by several texts keeps one row per
+    contributing hash, so purging one text leaves the bucket visible to
+    the probe through the others' rows; (c) replay idempotence is
+    unchanged — identical text re-derives identical (hash, band) keys
+    and the insert-if-absent merge drops them. Cost: the store keeps
+    one row per (hash, band) instead of distinct buckets — ``bands``
+    (default 4) small rows per unique text, the standard posting-list
+    trade for deletability."""
     return bands_rel.withColumn(
-        "bk", F.concat(F.col("band").cast("string"), F.lit("#"), F.col("bucket"))
+        "bk",
+        F.concat(F.col("text_hash"), F.lit("#"), F.col("band").cast("string")),
+    )
+
+
+def _band_keys_for_hashes(doomed_hashes: DataFrame, bands: int) -> DataFrame:
+    """Every ``bk`` the given content hashes ever contributed to the
+    bands store — pure driver-known enumeration (hash × band index)."""
+    return doomed_hashes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.col("text_hash"), F.lit("#"), F.lit(str(b))
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk")
+    )
+
+
+def _attributed_bands(
+    docs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    new_bands: DataFrame | None = None,
+) -> DataFrame:
+    """The ATTRIBUTED band relation for ``docs``: distinct
+    (text_hash, band, bucket). ``new_bands`` reuses an
+    already-materialized (id, band, bucket) signature pass."""
+    if new_bands is None:
+        new_bands = lsh_bands(
+            minhash_signatures(docs, num_hashes, id_col, shingle_n),
+            num_hashes,
+            bands,
+            id_col,
+        )
+    return (
+        new_bands.join(
+            docs.select(
+                id_col, F.md5(F.col(text_col)).alias("text_hash")
+            ),
+            id_col,
+        )
+        .select("text_hash", "band", "bucket")
+        .distinct()
     )
 
 
@@ -773,13 +844,11 @@ def dedup_index_ingest(
         new_docs, base_path, num_hashes, bands, id_col, text_col, shingle_n,
         with_bands=True,
     )
-    fresh_ids = ann.filter(F.col("fresh")).select(id_col)
-    pre_hashes = (
-        ann.filter(F.col("fresh")).select("text_hash").distinct()
-    )
+    fresh_ann = ann.filter(F.col("fresh"))
+    pre_hashes = fresh_ann.select("text_hash").distinct()
     pre_bands = (
-        new_bands.join(fresh_ids, id_col, "left_semi")
-        .select("band", "bucket")
+        new_bands.join(fresh_ann.select(id_col, "text_hash"), id_col)
+        .select("text_hash", "band", "bucket")
         .distinct()
     )
     dedup_index_merge(
@@ -874,10 +943,17 @@ def dedup_index_merge(
     spark = survivors.sparkSession
     if precomputed is not None:
         # the probe already paid the shingle+minhash pass for exactly
-        # these docs (dedup_index_probe(with_bands=True)) — reuse it
+        # these docs (dedup_index_probe(with_bands=True)) — reuse it.
+        # s_bands must be the ATTRIBUTED relation (text_hash, band,
+        # bucket): the store keys band rows by contributing hash so the
+        # index can forget (see _with_band_key)
         s_hashes, s_bands = precomputed
     else:
-        s_hashes, s_bands = dedup_index(
+        s_hashes = (
+            survivors.select(F.md5(F.col(text_col)).alias("text_hash"))
+            .distinct()
+        )
+        s_bands = _attributed_bands(
             survivors, num_hashes, bands, id_col, text_col, shingle_n
         )
     if sinks._merge_protocol(protocol) == "optimistic":
@@ -925,6 +1001,92 @@ def dedup_index_merge(
         read_fn=sinks.read_snapshot,
         write_fn=_write_hash_store_unlocked,
     )
+
+
+def dedup_index_delete(
+    doomed_hashes: DataFrame,
+    base_path: str,
+    bands: int = 4,
+    protocol: str | None = None,
+) -> dict:
+    """Make the dedup index FORGET the given content hashes (r11
+    verdict weak #1): remove their ``text_hash`` rows from the hashes
+    store and every ``(text_hash, band)`` row they contributed to the
+    bands store — both via the partition-pruned copy-on-write DELETE
+    (operators/sinks.delete_from_store: untouched bucket dirs hardlink
+    into the new snapshot, only buckets holding doomed rows rewrite).
+
+    Why the index must forget: (a) purge completeness — after a
+    document leaves the corpus/graph/ANN stores, its exact-hash
+    fingerprint and MinHash band rows are content-derived artifacts a
+    GDPR-style purge must also remove; (b) re-ingest — the nightly loop
+    drops any batch doc whose hash the index knows (``dup_of_history``),
+    so content deleted from the corpus could otherwise NEVER re-enter.
+    Mirrors the reference's forgetting delete: ``Cache.delete_key``
+    removes the hash→QID memory (``src/models/cache.py:136-141``) so a
+    deleted page can be re-imported (``tests/test_wikibase_crud.py:
+    168-342``); this is the LLM-side analog on the dedup memory.
+
+    Deletion order is hashes FIRST, then bands — the mirror of the
+    merge's bands-before-hashes: a crash between the two leaves a
+    hash-forgotten/bands-remembered index, under which re-ingested
+    identical content is annotated near-dup but ACCEPTED (acceptance
+    gates on the exact hash), and a replayed delete (or the re-ingest
+    itself, which re-derives exactly the leftover ``bk`` rows)
+    converges the bands store. The reverse order would leave the exact
+    hash behind — precisely the can-never-re-enter failure this
+    operation exists to remove.
+
+    Absent hashes are swallowed (0 deletes, nothing published) — the
+    reference's tolerant delete-twice contract (``crud/delete.py:
+    44-61``). A pre-r12 bands store (rows keyed ``band#bucket``, no
+    ``text_hash`` column) cannot be pruned by hash and fails LOUDLY —
+    rebuild the index once to migrate.
+
+    Scale shape: both deletes are O(touched hash-buckets) writes; the
+    doomed ``bk`` list is a driver-free enumeration (hash × band index,
+    ``bands`` rows per doomed hash), so nothing ever scans the store
+    except the pruned buckets themselves. Returns
+    ``{"hashes_deleted": n, "bands_deleted": n}``."""
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+
+    spark = doomed_hashes.sparkSession
+    doomed = (
+        doomed_hashes.select("text_hash").distinct().localCheckpoint(eager=True)
+    )
+    hpath = os.path.join(base_path, "hashes")
+    bpath = os.path.join(base_path, "bands")
+    n_hashes = 0
+    if sinks.has_parquet_data(hpath):
+        n_hashes = sinks.delete_from_store(
+            spark,
+            doomed,
+            hpath,
+            key="text_hash",
+            bucket_key="text_hash",
+            partitions=[sinks.BUCKET_COL],
+            protocol=protocol,
+        )
+    n_bands = 0
+    if sinks.has_parquet_data(bpath):
+        if "text_hash" not in sinks.read_snapshot(spark, bpath).columns:
+            raise ValueError(
+                f"bands store {bpath} predates hash attribution (rows "
+                f"keyed band#bucket carry no text_hash) and cannot be "
+                f"pruned by content hash — rebuild the index to migrate"
+            )
+        n_bands = sinks.delete_from_store(
+            spark,
+            _band_keys_for_hashes(doomed, bands),
+            bpath,
+            key="bk",
+            bucket_key="bk",
+            partitions=[sinks.BUCKET_COL],
+            protocol=protocol,
+        )
+    return {"hashes_deleted": int(n_hashes), "bands_deleted": int(n_bands)}
 
 
 def dedup_index_tables_write(

@@ -226,8 +226,10 @@ def curate_increment(
         protocol=protocol,
         precomputed=(
             novel.select("text_hash").distinct(),
-            new_bands.join(novel.select(id_col), id_col, "left_semi")
-            .select("band", "bucket")
+            # ATTRIBUTED band rows (text_hash, band, bucket): the store
+            # keys them by contributing hash so the index can forget
+            new_bands.join(novel.select(id_col, "text_hash"), id_col)
+            .select("text_hash", "band", "bucket")
             .distinct(),
         ),
     )
