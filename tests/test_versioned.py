@@ -1696,3 +1696,48 @@ def test_ann_optimistic_first_commit_stamps_model(spark, tmp_path):
     stamp = _read_model_stamp(versioned.data_dir(_codes_path(base)))
     assert stamp == mv, f"optimistic first commit left stamp={stamp!r}"
     assert read_ann_codes(spark, base).count() == res["added"]
+
+
+def test_compaction_preserves_split_and_schema_sidecars(spark, tmp_path):
+    """r11 verdict Next #3 done-criterion: compacting a store that has
+    BOTH been bucket-split and schema-evolved must carry _BUCKETS.json
+    and _SCHEMA.json into the compacted snapshot — a compaction that
+    drops the bucket map silently mis-routes every later merge, and one
+    that drops the schema sidecar makes evolved columns vanish for old
+    files."""
+    path = str(tmp_path / "items")
+    rows = [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(64)]
+    sinks.write_items(_items(spark, rows), path)
+    sinks.split_bucket(
+        spark, path, 3, key="hash", partitions=["instance_of", sinks.BUCKET_COL]
+    )
+    evolved = _items(
+        spark, [("QE", "WIKIPEDIA_PAGE", "e", "d", "hashE")]
+    ).withColumn("score", F.lit(1.5))
+    sinks.merge_write_items(spark, evolved, path, allow_additive=True)
+    want_leaves = sinks._bucket_leaves(versioned.data_dir(path))
+    assert want_leaves is not None and want_leaves[3] == 1
+
+    res = sinks.compact_items(spark, path)
+    assert res["compacted_partitions"] > 0  # the merge fragmented dirs
+    d = versioned.data_dir(path)
+    assert sinks._bucket_leaves(d) == want_leaves
+    schema = sinks._sidecar_schema(d)
+    assert schema is not None and "score" in schema.names
+    # both sidecars still DRIVE reads/writes: evolved col readable, a
+    # resent batch routes through the split map as a no-op
+    snap = sinks.read_items(spark, path)
+    assert snap.filter(F.col("score").isNotNull()).count() == 1
+    v = versioned.current_version(path)
+    evolved2 = _items(spark, rows[:8]).withColumn(
+        "score", F.lit(None).cast("double")
+    )
+    sinks.merge_write_items(spark, evolved2, path)
+    assert versioned.current_version(path) == v  # resend = no-op
+    leaves = sinks._bucket_leaves(d)
+    assert (
+        snap.withColumn("_want", sinks._bucket_column("hash", leaves))
+        .filter(F.col("_want") != F.col(sinks.BUCKET_COL))
+        .count()
+        == 0
+    )

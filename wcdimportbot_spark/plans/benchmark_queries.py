@@ -2484,6 +2484,173 @@ def s11_bucket_split(spark, sf_dir):
 
 
 @register(
+    "s12_maintenance_composition",
+    "store maintenance: full alphabet composed on ONE store",
+    "every maintenance engine is individually contract-pinned "
+    "(s10/s11 rows); this row pins their INTERPLAY — the classic way "
+    "plain-parquet lakehouse emulations rot is an engine that silently "
+    "drops another's sidecar. One items store runs the whole alphabet "
+    "in sequence: bootstrap -> MERGE a synthetic batch -> SPLIT the "
+    "hot bucket -> EVOLVE the schema (additive merge) -> pruned DELETE "
+    "of the synthetic batch -> COMPACT -> full-MERGE UPSERT of every "
+    "page label. In-row pins: _BUCKETS.json and _SCHEMA.json survive "
+    "every subsequent engine and still parse; every final row routes "
+    "to the bucket the surviving split map derives (a dropped map "
+    "would silently mis-route every later merge); dirs never touched "
+    "by any op (the reference/website partitions) keep their bootstrap "
+    "inodes through all six engines. Final content hash-verifies "
+    "against the closed form",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of, 2 * COUNT(*) AS n,
+           COUNT(*) AS n_updated, COUNT(*) AS n_scored,
+           TRUE AS sidecars_survive, TRUE AS routing_exact,
+           TRUE AS cold_dirs_linked
+    FROM documents
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE', COUNT(*) + 10, CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE, TRUE, TRUE
+    FROM documents
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), TRUE, TRUE, TRUE
+    """,
+)
+def s12_maintenance_composition(spark, sf_dir):
+    """merge -> split -> evolve -> delete -> compact -> upsert on one
+    store (r11 verdict Next #3). Each step is the O(touched-data)
+    engine; the sidecar checks after EVERY step are what this row adds
+    over the per-engine rows. sinks.{merge_write_items, split_bucket,
+    merge_delete_items, compact_items, upsert_write_items},
+    _bucket_leaves/_sidecar_schema."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    def inodes(base):
+        out = {}
+        for root, _d, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, base)] = os.stat(p).st_ino
+        return out
+
+    items = _domain_stage(spark, sf_dir, "items").coalesce(4)
+    store = tempfile.mkdtemp(prefix="wcd-composestore-")
+    hot = 2
+    try:
+        pages = items.filter(F.col("instance_of") == "WIKIPEDIA_PAGE")
+        # one task -> one bootstrap file per dir: the cold-dir inode pin
+        # below must not trip on COMPACT folding a multi-file bootstrap
+        sinks.write_items(items.coalesce(1), store)  # 1. bootstrap v1
+        cold_before = inodes(versioned.data_dir(store))
+        synth = pages.withColumn(
+            "hash", F.concat(F.lit("cmp"), F.col("hash"))
+        )
+        sinks.merge_write_items(spark, synth, store)  # 2. MERGE
+        sinks.split_bucket(  # 3. SPLIT hot bucket
+            spark, store, hot, key="hash",
+            partitions=["instance_of", sinks.BUCKET_COL],
+        )
+        want_leaves = {
+            **{b: 0 for b in range(sinks.N_BUCKETS) if b != hot},
+            hot: 1,
+            hot + sinks.N_BUCKETS: 1,
+        }
+        evolved = pages.withColumn(
+            "hash", F.concat(F.lit("evo"), F.col("hash"))
+        ).withColumn("quality_score", F.lit(0.5))
+        sinks.merge_write_items(  # 4. EVOLVE (additive merge)
+            spark, evolved, store, allow_additive=True
+        )
+
+        def sidecars_ok():
+            d = versioned.data_dir(store)
+            schema = sinks._sidecar_schema(d)
+            return (
+                sinks._bucket_leaves(d) == want_leaves
+                and schema is not None
+                and "quality_score" in schema.names
+            )
+
+        ok_after = {"evolve": sidecars_ok()}
+        n_del = sinks.merge_delete_items(  # 5. pruned DELETE
+            spark, synth.select("hash"), store
+        )
+        ok_after["delete"] = sidecars_ok()
+        sinks.compact_items(spark, store)  # 6. COMPACT
+        ok_after["compact"] = sidecars_ok()
+        upsert_batch = pages.withColumn(
+            "label", F.concat(F.lit("recrawl: "), F.col("label"))
+        ).withColumn("quality_score", F.lit(None).cast("double"))
+        res = sinks.upsert_write_items(spark, upsert_batch, store)  # 7. UPSERT
+        ok_after["upsert"] = sidecars_ok()
+        n_pages = pages.count()
+        sidecars_survive = (
+            all(ok_after.values())
+            and n_del == n_pages
+            and res == {"updated": n_pages, "inserted": 0}
+        )
+        snap = sinks.read_items(spark, store).localCheckpoint(eager=True)
+        leaves = sinks._bucket_leaves(versioned.data_dir(store))
+        routing_exact = (
+            snap.withColumn(
+                "_want", sinks._bucket_column("hash", leaves)
+            )
+            .filter(F.col("_want") != F.col(sinks.BUCKET_COL))
+            .count()
+            == 0
+        )
+        # dirs no engine ever wrote must keep their BOOTSTRAP inodes
+        # through all six. Every merge/delete/upsert batch was
+        # pages-only, but the SPLIT correctly rewrites the hot bucket's
+        # dirs under EVERY instance_of (the bucket map partitions the
+        # one hash space) — so cold = non-page dirs outside hb=hot and
+        # its child
+        split_dirs = {
+            f"{sinks.BUCKET_COL}={hot}",
+            f"{sinks.BUCKET_COL}={hot + sinks.N_BUCKETS}",
+        }
+
+        def is_cold(p):
+            parts = p.split(os.sep)
+            return "instance_of=WIKIPEDIA_PAGE" not in parts and not (
+                split_dirs & set(parts)
+            )
+
+        cold_after = inodes(versioned.data_dir(store))
+        cold = {p: i for p, i in cold_before.items() if is_cold(p)}
+        cold_dirs_linked = (
+            len(cold) > 0
+            and all(cold_after.get(p) == i for p, i in cold.items())
+            and {p for p in cold_after if is_cold(p)} == set(cold)
+        )
+        out = (
+            snap.groupBy("instance_of")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.col("label").startswith("recrawl: ").cast("long")
+                ).alias("n_updated"),
+                F.count("quality_score").alias("n_scored"),
+            )
+            .withColumn(
+                "sidecars_survive", F.lit(bool(sidecars_survive))
+            )
+            .withColumn("routing_exact", F.lit(bool(routing_exact)))
+            .withColumn(
+                "cold_dirs_linked", F.lit(bool(cold_dirs_linked))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+@register(
     "domain_claim_families",
     "J5,A5,F25,F15-F17,F24 end-to-end",
     "one import run, three claim-family aggregates vs closed-form oracles: "
@@ -4081,6 +4248,387 @@ def curation_incremental_store(spark, sf_dir):
 
 
 QUERIES["curation_incremental_store"].oracle = _curation_incremental_oracle()
+
+
+def _purge_propagation_oracle():
+    from wcdimportbot_spark.operators.text_analysis import document_profile_sql
+
+    profile = document_profile_sql("documents")
+    # the final corpus returns to the one-shot closed form: the purge
+    # removed 5 winners everywhere, then their re-ingest was ACCEPTED
+    # back (the index forgot) — the round trip is content-invariant,
+    # which is exactly the delete -> re-import contract
+    return f"""
+    WITH profile AS ({profile}),
+    deduped AS (
+      SELECT d.doc_id, p.quality, p.detected_lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN profile p ON p.doc_id = d.doc_id
+    )
+    SELECT detected_lang,
+           CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           TRUE AS purge_pruned, TRUE AS reingest_accepted,
+           TRUE AS purge_swallowed
+    FROM deduped GROUP BY detected_lang
+    HAVING SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) > 0
+    """
+
+
+@register(
+    "s12_purge_propagation",
+    "LLM-ops composed document PURGE (r11 verdict Next #1)",
+    "the reference's delete -> re-import contract (crud/delete.py:44-61; "
+    "tests/test_wikibase_crud.py:168-342) lifted to the LLM stores: "
+    "curate the corpus, PURGE 5 accepted documents through "
+    "purge_documents — corpus rows, dedup-index exact hashes AND band "
+    "fingerprints all leave under one two-phase marker, each store via "
+    "the partition-pruned copy-on-write delete (pinned in-row on real "
+    "file inodes for corpus and hash stores: untouched bucket dirs "
+    "survive as hardlinks). Purge-twice is swallowed (no deletes, no "
+    "publishes, marker stays committed). Then RE-INGEST the purged "
+    "content: it must be ACCEPTED back (the index forgot — the exact "
+    "failure the r11 weak named), returning the corpus to the one-shot "
+    "closed form per language",
+    None,  # oracle shares document_profile_sql, attached below
+)
+def s12_purge_propagation(spark, sf_dir):
+    """plans/curation_nightly.purge_documents: the delete half of the
+    store alphabet composed across every store that remembers content.
+    Scale shape: hash lookup is one column-pruned two-column corpus
+    scan (bounded by the broadcast id list); all three deletes are
+    O(touched-buckets) copy-on-write publishes; the doomed band keys
+    enumerate driver-free as hash x band index."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks, versioned
+    from wcdimportbot_spark.plans.curation_nightly import (
+        _corpus_path,
+        curate_increment,
+        purge_documents,
+        purge_state,
+        read_curated_corpus,
+    )
+
+    def inodes(base):
+        out = {}
+        for root, _d, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, base)] = os.stat(p).st_ino
+        return out
+
+    docs = load(spark, sf_dir, "documents").coalesce(4)
+    base = tempfile.mkdtemp(prefix="wcd-purgestore-")
+    try:
+        ann1 = curate_increment(docs, base)
+        doomed_rows = (
+            ann1.filter(F.col("kept"))
+            .orderBy("doc_id")
+            .limit(5)
+            .select("doc_id", "text_hash")
+            .collect()
+        )
+        doomed_ids = spark.createDataFrame(
+            [(r["doc_id"],) for r in doomed_rows], "doc_id long"
+        )
+        doomed_buckets = {
+            f"{sinks.BUCKET_COL}={r[sinks.BUCKET_COL]}"
+            for r in sinks.with_bucket(
+                spark.createDataFrame(
+                    [(r["text_hash"],) for r in doomed_rows],
+                    "text_hash string",
+                ),
+                "text_hash",
+            )
+            .select(sinks.BUCKET_COL)
+            .distinct()
+            .collect()
+        }
+        cpath = _corpus_path(base)
+        hpath = os.path.join(base, "dedup_index", "hashes")
+        before_c = inodes(versioned.data_dir(cpath))
+        before_h = inodes(versioned.data_dir(hpath))
+        res = purge_documents(spark, doomed_ids, base)
+        after_c = inodes(versioned.data_dir(cpath))
+        after_h = inodes(versioned.data_dir(hpath))
+
+        def pruned(before, after):
+            unt = {
+                p: i
+                for p, i in before.items()
+                if os.path.dirname(p) not in doomed_buckets
+            }
+            return (
+                len(unt) > 0
+                and all(after.get(p) == i for p, i in unt.items())
+                and {
+                    p
+                    for p in after
+                    if os.path.dirname(p) not in doomed_buckets
+                }
+                == set(unt)
+            )
+
+        purge_pruned = (
+            res
+            == {
+                "corpus_deleted": 5,
+                "hashes_deleted": 5,
+                "bands_deleted": 20,
+                "ann_deleted": 0,
+            }
+            and purge_state(base)["status"] == "committed"
+            and pruned(before_c, after_c)
+            and pruned(before_h, after_h)
+        )
+        # purge-twice: swallowed end to end — zero deletes, nothing
+        # published on either store, marker stays committed
+        v_c = versioned.current_version(cpath)
+        v_h = versioned.current_version(hpath)
+        res2 = purge_documents(spark, doomed_ids, base)
+        purge_swallowed = (
+            res2["corpus_deleted"] == 0
+            and res2["hashes_deleted"] == 0
+            and versioned.current_version(cpath) == v_c
+            and versioned.current_version(hpath) == v_h
+            and purge_state(base)["status"] == "committed"
+        )
+        # the index FORGOT: re-ingesting the purged content is accepted
+        resend = docs.join(F.broadcast(doomed_ids), "doc_id", "left_semi")
+        ann2 = curate_increment(resend, base)
+        reingest_accepted = (
+            ann2.count() == 5
+            and ann2.filter(
+                F.col("kept") & ~F.col("dup_of_history")
+            ).count()
+            == 5
+        )
+        out = (
+            read_curated_corpus(spark, base)
+            .groupBy("detected_lang")
+            .agg(F.count("*").alias("n_kept"))
+            .withColumn("purge_pruned", F.lit(bool(purge_pruned)))
+            .withColumn(
+                "reingest_accepted", F.lit(bool(reingest_accepted))
+            )
+            .withColumn("purge_swallowed", F.lit(bool(purge_swallowed)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+QUERIES["s12_purge_propagation"].oracle = _purge_propagation_oracle()
+
+
+#: the refresh row's text edit — must stay identical in the Spark body
+#: and the DuckDB closed form below
+_REFRESH_EDIT = " Edited again for the refresh contract row."
+
+
+def _curation_refresh_oracle():
+    from wcdimportbot_spark.operators.text_analysis import document_profile_sql
+
+    profile1 = document_profile_sql("ev")
+    profile2 = document_profile_sql("docs2")
+    # closed form over LATEST versions: the 7 refreshed winners carry
+    # the edited text, everyone else the original. AS MATERIALIZED on
+    # every chain CTE (DuckDB inlines by default — 2^M blowup).
+    return f"""
+    WITH ev AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    profile1 AS MATERIALIZED ({profile1}),
+    deduped1 AS MATERIALIZED (
+      SELECT d.doc_id, p.quality,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(d.text)) AS n_same
+      FROM ev d JOIN profile1 p ON p.doc_id = d.doc_id
+    ),
+    refresh_ids AS MATERIALIZED (
+      SELECT doc_id FROM deduped1
+      WHERE rn = 1 AND quality >= 0.7 AND n_same = 1
+      ORDER BY doc_id LIMIT 7
+    ),
+    docs2 AS MATERIALIZED (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM refresh_ids)
+                  THEN d.text || '{_REFRESH_EDIT}' ELSE d.text END AS text
+      FROM ev d
+    ),
+    profile2 AS MATERIALIZED ({profile2}),
+    deduped2 AS (
+      SELECT d.doc_id, p.quality, p.detected_lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+      FROM docs2 d JOIN profile2 p ON p.doc_id = d.doc_id
+    )
+    SELECT detected_lang,
+           CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           TRUE AS refresh_replaced, TRUE AS index_forgot,
+           TRUE AS replay_noop, TRUE AS untouched_linked
+    FROM deduped2 GROUP BY detected_lang
+    HAVING SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) > 0
+    """
+
+
+@register(
+    "s12_curation_refresh",
+    "LLM-ops re-crawl REFRESH increment (r11 verdict Next #2)",
+    "the nightly loop's missing refresh mode: batch 1 curates the even "
+    "documents; batch 2 re-sends 7 winners with EDITED text (plus "
+    "unchanged re-sends) through curate_refresh — each edited doc's OLD "
+    "corpus row and OLD index fingerprints are purged and the new "
+    "content accepted on its own merits, so the corpus converges to "
+    "exactly the one-shot closed form over LATEST versions (no stale "
+    "version accumulates — the r11 What's-wrong #3). Pinned in-row: "
+    "old hashes absent from the corpus, a read-only probe shows the "
+    "index forgot the old texts, replaying the refresh batch publishes "
+    "nothing, and corpus bucket dirs outside (old hashes UNION new "
+    "accepted hashes) survive as hardlinks",
+    None,  # oracle shares document_profile_sql, attached below
+)
+def s12_curation_refresh(spark, sf_dir):
+    """plans/curation_nightly.curate_refresh = purge_documents on the
+    stale fingerprints + the standard curate_increment. Refresh targets
+    are restricted to UNIQUE-text winners (a shared text's surviving
+    duplicates would keep the old content in the one-shot closed form
+    while the incremental store purged its only row — the documented
+    representative-identity caveat)."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks, versioned
+    from wcdimportbot_spark.operators.text_dedup import dedup_index_probe
+    from wcdimportbot_spark.plans.curation_nightly import (
+        _corpus_path,
+        _index_path,
+        curate_increment,
+        curate_refresh,
+        read_curated_corpus,
+    )
+
+    def inodes(base):
+        out = {}
+        for root, _d, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, base)] = os.stat(p).st_ino
+        return out
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .coalesce(4)
+    )
+    base = tempfile.mkdtemp(prefix="wcd-refreshstore-")
+    try:
+        ann1 = curate_increment(docs, base)
+        uniq = (
+            ann1.groupBy("text_hash")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") == 1)
+        )
+        targets = (
+            ann1.filter(F.col("kept"))
+            .join(uniq, "text_hash", "left_semi")
+            .orderBy("doc_id")
+            .limit(7)
+            .select("doc_id", "text_hash")
+            .collect()
+        )
+        refresh_ids = [r["doc_id"] for r in targets]
+        old_hashes = [r["text_hash"] for r in targets]
+        ids_df = spark.createDataFrame(
+            [(i,) for i in refresh_ids], "doc_id long"
+        )
+        edited = docs.join(
+            F.broadcast(ids_df), "doc_id", "left_semi"
+        ).withColumn("text", F.concat(F.col("text"), F.lit(_REFRESH_EDIT)))
+        unchanged = docs.filter(F.col("doc_id") % 6 == 0).join(
+            F.broadcast(ids_df), "doc_id", "left_anti"
+        )
+        batch = edited.unionByName(unchanged).localCheckpoint(eager=True)
+
+        cpath = _corpus_path(base)
+        before = inodes(versioned.data_dir(cpath))
+        ann2 = curate_refresh(batch, base)
+        after = inodes(versioned.data_dir(cpath))
+        refreshed = {
+            r["doc_id"] for r in ann2.filter(F.col("refreshed")).collect()
+        }
+        corpus = read_curated_corpus(spark, base).localCheckpoint(eager=True)
+        refresh_replaced = (
+            refreshed == set(refresh_ids)
+            and corpus.filter(F.col("text_hash").isin(old_hashes)).count()
+            == 0
+        )
+        # touched corpus buckets: purged old hashes + accepted new ones
+        touched_hashes = old_hashes + [
+            r["text_hash"] for r in ann2.filter(F.col("kept")).collect()
+        ]
+        touched_dirs = {
+            f"{sinks.BUCKET_COL}={r[sinks.BUCKET_COL]}"
+            for r in sinks.with_bucket(
+                spark.createDataFrame(
+                    [(h,) for h in touched_hashes], "text_hash string"
+                ),
+                "text_hash",
+            )
+            .select(sinks.BUCKET_COL)
+            .distinct()
+            .collect()
+        }
+        unt = {
+            p: i
+            for p, i in before.items()
+            if os.path.dirname(p) not in touched_dirs
+        }
+        untouched_linked = (
+            len(unt) > 0
+            and all(after.get(p) == i for p, i in unt.items())
+            and {p for p in after if os.path.dirname(p) not in touched_dirs}
+            == set(unt)
+        )
+        # the index forgot every OLD text: read-only probe, no mutation
+        old_texts = docs.join(F.broadcast(ids_df), "doc_id", "left_semi")
+        probe_ann, _surv = dedup_index_probe(
+            old_texts.select("doc_id", "text"), _index_path(base)
+        )
+        index_forgot = (
+            probe_ann.filter(F.col("exact_dup_of_history")).count() == 0
+        )
+        # replaying the same refresh batch publishes nothing anywhere
+        v = versioned.current_version(cpath)
+        ann3 = curate_refresh(batch, base)
+        replay_noop = (
+            ann3.filter(F.col("refreshed")).count() == 0
+            and versioned.current_version(cpath) == v
+        )
+        out = (
+            corpus.groupBy("detected_lang")
+            .agg(F.count("*").alias("n_kept"))
+            .withColumn(
+                "refresh_replaced", F.lit(bool(refresh_replaced))
+            )
+            .withColumn("index_forgot", F.lit(bool(index_forgot)))
+            .withColumn("replay_noop", F.lit(bool(replay_noop)))
+            .withColumn(
+                "untouched_linked", F.lit(bool(untouched_linked))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+QUERIES["s12_curation_refresh"].oracle = _curation_refresh_oracle()
 
 
 @register(

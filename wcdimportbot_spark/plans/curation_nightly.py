@@ -269,6 +269,236 @@ def curate_increment(
     return out.localCheckpoint(eager=True)
 
 
+#: two-phase purge marker (the store_import.py:74 manifest pattern): a
+#: purge spans up to four independent store publishes (corpus, index
+#: hashes, index bands, ANN codes); ``pending`` lands atomically BEFORE
+#: the first and flips to ``committed`` after the last, so a crash
+#: anywhere inside the window is detectable and the remediation — replay
+#: the purge — is safe because every component delete swallows
+#: already-deleted keys (the reference's tolerant delete,
+#: ``crud/delete.py:44-61``).
+PURGE_MANIFEST = "_PURGE_MANIFEST.json"
+
+
+def _write_purge_marker(base_path: str, payload: dict) -> None:
+    """Atomic write-temp + rename (the _CURRENT discipline)."""
+    import json
+
+    os.makedirs(base_path, exist_ok=True)
+    p = os.path.join(base_path, PURGE_MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def purge_state(base_path: str) -> dict:
+    """State of the last purge: ``{"status": "none" | "pending" |
+    "committed", ...}``. ``pending`` means a purge is running right now
+    or crashed mid-window — replaying it is the safe remediation."""
+    import json
+
+    try:
+        with open(
+            os.path.join(base_path, PURGE_MANIFEST), encoding="ascii"
+        ) as f:
+            return json.load(f)
+    except OSError:
+        return {"status": "none"}
+
+
+def purge_documents(
+    spark: SparkSession,
+    doomed: DataFrame,
+    base_path: str,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    ann_path: str | None = None,
+    ann_vec_ids: DataFrame | None = None,
+    protocol: str | None = None,
+) -> dict:
+    """Composed document PURGE across every store that remembers the
+    doomed content (r11 verdict Next #1): curated-corpus rows, dedup-
+    index exact hashes AND band fingerprints
+    (:func:`~wcdimportbot_spark.operators.text_dedup.dedup_index_delete`),
+    and optionally the ANN codes store — all under one two-phase marker.
+    After it commits, re-ingesting the same content is ACCEPTED back
+    into the corpus (the index forgot), which is the reference's
+    delete→re-import contract (``crud/delete.py:44-61``;
+    ``tests/test_wikibase_crud.py:168-342``) lifted to the LLM stores.
+
+    ``doomed`` carries either ``text_hash`` directly, or ``id_col`` —
+    then the hashes come from ONE column-pruned corpus scan (two string
+    columns, semi-joined against the broadcast id list; the corpus is
+    keyed on content hash, so a doc-id probe cannot partition-prune —
+    callers purging at scale should pass hashes). Note the quality-gate
+    asymmetry: a LOW-QUALITY novel doc's hash entered the index but
+    never the corpus, so an id-based lookup cannot find it — purge such
+    docs by hash.
+
+    Order: corpus first (the user-visible content), then index hashes,
+    then index bands, then ANN. A crash between any two leaves the
+    ``pending`` marker; replaying the purge converges because every
+    component delete is a swallowed no-op on already-deleted keys, and
+    each is itself a pruned copy-on-write snapshot publish
+    (O(touched-buckets) writes, untouched dirs hardlinked).
+
+    Returns ``{"corpus_deleted", "hashes_deleted", "bands_deleted",
+    "ann_deleted"}``."""
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.operators.text_dedup import dedup_index_delete
+
+    if "text_hash" in doomed.columns:
+        hashes = doomed.select("text_hash").distinct()
+    else:
+        corpus_path = _corpus_path(base_path)
+        if not sinks.has_parquet_data(corpus_path):
+            hashes = spark.createDataFrame([], "text_hash string")
+        else:
+            hashes = (
+                read_curated_corpus(spark, base_path)
+                .select(id_col, "text_hash")
+                .join(
+                    F.broadcast(doomed.select(id_col).distinct()),
+                    id_col,
+                    "left_semi",
+                )
+                .select("text_hash")
+                .distinct()
+            )
+    hashes = hashes.localCheckpoint(eager=True)
+    n_doomed = hashes.count()
+    if n_doomed == 0 and ann_vec_ids is None:
+        # nothing anywhere remembers these docs: purge-twice (and purge
+        # of never-ingested ids) is swallowed without marker churn
+        return {
+            "corpus_deleted": 0,
+            "hashes_deleted": 0,
+            "bands_deleted": 0,
+            "ann_deleted": 0,
+        }
+    _write_purge_marker(
+        base_path, {"status": "pending", "n_hashes": int(n_doomed)}
+    )
+    n_corpus = 0
+    corpus_path = _corpus_path(base_path)
+    if n_doomed and sinks.has_parquet_data(corpus_path):
+        n_corpus = sinks.delete_from_store(
+            spark,
+            hashes,
+            corpus_path,
+            key="text_hash",
+            bucket_key="text_hash",
+            partitions=[sinks.BUCKET_COL],
+            protocol=protocol,
+        )
+    if n_doomed:
+        idx = dedup_index_delete(
+            hashes, _index_path(base_path), bands=bands, protocol=protocol
+        )
+    else:
+        idx = {"hashes_deleted": 0, "bands_deleted": 0}
+    n_ann = 0
+    if ann_path is not None and ann_vec_ids is not None:
+        from wcdimportbot_spark.operators.ann_store import ann_index_delete
+
+        n_ann = ann_index_delete(ann_vec_ids, ann_path, protocol=protocol)
+    out = {
+        "corpus_deleted": int(n_corpus),
+        "hashes_deleted": int(idx["hashes_deleted"]),
+        "bands_deleted": int(idx["bands_deleted"]),
+        "ann_deleted": int(n_ann),
+    }
+    _write_purge_marker(base_path, {"status": "committed", **out})
+    return out
+
+
+def curate_refresh(
+    batch_docs: DataFrame,
+    base_path: str,
+    min_quality: float = MIN_QUALITY,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    protocol: str | None = None,
+) -> DataFrame:
+    """Re-crawl REFRESH increment (r11 verdict Next #2): a re-sent
+    ``doc_id`` whose text CHANGED replaces its old corpus row instead of
+    accumulating next to it — the curated corpus converges to one row
+    per live text, each the LATEST version of its representative doc.
+
+    Mechanics: find the batch ids' current corpus rows whose stored
+    ``text_hash`` differs from the re-sent text's hash (one column-pruned
+    two-column corpus scan against the broadcast batch — the corpus is
+    hash-keyed, so an id probe cannot prune; re-crawl batches are small
+    next to the corpus), PURGE those stale fingerprints through
+    :func:`purge_documents` (corpus rows + index hash/band rows, under
+    the two-phase marker), then run the standard
+    :func:`curate_increment` — the fresh content now probes as novel and
+    is accepted on its own quality merits.
+
+    Identity caveat: the corpus keys on CONTENT hash and keeps one
+    representative ``doc_id`` per text (the in-batch window winner), so
+    a refresh replaces rows whose REPRESENTATIVE id is in the batch; a
+    doc that lost its original hash race carries no corpus row of its
+    own to replace (its re-sent content simply inserts if novel).
+    Unchanged re-sent docs (same hash) are untouched: they annotate as
+    ``dup_of_history`` exactly like in the plain increment.
+
+    Returns the :func:`curate_increment` annotation plus a ``refreshed``
+    boolean (this doc's old corpus version was purged this call)."""
+    from wcdimportbot_spark.operators import sinks
+
+    spark = batch_docs.sparkSession
+    batch = batch_docs.dropDuplicates([id_col])
+    new_hashes = batch.select(
+        id_col, F.md5(F.col(text_col)).alias("_new_hash")
+    )
+    corpus_path = _corpus_path(base_path)
+    if sinks.has_parquet_data(corpus_path):
+        stale = (
+            read_curated_corpus(spark, base_path)
+            .select(id_col, "text_hash")
+            .join(F.broadcast(new_hashes), id_col)
+            .filter(F.col("text_hash") != F.col("_new_hash"))
+            .select(id_col, "text_hash")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        stale = spark.createDataFrame([], f"{id_col} long, text_hash string")
+    if stale.count():
+        purge_documents(
+            spark,
+            stale.select("text_hash"),
+            base_path,
+            bands=bands,
+            protocol=protocol,
+        )
+    ann = curate_increment(
+        batch_docs,
+        base_path,
+        min_quality=min_quality,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        protocol=protocol,
+    )
+    return ann.join(
+        stale.select(id_col).distinct().withColumn("_r", F.lit(True)),
+        id_col,
+        "left",
+    ).withColumn(
+        "refreshed", F.coalesce(F.col("_r"), F.lit(False))
+    ).drop("_r")
+
+
 def curation_increment_batch_fn(
     base_path: str,
     min_quality: float = MIN_QUALITY,
