@@ -1746,3 +1746,54 @@ def test_ann_add_batch_reencodes_after_retrain_race(spark, sf_dir, tmp_path, mon
         .collect()
     }
     assert got == want, "merged codes are not the new-model encoding"
+
+
+def test_ann_delete_staleness_flags_and_retrain_recovers(spark, tmp_path):
+    """r11 verdict Next #4: growth_ratio only ever flagged GROWTH — an
+    index whose store shrank under ann_index_delete never looked stale
+    even with centroids fitted on mostly-gone data. drift_ratio =
+    max(ratio, 1/ratio) flips past the ~2x trigger after deleting ~2/3,
+    and the retrain-on-remaining-corpus resets it to ~1 with the margin
+    contract green."""
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_build,
+        ann_index_delete,
+        ann_index_probe,
+        ann_index_stats,
+        ann_retrain,
+    )
+    from wcdimportbot_spark.operators.similarity import ann_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = str(tmp_path / "ann")
+    ann_index_build(emb, base)
+    st0 = ann_index_stats(spark, base).first()
+    assert abs(st0["drift_ratio"] - 1.0) < 0.01
+
+    doomed = emb.filter(
+        (F.col("vec_id") % 3 != 0) & (F.col("vec_id") >= 10)
+    ).select("vec_id")
+    ann_index_delete(doomed, base)
+    st1 = ann_index_stats(spark, base).first()
+    assert st1["growth_ratio"] < 0.5  # the old trigger saw "shrink = fine"
+    assert st1["drift_ratio"] >= 2.0  # the symmetric one flags it
+
+    remaining = emb.join(F.broadcast(doomed), "vec_id", "left_anti")
+    ann_retrain(remaining.localCheckpoint(eager=True), base)
+    st2 = ann_index_stats(spark, base).first()
+    assert abs(st2["drift_ratio"] - 1.0) < 0.01
+
+    approx = ann_index_probe(
+        emb, base, num_queries=10, k=5, nprobe=8, refine=10
+    )
+    report = ann_recall_report(
+        remaining,
+        approx,
+        num_queries=10,
+        k=5,
+        epsilon=0.05,
+        recall_floor=0.6,
+        margin_floor=0.01,
+    ).collect()
+    assert report and all(r["recall_within_tolerance"] for r in report)
+    assert all(r["recall_margin_ok"] for r in report)

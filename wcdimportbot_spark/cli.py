@@ -149,6 +149,14 @@ def main(argv=None) -> int:
         "concurrent probes keep serving the superseded snapshots)",
     )
     parser.add_argument(
+        "--ann-delete",
+        metavar="IDS",
+        help="propagate document deletes into --ann-store: remove the "
+        "vec_id rows of an ids parquet from the codes store via the "
+        "pruned copy-on-write delete (absent ids are swallowed); "
+        "deletes raise drift_ratio toward the retrain trigger",
+    )
+    parser.add_argument(
         "--topk", type=int, default=5, help="with --ann-probe: neighbors per query"
     )
     parser.add_argument(
@@ -518,7 +526,8 @@ def main(argv=None) -> int:
             )
         )
 
-    elif args.ann_build or args.ann_add or args.ann_probe or args.ann_retrain:
+    elif (args.ann_build or args.ann_add or args.ann_probe
+          or args.ann_retrain or args.ann_delete):
         if not args.ann_store:
             parser.error("the --ann-* lifecycle needs --ann-store <dir>")
         from wcdimportbot_spark.operators import ann_store as ann
@@ -540,6 +549,17 @@ def main(argv=None) -> int:
             )
             print(json.dumps({k: stats[k] for k in ("n_built", "model_version",
                                                     "retrained_from")}))
+        elif args.ann_delete:
+            n = ann.ann_index_delete(
+                spark.read.parquet(args.ann_delete), args.ann_store
+            )
+            drift = ann.ann_index_stats(spark, args.ann_store).select(
+                "drift_ratio"
+            ).first()
+            print(json.dumps({
+                "deleted": int(n),
+                "drift_ratio": float(drift["drift_ratio"]) if drift else None,
+            }))
         else:
             rows = ann.ann_index_probe(
                 spark.read.parquet(args.ann_probe),

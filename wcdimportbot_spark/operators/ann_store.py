@@ -672,22 +672,29 @@ def ann_index_probe(
 
 
 def ann_index_stats(spark: SparkSession, base_path: str) -> DataFrame:
-    """Per-cluster stored-vector counts plus the staleness ratio
-    (stored / n_built) — the retrain signal next to the recall-margin
-    contract. O(num_clusters) rows. Pair-consistent load: the ratio is
-    measured against the meta of the model the codes were built under."""
+    """Per-cluster stored-vector counts plus the staleness ratios —
+    the retrain signal next to the recall-margin contract.
+    O(num_clusters) rows. Pair-consistent load: the ratios are measured
+    against the meta of the model the codes were built under.
+
+    ``growth_ratio`` = stored / n_built. ``drift_ratio`` (r11 ADVICE-
+    adjacent fix, verdict Next #4) is its SYMMETRIC form
+    ``max(ratio, 1/ratio)``: growth alone never flags a heavily-DELETED
+    index, whose centroids were fitted on data that is mostly gone —
+    after ann_index_delete shrinks the store the growth ratio FALLS,
+    yet the model is exactly as stale as after the same-sized growth.
+    The documented ~2x retrain trigger reads ``drift_ratio``; deletes
+    are visible as drift_ratio > 1 with growth_ratio < 1."""
     _cent, _books, meta, codes, _mv = load_ann_pair(spark, base_path)
+    growth = F.sum("n_vectors").over(Window.partitionBy()) / F.col("n_built")
     return (
         codes.groupBy("cluster")
         .agg(F.count("*").alias("n_vectors"))
         .withColumn("n_built", F.lit(int(meta["n_built"])))
+        .withColumn("growth_ratio", F.round(growth, 4))
         .withColumn(
-            "growth_ratio",
-            F.round(
-                F.sum("n_vectors").over(Window.partitionBy())
-                / F.col("n_built"),
-                4,
-            ),
+            "drift_ratio",
+            F.round(F.greatest(growth, F.lit(1.0) / growth), 4),
         )
         .orderBy("cluster")
     )

@@ -3357,6 +3357,31 @@ def sim_ann_delete(spark, sf_dir):
             (F.col("neighbor_id") % 5 == 3) & (F.col("neighbor_id") >= 10)
         ).count()
         assert served_doomed == 0, "a deleted id must never be served"
+        # staleness must be SYMMETRIC (r11 verdict Next #4): after
+        # deleting most of the remaining store the growth-only ratio
+        # FALLS (~0.2 — the old trigger would never flag an index whose
+        # centroids were fitted on mostly-gone data); drift_ratio =
+        # max(ratio, 1/ratio) must cross the documented ~2x trigger.
+        # approx was materialized above, so the recall contract still
+        # grades the FIRST delete's store state.
+        from wcdimportbot_spark.operators.ann_store import ann_index_stats
+
+        ann_index_delete(
+            emb.filter(
+                (F.col("vec_id") % 5).isin(0, 1, 2)
+                & (F.col("vec_id") >= 10)
+            ).select("vec_id"),
+            base,
+        )
+        st = (
+            ann_index_stats(spark, base)
+            .select("growth_ratio", "drift_ratio")
+            .first()
+        )
+        assert st["growth_ratio"] < 0.5, st
+        assert st["drift_ratio"] >= 2.0, (
+            f"heavy deletes must flag stale: {st}"
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     # exact side = the corpus MINUS the deleted vectors (what a correct
