@@ -7,22 +7,28 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  116 queries, all DuckDB-verified — the ANN top-k variants emit an
+  119 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window prioritizes, in round 10: the
-  two new rows (``s10_append_only_merge`` — the O(batch)
-  write-amplification contract of the append-only insert MERGE, pinned
-  on real file inodes in-row; ``sim_ann_retrain`` — the ANN staleness
-  contract executed: build → 3× growth → retrain → probe under the
-  recall+margin contract, with in-row snapshot-isolation assertions),
-  every row whose write path changed with the append-only MERGE engine
-  and the age-based retention floor (``s9_optimistic_commits``,
-  ``sim_ann_index_maint``, ``dedup_incremental``,
-  ``dedup_incremental_maint``), the guarded-default restore on
-  ``dedup_embedding_ann`` (r9 ADVICE), the quiet-host watch item
-  ``sim_ann_lsh`` (windowed back in for a fresh driver number), and
+  ordered so the driver's 50-query window prioritizes, in round 12: the
+  three new rows (``s12_purge_propagation`` — the composed document
+  purge: corpus + dedup-index hash/band fingerprints leave under one
+  two-phase marker and the purged content's re-ingest is ACCEPTED back;
+  ``s12_curation_refresh`` — the re-crawl refresh increment: changed
+  re-sends REPLACE their old corpus rows and the store hash-matches the
+  one-shot closed form over latest versions; ``s12_maintenance_
+  composition`` — merge → split → evolve → delete → compact → upsert on
+  ONE store with sidecar/routing/inode pins after every engine), every
+  row whose write path changed in round 12 (the hash-ATTRIBUTED bands
+  store + ``dedup_index_delete`` behind ``dedup_incremental``/
+  ``dedup_incremental_maint``/``curation_incremental_store``; the
+  upsert matched-dir guard and distinct-key counts behind
+  ``s11_upsert_rewrite``; the optimistic touched-list reset behind
+  ``s9_optimistic_commits``/``s11_pruned_delete``; the ANN
+  ``drift_ratio`` + optimistic first-commit stamping behind
+  ``sim_ann_delete`` (extended in-row with the symmetric staleness
+  assert), ``sim_ann_index_maint`` and ``sim_ann_retrain``), and
   sentinels — one per operator family already driver-verified in
-  r5-r9 — for the rest.
+  r5-r11 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
   count so the docs cannot drift from ``len(QUERIES)`` again.
 """

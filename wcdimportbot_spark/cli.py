@@ -216,6 +216,41 @@ def main(argv=None) -> int:
         "parquet here (append)",
     )
     parser.add_argument(
+        "--dedup-delete",
+        metavar="HASHES",
+        help="with --dedup-index: make the index FORGET a text_hash "
+        "parquet's content (exact hashes + band fingerprints leave via "
+        "the pruned copy-on-write delete; absent hashes swallowed)",
+    )
+    parser.add_argument(
+        "--curation-store",
+        metavar="DIR",
+        help="nightly-curation store root (corpus + dedup index) for "
+        "--curate-increment/--curate-refresh/--purge-docs",
+    )
+    parser.add_argument(
+        "--curate-increment",
+        metavar="DOCS",
+        help="run ONE nightly curation increment of a documents parquet "
+        "against --curation-store (probe -> quality gate -> corpus "
+        "merge -> index merge); prints a JSON summary",
+    )
+    parser.add_argument(
+        "--curate-refresh",
+        metavar="DOCS",
+        help="re-crawl refresh increment: re-sent doc_ids with CHANGED "
+        "text replace their old corpus rows and swap their index "
+        "fingerprints before the standard increment runs",
+    )
+    parser.add_argument(
+        "--purge-docs",
+        metavar="IDS",
+        help="composed purge from --curation-store: a parquet of doc_id "
+        "(or text_hash) rows leaves the corpus AND the dedup index "
+        "under one two-phase marker; purged content may re-enter on "
+        "the next crawl",
+    )
+    parser.add_argument(
         "--bpe-train",
         metavar="DOCS",
         help="train a BPE merge table on a documents parquet and "
@@ -525,6 +560,52 @@ def main(argv=None) -> int:
                 }
             )
         )
+
+    elif args.dedup_delete:
+        if not args.dedup_index:
+            parser.error("--dedup-delete needs --dedup-index <dir>")
+        from wcdimportbot_spark.operators.text_dedup import dedup_index_delete
+
+        res = dedup_index_delete(
+            spark.read.parquet(args.dedup_delete), args.dedup_index
+        )
+        print(json.dumps({**res, "index": args.dedup_index}))
+
+    elif args.curate_increment or args.curate_refresh or args.purge_docs:
+        if not args.curation_store:
+            parser.error(
+                "the nightly-curation ops need --curation-store <dir>"
+            )
+        from wcdimportbot_spark.plans import curation_nightly as cn
+
+        if args.purge_docs:
+            res = cn.purge_documents(
+                spark,
+                spark.read.parquet(args.purge_docs),
+                args.curation_store,
+            )
+            print(json.dumps({**res, "state": cn.purge_state(
+                args.curation_store)["status"]}))
+        else:
+            docs = spark.read.parquet(
+                args.curate_increment or args.curate_refresh
+            )
+            if args.curate_refresh:
+                ann = cn.curate_refresh(docs, args.curation_store)
+            else:
+                ann = cn.curate_increment(docs, args.curation_store)
+            agg = [
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("kept").cast("int")).alias("n_kept"),
+                F.sum(F.col("dup_of_history").cast("int")).alias("n_dup"),
+                F.sum(F.col("low_quality").cast("int")).alias("n_low_q"),
+            ]
+            if "refreshed" in ann.columns:
+                agg.append(
+                    F.sum(F.col("refreshed").cast("int")).alias("n_refreshed")
+                )
+            row = ann.agg(*agg).first()
+            print(json.dumps({k: int(row[k] or 0) for k in row.asDict()}))
 
     elif (args.ann_build or args.ann_add or args.ann_probe
           or args.ann_retrain or args.ann_delete):

@@ -5142,40 +5142,38 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the four new round-11 rows ---
+    # --- the three new round-12 rows ---
+    "s12_purge_propagation",     # composed purge: index forgets, re-ingest OK
+    "s12_curation_refresh",      # re-crawl replaces, no version accumulation
+    "s12_maintenance_composition",  # all engines on ONE store, sidecars live
+    # --- rows whose WRITE PATH changed in round 12 (hash-attributed
+    # bands store + dedup_index_delete; upsert matched-dir guard +
+    # distinct-key counts; optimistic touched-list reset; ANN stats
+    # drift_ratio + optimistic first-commit stamp): re-verify ---
+    "sim_ann_delete",            # EXTENDED: + symmetric staleness assert
+    "dedup_incremental",         # index merges through attributed engine
+    "dedup_incremental_maint",   # two-batch maintenance loop
+    "curation_incremental_store",  # nightly loop == one-shot closed form
+    "s11_upsert_rewrite",        # full-MERGE upsert inode contract
     "s11_pruned_delete",         # O(touched-buckets) DELETE inode contract
     "s11_schema_evolution",      # additive evolution, sidecar reads
-    "sim_ann_delete",            # ANN delete propagation + recall contract
-    "curation_incremental_store",  # nightly loop == one-shot closed form
     "s11_bucket_split",          # hot-bucket split inode contract
-    "s11_upsert_rewrite",        # full-MERGE upsert inode contract
-    # --- rows whose WRITE/READ PATH changed in round 11 (sidecar-aware
-    # _read_tree on every store reader, bucket-map-aware engines, ANN
-    # model/codes pair loading + stamp guard): re-verify ---
     "s10_append_only_merge",     # O(batch) MERGE write-amp contract
-    "s9_optimistic_commits",     # lock-free commits
-    "sim_ann_retrain",           # lifecycle now publishes pair stamps
-    "sim_ann_index_maint",       # add-batch re-encode guard + pair probe
-    "dedup_incremental",         # index merges through changed engine
-    "dedup_incremental_maint",   # two-batch maintenance loop
-    # --- kmeans reseed fix touches every driver-side fit: re-verify the
-    # clustering-consuming rows (r10 ADVICE low #5) ---
+    "s9_optimistic_commits",     # lock-free commits (touched-list reset)
+    "sim_ann_index_maint",       # add-batch guard + optimistic stamping
+    "sim_ann_retrain",           # lifecycle + pair stamps + stats reader
+    # --- per-family standing coverage (r11-verified, plans untouched) ---
     "sim_ann_ivfpq",             # composed ANN + margin contract
-    "dedup_semantic",            # SemDeDup cluster-centroid dedup
-    "decon_semantic",            # embedding-level eval decontamination
     "dedup_embedding_ann",       # bucketed embedding near-dup
-    # --- round-10/9 rows kept for standing coverage ---
     "a15_windowed_sketch_distinct",  # per-window HLL sketch states
     "dedup_cc_star",             # deep-graph CC star variant
     "quality_classifier",        # hashed n-gram linear gate
     "bpe_merge_table",           # learned BPE tokenizer: training
-    "dedup_canonical_keep",      # consumes connected_components
-    # (sim_ann_lsh / bpe_train_local / quality_ppl_buckets /
-    # a13_theta_batch_overlap / a14_kll_quantile_merge /
-    # a12_sketch_union_distinct rotated out this round -- r10
-    # driver-verified, plans untouched in r11; families stay covered by
-    # the sim_ann_* rows, bpe_merge_table, quality_classifier, a15)
-    # --- 36 sentinels, at least one per driver-proven family ---
+    # (dedup_semantic / decon_semantic / dedup_canonical_keep rotated
+    # out this round -- r11 driver-verified, plans untouched in r12;
+    # their families stay covered by dedup_embedding_ann, dedup_cc_star
+    # and decon_ngram_overlap)
+    # --- sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
     "f23_json_decode",           # S4/F23 event decode
