@@ -572,3 +572,46 @@ def test_import_manifest_detects_crash_between_publishes(spark, tmp_path, monkey
     old = versioned.list_versions(items_path)[0]
     versioned.rollback(items_path, old)
     assert verify_import_consistency(store)["status"] == "behind"
+
+
+def test_cli_purge_docs_with_graph_arm(spark, tmp_path, capsys):
+    """--purge-docs + --purge-item-hashes: one CLI call purges the
+    curated corpus, the dedup index, AND the doomed items/claims/cache
+    rows of --store — the composed GDPR-style forget across every table
+    that remembers the content."""
+    store = str(tmp_path / "store")
+    cur = str(tmp_path / "cur")
+    docs = str(tmp_path / "docs.parquet")
+    ids = str(tmp_path / "ids.parquet")
+    ihashes = str(tmp_path / "ihashes.parquet")
+
+    # a graph store with one imported page (3 items, cache rows)
+    assert main(["--store", store, "--import-title", "Easter Island"]) == 0
+    capsys.readouterr()
+    from wcdimportbot_spark.operators.sinks import read_snapshot
+
+    page = (
+        read_snapshot(spark, store + "/items")
+        .filter("instance_of = 'WIKIPEDIA_PAGE'")
+        .select("hash")
+    )
+    page.write.parquet(ihashes)
+
+    text = "the quick brown fox jumps over the lazy dog near the river bank"
+    spark.createDataFrame([(1, text)], "doc_id long, text string").write.parquet(docs)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--curate-increment", docs]) == 0
+    capsys.readouterr()
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(ids)
+
+    assert main(["--store", store, "--curation-store", cur,
+                 "--purge-docs", ids, "--purge-item-hashes", ihashes]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["corpus_deleted"] == 1 and res["items_deleted"] == 1
+    assert res["cache_deleted"] == 1 and res["state"] == "committed"
+    # the page item is gone; reference/website survive; re-import works
+    assert main(["--store", store, "--statistics"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert "WIKIPEDIA_PAGE" not in stats["items"]
+    assert main(["--store", store, "--import-title", "Easter Island"]) == 0
+    assert "1 new items" in capsys.readouterr().out

@@ -251,6 +251,15 @@ def main(argv=None) -> int:
         "the next crawl",
     )
     parser.add_argument(
+        "--purge-item-hashes",
+        metavar="HASHES",
+        help="with --purge-docs: a parquet of hash (optionally "
+        "subject_qid) rows naming the graph items the doomed docs "
+        "produced; the purge then also prunes them from --store's "
+        "items, claims, and cache tables (the reference's delete + "
+        "cache-flush contract, crud/delete.py:44-61)",
+    )
+    parser.add_argument(
         "--bpe-train",
         metavar="DOCS",
         help="train a BPE merge table on a documents parquet and "
@@ -579,10 +588,17 @@ def main(argv=None) -> int:
         from wcdimportbot_spark.plans import curation_nightly as cn
 
         if args.purge_docs:
+            graph_kw = {}
+            if args.purge_item_hashes:
+                graph_kw = {
+                    "graph_store": args.store,
+                    "item_hashes": spark.read.parquet(args.purge_item_hashes),
+                }
             res = cn.purge_documents(
                 spark,
                 spark.read.parquet(args.purge_docs),
                 args.curation_store,
+                **graph_kw,
             )
             print(json.dumps({**res, "state": cn.purge_state(
                 args.curation_store)["status"]}))

@@ -4404,6 +4404,9 @@ def s12_purge_propagation(spark, sf_dir):
                 "hashes_deleted": 5,
                 "bands_deleted": 20,
                 "ann_deleted": 0,
+                "items_deleted": 0,
+                "claims_deleted": 0,
+                "cache_deleted": 0,
             }
             and purge_state(base)["status"] == "committed"
             and pruned(before_c, after_c)

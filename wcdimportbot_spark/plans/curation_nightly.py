@@ -318,6 +318,8 @@ def purge_documents(
     bands: int = 4,
     ann_path: str | None = None,
     ann_vec_ids: DataFrame | None = None,
+    graph_store: str | None = None,
+    item_hashes: DataFrame | None = None,
     protocol: str | None = None,
 ) -> dict:
     """Composed document PURGE across every store that remembers the
@@ -339,15 +341,28 @@ def purge_documents(
     never the corpus, so an id-based lookup cannot find it — purge such
     docs by hash.
 
+    The graph arm (``graph_store`` + ``item_hashes``): the citation-graph
+    stores key on ITEM identity hashes (P12 / F3-F4), not on document
+    ``text_hash`` — the caller that knows which graph items a doomed doc
+    produced passes them as a (hash) or (hash, subject_qid) relation.
+    With ``subject_qid`` present the claims delete prunes straight off
+    it; without it, the qids come from one column-pruned two-column scan
+    of the items store (broadcast semi-join on hash — hash-bucketed, so
+    the lookup cannot prune; pass qids when purging at scale). All three
+    graph deletes (items, claims, cache) ride the same pruned
+    copy-on-write engine as ``--delete-page`` (cli.py:505-528).
+
     Order: corpus first (the user-visible content), then index hashes,
-    then index bands, then ANN. A crash between any two leaves the
-    ``pending`` marker; replaying the purge converges because every
-    component delete is a swallowed no-op on already-deleted keys, and
-    each is itself a pruned copy-on-write snapshot publish
-    (O(touched-buckets) writes, untouched dirs hardlinked).
+    then index bands, then ANN, then the graph stores. A crash between
+    any two leaves the ``pending`` marker; replaying the purge converges
+    because every component delete is a swallowed no-op on
+    already-deleted keys, and each is itself a pruned copy-on-write
+    snapshot publish (O(touched-buckets) writes, untouched dirs
+    hardlinked).
 
     Returns ``{"corpus_deleted", "hashes_deleted", "bands_deleted",
-    "ann_deleted"}``."""
+    "ann_deleted", "items_deleted", "claims_deleted",
+    "cache_deleted"}``."""
     from wcdimportbot_spark.operators import sinks
     from wcdimportbot_spark.operators.text_dedup import dedup_index_delete
 
@@ -371,7 +386,7 @@ def purge_documents(
             )
     hashes = hashes.localCheckpoint(eager=True)
     n_doomed = hashes.count()
-    if n_doomed == 0 and ann_vec_ids is None:
+    if n_doomed == 0 and ann_vec_ids is None and item_hashes is None:
         # nothing anywhere remembers these docs: purge-twice (and purge
         # of never-ingested ids) is swallowed without marker churn
         return {
@@ -379,6 +394,9 @@ def purge_documents(
             "hashes_deleted": 0,
             "bands_deleted": 0,
             "ann_deleted": 0,
+            "items_deleted": 0,
+            "claims_deleted": 0,
+            "cache_deleted": 0,
         }
     _write_purge_marker(
         base_path, {"status": "pending", "n_hashes": int(n_doomed)}
@@ -406,11 +424,53 @@ def purge_documents(
         from wcdimportbot_spark.operators.ann_store import ann_index_delete
 
         n_ann = ann_index_delete(ann_vec_ids, ann_path, protocol=protocol)
+    n_items = n_claims = n_cache = 0
+    if graph_store is not None and item_hashes is not None:
+        from wcdimportbot_spark.operators import cache as cache_ops
+        from wcdimportbot_spark.plans.store_import import store_paths
+
+        gpaths = store_paths(graph_store)
+        # materialize once: reused by up to three pruned deletes, each
+        # of which replaces the snapshot a lazy plan would re-read
+        ih = item_hashes.localCheckpoint(eager=True)
+        doomed_hashes = ih.select("hash").distinct()
+        # resolve claim subjects BEFORE the items delete removes the
+        # hash→qid rows. A hash-only replay after the items rows are
+        # gone cannot recover qids (lookup source deleted) — callers
+        # that need crash-replayable claim purges pass subject_qid.
+        qids = None
+        if "subject_qid" in ih.columns:
+            qids = ih.select("subject_qid").distinct()
+        elif sinks.has_parquet_data(gpaths["items"]) and sinks.has_parquet_data(
+            gpaths["claims"]
+        ):
+            qids = (
+                sinks.read_items(spark, gpaths["items"])
+                .select("hash", F.col("qid").alias("subject_qid"))
+                .join(F.broadcast(doomed_hashes), "hash", "left_semi")
+                .select("subject_qid")
+                .localCheckpoint(eager=True)
+            )
+        if sinks.has_parquet_data(gpaths["items"]):
+            n_items = sinks.merge_delete_items(
+                spark, doomed_hashes, gpaths["items"], protocol=protocol
+            )
+        if qids is not None and sinks.has_parquet_data(gpaths["claims"]):
+            n_claims = sinks.merge_delete_claims(
+                spark, qids, gpaths["claims"], protocol=protocol
+            )
+        if sinks.has_parquet_data(gpaths["cache"]):
+            n_cache = cache_ops.merge_delete_cache(
+                spark, doomed_hashes, gpaths["cache"], protocol=protocol
+            )
     out = {
         "corpus_deleted": int(n_corpus),
         "hashes_deleted": int(idx["hashes_deleted"]),
         "bands_deleted": int(idx["bands_deleted"]),
         "ann_deleted": int(n_ann),
+        "items_deleted": int(n_items),
+        "claims_deleted": int(n_claims),
+        "cache_deleted": int(n_cache),
     }
     _write_purge_marker(base_path, {"status": "committed", **out})
     return out
