@@ -4306,14 +4306,16 @@ def _purge_propagation_oracle():
     "tests/test_wikibase_crud.py:168-342) lifted to the LLM stores: "
     "curate the corpus, PURGE 5 accepted documents through "
     "purge_documents — corpus rows, dedup-index exact hashes AND band "
-    "fingerprints all leave under one two-phase marker, each store via "
-    "the partition-pruned copy-on-write delete (pinned in-row on real "
-    "file inodes for corpus and hash stores: untouched bucket dirs "
-    "survive as hardlinks). Purge-twice is swallowed (no deletes, no "
-    "publishes, marker stays committed). Then RE-INGEST the purged "
-    "content: it must be ACCEPTED back (the index forgot — the exact "
-    "failure the r11 weak named), returning the corpus to the one-shot "
-    "closed form per language",
+    "fingerprints, plus the docs' graph ITEMS/CLAIMS/CACHE rows (the "
+    "reference's delete + cache-flush, src/__init__.py:181) all leave "
+    "under one two-phase marker, each store via the partition-pruned "
+    "copy-on-write delete (pinned in-row on real file inodes for the "
+    "corpus, hash, and items stores: untouched bucket dirs survive as "
+    "hardlinks). Purge-twice is swallowed (no deletes, no publishes, "
+    "marker stays committed). Then RE-INGEST the purged content: it "
+    "must be ACCEPTED back (the index forgot — the exact failure the "
+    "r11 weak named), returning the corpus to the one-shot closed form "
+    "per language",
     None,  # oracle shares document_profile_sql, attached below
 )
 def s12_purge_propagation(spark, sf_dir):
@@ -4372,19 +4374,70 @@ def s12_purge_propagation(spark, sf_dir):
             .distinct()
             .collect()
         }
+        # graph arm: 20 kept docs each produced one reference ITEM whose
+        # identity hash is the doc's text hash (F3/F4 chain), two claim
+        # rows, and a cache mapping — the 5 doomed docs' rows must leave
+        # all three stores inside the same marker window
+        from wcdimportbot_spark.operators import cache as cache_ops
+        from wcdimportbot_spark.plans.store_import import store_paths
+
+        gstore = os.path.join(base, "graph")
+        gpaths = store_paths(gstore)
+        g_items = (
+            ann1.filter(F.col("kept"))
+            .orderBy("doc_id")
+            .limit(20)
+            .select(
+                F.concat(F.lit("Q"), F.col("text_hash")).alias("qid"),
+                F.lit("WIKIPEDIA_REFERENCE").alias("instance_of"),
+                F.col("doc_id").cast("string").alias("label"),
+                F.lit("d").alias("description"),
+                F.col("text_hash").alias("hash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sinks.write_items(g_items, gpaths["items"])
+        sinks.write_claims(
+            g_items.select(
+                F.col("qid").alias("subject_qid"),
+                F.explode(F.array(F.lit("TITLE"), F.lit("HASH"))).alias(
+                    "property"
+                ),
+                F.col("label").alias("value_string"),
+                F.lit(None).cast("string").alias("value_qid"),
+            ),
+            gpaths["claims"],
+        )
+        cache_ops.write_cache(
+            g_items.select("hash", "qid"), gpaths["cache"]
+        )
+        doomed_item_hashes = spark.createDataFrame(
+            [(r["text_hash"],) for r in doomed_rows], "hash string"
+        )
         cpath = _corpus_path(base)
         hpath = os.path.join(base, "dedup_index", "hashes")
         before_c = inodes(versioned.data_dir(cpath))
         before_h = inodes(versioned.data_dir(hpath))
-        res = purge_documents(spark, doomed_ids, base)
+        before_i = inodes(versioned.data_dir(gpaths["items"]))
+        res = purge_documents(
+            spark,
+            doomed_ids,
+            base,
+            graph_store=gstore,
+            item_hashes=doomed_item_hashes,
+        )
         after_c = inodes(versioned.data_dir(cpath))
         after_h = inodes(versioned.data_dir(hpath))
+        after_i = inodes(versioned.data_dir(gpaths["items"]))
 
         def pruned(before, after):
+            # leaf partition dir is hb=N everywhere; the items store
+            # nests it under instance_of=… — match on the basename
             unt = {
                 p: i
                 for p, i in before.items()
-                if os.path.dirname(p) not in doomed_buckets
+                if os.path.basename(os.path.dirname(p))
+                not in doomed_buckets
             }
             return (
                 len(unt) > 0
@@ -4392,7 +4445,8 @@ def s12_purge_propagation(spark, sf_dir):
                 and {
                     p
                     for p in after
-                    if os.path.dirname(p) not in doomed_buckets
+                    if os.path.basename(os.path.dirname(p))
+                    not in doomed_buckets
                 }
                 == set(unt)
             )
@@ -4404,24 +4458,36 @@ def s12_purge_propagation(spark, sf_dir):
                 "hashes_deleted": 5,
                 "bands_deleted": 20,
                 "ann_deleted": 0,
-                "items_deleted": 0,
-                "claims_deleted": 0,
-                "cache_deleted": 0,
+                "items_deleted": 5,
+                "claims_deleted": 10,
+                "cache_deleted": 5,
             }
             and purge_state(base)["status"] == "committed"
             and pruned(before_c, after_c)
             and pruned(before_h, after_h)
+            and pruned(before_i, after_i)
         )
         # purge-twice: swallowed end to end — zero deletes, nothing
-        # published on either store, marker stays committed
+        # published on any store, marker stays committed
         v_c = versioned.current_version(cpath)
         v_h = versioned.current_version(hpath)
-        res2 = purge_documents(spark, doomed_ids, base)
+        v_i = versioned.current_version(gpaths["items"])
+        res2 = purge_documents(
+            spark,
+            doomed_ids,
+            base,
+            graph_store=gstore,
+            item_hashes=doomed_item_hashes,
+        )
         purge_swallowed = (
             res2["corpus_deleted"] == 0
             and res2["hashes_deleted"] == 0
+            and res2["items_deleted"] == 0
+            and res2["claims_deleted"] == 0
+            and res2["cache_deleted"] == 0
             and versioned.current_version(cpath) == v_c
             and versioned.current_version(hpath) == v_h
+            and versioned.current_version(gpaths["items"]) == v_i
             and purge_state(base)["status"] == "committed"
         )
         # the index FORGOT: re-ingesting the purged content is accepted
