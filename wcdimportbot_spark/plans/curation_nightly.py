@@ -360,6 +360,21 @@ def purge_documents(
     snapshot publish (O(touched-buckets) writes, untouched dirs
     hardlinked).
 
+    Boundary — what a purge does NOT forget (deliberate, documented so
+    operators compose remediation correctly): (a) derived OUTPUT
+    datasets already shipped downstream (the streaming gates'
+    ``fresh_out`` / rejects / accepted-ledger parquet, training-prep
+    shards) — those are consumer-owned copies, enumerated by their
+    ``batch_id`` partitions for downstream deletion; (b) trained
+    ARTIFACTS whose weights saw the content (BPE merge tables,
+    quality-classifier weights, ANN centroids — the ANN staleness
+    trigger counts deletes symmetrically, so heavy purging flips
+    ``stale`` and the retrain refits on surviving data); (c) streaming
+    SOURCE checkpoints — a file-source stream will not reprocess a
+    file it already consumed, so post-purge re-ingest of identical
+    content must arrive as a new file (the ``--rinse`` CLI documents
+    the same caveat).
+
     Returns ``{"corpus_deleted", "hashes_deleted", "bands_deleted",
     "ann_deleted", "items_deleted", "claims_deleted",
     "cache_deleted"}``."""
@@ -398,8 +413,18 @@ def purge_documents(
             "claims_deleted": 0,
             "cache_deleted": 0,
         }
+    # the pending marker is self-describing: it records WHICH arms this
+    # purge spans, so the remediation that finds it after a crash knows
+    # to replay with the same arm set (a replay missing the graph/ANN
+    # args would flip the marker to committed with those arms unpurged)
+    arms = ["corpus", "index"]
+    if ann_path is not None and ann_vec_ids is not None:
+        arms.append("ann")
+    if graph_store is not None and item_hashes is not None:
+        arms.append("graph")
     _write_purge_marker(
-        base_path, {"status": "pending", "n_hashes": int(n_doomed)}
+        base_path,
+        {"status": "pending", "n_hashes": int(n_doomed), "arms": arms},
     )
     n_corpus = 0
     corpus_path = _corpus_path(base_path)
@@ -472,7 +497,9 @@ def purge_documents(
         "claims_deleted": int(n_claims),
         "cache_deleted": int(n_cache),
     }
-    _write_purge_marker(base_path, {"status": "committed", **out})
+    _write_purge_marker(
+        base_path, {"status": "committed", "arms": arms, **out}
+    )
     return out
 
 
