@@ -1272,6 +1272,25 @@ def test_dedup_index_compaction_preserves_probe_results(spark, tmp_path):
     after, _ = dedup_index_probe(probe_batch, store)
     assert sorted(tuple(r) for r in after.collect()) == before_rows
 
+    # compaction preserved the bands store's hash attribution: the
+    # delete path (which prunes band rows BY text_hash) still works on
+    # the compacted index — forget one ingested doc, re-probe it fresh
+    from wcdimportbot_spark.operators.text_dedup import dedup_index_delete
+
+    assert after.filter("doc_id = 999 AND exact_dup_of_history").count() == 1
+    h = after.filter("doc_id = 999").collect()[0]["text_hash"]
+    res_d = dedup_index_delete(
+        spark.createDataFrame([(h,)], "text_hash string"), store
+    )
+    assert res_d["hashes_deleted"] == 1 and res_d["bands_deleted"] == 4
+    re_probe, _ = dedup_index_probe(probe_batch, store)
+    assert (
+        re_probe.filter(
+            "doc_id = 999 AND NOT exact_dup_of_history AND fresh"
+        ).count()
+        == 1
+    )
+
 
 # --- maintained versioned ANN index store (r8 verdict #1) ---------------
 
