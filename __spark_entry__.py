@@ -7,7 +7,7 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  119 queries, all DuckDB-verified — the ANN top-k variants emit an
+  120 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 12: the
   three new rows (``s12_purge_propagation`` — the composed document
@@ -26,7 +26,10 @@
   ``s9_optimistic_commits``/``s11_pruned_delete``; the ANN
   ``drift_ratio`` + optimistic first-commit stamping behind
   ``sim_ann_delete`` (extended in-row with the symmetric staleness
-  assert), ``sim_ann_index_maint`` and ``sim_ann_retrain``), and
+  assert), ``sim_ann_index_maint`` and ``sim_ann_retrain``), the
+  late-r12 ``sim_ann_upsert`` (re-crawl refresh at the ANN layer:
+  matched vec_ids REPLACED and re-clustered — plain add-batch would
+  duplicate a changed vector beside its stale row), and
   sentinels — one per operator family already driver-verified in
   r5-r11 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this

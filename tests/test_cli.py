@@ -503,8 +503,24 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     assert {r["query_id"] for r in rows} == {0, 1, 2}
     assert all(r["rank"] in (1, 2) for r in rows)
 
+    # re-crawl refresh: 3 stored ids with changed (negated) embeddings
+    # + 1 brand-new id — matched ids REPLACED, not duplicated
+    refresh = str(tmp_path / "refresh.parquet")
+    emb.filter(F.col("vec_id") < 3).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 3).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    ).write.parquet(refresh)
+    assert main(["--store", store, "--ann-store", ann, "--ann-upsert", refresh]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"updated": 3, "added": 4, "skipped": 0}
+
     assert main(["--store", store, "--ann-store", ann, "--ann-retrain", full]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the retrain corpus is `full`; the store before it held one extra
+    # upserted id, but n_built counts the retrain input
     assert out["n_built"] == n_built + added
     assert out["retrained_from"] == "v00000001"
 

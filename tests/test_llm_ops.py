@@ -1816,3 +1816,97 @@ def test_ann_delete_staleness_flags_and_retrain_recovers(spark, tmp_path):
     ).collect()
     assert report and all(r["recall_within_tolerance"] for r in report)
     assert all(r["recall_margin_ok"] for r in report)
+
+
+def test_ann_store_upsert_replaces_changed_vectors(spark, sf_dir, tmp_path):
+    """Re-crawl refresh at the ANN layer: add_batch is insert-if-absent,
+    so a changed embedding for a stored vec_id was silently dropped —
+    ann_index_upsert replaces it (delete matched + re-encode + add),
+    the new row lands in the cluster the NEW content belongs to, and
+    the store never holds two rows of one id."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_add_batch,
+        ann_index_build,
+        ann_index_upsert,
+        load_ann_model,
+        read_ann_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    base = str(tmp_path / "ann")
+    ann_index_build(emb, base)
+
+    # the refresh batch: 8 stored ids with NEGATED embeddings (far from
+    # the originals) + 2 brand-new ids carrying existing-vector content
+    changed = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    novel = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 10)
+    ).select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    batch = changed.unionByName(novel)
+
+    before = {
+        r["vec_id"]: r
+        for r in read_ann_codes(spark, base)
+        .filter(F.col("vec_id") < 8)
+        .collect()
+    }
+
+    # the changed-content hazard: add_batch's insert-if-absent probe is
+    # cluster-pruned, so a changed vector whose nearest centroid MOVED
+    # is inserted NEXT TO its stale row — the store serves two versions
+    r0 = ann_index_add_batch(changed, base)
+    assert r0["added"] + r0["skipped"] == 8
+    assert r0["added"] > 0  # negation moved some vectors across clusters
+    dup_ids = (
+        read_ann_codes(spark, base)
+        .groupBy("vec_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_ids == r0["added"]
+
+    # upsert replaces the 8 (healing the duplicated ids) + inserts the 2
+    res = ann_index_upsert(batch, base)
+    assert res == {"updated": 8, "added": 10, "skipped": 0}
+
+    codes = read_ann_codes(spark, base)
+    assert codes.count() == n + 2  # replacements in place, novels added
+    after = {
+        r["vec_id"]: r
+        for r in codes.filter(F.col("vec_id") < 8).collect()
+    }
+    assert len(after) == 8  # exactly one row per replaced id store-wide
+    # every replaced row re-encoded: nearest-centroid cluster of the
+    # NEGATED vector, verified against the stored model numpy-side
+    cent, _books, _meta = load_ann_model(spark, base)
+    emb_map = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    moved = 0
+    for vid, row in after.items():
+        want = int(((cent - (-emb_map[vid])) ** 2).sum(axis=1).argmin())
+        assert row["cluster"] == want
+        moved += row["cluster"] != before[vid]["cluster"]
+    assert moved > 0  # negation moved at least one vector across clusters
+
+    # upsert replay converges: same batch again — all 10 now matched,
+    # replaced in place, still one row per id
+    res2 = ann_index_upsert(batch, base)
+    assert res2 == {"updated": 10, "added": 10, "skipped": 0}
+    assert read_ann_codes(spark, base).count() == n + 2
+    dupes = (
+        read_ann_codes(spark, base)
+        .groupBy("vec_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dupes == 0

@@ -157,6 +157,15 @@ def main(argv=None) -> int:
         "deletes raise drift_ratio toward the retrain trigger",
     )
     parser.add_argument(
+        "--ann-upsert",
+        metavar="VECS",
+        help="re-crawl refresh into --ann-store: matched vec_ids are "
+        "REPLACED (pruned delete + re-encode under the current model; "
+        "a changed vector moves to its new cluster), absent ids "
+        "insert — plain --ann-add is insert-if-absent and would "
+        "duplicate a changed vector beside its stale row",
+    )
+    parser.add_argument(
         "--topk", type=int, default=5, help="with --ann-probe: neighbors per query"
     )
     parser.add_argument(
@@ -624,7 +633,7 @@ def main(argv=None) -> int:
             print(json.dumps({k: int(row[k] or 0) for k in row.asDict()}))
 
     elif (args.ann_build or args.ann_add or args.ann_probe
-          or args.ann_retrain or args.ann_delete):
+          or args.ann_retrain or args.ann_delete or args.ann_upsert):
         if not args.ann_store:
             parser.error("the --ann-* lifecycle needs --ann-store <dir>")
         from wcdimportbot_spark.operators import ann_store as ann
@@ -646,6 +655,11 @@ def main(argv=None) -> int:
             )
             print(json.dumps({k: stats[k] for k in ("n_built", "model_version",
                                                     "retrained_from")}))
+        elif args.ann_upsert:
+            res = ann.ann_index_upsert(
+                spark.read.parquet(args.ann_upsert), args.ann_store
+            )
+            print(json.dumps(res))
         elif args.ann_delete:
             n = ann.ann_index_delete(
                 spark.read.parquet(args.ann_delete), args.ann_store

@@ -479,6 +479,18 @@ def ann_index_add_batch(
     commits lock-free through the rename arbiter, so a cross-host ingest
     fleet can grow the index concurrently (r9 verdict #5).
 
+    **Changed-content hazard — replays only, never refreshes.** The
+    insert-if-absent probe is cluster-PRUNED (it reads only the batch's
+    touched cluster partitions — that is what makes it O(batch)), so
+    idempotence holds exactly when re-sent content is IDENTICAL: the
+    deterministic encode re-derives the same cluster and the existing
+    row is found. A re-sent ``vec_id`` with CHANGED embedding whose new
+    nearest centroid differs lands in a cluster the probe never
+    checked and is INSERTED NEXT TO its stale row — the store then
+    serves two versions of one id. Re-crawled / re-encoded vectors go
+    through :func:`ann_index_upsert`, which deletes every matched row
+    first (and thereby also heals an already-duplicated id).
+
     **Model-staleness guard (r10 ADVICE):** a concurrent retrain/rebuild
     can publish a new model between this call's encode and its merge;
     committing codes encoded under the STALE centroids would land
@@ -557,6 +569,80 @@ def ann_index_add_batch(
     raise StaleModelError(
         f"add-batch into {base_path} lost 4 consecutive retrain races"
     )
+
+
+def ann_index_upsert(
+    new_embeddings: DataFrame,
+    base_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    protocol: str | None = None,
+) -> dict:
+    """Re-crawl refresh at the ANN layer — WHEN MATCHED UPDATE, WHEN
+    NOT MATCHED INSERT over the codes store, composed from the two
+    existing pruned engines. :func:`ann_index_add_batch` is
+    deliberately insert-if-absent on ``vec_id`` (the reference's
+    conflict-as-success), so a re-crawled document's CHANGED embedding
+    was silently dropped and the index served the STALE vector forever
+    — the ANN-layer analog of the corpus-refresh gap
+    ``plans/curation_nightly.curate_refresh`` closed.
+
+    Mechanics: find the batch ids' current ``(vec_id, cluster)`` rows
+    (one column-pruned two-int-column scan semi-joined against the
+    broadcast id set), pruned-DELETE them
+    (:func:`ann_index_delete` — untouched cluster dirs hardlink), then
+    :func:`ann_index_add_batch` the fresh embeddings. The add half
+    re-encodes under the CURRENT model, so a replaced vector lands in
+    the cluster its NEW content belongs to — an update may MOVE a row
+    across cluster dirs, which the generic
+    ``sinks.upsert_into_store`` cannot express (its prune set derives
+    from the batch's partition values, and ``cluster`` derives from
+    content: the OLD row may live in a cluster no batch row touches).
+
+    NOT one atomic publish (two snapshot commits): between them a
+    probe sees the replaced ids ABSENT — for approximate serving the
+    benign direction (momentarily missing beats serving the stale
+    version, and no interleaving ever serves two versions of one id) —
+    and a crash between the halves converges on replay (the delete
+    swallows, the add inserts). The add half carries add_batch's full
+    model-staleness guard (re-encodes when a retrain races in).
+
+    Returns ``{"updated": matched ids replaced, "added": rows the add
+    half inserted (replacements + brand-new ids), "skipped": batch ids
+    a concurrent writer raced back in between the halves (normally
+    0)}``."""
+    from wcdimportbot_spark.operators import sinks
+
+    spark = new_embeddings.sparkSession
+    batch_ids = (
+        new_embeddings.select(F.col(id_col).alias("vec_id")).distinct()
+    )
+    n_matched = 0
+    if sinks.has_parquet_data(_codes_path(base_path)):
+        pairs = (
+            read_ann_codes(spark, base_path)
+            .select("vec_id", "cluster")
+            .join(F.broadcast(batch_ids), "vec_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # updated counts matched IDS; pairs stays row-grained so the
+        # delete also heals a store that already duplicated an id (see
+        # the changed-content hazard in ann_index_add_batch's docstring)
+        n_matched = pairs.select("vec_id").distinct().count()
+        if n_matched:
+            ann_index_delete(pairs, base_path, protocol=protocol)
+    res = ann_index_add_batch(
+        new_embeddings,
+        base_path,
+        id_col=id_col,
+        vec_col=vec_col,
+        protocol=protocol,
+    )
+    return {
+        "updated": int(n_matched),
+        "added": int(res["added"]),
+        "skipped": int(res["skipped"]),
+    }
 
 
 def ann_index_delete(

@@ -310,13 +310,17 @@ def ann_recall_report_sql(
     dim: int = 64,
     margin_floor: float | None = None,
     exclude_sql: str | None = None,
+    prelude_ctes: str | None = None,
 ) -> str:
     """Closed-form DuckDB oracle for :func:`ann_recall_report`: exact top-1
     and k-th cosine per query point by brute force, the contract constants,
     and all-true tolerance flags (including the strict margin flag when
     ``margin_floor`` is set). ``exclude_sql`` is an extra predicate on the
     NEIGHBOR side (alias ``v``) — the delete-propagation row's oracle
-    computes exact top-k over the corpus MINUS the deleted ids."""
+    computes exact top-k over the corpus MINUS the deleted ids.
+    ``prelude_ctes`` injects extra CTEs ahead of the report (e.g. a
+    ``refreshed`` relation the upsert-propagation row passes as
+    ``table`` — the corpus AFTER replacing the upserted vectors)."""
     margin_cols = (
         f""",
            CAST({margin_floor} AS DOUBLE) AS margin_floor,
@@ -324,8 +328,10 @@ def ann_recall_report_sql(
         if margin_floor is not None
         else ""
     )
+    prelude = f"{prelude_ctes.rstrip().rstrip(',')}," if prelude_ctes else ""
     return f"""
-    WITH pairs AS (
+    WITH {prelude}
+    pairs AS (
         SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
                SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS dot,
                SQRT(SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS qn,

@@ -899,6 +899,25 @@ def _ann_oracle(margin_floor=None, exclude_sql=None):
     )
 
 
+def _ann_oracle_refreshed():
+    """Oracle for the upsert-propagation row: exact top-k over the
+    REFRESHED corpus — the upserted ids (vec_id % 7 = 2, >= 10) carry
+    their negated vectors, everyone else the originals."""
+    from wcdimportbot_spark.operators.similarity import ann_recall_report_sql
+
+    return ann_recall_report_sql(
+        "refreshed", num_queries=10, k=5, epsilon=0.05, recall_floor=0.6,
+        dim=64,
+        prelude_ctes="""refreshed AS (
+        SELECT vec_id,
+               CASE WHEN vec_id IN (10, 23, 36, 49, 62, 75, 88, 101)
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+    )""",
+    )
+
+
 @register(
     "sim_ann_lsh",
     "similarity search (scale path)",
@@ -3404,6 +3423,145 @@ QUERIES["sim_ann_delete"].oracle = _ann_oracle(
 
 
 @register(
+    "sim_ann_upsert",
+    "similarity search (index lifecycle: re-crawl upsert)",
+    "re-encoded embeddings propagated into the maintained ANN index "
+    "(the ANN layer of the r12 re-crawl refresh): build IVFPQ over the "
+    "corpus, then UPSERT 8 stored vectors with CHANGED "
+    "(negated) embeddings via ann_index_upsert — matched rows are "
+    "pruned-DELETED from their OLD cluster dirs and the re-encoded "
+    "rows land in the clusters the NEW content belongs to (plain "
+    "add_batch is insert-if-absent with a cluster-pruned probe, so a "
+    "moved vector would be inserted NEXT TO its stale row: the store "
+    "would serve two versions of one id). In-row asserts: store row "
+    "count unchanged, exactly one row per vec_id afterwards, at least "
+    "one vector moved cluster, every cluster dir neither arm touched "
+    "survives the BOTH publishes with its inodes intact, and the "
+    "epsilon-recall contract holds against the exact top-k of the "
+    "REFRESHED corpus (the DuckDB oracle negates the upserted ids "
+    "in-SQL; measured green at sf0.001/0.01/0.1 at nprobe=8, "
+    "refine=10). Runs the full build->upsert->probe loop per "
+    "invocation",
+    None,
+)
+def sim_ann_upsert(spark, sf_dir):
+    """operators/ann_store.ann_index_upsert: WHEN MATCHED UPDATE for
+    the codes store, composed from the pruned delete + frozen-model
+    add-batch (each O(touched clusters)). Scale shape: one
+    column-pruned two-int-column matched-pairs scan, two snapshot
+    publishes whose untouched cluster dirs hardlink through (pinned
+    here on real inodes)."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.ann_store import (
+        _codes_path,
+        ann_index_build,
+        ann_index_probe,
+        ann_index_upsert,
+        read_ann_codes,
+    )
+    from wcdimportbot_spark.operators.similarity import ann_recall_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    # a FIXED 8-id refresh set (sparing the 10 query points): small
+    # against the 16 clusters so the inode contract below has untouched
+    # dirs to bind on — the realistic shape anyway (a re-crawl batch is
+    # tiny next to the index)
+    doomed_ids = [10, 23, 36, 49, 62, 75, 88, 101]
+    doomed_cond = F.col("vec_id").isin(doomed_ids)
+    base = tempfile.mkdtemp(prefix="wcd-annupsert-")
+    try:
+        ann_index_build(emb, base)
+        n = emb.count()
+        refresh = emb.filter(doomed_cond).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        n_refresh = refresh.count()
+        old_pairs = {
+            r["vec_id"]: r["cluster"]
+            for r in read_ann_codes(spark, base)
+            .join(F.broadcast(refresh.select("vec_id")), "vec_id", "left_semi")
+            .select("vec_id", "cluster")
+            .collect()
+        }
+
+        def inodes(d):
+            out = {}
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        q = os.path.join(root, f)
+                        out[os.path.relpath(q, d)] = os.stat(q).st_ino
+            return out
+
+        before = inodes(versioned.data_dir(_codes_path(base)))
+        res = ann_index_upsert(refresh, base)
+        assert res == {
+            "updated": n_refresh,
+            "added": n_refresh,
+            "skipped": 0,
+        }, res
+        after_codes = read_ann_codes(spark, base)
+        assert after_codes.count() == n, "pure replace: row count unchanged"
+        assert (
+            after_codes.groupBy("vec_id").count().filter("count > 1").count()
+            == 0
+        ), "one row per vec_id — the add_batch duplication hazard closed"
+        new_pairs = {
+            r["vec_id"]: r["cluster"]
+            for r in after_codes.join(
+                F.broadcast(refresh.select("vec_id")), "vec_id", "left_semi"
+            )
+            .select("vec_id", "cluster")
+            .collect()
+        }
+        assert set(new_pairs) == set(old_pairs)
+        assert any(
+            new_pairs[v] != old_pairs[v] for v in new_pairs
+        ), "negation must move at least one vector across clusters"
+        # inode contract across BOTH publishes: every cluster dir
+        # neither the delete nor the re-insert touched is byte-for-byte
+        # the build's files (hardlinked twice, never rewritten)
+        touched_dirs = {
+            f"cluster={c}"
+            for c in set(old_pairs.values()) | set(new_pairs.values())
+        }
+        after = inodes(versioned.data_dir(_codes_path(base)))
+        untouched = {
+            p: i
+            for p, i in before.items()
+            if os.path.dirname(p) not in touched_dirs
+        }
+        assert untouched and all(
+            after.get(p) == i for p, i in untouched.items()
+        ), "untouched cluster dirs must survive both publishes as hardlinks"
+        approx = ann_index_probe(
+            emb, base, num_queries=10, k=5, nprobe=8, refine=10
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # the exact side is the REFRESHED corpus: the upserted ids now carry
+    # the negated vectors (what a correct index must approximate)
+    refreshed = emb.select(
+        "vec_id",
+        F.when(doomed_cond, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return ann_recall_report(
+        refreshed, approx, num_queries=10, k=5, epsilon=0.05,
+        recall_floor=0.6,
+    )
+
+
+QUERIES["sim_ann_upsert"].oracle = _ann_oracle_refreshed()
+
+
+@register(
     "q7_volume_shipping",
     "J3,A1 composite (TPC-H Q7 shape)",
     "bilateral trade volume: supplier-nation ↔ customer-nation pairs by year",
@@ -5231,17 +5389,21 @@ _WINDOW = [
     "s9_optimistic_commits",     # lock-free commits (touched-list reset)
     "sim_ann_index_maint",       # add-batch guard + optimistic stamping
     "sim_ann_retrain",           # lifecycle + pair stamps + stats reader
+    "sim_ann_upsert",            # NEW (late r12): re-crawl upsert — matched
+                                 # vec_ids replaced, moved clusters, inode +
+                                 # refreshed-corpus recall contract
     # --- per-family standing coverage (r11-verified, plans untouched) ---
     "sim_ann_ivfpq",             # composed ANN + margin contract
     "dedup_embedding_ann",       # bucketed embedding near-dup
     "a15_windowed_sketch_distinct",  # per-window HLL sketch states
-    "dedup_cc_star",             # deep-graph CC star variant
     "quality_classifier",        # hashed n-gram linear gate
     "bpe_merge_table",           # learned BPE tokenizer: training
     # (dedup_semantic / decon_semantic / dedup_canonical_keep rotated
     # out this round -- r11 driver-verified, plans untouched in r12;
-    # their families stay covered by dedup_embedding_ann, dedup_cc_star
-    # and decon_ngram_overlap)
+    # their families stay covered by dedup_embedding_ann and
+    # decon_ngram_overlap. dedup_cc_star rotated out late-r12 to make
+    # room for sim_ann_upsert: r11 driver-verified, plans untouched,
+    # family covered by dedup_cc_clusters)
     # --- sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
