@@ -1309,3 +1309,46 @@ def test_streaming_curation_increment_gate(spark, tmp_path):
     )
     assert versioned.current_version(_corpus_path(base)) == v
     assert read_curated_corpus(spark, base).count() == 2
+
+
+def test_ann_ingest_gate_upsert_mode_refresh_stream(spark, sf_dir, tmp_path):
+    """mode='upsert' — the re-crawl refresh feed: a micro-batch carrying
+    RE-ENCODED vectors for stored ids REPLACES them (insert mode would
+    duplicate any vector whose cluster moved); replay is convergent."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_build,
+        read_ann_codes,
+    )
+    from wcdimportbot_spark.streaming.ann_gate import ann_ingest_batch_fn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    store = str(tmp_path / "ann")
+    ann_index_build(emb, store)
+
+    refresh = emb.filter(F.col("vec_id") < 6).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    fn = ann_ingest_batch_fn(store, mode="upsert")
+    fn(refresh, 0)
+    codes = read_ann_codes(spark, store)
+    assert codes.count() == n  # replaced in place, never duplicated
+    assert codes.groupBy("vec_id").count().filter("count > 1").isEmpty()
+
+    # replay under the same batch_id: convergent (same final state)
+    snapshot = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in codes.collect()
+    }
+    fn(refresh, 0)
+    assert {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in read_ann_codes(spark, store).collect()
+    } == snapshot
+
+    import pytest
+
+    with pytest.raises(ValueError, match="insert.*upsert"):
+        ann_ingest_batch_fn(store, mode="replace")

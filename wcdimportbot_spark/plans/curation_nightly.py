@@ -538,7 +538,13 @@ def curate_refresh(
     ``dup_of_history`` exactly like in the plain increment.
 
     Returns the :func:`curate_increment` annotation plus a ``refreshed``
-    boolean (this doc's old corpus version was purged this call)."""
+    boolean (this doc's old corpus version was purged this call).
+    Callers that also maintain an ANN index over document embeddings
+    re-encode the ``refreshed`` docs and push the new vectors through
+    :func:`~wcdimportbot_spark.operators.ann_store.ann_index_upsert`
+    (NOT add-batch — insert-if-absent would duplicate a re-encoded
+    vector whose cluster moved beside its stale row); the streaming
+    twin is ``ann_ingest_batch_fn(mode="upsert")``."""
     from wcdimportbot_spark.operators import sinks
 
     spark = batch_docs.sparkSession

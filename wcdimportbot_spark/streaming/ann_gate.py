@@ -50,12 +50,25 @@ def ann_ingest_batch_fn(
     vec_col: str = "embedding",
     protocol: str | None = None,
     compact_every: int | None = None,
+    mode: str = "insert",
 ):
     """Build the ``foreachBatch`` function for the streaming ANN ingest
     gate. Per micro-batch: optionally write the batch's rows (with
     their ``batch_id``) to the exactly-once accepted ledger, then
     encode-and-merge them into the stored index (idempotent on
     ``vec_id``; replay is a no-op).
+
+    ``mode`` picks the merge half. ``"insert"`` (default) is
+    ``ann_index_add_batch`` — correct for append streams whose re-sends
+    are exact REPLAYS (identical content re-encodes identically, so
+    insert-if-absent skips it). A stream that carries RE-ENCODED
+    vectors for stored ids (a re-crawl/refresh feed) must use
+    ``"upsert"`` (``ann_index_upsert``): under insert mode a changed
+    vector whose cluster moved would be inserted NEXT TO its stale row
+    (the cluster-pruned probe never sees the old one — the
+    changed-content hazard on add_batch's docstring). Upsert replay is
+    convergent, not no-op: a replayed batch re-replaces its own rows
+    with identical content (same final state, two extra publishes).
 
     ``compact_every=N`` runs the codes-store compaction after every Nth
     micro-batch (keyed on ``batch_id % N``, so a replayed batch re-runs
@@ -67,8 +80,13 @@ def ann_ingest_batch_fn(
     rebases — it is just another writer."""
     from wcdimportbot_spark.operators.ann_store import (
         ann_index_add_batch,
+        ann_index_upsert,
         compact_ann_codes,
     )
+
+    if mode not in ("insert", "upsert"):
+        raise ValueError(f"mode must be 'insert' or 'upsert', got {mode!r}")
+    merge = ann_index_add_batch if mode == "insert" else ann_index_upsert
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -82,7 +100,7 @@ def ann_ingest_batch_fn(
                 .partitionBy("batch_id")
                 .parquet(accepted_out_path)
             )
-        ann_index_add_batch(
+        merge(
             batch, base_path, id_col=id_col, vec_col=vec_col,
             protocol=protocol,
         )
