@@ -1553,6 +1553,17 @@ def test_ann_store_optimistic_protocol_takes_no_lock(spark, sf_dir, tmp_path):
             emb.filter(F.col("vec_id") % 3 == 2), base, protocol="optimistic"
         )
         assert r2["added"] == 0 and r2["skipped"] == r1["added"]
+        # upsert composes lock-free too (pruned delete + add, both
+        # through the rename arbiter)
+        r3 = ann.ann_index_upsert(
+            emb.filter(F.col("vec_id") < 4).select(
+                "vec_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            ),
+            base,
+            protocol="optimistic",
+        )
+        assert r3 == {"updated": 4, "added": 4, "skipped": 0}
         ann.ann_retrain(emb, base, protocol="optimistic")
     finally:
         mp.undo()
