@@ -348,9 +348,14 @@ def purge_documents(
     With ``subject_qid`` present the claims delete prunes straight off
     it; without it, the qids come from one column-pruned two-column scan
     of the items store (broadcast semi-join on hash — hash-bucketed, so
-    the lookup cannot prune; pass qids when purging at scale). All three
-    graph deletes (items, claims, cache) ride the same pruned
-    copy-on-write engine as ``--delete-page`` (cli.py:505-528).
+    the lookup cannot prune; pass qids when purging at scale). The
+    resolved qids are RECORDED in the pending marker (keyed by a digest
+    of the item-hash set), so a crash after the items arm — which
+    removes the lookup source — still converges under a plain hash-only
+    replay: the replay inherits the crashed attempt's resolution from
+    the marker. All three graph deletes (items, claims, cache) ride the
+    same pruned copy-on-write engine as ``--delete-page``
+    (cli.py:505-528).
 
     Order: corpus first (the user-visible content), then index hashes,
     then index bands, then ANN, then the graph stores. A crash between
@@ -422,10 +427,12 @@ def purge_documents(
         arms.append("ann")
     if graph_store is not None and item_hashes is not None:
         arms.append("graph")
-    _write_purge_marker(
-        base_path,
-        {"status": "pending", "n_hashes": int(n_doomed), "arms": arms},
-    )
+    # a replay may need the crashed attempt's resolved claim subjects
+    # (see the graph arm below) — read the prior marker before this
+    # purge's pending write replaces it
+    prior_marker = purge_state(base_path)
+    pending = {"status": "pending", "n_hashes": int(n_doomed), "arms": arms}
+    _write_purge_marker(base_path, pending)
     n_corpus = 0
     corpus_path = _corpus_path(base_path)
     if n_doomed and sinks.has_parquet_data(corpus_path):
@@ -460,22 +467,52 @@ def purge_documents(
         ih = item_hashes.localCheckpoint(eager=True)
         doomed_hashes = ih.select("hash").distinct()
         # resolve claim subjects BEFORE the items delete removes the
-        # hash→qid rows. A hash-only replay after the items rows are
-        # gone cannot recover qids (lookup source deleted) — callers
-        # that need crash-replayable claim purges pass subject_qid.
+        # hash→qid rows — and RECORD them in the pending marker: after a
+        # crash past the items arm the lookup source is gone, so a
+        # hash-only replay re-derives the qids from the marker instead
+        # (inherited only when the prior pending marker's item-hash
+        # digest matches this purge's set). Passing (hash, subject_qid)
+        # remains the scan-free form; the marker makes the hash-only
+        # form crash-replayable too.
         qids = None
         if "subject_qid" in ih.columns:
             qids = ih.select("subject_qid").distinct()
-        elif sinks.has_parquet_data(gpaths["items"]) and sinks.has_parquet_data(
-            gpaths["claims"]
-        ):
-            qids = (
-                sinks.read_items(spark, gpaths["items"])
-                .select("hash", F.col("qid").alias("subject_qid"))
-                .join(F.broadcast(doomed_hashes), "hash", "left_semi")
-                .select("subject_qid")
-                .localCheckpoint(eager=True)
+        elif sinks.has_parquet_data(gpaths["claims"]):
+            g_digest = doomed_hashes.agg(
+                F.md5(
+                    F.concat_ws(",", F.sort_array(F.collect_list("hash")))
+                ).alias("d")
+            ).first()["d"]
+            recorded = (
+                prior_marker.get("graph_subject_qids")
+                if prior_marker.get("status") == "pending"
+                and prior_marker.get("graph_hash_digest") == g_digest
+                else None
             )
+            q_list = []
+            if sinks.has_parquet_data(gpaths["items"]):
+                q_list = [
+                    r["subject_qid"]
+                    for r in sinks.read_items(spark, gpaths["items"])
+                    .select("hash", F.col("qid").alias("subject_qid"))
+                    .join(F.broadcast(doomed_hashes), "hash", "left_semi")
+                    .select("subject_qid")
+                    .distinct()
+                    .collect()
+                ]
+            q_list = sorted(set(q_list) | set(recorded or []))
+            if q_list:
+                qids = spark.createDataFrame(
+                    [(q,) for q in q_list], "subject_qid string"
+                )
+                _write_purge_marker(
+                    base_path,
+                    {
+                        **pending,
+                        "graph_hash_digest": g_digest,
+                        "graph_subject_qids": q_list,
+                    },
+                )
         if sinks.has_parquet_data(gpaths["items"]):
             n_items = sinks.merge_delete_items(
                 spark, doomed_hashes, gpaths["items"], protocol=protocol
