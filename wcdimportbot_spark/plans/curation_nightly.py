@@ -374,7 +374,13 @@ def purge_documents(
     ARTIFACTS whose weights saw the content (BPE merge tables,
     quality-classifier weights, ANN centroids — the ANN staleness
     trigger counts deletes symmetrically, so heavy purging flips
-    ``stale`` and the retrain refits on surviving data); (c) streaming
+    ``stale`` and the retrain refits on surviving data) and MERGED
+    SKETCHES (HLL registers cannot unlearn one item — remediation is
+    rebuilding the affected windows); (b2) the graph store's REJECTS
+    side-output — diagnostic append-only logs, the analog of the
+    reference's ``*.log`` files, which its delete does not scrub
+    either (``crud/delete.py`` touches items and cache only): scrub
+    via log retention/rotation, not the purge; (c) streaming
     SOURCE checkpoints — a file-source stream will not reprocess a
     file it already consumed, so post-purge re-ingest of identical
     content must arrive as a new file (the ``--rinse`` CLI documents
