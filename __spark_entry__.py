@@ -11,8 +11,10 @@
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 12: the
   three new rows (``s12_purge_propagation`` — the composed document
-  purge: corpus + dedup-index hash/band fingerprints leave under one
-  two-phase marker and the purged content's re-ingest is ACCEPTED back;
+  purge: corpus + dedup-index hash/band fingerprints + the docs' graph
+  items/claims/cache rows leave under one self-describing two-phase
+  marker (arm set + resolved claim subjects recorded for crash replay)
+  and the purged content's re-ingest is ACCEPTED back;
   ``s12_curation_refresh`` — the re-crawl refresh increment: changed
   re-sends REPLACE their old corpus rows and the store hash-matches the
   one-shot closed form over latest versions; ``s12_maintenance_
