@@ -1921,3 +1921,64 @@ def test_ann_store_upsert_replaces_changed_vectors(spark, sf_dir, tmp_path):
         .count()
     )
     assert dupes == 0
+
+
+def test_ann_store_lifecycle_composition_preserves_model_stamp(
+    spark, sf_dir, tmp_path
+):
+    """The ANN analog of the graph stores' maintenance-composition
+    contract: build -> add -> upsert -> delete -> compact in sequence on
+    ONE store must carry the codes snapshots' _MODEL_VERSION stamp
+    through every engine (a compaction or delete that dropped it would
+    silently degrade the staleness guard and load_ann_pair to the
+    unverified current-of-each pairing), and retrain must advance it."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.ann_store import (
+        _codes_path,
+        _read_model_stamp,
+        ann_index_add_batch,
+        ann_index_build,
+        ann_index_delete,
+        ann_index_upsert,
+        ann_retrain,
+        compact_ann_codes,
+        read_ann_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = str(tmp_path / "ann")
+    cpath = _codes_path(base)
+
+    def stamp():
+        return _read_model_stamp(versioned.data_dir(cpath))
+
+    ann_index_build(emb.filter(F.col("vec_id") % 2 == 0), base)
+    v1 = stamp()
+    assert v1 is not None
+
+    ann_index_add_batch(emb.filter(F.col("vec_id") % 2 == 1), base)
+    assert stamp() == v1
+    ann_index_upsert(
+        emb.filter(F.col("vec_id") < 4).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ),
+        base,
+    )
+    assert stamp() == v1
+    ann_index_delete(
+        emb.filter(F.col("vec_id") % 9 == 7).select("vec_id"), base
+    )
+    assert stamp() == v1
+    compact_ann_codes(spark, base)
+    assert stamp() == v1
+
+    n_left = read_ann_codes(spark, base).count()
+    assert n_left == emb.count() - emb.filter(F.col("vec_id") % 9 == 7).count()
+
+    ann_retrain(emb, base)
+    v2 = stamp()
+    assert v2 is not None and v2 != v1  # retrain republished the pair
+
