@@ -425,6 +425,23 @@ def test_cli_dedup_ingest_two_batches(spark, tmp_path, capsys):
     fresh_ids = {r["doc_id"] for r in spark.read.parquet(fresh_out).collect()}
     assert fresh_ids == {10, 11, 22}
 
+    # grow the index's bucket fanout in place (the purge write-amp
+    # lever): split one hashes bucket, then re-ingest batch 1 — still
+    # all duplicates under the split map
+    from wcdimportbot_spark.operators import sinks
+
+    hpath = str(tmp_path / "index" / "hashes")
+    hb = sinks.read_snapshot(spark, hpath).select(sinks.BUCKET_COL).first()[0]
+    assert main(["--store", store, "--dedup-index", index,
+                 "--split-bucket", str(hb), "--split-table",
+                 "dedup-hashes"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["bucket"] == hb and len(info["children"]) == 2
+    assert main(["--store", store, "--dedup-ingest", d1,
+                 "--dedup-index", index, "--fresh-out", fresh_out]) == 0
+    rep3 = json.loads(capsys.readouterr().out)
+    assert rep3["n_fresh"] == 0 and rep3["n_exact_dup"] == 2
+
 
 def test_cli_ann_compact_and_sketch_prune(spark, tmp_path, capsys):
     """Round-10 maintenance surface: --compact --ann-store folds the ANN

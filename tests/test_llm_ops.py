@@ -1982,3 +1982,77 @@ def test_ann_store_lifecycle_composition_preserves_model_stamp(
     v2 = stamp()
     assert v2 is not None and v2 != v1  # retrain republished the pair
 
+
+
+def test_dedup_index_split_bucket_composes_with_loop(spark, sf_dir, tmp_path):
+    """Extendible-hashing split on the dedup index's hashes store: the
+    fanout lever that keeps a k-hash purge's write fraction at
+    min(k,B)/B as the index grows. Split one bucket, then prove the
+    whole maintenance loop still re-derives buckets under the split
+    map: a later ingest batch merges, a re-sent doc probes as exact
+    dup, and a delete through the split map makes it fresh again."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.operators.text_dedup import (
+        dedup_index_delete,
+        dedup_index_ingest,
+        dedup_index_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    base = str(tmp_path / "ix")
+    dedup_index_ingest(b1, base)
+    hpath = os.path.join(base, "hashes")
+
+    pre = {
+        r["text_hash"]
+        for r in sinks.read_snapshot(spark, hpath).select("text_hash").collect()
+    }
+    info = sinks.split_bucket(
+        spark, hpath, 3, key="text_hash", partitions=[sinks.BUCKET_COL]
+    )
+    assert info["children"] == [3, 19] and info["depth"] == 1
+    post = {
+        r["text_hash"]
+        for r in sinks.read_snapshot(spark, hpath).select("text_hash").collect()
+    }
+    assert post == pre  # split moved rows, lost none
+    # every child row routes to the bucket the split map derives
+    import json
+
+    bm = json.load(
+        open(os.path.join(sinks.versioned.data_dir(hpath), "_BUCKETS.json"))
+    )
+    leaves = {int(k): v for k, v in bm["leaves"].items()}
+    routed = (
+        sinks.read_snapshot(spark, hpath)
+        .withColumnRenamed(sinks.BUCKET_COL, "stored_hb")
+        .join(
+            sinks.with_bucket(
+                spark.createDataFrame([(h,) for h in post], "text_hash string"),
+                "text_hash",
+                leaves=leaves,
+            ),
+            "text_hash",
+        )
+        .filter(F.col("stored_hb") != F.col(sinks.BUCKET_COL))
+        .count()
+    )
+    assert routed == 0
+
+    # the loop composes through the split map
+    dedup_index_ingest(b2, base)
+    re_probe, _ = dedup_index_probe(b1.orderBy("doc_id").limit(10), base)
+    assert re_probe.filter("exact_dup_of_history").count() == 10
+    h = re_probe.orderBy("doc_id").limit(1).collect()[0]["text_hash"]
+    res = dedup_index_delete(
+        spark.createDataFrame([(h,)], "text_hash string"), base
+    )
+    assert res["hashes_deleted"] == 1
+    re2, _ = dedup_index_probe(b1.orderBy("doc_id").limit(10), base)
+    assert re2.filter("exact_dup_of_history").count() == 9

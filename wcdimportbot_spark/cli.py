@@ -99,9 +99,12 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--split-table",
-        choices=("items", "claims", "cache"),
+        choices=("items", "claims", "cache", "dedup-hashes", "dedup-bands"),
         default="items",
-        help="which store table --split-bucket operates on",
+        help="which store table --split-bucket operates on; the dedup-* "
+        "choices grow the dedup index's bucket fanout in place (needs "
+        "--dedup-index) — the lever that keeps a k-hash purge's write "
+        "fraction at min(k,B)/B as the index grows",
     )
     parser.add_argument(
         "--compact",
@@ -402,11 +405,22 @@ def main(argv=None) -> int:
             "items": ("hash", ["instance_of", sinks_ops.BUCKET_COL]),
             "claims": ("subject_qid", ["property", sinks_ops.BUCKET_COL]),
             "cache": ("hash", [sinks_ops.BUCKET_COL]),
+            "dedup-hashes": ("text_hash", [sinks_ops.BUCKET_COL]),
+            "dedup-bands": ("bk", [sinks_ops.BUCKET_COL]),
         }
         key, parts = layouts[args.split_table]
+        if args.split_table.startswith("dedup-"):
+            if not args.dedup_index:
+                parser.error(
+                    "--split-table dedup-* needs --dedup-index <dir>"
+                )
+            target = os.path.join(
+                args.dedup_index, args.split_table.removeprefix("dedup-")
+            )
+        else:
+            target = paths[args.split_table]
         info = sinks_ops.split_bucket(
-            spark, paths[args.split_table], args.split_bucket,
-            key=key, partitions=parts,
+            spark, target, args.split_bucket, key=key, partitions=parts,
         )
         print(json.dumps(info, sort_keys=True))
 
