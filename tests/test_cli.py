@@ -648,3 +648,55 @@ def test_cli_purge_docs_with_graph_arm(spark, tmp_path, capsys):
     assert "WIKIPEDIA_PAGE" not in stats["items"]
     assert main(["--store", store, "--import-title", "Easter Island"]) == 0
     assert "1 new items" in capsys.readouterr().out
+
+
+def test_cli_split_corpus_bucket_composes_with_increment(spark, tmp_path, capsys):
+    """--split-table corpus grows the curated corpus store's fanout in
+    place; a later increment merges under the split map and a purge
+    still prunes (the write-amp lever applied to the purge's biggest
+    store)."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    store = str(tmp_path / "store")
+    cur = str(tmp_path / "cur")
+    schema = "doc_id long, text string"
+    t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    # novel hash, quality-passing (near-dup of t1 — annotation only,
+    # does not gate acceptance in the increment)
+    t2 = "the quick brown fox jumps over the lazy dog near the river bend"
+    d1 = str(tmp_path / "d1")
+    spark.createDataFrame([(1, t1)], schema).write.parquet(d1)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--curate-increment", d1]) == 0
+    capsys.readouterr()
+
+    hb = (
+        sinks.read_snapshot(spark, cn._corpus_path(cur))
+        .select(sinks.BUCKET_COL)
+        .first()[0]
+    )
+    assert main(["--store", store, "--curation-store", cur,
+                 "--split-bucket", str(hb), "--split-table", "corpus"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["bucket"] == hb and len(info["children"]) == 2
+
+    # a later increment merges under the split map; re-sends stay dups
+    d2 = str(tmp_path / "d2")
+    spark.createDataFrame([(1, t1), (2, t2)], schema).write.parquet(d2)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--curate-increment", d2]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_kept"] == 1 and rep["n_dup"] == 1
+    corpus = cn.read_curated_corpus(spark, cur)
+    assert corpus.count() == 2
+    # purge through the split map
+    ids = str(tmp_path / "ids")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(ids)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--purge-docs", ids]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["corpus_deleted"] == 1 and res["state"] == "committed"
+    assert cn.read_curated_corpus(spark, cur).count() == 1

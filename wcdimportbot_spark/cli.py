@@ -99,12 +99,14 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--split-table",
-        choices=("items", "claims", "cache", "dedup-hashes", "dedup-bands"),
+        choices=("items", "claims", "cache", "dedup-hashes", "dedup-bands",
+                 "corpus"),
         default="items",
-        help="which store table --split-bucket operates on; the dedup-* "
-        "choices grow the dedup index's bucket fanout in place (needs "
-        "--dedup-index) — the lever that keeps a k-hash purge's write "
-        "fraction at min(k,B)/B as the index grows",
+        help="which store table --split-bucket operates on; dedup-* grow "
+        "the dedup index's fanout (needs --dedup-index) and 'corpus' the "
+        "curated corpus store's (needs --curation-store) — the lever "
+        "that keeps a k-hash purge's write fraction at min(k,B)/B as a "
+        "store grows",
     )
     parser.add_argument(
         "--compact",
@@ -407,6 +409,7 @@ def main(argv=None) -> int:
             "cache": ("hash", [sinks_ops.BUCKET_COL]),
             "dedup-hashes": ("text_hash", [sinks_ops.BUCKET_COL]),
             "dedup-bands": ("bk", [sinks_ops.BUCKET_COL]),
+            "corpus": ("text_hash", [sinks_ops.BUCKET_COL]),
         }
         key, parts = layouts[args.split_table]
         if args.split_table.startswith("dedup-"):
@@ -417,6 +420,14 @@ def main(argv=None) -> int:
             target = os.path.join(
                 args.dedup_index, args.split_table.removeprefix("dedup-")
             )
+        elif args.split_table == "corpus":
+            if not args.curation_store:
+                parser.error(
+                    "--split-table corpus needs --curation-store <dir>"
+                )
+            from wcdimportbot_spark.plans.curation_nightly import _corpus_path
+
+            target = _corpus_path(args.curation_store)
         else:
             target = paths[args.split_table]
         info = sinks_ops.split_bucket(
