@@ -1741,3 +1741,83 @@ def test_compaction_preserves_split_and_schema_sidecars(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_expire_history_vacuums_behind_current(spark, tmp_path):
+    """Privacy vacuum (Delta's VACUUM sans retention check): every
+    complete tree BEHIND the pointer goes regardless of KEEP_VERSIONS /
+    RETAIN_SECS, the current snapshot keeps serving, and a rewritten
+    file's bytes are actually gone (its last hardlink lived in the
+    expired tree). Trees ABOVE the pointer — a just-committed optimistic
+    winner whose _advance_current has not run — are never touched."""
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(
+            spark,
+            [(f"Q{i}", "WIKIPEDIA_PAGE", f"p{i}", "d", f"hash{i}") for i in range(8)],
+        ),
+        path,
+    )  # v1
+    sinks.merge_write_items(
+        spark, _items(spark, [("Q100", "WIKIPEDIA_PAGE", "new", "d", "hash100")]), path
+    )  # v2
+    n_del = sinks.merge_delete_items(
+        spark, spark.createDataFrame([("hash0",)], "hash string"), path
+    )  # v3: the pre-delete trees still hold hash0's bytes
+    assert n_del == 1
+    assert len(versioned.list_versions(path)) == 3
+
+    # a complete tree numbered above the pointer (committed optimistic
+    # winner, pointer not yet advanced) must survive the vacuum
+    cur = versioned.current_version(path)
+    ghost = os.path.join(path, "v00000099")
+    os.makedirs(ghost)
+    open(os.path.join(ghost, "_SUCCESS"), "w").close()
+    # a crashed LOCKED writer's staging is swept (we hold the lock)
+    crashed = os.path.join(path, "v00000007.staging")
+    os.makedirs(crashed)
+
+    removed = versioned.expire_history(path)
+    assert removed == ["v00000001", "v00000002", "v00000007.staging"]
+    assert os.path.isdir(ghost)
+    assert versioned.current_version(path) == cur
+    assert sorted(
+        d for d in os.listdir(path) if versioned.is_version_name(d)
+    ) == [cur, "v00000099"]
+
+    # current snapshot intact, deleted row truly gone from disk
+    snap = sinks.read_items(spark, path)
+    assert snap.count() == 8  # 9 - 1 deleted
+    assert snap.filter(F.col("hash") == "hash0").count() == 0
+    walked = [
+        f
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert walked  # data still on disk for the live snapshot
+    # idempotent: a second vacuum finds nothing behind the pointer
+    assert versioned.expire_history(path) == []
+    # and an absent store is a no-op, not a mkdir
+    assert versioned.expire_history(str(tmp_path / "nope")) == []
+    assert not os.path.exists(str(tmp_path / "nope"))
+
+
+def test_expire_history_spares_live_optimistic_staging(spark, tmp_path):
+    """A racing optimistic writer's staged tree (recent file activity)
+    survives the vacuum — only STALE_STAGING_SECS-old orphans are swept,
+    the same liveness rule stage_optimistic itself applies."""
+    path = str(tmp_path / "items")
+    sinks.write_items(
+        _items(spark, [("Q1", "WIKIPEDIA_PAGE", "p", "d", "h1")]), path
+    )
+    live = versioned.stage_optimistic(path, "v00000002")
+    open(os.path.join(live, "part-live.parquet"), "w").close()
+    stale = versioned.stage_optimistic(path, "v00000002")
+    old = time.time() - versioned.STALE_STAGING_SECS - 10
+    os.utime(stale, (old, old))
+
+    removed = versioned.expire_history(path)
+    assert os.path.basename(stale) in removed
+    assert os.path.isdir(live)
+    assert versioned.expire_history(path).count(os.path.basename(live)) == 0

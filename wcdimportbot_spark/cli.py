@@ -274,6 +274,15 @@ def main(argv=None) -> int:
         "cache-flush contract, crud/delete.py:44-61)",
     )
     parser.add_argument(
+        "--purge-vacuum",
+        action="store_true",
+        help="with --purge-docs: also force-expire every touched "
+        "store's retained history (Delta VACUUM sans retention check) "
+        "— without it the purged rows stay readable via time travel "
+        "and on disk until age-based pruning; required for a "
+        "GDPR-complete scrub",
+    )
+    parser.add_argument(
         "--bpe-train",
         metavar="DOCS",
         help="train a BPE merge table on a documents parquet and "
@@ -632,6 +641,7 @@ def main(argv=None) -> int:
                 spark,
                 spark.read.parquet(args.purge_docs),
                 args.curation_store,
+                vacuum=args.purge_vacuum,
                 **graph_kw,
             )
             print(json.dumps({**res, "state": cn.purge_state(

@@ -583,6 +583,68 @@ def publish_full_optimistic(
     )
 
 
+def expire_history(path: str) -> list[str]:
+    """Force-expire every retained snapshot BEHIND the current one,
+    regardless of the ``KEEP_VERSIONS`` / ``RETAIN_SECS`` floors — the
+    privacy half of a purge (Delta's ``VACUUM`` with the retention-
+    duration check disabled, run for the same reason Delta documents:
+    a copy-on-write DELETE rewrites doomed rows out of the NEW snapshot
+    only; the superseded snapshot keeps them readable — time travel /
+    ``rollback`` resurrects purged content — and their bytes stay on
+    disk until age-based pruning). A GDPR-style purge is not complete
+    until that history is gone; hardlinked layouts make this exact:
+    removing the old version dirs drops the LAST link of every file a
+    purge rewrote (the bytes are gone), while files untouched by any
+    later commit stay alive through the current tree's links.
+
+    Safety under the two write protocols:
+
+    - the WRITER LOCK is held, so no locked writer is mid-publish and
+      any bare ``vNNNNNNNN.staging`` tree is a CRASHED locked writer's
+      leftover — swept too (a crashed pre-purge merge staged hardlinks
+      to doomed files, which would otherwise pin their bytes);
+    - optimistic writers never need the lock: their staged trees are
+      writer-unique, and one staged from a pre-purge base either LOSES
+      its rename (tree discarded) or rebases onto the post-purge log —
+      only trees with no file activity for ``STALE_STAGING_SECS`` (a
+      crashed optimistic writer) are swept, same rule as
+      :func:`stage_optimistic`;
+    - complete trees NUMBERED ABOVE the pointer are never touched: a
+      just-committed optimistic winner's ``_advance_current`` may not
+      have run yet (``resolve_latest`` reads max(trees, pointer) for
+      exactly this reason) — expiring it would lose a committed write.
+
+    In-flight READERS of an expired snapshot hit the documented
+    pruned-base race and re-resolve (:func:`is_transient_read_race`) —
+    the same contract normal pruning already imposes, minus the age
+    grace (acceptable for a purge: the grace exists for reader comfort,
+    and a privacy scrub outranks it).
+
+    Returns the removed directory names (empty for an unversioned or
+    already-vacuumed store)."""
+    if not os.path.isdir(path):
+        return []
+    removed: list[str] = []
+    with writer_lock(path):
+        cur = current_version(path)
+        now = time.time()
+        for d in sorted(os.listdir(path)):
+            p = os.path.join(path, d)
+            if _VERSION_RE.match(d):
+                if cur is not None and d < cur:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(d)
+            elif _STAGING_RE.match(d):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(d)
+            elif _OPT_STAGING_RE.match(d):
+                newest = _tree_newest_mtime(p)
+                if newest and now - newest > STALE_STAGING_SECS:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(d)
+    return removed
+
+
 def restore_as_commit(path: str, version: str, max_attempts: int = 16) -> str:
     """Optimistic-protocol RESTORE: republish a retained older snapshot's
     CONTENT as a new version — Delta's RESTORE is itself a commit, and

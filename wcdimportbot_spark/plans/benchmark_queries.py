@@ -4451,7 +4451,7 @@ def _purge_propagation_oracle():
     SELECT detected_lang,
            CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            TRUE AS purge_pruned, TRUE AS reingest_accepted,
-           TRUE AS purge_swallowed
+           TRUE AS purge_swallowed, TRUE AS history_scrubbed
     FROM deduped GROUP BY detected_lang
     HAVING SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) > 0
     """
@@ -4470,10 +4470,14 @@ def _purge_propagation_oracle():
     "copy-on-write delete (pinned in-row on real file inodes for the "
     "corpus, hash, and items stores: untouched bucket dirs survive as "
     "hardlinks). Purge-twice is swallowed (no deletes, no publishes, "
-    "marker stays committed). Then RE-INGEST the purged content: it "
-    "must be ACCEPTED back (the index forgot — the exact failure the "
-    "r11 weak named), returning the corpus to the one-shot closed form "
-    "per language",
+    "marker stays committed) and runs with vacuum=True: every touched "
+    "store's retained HISTORY is force-expired (Delta VACUUM sans "
+    "retention check — without it the purged rows stay readable via "
+    "time travel and on disk), pinned by a recursive disk scan of ALL "
+    "remaining parquet finding zero doomed fingerprints. Then "
+    "RE-INGEST the purged content: it must be ACCEPTED back (the "
+    "index forgot — the exact failure the r11 weak named), returning "
+    "the corpus to the one-shot closed form per language",
     None,  # oracle shares document_profile_sql, attached below
 )
 def s12_purge_propagation(spark, sf_dir):
@@ -4619,6 +4623,7 @@ def s12_purge_propagation(spark, sf_dir):
                 "items_deleted": 5,
                 "claims_deleted": 10,
                 "cache_deleted": 5,
+                "history_expired": 0,
             }
             and purge_state(base)["status"] == "committed"
             and pruned(before_c, after_c)
@@ -4626,7 +4631,10 @@ def s12_purge_propagation(spark, sf_dir):
             and pruned(before_i, after_i)
         )
         # purge-twice: swallowed end to end — zero deletes, nothing
-        # published on any store, marker stays committed
+        # published on any store, marker stays committed. The replay
+        # runs vacuum=True (the crash-between-marker-and-vacuum
+        # remediation): retained history expires WITHOUT touching any
+        # current tree or pointer
         v_c = versioned.current_version(cpath)
         v_h = versioned.current_version(hpath)
         v_i = versioned.current_version(gpaths["items"])
@@ -4636,6 +4644,7 @@ def s12_purge_propagation(spark, sf_dir):
             base,
             graph_store=gstore,
             item_hashes=doomed_item_hashes,
+            vacuum=True,
         )
         purge_swallowed = (
             res2["corpus_deleted"] == 0
@@ -4647,6 +4656,36 @@ def s12_purge_propagation(spark, sf_dir):
             and versioned.current_version(hpath) == v_h
             and versioned.current_version(gpaths["items"]) == v_i
             and purge_state(base)["status"] == "committed"
+        )
+        # vacuum contract: every touched store keeps exactly its
+        # current tree (the pre-purge snapshots that still held the
+        # doomed rows are GONE) and a recursive scan of every parquet
+        # byte left under each store finds zero doomed fingerprints —
+        # time travel can no longer resurrect purged content
+        doomed_hash_list = [r["text_hash"] for r in doomed_rows]
+
+        def scrubbed(store, col, values):
+            if len(versioned.list_versions(store)) != 1:
+                return False
+            scan = (
+                spark.read.option("recursiveFileLookup", "true")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(store)
+            )
+            if col not in scan.columns:
+                return False
+            return scan.filter(F.col(col).isin(values)).count() == 0
+
+        bands_path = os.path.join(base, "dedup_index", "bands")
+        doomed_qids = [f"Q{h}" for h in doomed_hash_list]
+        history_scrubbed = (
+            res2["history_expired"] >= 6
+            and scrubbed(cpath, "text_hash", doomed_hash_list)
+            and scrubbed(hpath, "text_hash", doomed_hash_list)
+            and scrubbed(bands_path, "text_hash", doomed_hash_list)
+            and scrubbed(gpaths["items"], "hash", doomed_hash_list)
+            and scrubbed(gpaths["cache"], "hash", doomed_hash_list)
+            and scrubbed(gpaths["claims"], "subject_qid", doomed_qids)
         )
         # the index FORGOT: re-ingesting the purged content is accepted
         resend = docs.join(F.broadcast(doomed_ids), "doc_id", "left_semi")
@@ -4667,6 +4706,9 @@ def s12_purge_propagation(spark, sf_dir):
                 "reingest_accepted", F.lit(bool(reingest_accepted))
             )
             .withColumn("purge_swallowed", F.lit(bool(purge_swallowed)))
+            .withColumn(
+                "history_scrubbed", F.lit(bool(history_scrubbed))
+            )
             .localCheckpoint(eager=True)
         )
     finally:

@@ -320,6 +320,7 @@ def purge_documents(
     ann_vec_ids: DataFrame | None = None,
     graph_store: str | None = None,
     item_hashes: DataFrame | None = None,
+    vacuum: bool = False,
     protocol: str | None = None,
 ) -> dict:
     """Composed document PURGE across every store that remembers the
@@ -386,11 +387,50 @@ def purge_documents(
     content must arrive as a new file (the ``--rinse`` CLI documents
     the same caveat).
 
+    ``vacuum=True`` finishes the privacy contract: after the committed
+    marker lands, every touched store's RETAINED HISTORY is force-
+    expired (:func:`~wcdimportbot_spark.operators.versioned.
+    expire_history` — Delta's VACUUM with the retention check
+    disabled). Without it the copy-on-write deletes leave the doomed
+    rows readable in the superseded snapshots (``read_snapshot(
+    version=...)`` / ``rollback`` resurrect purged content) and their
+    bytes on disk for ``RETAIN_SECS``; with it, removing the pre-purge
+    version dirs drops the LAST hardlink of every rewritten file —
+    bytes gone — while untouched files live on through the current
+    tree's links. The ANN MODEL store is deliberately NOT vacuumed
+    (centroids/codebooks are trained aggregates — boundary item (b)
+    above); vacuum on a purge REPLAY still runs (that is how a crash
+    between the commit marker and the vacuum converges). Cost: pure
+    driver-side file removal, no Spark jobs.
+
     Returns ``{"corpus_deleted", "hashes_deleted", "bands_deleted",
-    "ann_deleted", "items_deleted", "claims_deleted",
-    "cache_deleted"}``."""
-    from wcdimportbot_spark.operators import sinks
+    "ann_deleted", "items_deleted", "claims_deleted", "cache_deleted",
+    "history_expired"}`` (the last counts expired snapshot/staging
+    trees across all touched stores; 0 unless ``vacuum=True``)."""
+    from wcdimportbot_spark.operators import sinks, versioned
     from wcdimportbot_spark.operators.text_dedup import dedup_index_delete
+
+    def _vacuum_stores(paths: list[str]) -> int:
+        if not vacuum:
+            return 0
+        return sum(len(versioned.expire_history(p)) for p in paths)
+
+    vacuum_paths = [
+        _corpus_path(base_path),
+        os.path.join(_index_path(base_path), "hashes"),
+        os.path.join(_index_path(base_path), "bands"),
+    ]
+    if ann_path is not None:
+        from wcdimportbot_spark.operators.ann_store import _codes_path
+
+        vacuum_paths.append(_codes_path(ann_path))
+    if graph_store is not None:
+        from wcdimportbot_spark.plans.store_import import store_paths as _sp
+
+        # rejects stays out: it is the append-only diagnostic log the
+        # purge boundary (b2) above excludes — retention/rotation owns it
+        _gp = _sp(graph_store)
+        vacuum_paths.extend(_gp[k] for k in ("items", "claims", "cache"))
 
     if "text_hash" in doomed.columns:
         hashes = doomed.select("text_hash").distinct()
@@ -414,7 +454,9 @@ def purge_documents(
     n_doomed = hashes.count()
     if n_doomed == 0 and ann_vec_ids is None and item_hashes is None:
         # nothing anywhere remembers these docs: purge-twice (and purge
-        # of never-ingested ids) is swallowed without marker churn
+        # of never-ingested ids) is swallowed without marker churn. The
+        # vacuum still runs — a crash between a prior purge's committed
+        # marker and ITS vacuum converges under exactly this replay
         return {
             "corpus_deleted": 0,
             "hashes_deleted": 0,
@@ -423,6 +465,7 @@ def purge_documents(
             "items_deleted": 0,
             "claims_deleted": 0,
             "cache_deleted": 0,
+            "history_expired": _vacuum_stores(vacuum_paths),
         }
     # the pending marker is self-describing: it records WHICH arms this
     # purge spans, so the remediation that finds it after a crash knows
@@ -437,7 +480,15 @@ def purge_documents(
     # (see the graph arm below) — read the prior marker before this
     # purge's pending write replaces it
     prior_marker = purge_state(base_path)
-    pending = {"status": "pending", "n_hashes": int(n_doomed), "arms": arms}
+    pending = {
+        "status": "pending",
+        "n_hashes": int(n_doomed),
+        "arms": arms,
+        # self-describing like the arm list: a crash-replay that omits
+        # vacuum=True would flip the marker to committed with the
+        # doomed rows still readable in retained history
+        "vacuum": bool(vacuum),
+    }
     _write_purge_marker(base_path, pending)
     n_corpus = 0
     corpus_path = _corpus_path(base_path)
@@ -539,9 +590,14 @@ def purge_documents(
         "items_deleted": int(n_items),
         "claims_deleted": int(n_claims),
         "cache_deleted": int(n_cache),
+        # history vacuum AFTER every arm's delete committed: the purged
+        # current trees are what survive; everything behind them (the
+        # snapshots still holding doomed rows) is expired
+        "history_expired": _vacuum_stores(vacuum_paths),
     }
     _write_purge_marker(
-        base_path, {"status": "committed", "arms": arms, **out}
+        base_path,
+        {"status": "committed", "arms": arms, "vacuum": bool(vacuum), **out},
     )
     return out
 
