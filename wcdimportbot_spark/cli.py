@@ -274,6 +274,15 @@ def main(argv=None) -> int:
         "cache-flush contract, crud/delete.py:44-61)",
     )
     parser.add_argument(
+        "--purge-outputs",
+        metavar="DIR",
+        nargs="+",
+        help="with --purge-docs: batch_id-partitioned gate output "
+        "dirs (fresh_out / rejects) to scrub too — only partitions "
+        "holding doomed rows are rewritten; an all-doomed batch dir "
+        "is removed",
+    )
+    parser.add_argument(
         "--purge-vacuum",
         action="store_true",
         help="with --purge-docs: also force-expire every touched "
@@ -641,6 +650,7 @@ def main(argv=None) -> int:
                 spark,
                 spark.read.parquet(args.purge_docs),
                 args.curation_store,
+                output_dirs=args.purge_outputs,
                 vacuum=args.purge_vacuum,
                 **graph_kw,
             )

@@ -4623,6 +4623,7 @@ def s12_purge_propagation(spark, sf_dir):
                 "items_deleted": 5,
                 "claims_deleted": 10,
                 "cache_deleted": 5,
+                "outputs_deleted": 0,
                 "history_expired": 0,
             }
             and purge_state(base)["status"] == "committed"

@@ -320,6 +320,7 @@ def purge_documents(
     ann_vec_ids: DataFrame | None = None,
     graph_store: str | None = None,
     item_hashes: DataFrame | None = None,
+    output_dirs: list[str] | None = None,
     vacuum: bool = False,
     protocol: str | None = None,
 ) -> dict:
@@ -370,8 +371,11 @@ def purge_documents(
     operators compose remediation correctly): (a) derived OUTPUT
     datasets already shipped downstream (the streaming gates'
     ``fresh_out`` / rejects / accepted-ledger parquet, training-prep
-    shards) — those are consumer-owned copies, enumerated by their
-    ``batch_id`` partitions for downstream deletion; (b) trained
+    shards) — those are consumer-owned copies; for the
+    ``batch_id``-partitioned gate outputs THIS engine wrote, pass their
+    dirs as ``output_dirs`` and the purge rewrites exactly the touched
+    batch partitions (:func:`purge_output_partitions`) — copies a
+    consumer moved elsewhere remain the consumer's job; (b) trained
     ARTIFACTS whose weights saw the content (BPE merge tables,
     quality-classifier weights, ANN centroids — the ANN staleness
     trigger counts deletes symmetrically, so heavy purging flips
@@ -405,8 +409,10 @@ def purge_documents(
 
     Returns ``{"corpus_deleted", "hashes_deleted", "bands_deleted",
     "ann_deleted", "items_deleted", "claims_deleted", "cache_deleted",
-    "history_expired"}`` (the last counts expired snapshot/staging
-    trees across all touched stores; 0 unless ``vacuum=True``)."""
+    "outputs_deleted", "history_expired"}`` (``outputs_deleted`` sums
+    rows scrubbed across ``output_dirs``; ``history_expired`` counts
+    expired snapshot/staging trees across all touched stores, 0 unless
+    ``vacuum=True``)."""
     from wcdimportbot_spark.operators import sinks, versioned
     from wcdimportbot_spark.operators.text_dedup import dedup_index_delete
 
@@ -465,6 +471,7 @@ def purge_documents(
             "items_deleted": 0,
             "claims_deleted": 0,
             "cache_deleted": 0,
+            "outputs_deleted": 0,
             "history_expired": _vacuum_stores(vacuum_paths),
         }
     # the pending marker is self-describing: it records WHICH arms this
@@ -476,6 +483,8 @@ def purge_documents(
         arms.append("ann")
     if graph_store is not None and item_hashes is not None:
         arms.append("graph")
+    if output_dirs:
+        arms.append("outputs")
     # a replay may need the crashed attempt's resolved claim subjects
     # (see the graph arm below) — read the prior marker before this
     # purge's pending write replaces it
@@ -582,6 +591,16 @@ def purge_documents(
             n_cache = cache_ops.merge_delete_cache(
                 spark, doomed_hashes, gpaths["cache"], protocol=protocol
             )
+    n_outputs = 0
+    if output_dirs and n_doomed:
+        # consumer-facing gate outputs: scrub the touched batch
+        # partitions (keyed by content hash — the id-based form cannot
+        # reach outputs once the corpus row is gone, same asymmetry as
+        # the quality-gate note above)
+        for d in output_dirs:
+            n_outputs += purge_output_partitions(spark, hashes, d)[
+                "rows_deleted"
+            ]
     out = {
         "corpus_deleted": int(n_corpus),
         "hashes_deleted": int(idx["hashes_deleted"]),
@@ -590,6 +609,7 @@ def purge_documents(
         "items_deleted": int(n_items),
         "claims_deleted": int(n_claims),
         "cache_deleted": int(n_cache),
+        "outputs_deleted": int(n_outputs),
         # history vacuum AFTER every arm's delete committed: the purged
         # current trees are what survive; everything behind them (the
         # snapshots still holding doomed rows) is expired
@@ -600,6 +620,97 @@ def purge_documents(
         {"status": "committed", "arms": arms, "vacuum": bool(vacuum), **out},
     )
     return out
+
+
+def purge_output_partitions(
+    spark: SparkSession,
+    doomed_hashes: DataFrame,
+    out_path: str,
+    key_col: str = "text_hash",
+) -> dict:
+    """Scrub purged content out of a CONSUMER-FACING output directory —
+    the streaming gates' ``fresh_out`` / rejects side-outputs and any
+    other plain ``batch_id=``-partitioned parquet this engine shipped
+    downstream. This makes purge boundary item (a) OPERABLE instead of
+    merely documented: those dirs are deliberately not snapshot stores
+    (the downstream contract is plain parquet), so the pruned
+    copy-on-write delete cannot serve them.
+
+    One column-pruned scan of ``key_col`` finds the touched ``batch_id``
+    partitions; ONLY those are rewritten minus the doomed rows via
+    dynamic partition overwrite — untouched partitions are never read
+    for data nor written, the same O(touched-partitions) write shape as
+    the store deletes. A touched partition left EMPTY is removed
+    outright (dynamic overwrite only replaces partitions present in the
+    write, so an all-doomed batch dir would otherwise survive intact).
+    Absent hashes touch nothing — the swallowed delete-twice contract.
+
+    Honesty note: plain dirs mean the rewrite is in-place, not a
+    snapshot publish. The kept rows are materialized (localCheckpoint)
+    BEFORE the overwrite so the write never reads files it is
+    replacing, and a crash mid-rewrite is remediated by replaying the
+    purge (idempotent). Readers racing the rewrite should resolve their
+    plans before or after, not across, a purge — the documented
+    operational window for consumer-owned outputs.
+
+    Returns ``{"rows_deleted", "partitions_rewritten",
+    "partitions_removed"}``."""
+    import shutil
+
+    from wcdimportbot_spark.operators import sinks
+
+    zero = {
+        "rows_deleted": 0,
+        "partitions_rewritten": 0,
+        "partitions_removed": 0,
+    }
+    if not sinks.has_parquet_data(out_path):
+        return zero
+    doomed = F.broadcast(doomed_hashes.select(key_col).distinct())
+    data = spark.read.parquet(out_path)
+    if key_col not in data.columns or "batch_id" not in data.columns:
+        raise ValueError(
+            f"output dir {out_path} lacks a {key_col!r}/batch_id column "
+            f"— not a gate output layout this purge understands"
+        )
+    stats = (
+        data.join(doomed, key_col, "left_semi")
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_doomed"))
+        .collect()
+    )
+    if not stats:
+        return zero
+    batch_ids = [r["batch_id"] for r in stats]
+    n_rows = sum(r["n_doomed"] for r in stats)
+    kept = (
+        data.filter(F.col("batch_id").isin(batch_ids))
+        .join(doomed, key_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept_batches = {
+        r["batch_id"] for r in kept.select("batch_id").distinct().collect()
+    }
+    if kept_batches:
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+    removed = 0
+    for b in batch_ids:
+        if b not in kept_batches:
+            d = os.path.join(out_path, f"batch_id={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    spark.catalog.refreshByPath(out_path)
+    return {
+        "rows_deleted": int(n_rows),
+        "partitions_rewritten": len(kept_batches),
+        "partitions_removed": removed,
+    }
 
 
 def curate_refresh(
