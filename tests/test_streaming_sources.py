@@ -1352,3 +1352,76 @@ def test_ann_ingest_gate_upsert_mode_refresh_stream(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="insert.*upsert"):
         ann_ingest_batch_fn(store, mode="replace")
+
+
+def test_streaming_curation_refresh_gate(spark, tmp_path):
+    """The curation gate's REFRESH mode (mirror of the ANN gate's
+    upsert mode): a micro-batch re-sending a stored doc_id with CHANGED
+    text replaces its old corpus row and swaps its index fingerprints —
+    increment mode would keep both versions forever. The final corpus
+    holds exactly one row per live text, each the LATEST version."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wcdimportbot_spark.plans.curation_nightly import (
+        curation_increment_batch_fn,
+        read_curated_corpus,
+    )
+
+    with pytest.raises(ValueError, match="increment.*refresh|refresh.*increment"):
+        curation_increment_batch_fn(str(tmp_path / "x"), mode="rinse")
+
+    v1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    v2 = ("the slow brown fox walks under the lazy dog far from the "
+          "river bank tonight after dark")
+    other = "completely different words about spark catalyst optimizer plans and joins"
+    src = tmp_path / "ref-in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [{"doc_id": 1, "text": v1}, {"doc_id": 2, "text": other}]
+        )
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(F.from_json(F.col("value"), schema).alias("e"))
+        .select("e.*")
+    )
+    base = str(tmp_path / "ref-store")
+    q = (
+        stream.writeStream.foreachBatch(
+            curation_increment_batch_fn(base, mode="refresh")
+        )
+        .option("checkpointLocation", str(tmp_path / "ref-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: doc 1 re-crawled with CHANGED text, doc 2 unchanged
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [{"doc_id": 1, "text": v2}, {"doc_id": 2, "text": other}]
+        )
+    )
+    q.processAllAvailable()
+    assert q.lastProgress["stateOperators"] == []  # history in the stores
+    q.stop()
+
+    import hashlib
+
+    corpus = read_curated_corpus(spark, base)
+    got = {r["doc_id"]: r["text_hash"] for r in corpus.collect()}
+    # doc 1's v1 row REPLACED by v2 (not accumulated); doc 2 untouched
+    assert got == {
+        1: hashlib.md5(v2.encode()).hexdigest(),
+        2: hashlib.md5(other.encode()).hexdigest(),
+    }

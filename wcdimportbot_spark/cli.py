@@ -274,6 +274,14 @@ def main(argv=None) -> int:
         "cache-flush contract, crud/delete.py:44-61)",
     )
     parser.add_argument(
+        "--purge-ann-ids",
+        metavar="IDS",
+        help="with --purge-docs: a parquet of vec_id (optionally "
+        "cluster) rows naming the doomed docs' vectors; the purge then "
+        "also prunes them from --ann-store's codes store (the ANN arm "
+        "of the composed purge)",
+    )
+    parser.add_argument(
         "--purge-outputs",
         metavar="DIR",
         nargs="+",
@@ -646,6 +654,13 @@ def main(argv=None) -> int:
                     "graph_store": args.store,
                     "item_hashes": spark.read.parquet(args.purge_item_hashes),
                 }
+            if args.purge_ann_ids:
+                if not args.ann_store:
+                    parser.error("--purge-ann-ids needs --ann-store <dir>")
+                graph_kw.update(
+                    ann_path=args.ann_store,
+                    ann_vec_ids=spark.read.parquet(args.purge_ann_ids),
+                )
             res = cn.purge_documents(
                 spark,
                 spark.read.parquet(args.purge_docs),

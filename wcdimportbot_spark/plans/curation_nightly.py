@@ -807,6 +807,7 @@ def curation_increment_batch_fn(
     min_quality: float = MIN_QUALITY,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "increment",
 ):
     """``foreachBatch`` adapter — the STREAMING twin: each micro-batch
     runs one curation increment against the same maintained stores the
@@ -815,12 +816,28 @@ def curation_increment_batch_fn(
     ledger: a replayed micro-batch's docs are either in-batch winners
     that re-accept into the corpus (insert-if-absent absorbs them) or
     index hits that drop; either way the stores converge to the same
-    content — pinned by the streaming test."""
+    content — pinned by the streaming test.
+
+    ``mode`` mirrors the ANN gate's split (``ann_ingest_batch_fn``):
+    ``"increment"`` (default) is :func:`curate_increment` — correct for
+    append streams whose re-sends are exact replays. A stream carrying
+    RE-CRAWLED docs (same ``doc_id``, possibly CHANGED text) must use
+    ``"refresh"`` (:func:`curate_refresh`): under increment mode a
+    changed re-send is accepted as a brand-new document NEXT TO its
+    stale corpus version, which then lives forever. Refresh replay is
+    convergent, not no-op — a replayed batch re-purges fingerprints the
+    first attempt already swapped (swallowed) and re-accepts its own
+    content (insert-if-absent absorbs it)."""
+    if mode not in ("increment", "refresh"):
+        raise ValueError(
+            f"mode must be 'increment' or 'refresh', got {mode!r}"
+        )
+    step = curate_increment if mode == "increment" else curate_refresh
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        curate_increment(
+        step(
             batch_df,
             base_path,
             min_quality=min_quality,
