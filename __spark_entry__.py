@@ -13,8 +13,11 @@
   three new rows (``s12_purge_propagation`` — the composed document
   purge: corpus + dedup-index hash/band fingerprints + the docs' graph
   items/claims/cache rows leave under one self-describing two-phase
-  marker (arm set + resolved claim subjects recorded for crash replay)
-  and the purged content's re-ingest is ACCEPTED back;
+  marker (arm set + resolved claim subjects recorded for crash replay),
+  the purged content's re-ingest is ACCEPTED back, and the replay runs
+  the history VACUUM (late r12): every touched store keeps exactly its
+  current tree and a recursive disk scan of all remaining parquet finds
+  zero doomed fingerprints — time travel cannot resurrect purged rows;
   ``s12_curation_refresh`` — the re-crawl refresh increment: changed
   re-sends REPLACE their old corpus rows and the store hash-matches the
   one-shot closed form over latest versions; ``s12_maintenance_

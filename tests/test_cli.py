@@ -700,3 +700,33 @@ def test_cli_split_corpus_bucket_composes_with_increment(spark, tmp_path, capsys
     res = json.loads(capsys.readouterr().out)
     assert res["corpus_deleted"] == 1 and res["state"] == "committed"
     assert cn.read_curated_corpus(spark, cur).count() == 1
+
+
+def test_cli_expire_history(spark, tmp_path, capsys):
+    """--expire-history: the standalone history vacuum after ad-hoc
+    deletes — old snapshots go, the current one keeps serving, deleted
+    rows' bytes are gone from disk."""
+    import os
+
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.sinks import read_snapshot
+
+    store = str(tmp_path / "store")
+    assert main(["--store", store, "--import-title", "Easter Island"]) == 0
+    capsys.readouterr()
+    assert main(["--store", store, "--delete-page", "Easter Island"]) == 0
+    capsys.readouterr()
+    items = os.path.join(store, "items")
+    assert len(versioned.list_versions(items)) > 1
+
+    assert main(["--store", store, "--expire-history", items]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out[items] >= 1
+    assert len(versioned.list_versions(items)) == 1
+    snap = read_snapshot(spark, items)
+    assert snap.filter(snap.instance_of == "WIKIPEDIA_PAGE").count() == 0
+    assert snap.count() == 2  # reference + website still served
+
+    # idempotent
+    assert main(["--store", store, "--expire-history", items]) == 0
+    assert json.loads(capsys.readouterr().out)[items] == 0

@@ -115,6 +115,16 @@ def main(argv=None) -> int:
         "each (MERGE-store maintenance, published as a new snapshot)",
     )
     parser.add_argument(
+        "--expire-history",
+        metavar="TABLE_DIR",
+        nargs="+",
+        help="force-expire every retained snapshot behind the current "
+        "one of the given store table dirs (Delta VACUUM sans "
+        "retention check) — the standalone lever for scrubbing "
+        "history after ad-hoc deletes (--delete-page, --ann-delete, "
+        "--dedup-delete); the composed purge has it as --purge-vacuum",
+    )
+    parser.add_argument(
         "--sketch-store",
         metavar="DIR",
         help="windowed distinct-sketch store directory (for --sketch-prune)",
@@ -496,6 +506,14 @@ def main(argv=None) -> int:
             )
 
             out["ann_codes"] = compact_ann_codes(spark, args.ann_store)
+        print(json.dumps(out, sort_keys=True))
+
+    elif args.expire_history:
+        from wcdimportbot_spark.operators import versioned
+
+        out = {
+            d: len(versioned.expire_history(d)) for d in args.expire_history
+        }
         print(json.dumps(out, sort_keys=True))
 
     elif args.sketch_prune:
