@@ -7,7 +7,7 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  120 queries, all DuckDB-verified — the ANN top-k variants emit an
+  121 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 12: the
   three new rows (``s12_purge_propagation`` — the composed document
@@ -34,7 +34,11 @@
   assert), ``sim_ann_index_maint`` and ``sim_ann_retrain``), the
   late-r12 ``sim_ann_upsert`` (re-crawl refresh at the ANN layer:
   matched vec_ids REPLACED and re-clustered — plain add-batch would
-  duplicate a changed vector beside its stale row), and
+  duplicate a changed vector beside its stale row), the late-r12
+  ``train_shard_purge`` (purge propagation into SHIPPED training
+  shards: touched split=/shard= partitions named CLOSED-FORM from the
+  doomed keys, untouched partition inodes pinned, surviving pos values
+  oracle-verified against the full recomputed epoch permutation), and
   sentinels — one per operator family already driver-verified in
   r5-r11 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this

@@ -141,3 +141,84 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert first == again
+
+
+def test_purge_training_shards_closed_form_prune(spark, tmp_path):
+    """Shard purge (the training-prep half of the purge boundary): the
+    touched split=/shard= partitions come CLOSED-FORM from the doomed
+    keys (zero dataset scan), untouched partitions keep their file
+    inodes, an all-doomed partition dir is removed, surviving rows keep
+    their pos values (gaps mark removals), absent keys swallow."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.training_prep import (
+        purge_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, epoch=0, n_shards=16)
+    back = spark.read.parquet(out)
+    assign = {
+        r["doc_id"]: (r["split"], r["shard"], r["pos"]) for r in back.collect()
+    }
+    # pick a partition with exactly one row -> purging its doc empties it
+    from collections import Counter
+
+    per_part = Counter((s, sh) for (s, sh, _p) in assign.values())
+    lone = next(
+        d for d, (s, sh, _p) in assign.items() if per_part[(s, sh)] == 1
+    )
+    # plus one doc from a multi-row partition (rewritten, not removed)
+    multi = next(
+        d for d, (s, sh, _p) in assign.items() if per_part[(s, sh)] >= 3
+    )
+    touched = {assign[lone][:2], assign[multi][:2]}
+
+    def inodes(s, sh):
+        d = os.path.join(out, f"split={s}", f"shard={sh}")
+        if not os.path.isdir(d):
+            return None
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    untouched_before = {
+        (s, sh): inodes(s, sh)
+        for (s, sh) in per_part
+        if (s, sh) not in touched
+    }
+    doomed = spark.createDataFrame(
+        [(lone,), (multi,), (10_000,)], "doc_id long"  # 10k: absent key
+    )
+    res = purge_training_shards(doomed, out, epoch=0)
+    assert res["rows_deleted"] == 2
+    assert res["partitions_removed"] == (
+        1 if assign[lone][:2] != assign[multi][:2] else 0
+    )
+    # untouched partitions: same files, same inodes
+    for (s, sh), before in untouched_before.items():
+        assert inodes(s, sh) == before, (s, sh)
+    # lone doc's partition is gone entirely (unless it shared with multi)
+    if assign[lone][:2] != assign[multi][:2]:
+        assert inodes(*assign[lone][:2]) is None
+    left = spark.read.parquet(out)
+    ids_left = {r["doc_id"] for r in left.collect()}
+    assert ids_left == set(range(60)) - {lone, multi}
+    # survivors keep their original pos (gaps, not renumbering)
+    for r in left.collect():
+        assert (r["split"], r["shard"], r["pos"]) == assign[r["doc_id"]]
+    # purge-twice swallows
+    res2 = purge_training_shards(doomed, out, epoch=0)
+    assert res2 == {
+        "rows_deleted": 0,
+        "partitions_rewritten": 0,
+        "partitions_removed": 0,
+    }

@@ -234,3 +234,141 @@ def write_training_shards(
         .sortWithinPartitions("pos")
     )
     out.write.mode("overwrite").partitionBy("split", "shard").parquet(path)
+
+
+def purge_training_shards(
+    doomed_keys: DataFrame,
+    path: str,
+    epoch: int = 0,
+    key: str = "doc_id",
+    salt: str = SPLIT_SALT,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> dict:
+    """Propagate a document purge into a materialized training-shard
+    layout (:func:`write_training_shards`) — the training-prep half of
+    the purge boundary: shipped shards are derived copies of purged
+    content and must forget it too.
+
+    The ``(split, shard)`` a key lands in is a PURE FUNCTION of
+    ``(key, salt, epoch)``, so the touched partitions are computed in
+    CLOSED FORM from the doomed keys alone — zero scan of the shard
+    dataset (contrast the gate outputs, which are batch-keyed, not
+    content-keyed, and need one hash-column scan). Only the touched
+    ``split=/shard=`` dirs are read (anti-join against the broadcast
+    doomed set) and rewritten via dynamic partition overwrite; a
+    partition left empty is removed outright. Surviving rows keep their
+    epoch ``pos`` values — gaps mark removals, relative order is
+    byte-preserved — while the next epoch's fresh
+    :func:`write_training_shards` renumbers densely. Absent keys are
+    swallowed (the delete-twice contract).
+
+    Returns ``{"rows_deleted", "partitions_rewritten",
+    "partitions_removed"}``."""
+    import os
+    import shutil
+
+    from wcdimportbot_spark.operators import sinks
+
+    zero = {
+        "rows_deleted": 0,
+        "partitions_rewritten": 0,
+        "partitions_removed": 0,
+    }
+    if not sinks.has_parquet_data(path):
+        return zero
+    spark = doomed_keys.sparkSession
+    doomed = doomed_keys.select(key).distinct()
+    h = F.md5(F.concat(F.lit(f"epoch-{epoch}:"), F.col(key).cast("string")))
+    # n_shards is a property of the LAYOUT, not an argument to trust:
+    # read it off the existing shard dirs so a mismatched caller cannot
+    # compute a wrong prune set
+    shards_on_disk = set()
+    for split_dir in os.listdir(path):
+        p = os.path.join(path, split_dir)
+        if split_dir.startswith("split=") and os.path.isdir(p):
+            for d in os.listdir(p):
+                if d.startswith("shard="):
+                    shards_on_disk.add(int(d.split("=", 1)[1]))
+    n_shards = (max(shards_on_disk) + 1) if shards_on_disk else 8
+    assigned = (
+        hash_split(doomed, key, salt, train_pct, val_pct)
+        .withColumn(
+            "shard",
+            (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).cast(
+                "int"
+            ),
+        )
+        .select(key, "split", "shard")
+        .localCheckpoint(eager=True)
+    )
+    pairs = {
+        (r["split"], r["shard"])
+        for r in assigned.select("split", "shard").distinct().collect()
+    }
+    # keep only pairs whose dir actually exists (a doomed key that never
+    # shipped — or already purged away its partition — prunes to nothing)
+    pairs = {
+        (s, sh)
+        for (s, sh) in pairs
+        if os.path.isdir(os.path.join(path, f"split={s}", f"shard={sh}"))
+    }
+    if not pairs:
+        return zero
+    def _pair_cond(pair_set):
+        by_split: dict = {}
+        for s, sh in pair_set:
+            by_split.setdefault(s, []).append(sh)
+        cond = None
+        for s, shs in by_split.items():
+            c = (F.col("split") == s) & F.col("shard").isin(shs)
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    doomed_b = F.broadcast(doomed)
+    # the closed form names CANDIDATE partitions (an absent key's pair
+    # may exist on disk holding only other docs); the pruned semi-join
+    # narrows to partitions actually holding doomed rows so untouched
+    # dirs are never rewritten
+    touched_stats = (
+        spark.read.parquet(path)
+        .filter(_pair_cond(pairs))
+        .join(doomed_b, key, "left_semi")
+        .groupBy("split", "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not touched_stats:
+        return zero
+    pairs = {(r["split"], r["shard"]) for r in touched_stats}
+    n_rows = sum(r["n"] for r in touched_stats)
+    kept = (
+        spark.read.parquet(path)
+        .filter(_pair_cond(pairs))
+        .join(doomed_b, key, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept_pairs = {
+        (r["split"], r["shard"])
+        for r in kept.select("split", "shard").distinct().collect()
+    }
+    if kept_pairs:
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("split", "shard")
+            .parquet(path)
+        )
+    removed = 0
+    for s, sh in pairs:
+        if (s, sh) not in kept_pairs:
+            d = os.path.join(path, f"split={s}", f"shard={sh}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    spark.catalog.refreshByPath(path)
+    return {
+        "rows_deleted": int(n_rows),
+        "partitions_rewritten": len(kept_pairs),
+        "partitions_removed": removed,
+    }

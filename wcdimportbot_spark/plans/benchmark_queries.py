@@ -1456,6 +1456,122 @@ def train_split_assign(spark, sf_dir):
 
 
 @register(
+    "train_shard_purge",
+    "training prep (shard purge, late r12)",
+    "purge propagation into SHIPPED training shards — the training-prep "
+    "half of the purge boundary: write the split=/shard= layout "
+    "(write_training_shards), purge the 7 lowest doc_ids through "
+    "purge_training_shards. The touched partitions come CLOSED-FORM "
+    "from the doomed keys (the (split, shard) assignment is a pure "
+    "function of key/salt/epoch — zero dataset scan names them, one "
+    "pruned semi-join confirms them); only those rewrite (untouched "
+    "partition files keep their inodes, pinned in-row), an all-doomed "
+    "partition dir is removed, purge-twice swallows. Survivors keep "
+    "their epoch pos values — the oracle recomputes the FULL epoch "
+    "permutation in DuckDB and sums surviving pos per partition, so a "
+    "renumbering (or any row loss) hash-mismatches",
+    """
+    WITH a AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS INT) AS bucket,
+        md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, h,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        CAST(('0x' || substr(h, 1, 4))::INT % 8 AS INT) AS shard
+      FROM a
+    ), p AS (
+      SELECT doc_id, split, shard,
+        ROW_NUMBER() OVER (PARTITION BY split, shard ORDER BY h, doc_id) AS pos
+      FROM b
+    )
+    SELECT split, shard, COUNT(*) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS pos_sum,
+           TRUE AS pruned, TRUE AS swallowed
+    FROM p
+    WHERE doc_id NOT IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 7)
+    GROUP BY split, shard
+    """,
+)
+def train_shard_purge(spark, sf_dir):
+    """operators/training_prep.purge_training_shards: O(touched
+    partitions) writes, closed-form prune set, pos-preserving rewrite.
+    Scale shape: no scan of the shard dataset beyond the touched
+    partitions themselves."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators.training_prep import (
+        purge_training_shards,
+        write_training_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="wcd-shardpurge-")
+    try:
+        write_training_shards(docs, base, epoch=0, n_shards=8)
+        doomed = docs.orderBy("doc_id").limit(7).select("doc_id")
+        back = spark.read.parquet(base)
+        touched = {
+            (r["split"], r["shard"])
+            for r in back.join(F.broadcast(doomed), "doc_id", "left_semi")
+            .select("split", "shard")
+            .distinct()
+            .collect()
+        }
+
+        def inodes():
+            out = {}
+            for root, _d, files in os.walk(base):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[os.path.relpath(p, base)] = os.stat(p).st_ino
+            return out
+
+        def part_of(rel):
+            parts = rel.split(os.sep)
+            return (
+                parts[0].split("=", 1)[1],
+                int(parts[1].split("=", 1)[1]),
+            )
+
+        before = inodes()
+        res = purge_training_shards(doomed, base, epoch=0)
+        after = inodes()
+        unt = {p: i for p, i in before.items() if part_of(p) not in touched}
+        pruned = (
+            res["rows_deleted"] == 7
+            and len(unt) > 0
+            and all(after.get(p) == i for p, i in unt.items())
+            and {p for p in after if part_of(p) not in touched} == set(unt)
+        )
+        res2 = purge_training_shards(doomed, base, epoch=0)
+        swallowed = res2 == {
+            "rows_deleted": 0,
+            "partitions_rewritten": 0,
+            "partitions_removed": 0,
+        }
+        out = (
+            spark.read.parquet(base)
+            .groupBy("split", "shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("pos").alias("pos_sum"),
+            )
+            .withColumn("pruned", F.lit(bool(pruned)))
+            .withColumn("swallowed", F.lit(bool(swallowed)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
     "train_seq_packing",
     "training prep (sequence packing)",
     "concat-then-chunk packing into 2048-token budgets, per shard (the "
@@ -5474,7 +5590,11 @@ _WINDOW = [
     "dedup_cc_clusters",         # min-label duplicate clustering
     "decon_ngram_overlap",       # decontamination
     "curation_pipeline",         # composed curation pipeline
-    "train_split_assign",        # training prep family
+    "train_shard_purge",         # NEW (late r12): training prep family —
+                                 # purge into shipped shards, closed-form
+                                 # prune (train_split_assign rotated out:
+                                 # r11-verified, plan untouched, family
+                                 # stays covered by this row)
     "multimodal_codec_roundtrip",# multimodal codecs
     "q1_pricing_summary",        # TPC-H planner shapes
 ]
