@@ -730,3 +730,66 @@ def test_cli_expire_history(spark, tmp_path, capsys):
     # idempotent
     assert main(["--store", store, "--expire-history", items]) == 0
     assert json.loads(capsys.readouterr().out)[items] == 0
+
+
+def test_cli_purge_shards_and_outputs(spark, tmp_path, capsys):
+    """--purge-shards / --purge-outputs compose with --purge-docs: the
+    doomed doc leaves the corpus, the shipped shard layout, and the gate
+    output dir in one CLI call; --purge-vacuum scrubs retained history."""
+    from wcdimportbot_spark.operators import versioned
+    from wcdimportbot_spark.operators.training_prep import (
+        write_training_shards,
+    )
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    store = str(tmp_path / "store")
+    cur = str(tmp_path / "cur")
+    docs_p = str(tmp_path / "docs.parquet")
+    ids_p = str(tmp_path / "ids.parquet")
+    shards = str(tmp_path / "shards")
+    out_dir = str(tmp_path / "fresh_out")
+
+    t_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    t_b = ("Completely different words are written about the spark "
+           "catalyst optimizer plans and how they work in practice.")
+    docs = spark.createDataFrame(
+        [(1, t_a), (2, t_b)], "doc_id long, text string"
+    )
+    docs.write.parquet(docs_p)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--curate-increment", docs_p]) == 0
+    capsys.readouterr()
+    write_training_shards(docs, shards, epoch=0, n_shards=4)
+    ann = {r["doc_id"]: r for r in cn.curate_increment(
+        spark.createDataFrame([], "doc_id long, text string"), cur
+    ).collect()} if False else None
+    import hashlib
+
+    h1 = hashlib.md5(t_a.encode()).hexdigest()
+    (
+        spark.createDataFrame(
+            [(1, h1, 0), (2, hashlib.md5(t_b.encode()).hexdigest(), 0)],
+            "doc_id long, text_hash string, batch_id long",
+        )
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(ids_p)
+
+    assert main([
+        "--store", store, "--curation-store", cur,
+        "--purge-docs", ids_p,
+        "--purge-shards", shards,
+        "--purge-outputs", out_dir,
+        "--purge-vacuum",
+    ]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["corpus_deleted"] == 1
+    assert res["outputs_deleted"] == 1
+    assert res["shards_deleted"] == 1
+    assert res["history_expired"] >= 1
+    assert res["state"] == "committed"
+    assert {r["doc_id"] for r in spark.read.parquet(shards).collect()} == {2}
+    assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} == {2}
+    assert len(versioned.list_versions(cn._corpus_path(cur))) == 1

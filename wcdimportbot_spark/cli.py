@@ -301,6 +301,22 @@ def main(argv=None) -> int:
         "is removed",
     )
     parser.add_argument(
+        "--purge-shards",
+        metavar="DIR",
+        nargs="+",
+        help="with --purge-docs (doc_id form): split=/shard= training "
+        "layouts (write_training_shards) to scrub — touched partitions "
+        "are named closed-form from the doomed keys, survivors keep "
+        "their epoch pos values",
+    )
+    parser.add_argument(
+        "--purge-epoch",
+        type=int,
+        default=0,
+        help="with --purge-shards: fallback epoch for layouts predating "
+        "the _SHARDS.json sidecar (the sidecar's recorded epoch wins)",
+    )
+    parser.add_argument(
         "--purge-vacuum",
         action="store_true",
         help="with --purge-docs: also force-expire every touched "
@@ -679,14 +695,32 @@ def main(argv=None) -> int:
                     ann_path=args.ann_store,
                     ann_vec_ids=spark.read.parquet(args.purge_ann_ids),
                 )
+            doomed_df = spark.read.parquet(args.purge_docs)
             res = cn.purge_documents(
                 spark,
-                spark.read.parquet(args.purge_docs),
+                doomed_df,
                 args.curation_store,
                 output_dirs=args.purge_outputs,
                 vacuum=args.purge_vacuum,
                 **graph_kw,
             )
+            if args.purge_shards:
+                if "doc_id" not in doomed_df.columns:
+                    parser.error(
+                        "--purge-shards needs the --purge-docs parquet "
+                        "in doc_id form (shards key on doc identity, "
+                        "not content hash)"
+                    )
+                from wcdimportbot_spark.operators.training_prep import (
+                    purge_training_shards,
+                )
+
+                res["shards_deleted"] = sum(
+                    purge_training_shards(
+                        doomed_df, d, epoch=args.purge_epoch
+                    )["rows_deleted"]
+                    for d in args.purge_shards
+                )
             print(json.dumps({**res, "state": cn.purge_state(
                 args.curation_store)["status"]}))
         else:

@@ -234,6 +234,20 @@ def write_training_shards(
         .sortWithinPartitions("pos")
     )
     out.write.mode("overwrite").partitionBy("split", "shard").parquet(path)
+    # layout sidecar (the _BUCKETS.json discipline): n_shards/epoch are
+    # WRITER properties a later maintenance pass cannot recover from a
+    # sparse directory listing (max(shard)+1 under-counts whenever the
+    # corpus misses a shard) — record them next to the data
+    import json
+    import os
+
+    side = os.path.join(path, "_SHARDS.json")
+    tmp = side + ".tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump({"n_shards": n_shards, "epoch": epoch, "key": key}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, side)
 
 
 def purge_training_shards(
@@ -261,7 +275,10 @@ def purge_training_shards(
     epoch ``pos`` values — gaps mark removals, relative order is
     byte-preserved — while the next epoch's fresh
     :func:`write_training_shards` renumbers densely. Absent keys are
-    swallowed (the delete-twice contract).
+    swallowed (the delete-twice contract). ``n_shards`` and the epoch
+    come from the layout's ``_SHARDS.json`` sidecar when present (the
+    writer knows; the ``epoch`` argument is the legacy-layout
+    fallback).
 
     Returns ``{"rows_deleted", "partitions_rewritten",
     "partitions_removed"}``."""
@@ -279,18 +296,29 @@ def purge_training_shards(
         return zero
     spark = doomed_keys.sparkSession
     doomed = doomed_keys.select(key).distinct()
+    # n_shards (and the epoch the layout was written under) are WRITER
+    # properties of the layout, not arguments to trust: read the
+    # _SHARDS.json sidecar write_training_shards records. A sparse
+    # directory listing cannot recover n_shards (max(shard)+1
+    # under-counts whenever the corpus misses a shard), so a missing
+    # sidecar falls back to the dir heuristic only as a legacy path.
+    import json
+
+    try:
+        with open(os.path.join(path, "_SHARDS.json"), encoding="ascii") as f:
+            side = json.load(f)
+        n_shards = int(side["n_shards"])
+        epoch = int(side.get("epoch", epoch))
+    except OSError:
+        shards_on_disk = set()
+        for split_dir in os.listdir(path):
+            p = os.path.join(path, split_dir)
+            if split_dir.startswith("split=") and os.path.isdir(p):
+                for d in os.listdir(p):
+                    if d.startswith("shard="):
+                        shards_on_disk.add(int(d.split("=", 1)[1]))
+        n_shards = (max(shards_on_disk) + 1) if shards_on_disk else 8
     h = F.md5(F.concat(F.lit(f"epoch-{epoch}:"), F.col(key).cast("string")))
-    # n_shards is a property of the LAYOUT, not an argument to trust:
-    # read it off the existing shard dirs so a mismatched caller cannot
-    # compute a wrong prune set
-    shards_on_disk = set()
-    for split_dir in os.listdir(path):
-        p = os.path.join(path, split_dir)
-        if split_dir.startswith("split=") and os.path.isdir(p):
-            for d in os.listdir(p):
-                if d.startswith("shard="):
-                    shards_on_disk.add(int(d.split("=", 1)[1]))
-    n_shards = (max(shards_on_disk) + 1) if shards_on_disk else 8
     assigned = (
         hash_split(doomed, key, salt, train_pct, val_pct)
         .withColumn(
