@@ -2056,3 +2056,88 @@ def test_dedup_index_split_bucket_composes_with_loop(spark, sf_dir, tmp_path):
     assert res["hashes_deleted"] == 1
     re2, _ = dedup_index_probe(b1.orderBy("doc_id").limit(10), base)
     assert re2.filter("exact_dup_of_history").count() == 9
+
+
+def test_dedup_index_params_sidecar(spark, tmp_path):
+    """_INDEX.json (writer-property sidecar): the signature parameters
+    are recorded on first merge; probe and delete resolve them from the
+    store instead of trusting caller guesses (a delete under a smaller
+    bands count would leave hash#k fingerprints on disk — breaking the
+    purge-completeness contract); a merge under different parameters
+    fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.operators.text_dedup import (
+        _index_params,
+        dedup_index_delete,
+        dedup_index_ingest,
+    )
+
+    base = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about catalyst optimizer plans"),
+        ],
+        "doc_id long, text string",
+    )
+    dedup_index_ingest(docs, base, num_hashes=16, bands=8)
+    assert _index_params(base) == {
+        "num_hashes": 16,
+        "bands": 8,
+        "shingle_n": 3,
+    }
+    bands_store = sinks.read_snapshot(spark, base + "/bands")
+    h1 = bands_store.select("text_hash").distinct().collect()
+    assert len(h1) == 2
+
+    # ingest with DRIFTED args self-heals: the sidecar wins, so doc 3's
+    # band rows land under the recorded bands=8 (not the caller's 4)
+    dedup_index_ingest(
+        spark.createDataFrame(
+            [(3, "some entirely novel text about something else whatever")],
+            "doc_id long, text string",
+        ),
+        base,
+        num_hashes=8,
+        bands=4,
+    )
+    import hashlib
+
+    h3 = hashlib.md5(
+        b"some entirely novel text about something else whatever"
+    ).hexdigest()
+    assert (
+        sinks.read_snapshot(spark, base + "/bands")
+        .filter(F.col("text_hash") == h3)
+        .count()
+        == 8
+    )
+    # a DIRECT merge under drifted parameters (bypassing the ingest's
+    # resolution) fails loudly instead of interleaving two schemes
+    from wcdimportbot_spark.operators.text_dedup import dedup_index_merge
+
+    with pytest.raises(ValueError, match="was built with"):
+        dedup_index_merge(
+            spark.createDataFrame([(4, "more text")],
+                                  "doc_id long, text string"),
+            base,
+            num_hashes=8,
+            bands=4,
+        )
+
+    # delete with the DEFAULT bands=4: the sidecar (bands=8) wins, so
+    # every hash#0..hash#7 row leaves — none left behind
+    import hashlib
+
+    h = hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog today"
+    ).hexdigest()
+    res = dedup_index_delete(
+        spark.createDataFrame([(h,)], "text_hash string"), base
+    )
+    assert res == {"hashes_deleted": 1, "bands_deleted": 8}
+    left = sinks.read_snapshot(spark, base + "/bands")
+    assert left.filter(F.col("text_hash") == h).count() == 0

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1699,3 +1700,99 @@ def compact_cache(spark: SparkSession, path: str) -> dict:
     return compact_store(
         spark, path, sort_key="hash", partitions=[BUCKET_COL]
     )
+
+
+def scrub_plain_partitions(
+    spark: SparkSession,
+    path: str,
+    doomed: DataFrame,
+    key: str,
+    partition_cols: list[str],
+    candidates_cond=None,
+) -> dict:
+    """Shared scrub engine for PLAIN (non-snapshot) partitioned parquet
+    dirs — consumer-facing layouts whose downstream contract forbids the
+    snapshot indirection, so the pruned copy-on-write delete cannot
+    serve them: the streaming gates' ``batch_id=`` outputs
+    (``plans/curation_nightly.purge_output_partitions``) and the
+    ``split=/shard=`` training layout
+    (``operators/training_prep.purge_training_shards``).
+
+    Only partitions actually holding doomed rows are rewritten via
+    dynamic partition overwrite (the pruned semi-join decides — a
+    caller-supplied ``candidates_cond`` merely bounds the scan, e.g.
+    the training layout's closed-form candidate set); kept rows are
+    materialized (localCheckpoint) BEFORE the in-place overwrite so the
+    write never reads files it replaces; a partition left empty is
+    removed outright (dynamic overwrite only replaces partitions
+    present in the write). Absent keys touch nothing. A crash
+    mid-rewrite is remediated by replaying the purge (idempotent).
+
+    Returns ``{"rows_deleted", "partitions_rewritten",
+    "partitions_removed"}``."""
+    zero = {
+        "rows_deleted": 0,
+        "partitions_rewritten": 0,
+        "partitions_removed": 0,
+    }
+    if not has_parquet_data(path):
+        return zero
+    doomed_b = F.broadcast(doomed.select(key).distinct())
+
+    def _tuples_cond(tuples):
+        cond = None
+        for t in tuples:
+            c = None
+            for col, val in zip(partition_cols, t):
+                e = F.col(col) == val
+                c = e if c is None else (c & e)
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    def _scan():
+        df = spark.read.parquet(path)
+        return df.filter(candidates_cond) if candidates_cond is not None else df
+
+    touched_stats = (
+        _scan()
+        .join(doomed_b, key, "left_semi")
+        .groupBy(*partition_cols)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not touched_stats:
+        return zero
+    pairs = {tuple(r[c] for c in partition_cols) for r in touched_stats}
+    n_rows = sum(r["n"] for r in touched_stats)
+    kept = (
+        spark.read.parquet(path)
+        .filter(_tuples_cond(pairs))
+        .join(doomed_b, key, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept_pairs = {
+        tuple(r[c] for c in partition_cols)
+        for r in kept.select(*partition_cols).distinct().collect()
+    }
+    if kept_pairs:
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    removed = 0
+    for t in pairs:
+        if t not in kept_pairs:
+            d = os.path.join(
+                path, *(f"{c}={v}" for c, v in zip(partition_cols, t))
+            )
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    spark.catalog.refreshByPath(path)
+    return {
+        "rows_deleted": int(n_rows),
+        "partitions_rewritten": len(kept_pairs),
+        "partitions_removed": removed,
+    }

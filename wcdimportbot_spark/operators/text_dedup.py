@@ -817,6 +817,57 @@ def read_dedup_index(spark, base_path: str):
     return hashes, bands_rel
 
 
+#: writer-property sidecar for the dedup index (the _SHARDS.json /
+#: _BUCKETS.json discipline): num_hashes/bands/shingle_n determine the
+#: stored band keys, so a later probe or delete that guesses them wrong
+#: silently probes the wrong buckets or leaves fingerprints behind.
+INDEX_PARAMS_FILE = "_INDEX.json"
+
+
+def _index_params(base_path: str) -> dict | None:
+    import json
+    import os
+
+    try:
+        with open(
+            os.path.join(base_path, INDEX_PARAMS_FILE), encoding="ascii"
+        ) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
+def _record_index_params(
+    base_path: str, num_hashes: int, bands: int, shingle_n: int
+) -> None:
+    """Record (or verify) the index's signature parameters. First writer
+    records; a later merge under DIFFERENT parameters would interleave
+    band rows from two incompatible signature schemes — fail loudly
+    instead (rebuild the index to change parameters)."""
+    import json
+    import os
+
+    want = {"num_hashes": int(num_hashes), "bands": int(bands),
+            "shingle_n": int(shingle_n)}
+    have = _index_params(base_path)
+    if have is not None:
+        if have != want:
+            raise ValueError(
+                f"dedup index {base_path} was built with {have}; merging "
+                f"with {want} would corrupt its band keys — rebuild the "
+                f"index to change signature parameters"
+            )
+        return
+    os.makedirs(base_path, exist_ok=True)
+    p = os.path.join(base_path, INDEX_PARAMS_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump(want, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
 def dedup_index_ingest(
     new_docs: DataFrame,
     base_path: str,
@@ -840,6 +891,14 @@ def dedup_index_ingest(
     own buckets and concurrent readers never block. DuckDB-verified as
     the two-batch chain (``dedup_incremental_maint`` registry row /
     :func:`incremental_maint_sql`)."""
+    # resolve signature parameters ONCE from the store's sidecar so the
+    # probe's precomputed bands and the merge's recorded check agree
+    # even when the caller's arguments drifted from the writer's
+    recorded = _index_params(base_path)
+    if recorded is not None:
+        num_hashes = recorded["num_hashes"]
+        bands = recorded["bands"]
+        shingle_n = recorded["shingle_n"]
     ann, survivors, new_bands = dedup_index_probe(
         new_docs, base_path, num_hashes, bands, id_col, text_col, shingle_n,
         with_bands=True,
@@ -892,7 +951,17 @@ def dedup_index_probe(
     relation — shingling + minhash is the expensive part of the loop,
     and the merge needs exactly these rows again, so callers pass them
     back via ``dedup_index_merge(precomputed=...)`` instead of paying
-    the signature computation twice per batch."""
+    the signature computation twice per batch.
+
+    Signature parameters come from the store's ``_INDEX.json`` sidecar
+    when present (the WRITER's recorded values — a probe under guessed
+    parameters silently probes the wrong buckets); the arguments apply
+    only to sidecar-less stores (bootstrap, legacy)."""
+    recorded = _index_params(base_path)
+    if recorded is not None:
+        num_hashes = recorded["num_hashes"]
+        bands = recorded["bands"]
+        shingle_n = recorded["shingle_n"]
     spark = new_docs.sparkSession
     hashes, bands_rel = read_dedup_index(spark, base_path)
     new_bands = lsh_bands(
@@ -939,6 +1008,10 @@ def dedup_index_merge(
     import os
 
     from wcdimportbot_spark.operators import sinks
+
+    # first merge records the signature parameters; a later merge under
+    # different ones fails loudly (see _record_index_params)
+    _record_index_params(base_path, num_hashes, bands, shingle_n)
 
     spark = survivors.sparkSession
     if precomputed is not None:
@@ -1043,6 +1116,12 @@ def dedup_index_delete(
     ``text_hash`` column) cannot be pruned by hash and fails LOUDLY —
     rebuild the index once to migrate.
 
+    ``bands`` resolves from the store's ``_INDEX.json`` sidecar when
+    present (the WRITER's count — deleting under a guessed smaller
+    count would leave ``hash#k`` rows for the missing band indices on
+    disk, silently breaking the purge-completeness contract above); the
+    argument applies only to sidecar-less legacy stores.
+
     Scale shape: both deletes are O(touched hash-buckets) writes; the
     doomed ``bk`` list is a driver-free enumeration (hash × band index,
     ``bands`` rows per doomed hash), so nothing ever scans the store
@@ -1052,6 +1131,9 @@ def dedup_index_delete(
 
     from wcdimportbot_spark.operators import sinks
 
+    recorded = _index_params(base_path)
+    if recorded is not None:
+        bands = recorded["bands"]
     spark = doomed_hashes.sparkSession
     doomed = (
         doomed_hashes.select("text_hash").distinct().localCheckpoint(eager=True)

@@ -163,6 +163,25 @@ def quantize_embeddings_int8(
     )
 
 
+def _epoch_hash(key: str, epoch: int) -> Column:
+    """``md5('epoch-N:' || key)`` — the one digest behind the epoch
+    permutation AND the shard assignment. Single definition on purpose:
+    :func:`purge_training_shards` recomputes the writer's partitions
+    closed-form, so any drift between writer and purge silently purges
+    nothing (the DuckDB oracles replicate this exact expression)."""
+    return F.md5(F.concat(F.lit(f"epoch-{epoch}:"), F.col(key).cast("string")))
+
+
+def _epoch_shard(key: str, epoch: int, n_shards: int) -> Column:
+    """Shard from the first 16 bits of :func:`_epoch_hash` — shared by
+    :func:`epoch_shuffle`, :func:`write_training_shards`, and
+    :func:`purge_training_shards`."""
+    h = _epoch_hash(key, epoch)
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).cast(
+        "int"
+    )
+
+
 def epoch_shuffle(
     df: DataFrame, epoch: int, n_shards: int = 8, key: str = "doc_id"
 ) -> DataFrame:
@@ -177,8 +196,8 @@ def epoch_shuffle(
     property, and a global ``orderBy(rand())`` additionally needs a total
     sort; here the window partitions by shard, so the sort is per-shard
     (embarrassingly parallel, n_shards ≈ writer parallelism)."""
-    h = F.md5(F.concat(F.lit(f"epoch-{epoch}:"), F.col(key).cast("string")))
-    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).cast("int")
+    h = _epoch_hash(key, epoch)
+    shard = _epoch_shard(key, epoch, n_shards)
     out = df.select(key, h.alias("_h"), shard.alias("shard"))
     w = W.partitionBy("shard").orderBy("_h", key)
     return out.select(
@@ -218,12 +237,14 @@ def write_training_shards(
     gives trainers directory-pruned reads per split/shard. Every stage is
     a pure function of (key, salt, epoch): re-running the writer after a
     failure produces byte-identical shard contents."""
-    h = F.md5(F.concat(F.lit(f"epoch-{epoch}:"), F.col(key).cast("string")))
-    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).cast("int")
     assigned = (
-        hash_split(docs)
-        .withColumn("_h", h)
-        .withColumn("shard", shard)
+        # key passed through: split and shard MUST derive from the same
+        # column purge_training_shards recomputes them from (a writer
+        # keyed on key='item_id' whose split silently used doc_id would
+        # make every later purge prune the wrong partitions)
+        hash_split(docs, key)
+        .withColumn("_h", _epoch_hash(key, epoch))
+        .withColumn("shard", _epoch_shard(key, epoch, n_shards))
         .drop("bucket")
     )
     w = W.partitionBy("split", "shard").orderBy("_h", key)
@@ -283,7 +304,6 @@ def purge_training_shards(
     Returns ``{"rows_deleted", "partitions_rewritten",
     "partitions_removed"}``."""
     import os
-    import shutil
 
     from wcdimportbot_spark.operators import sinks
 
@@ -318,15 +338,9 @@ def purge_training_shards(
                     if d.startswith("shard="):
                         shards_on_disk.add(int(d.split("=", 1)[1]))
         n_shards = (max(shards_on_disk) + 1) if shards_on_disk else 8
-    h = F.md5(F.concat(F.lit(f"epoch-{epoch}:"), F.col(key).cast("string")))
     assigned = (
         hash_split(doomed, key, salt, train_pct, val_pct)
-        .withColumn(
-            "shard",
-            (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards).cast(
-                "int"
-            ),
-        )
+        .withColumn("shard", _epoch_shard(key, epoch, n_shards))
         .select(key, "split", "shard")
         .localCheckpoint(eager=True)
     )
@@ -343,60 +357,17 @@ def purge_training_shards(
     }
     if not pairs:
         return zero
-    def _pair_cond(pair_set):
-        by_split: dict = {}
-        for s, sh in pair_set:
-            by_split.setdefault(s, []).append(sh)
-        cond = None
-        for s, shs in by_split.items():
-            c = (F.col("split") == s) & F.col("shard").isin(shs)
-            cond = c if cond is None else (cond | c)
-        return cond
-
-    doomed_b = F.broadcast(doomed)
     # the closed form names CANDIDATE partitions (an absent key's pair
-    # may exist on disk holding only other docs); the pruned semi-join
-    # narrows to partitions actually holding doomed rows so untouched
-    # dirs are never rewritten
-    touched_stats = (
-        spark.read.parquet(path)
-        .filter(_pair_cond(pairs))
-        .join(doomed_b, key, "left_semi")
-        .groupBy("split", "shard")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    if not touched_stats:
-        return zero
-    pairs = {(r["split"], r["shard"]) for r in touched_stats}
-    n_rows = sum(r["n"] for r in touched_stats)
-    kept = (
-        spark.read.parquet(path)
-        .filter(_pair_cond(pairs))
-        .join(doomed_b, key, "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    kept_pairs = {
-        (r["split"], r["shard"])
-        for r in kept.select("split", "shard").distinct().collect()
-    }
-    if kept_pairs:
-        (
-            kept.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("split", "shard")
-            .parquet(path)
-        )
-    removed = 0
+    # may exist on disk holding only other docs); the shared scrub
+    # engine's pruned semi-join narrows to partitions actually holding
+    # doomed rows, so untouched dirs are never rewritten
+    by_split: dict = {}
     for s, sh in pairs:
-        if (s, sh) not in kept_pairs:
-            d = os.path.join(path, f"split={s}", f"shard={sh}")
-            if os.path.isdir(d):
-                shutil.rmtree(d, ignore_errors=True)
-                removed += 1
-    spark.catalog.refreshByPath(path)
-    return {
-        "rows_deleted": int(n_rows),
-        "partitions_rewritten": len(kept_pairs),
-        "partitions_removed": removed,
-    }
+        by_split.setdefault(s, []).append(sh)
+    cond = None
+    for s, shs in by_split.items():
+        c = (F.col("split") == s) & F.col("shard").isin(shs)
+        cond = c if cond is None else (cond | c)
+    return sinks.scrub_plain_partitions(
+        spark, path, doomed, key, ["split", "shard"], candidates_cond=cond
+    )

@@ -322,6 +322,7 @@ def purge_documents(
     item_hashes: DataFrame | None = None,
     output_dirs: list[str] | None = None,
     vacuum: bool = False,
+    force: bool = False,
     protocol: str | None = None,
 ) -> dict:
     """Composed document PURGE across every store that remembers the
@@ -361,11 +362,19 @@ def purge_documents(
 
     Order: corpus first (the user-visible content), then index hashes,
     then index bands, then ANN, then the graph stores. A crash between
-    any two leaves the ``pending`` marker; replaying the purge converges
-    because every component delete is a swallowed no-op on
-    already-deleted keys, and each is itself a pruned copy-on-write
-    snapshot publish (O(touched-buckets) writes, untouched dirs
-    hardlinked).
+    any two leaves the ``pending`` marker; replaying the purge WITH THE
+    SAME DOOMED INPUT converges: the marker records the input's digest
+    plus every resolution the crashed attempt derived from rows its own
+    arms then deleted (the id→hash map for id-form purges, the
+    hash→qid map for the graph arm), so the replay inherits them
+    instead of resolving against stores that no longer hold the rows;
+    every component delete is a swallowed no-op on already-deleted
+    keys, and each is itself a pruned copy-on-write snapshot publish
+    (O(touched-buckets) writes, untouched dirs hardlinked). While a
+    pending marker exists, any purge with a DIFFERENT input set — and
+    any :func:`curate_refresh`, whose internal purge rides this path —
+    raises instead of clobbering the crashed purge's only copy of those
+    resolutions; ``force=True`` overrides after manual remediation.
 
     Boundary — what a purge does NOT forget (deliberate, documented so
     operators compose remediation correctly): (a) derived OUTPUT
@@ -438,7 +447,44 @@ def purge_documents(
         _gp = _sp(graph_store)
         vacuum_paths.extend(_gp[k] for k in ("items", "claims", "cache"))
 
-    if "text_hash" in doomed.columns:
+    def _digest(df, col):
+        return df.agg(
+            F.md5(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.col(col).cast("string")))
+                )
+            ).alias("d")
+        ).first()["d"]
+
+    # this purge's IDENTITY is its doomed input set: the marker records
+    # its digest so a replay is recognizable and an UNRELATED purge
+    # cannot silently clobber a crashed purge's pending marker (and with
+    # it the recorded id->hash / hash->qid resolutions — the only copies
+    # once the lookup-source rows are deleted)
+    id_form = "text_hash" not in doomed.columns
+    input_digest = _digest(
+        doomed.select(id_col if id_form else "text_hash").distinct(),
+        id_col if id_form else "text_hash",
+    )
+    prior_marker = purge_state(base_path)
+    prior_pending = prior_marker.get("status") == "pending"
+    # a replay matches by the input digest (same form, same values) OR —
+    # for a hash-form replay of an id-form crash — by the crashed
+    # attempt's recorded RESOLVED-hash digest: the identity is the
+    # doomed content, not the input's spelling
+    prior_match = prior_pending and input_digest in (
+        prior_marker.get("input_digest"),
+        prior_marker.get("hashes_digest"),
+    )
+    if prior_pending and not prior_match and not force:
+        raise RuntimeError(
+            f"a crashed purge is pending on {base_path} "
+            f"(digest {prior_marker.get('input_digest')}); replay it with "
+            f"its original inputs before purging anything else, or pass "
+            f"force=True to abandon its recorded state"
+        )
+
+    if not id_form:
         hashes = doomed.select("text_hash").distinct()
     else:
         corpus_path = _corpus_path(base_path)
@@ -456,6 +502,17 @@ def purge_documents(
                 .select("text_hash")
                 .distinct()
             )
+        if prior_match and prior_marker.get("doomed_hashes"):
+            # the crashed attempt resolved these ids while the corpus
+            # rows still existed; without this union an id-form replay
+            # after the corpus arm committed resolves ZERO hashes and
+            # silently leaves the dedup index remembering forever
+            hashes = hashes.union(
+                spark.createDataFrame(
+                    [(h,) for h in prior_marker["doomed_hashes"]],
+                    "text_hash string",
+                )
+            ).distinct()
     hashes = hashes.localCheckpoint(eager=True)
     n_doomed = hashes.count()
     if n_doomed == 0 and ann_vec_ids is None and item_hashes is None:
@@ -485,19 +542,34 @@ def purge_documents(
         arms.append("graph")
     if output_dirs:
         arms.append("outputs")
-    # a replay may need the crashed attempt's resolved claim subjects
-    # (see the graph arm below) — read the prior marker before this
-    # purge's pending write replaces it
-    prior_marker = purge_state(base_path)
     pending = {
         "status": "pending",
         "n_hashes": int(n_doomed),
         "arms": arms,
+        "input_digest": input_digest,
+        "hashes_digest": _digest(hashes, "text_hash"),
         # self-describing like the arm list: a crash-replay that omits
         # vacuum=True would flip the marker to committed with the
         # doomed rows still readable in retained history
         "vacuum": bool(vacuum),
     }
+    if id_form:
+        # record the id->hash resolution NOW, while the corpus rows
+        # still exist: after the corpus arm commits, this marker entry
+        # is the only way an id-form replay can re-derive its hashes.
+        # (Hash-form purges need no recording — their input IS the
+        # resolution; callers purging at scale pass hashes.)
+        pending["doomed_hashes"] = sorted(
+            r["text_hash"] for r in hashes.collect()
+        )
+    if prior_match:
+        # inherit the crashed attempt's recorded resolutions INTO the
+        # initial pending write — a replay that crashed between its own
+        # pending write and the graph arm's re-record would otherwise
+        # lose the qid list permanently (the items rows are gone)
+        for k in ("graph_hash_digest", "graph_subject_qids"):
+            if k in prior_marker:
+                pending[k] = prior_marker[k]
     _write_purge_marker(base_path, pending)
     n_corpus = 0
     corpus_path = _corpus_path(base_path)
@@ -549,10 +621,12 @@ def purge_documents(
                     F.concat_ws(",", F.sort_array(F.collect_list("hash")))
                 ).alias("d")
             ).first()["d"]
+            # the pending marker carries the inherited resolution when
+            # this call is a matched replay (written above, so a crash
+            # anywhere past the initial pending write preserves it)
             recorded = (
-                prior_marker.get("graph_subject_qids")
-                if prior_marker.get("status") == "pending"
-                and prior_marker.get("graph_hash_digest") == g_digest
+                pending.get("graph_subject_qids")
+                if pending.get("graph_hash_digest") == g_digest
                 else None
             )
             q_list = []
@@ -655,62 +729,23 @@ def purge_output_partitions(
 
     Returns ``{"rows_deleted", "partitions_rewritten",
     "partitions_removed"}``."""
-    import shutil
-
     from wcdimportbot_spark.operators import sinks
 
-    zero = {
-        "rows_deleted": 0,
-        "partitions_rewritten": 0,
-        "partitions_removed": 0,
-    }
     if not sinks.has_parquet_data(out_path):
-        return zero
-    doomed = F.broadcast(doomed_hashes.select(key_col).distinct())
+        return {
+            "rows_deleted": 0,
+            "partitions_rewritten": 0,
+            "partitions_removed": 0,
+        }
     data = spark.read.parquet(out_path)
     if key_col not in data.columns or "batch_id" not in data.columns:
         raise ValueError(
             f"output dir {out_path} lacks a {key_col!r}/batch_id column "
             f"— not a gate output layout this purge understands"
         )
-    stats = (
-        data.join(doomed, key_col, "left_semi")
-        .groupBy("batch_id")
-        .agg(F.count("*").alias("n_doomed"))
-        .collect()
+    return sinks.scrub_plain_partitions(
+        spark, out_path, doomed_hashes, key_col, ["batch_id"]
     )
-    if not stats:
-        return zero
-    batch_ids = [r["batch_id"] for r in stats]
-    n_rows = sum(r["n_doomed"] for r in stats)
-    kept = (
-        data.filter(F.col("batch_id").isin(batch_ids))
-        .join(doomed, key_col, "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    kept_batches = {
-        r["batch_id"] for r in kept.select("batch_id").distinct().collect()
-    }
-    if kept_batches:
-        (
-            kept.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_path)
-        )
-    removed = 0
-    for b in batch_ids:
-        if b not in kept_batches:
-            d = os.path.join(out_path, f"batch_id={b}")
-            if os.path.isdir(d):
-                shutil.rmtree(d, ignore_errors=True)
-                removed += 1
-    spark.catalog.refreshByPath(out_path)
-    return {
-        "rows_deleted": int(n_rows),
-        "partitions_rewritten": len(kept_batches),
-        "partitions_removed": removed,
-    }
 
 
 def curate_refresh(
