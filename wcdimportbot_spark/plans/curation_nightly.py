@@ -547,7 +547,11 @@ def purge_documents(
         "n_hashes": int(n_doomed),
         "arms": arms,
         "input_digest": input_digest,
-        "hashes_digest": _digest(hashes, "text_hash"),
+        # hash-form input IS its own resolution — same sorted distinct
+        # values, same digest; only the id form needs the extra agg
+        "hashes_digest": (
+            _digest(hashes, "text_hash") if id_form else input_digest
+        ),
         # self-describing like the arm list: a crash-replay that omits
         # vacuum=True would flip the marker to committed with the
         # doomed rows still readable in retained history
