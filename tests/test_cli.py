@@ -793,3 +793,32 @@ def test_cli_purge_shards_and_outputs(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in spark.read.parquet(shards).collect()} == {2}
     assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} == {2}
     assert len(versioned.list_versions(cn._corpus_path(cur))) == 1
+
+
+def test_cli_purge_status(spark, tmp_path, capsys):
+    """--purge-status surfaces the remediation marker: 'none' before any
+    purge, 'committed' (with the recorded identity digests) after one."""
+    store = str(tmp_path / "store")
+    cur = str(tmp_path / "cur")
+    docs_p = str(tmp_path / "docs.parquet")
+    ids_p = str(tmp_path / "ids.parquet")
+
+    assert main(["--store", store, "--curation-store", cur,
+                 "--purge-status"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"status": "none"}
+
+    text = "the quick brown fox jumps over the lazy dog near the river bank"
+    spark.createDataFrame([(1, text)], "doc_id long, text string").write.parquet(docs_p)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--curate-increment", docs_p]) == 0
+    capsys.readouterr()
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(ids_p)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--purge-docs", ids_p]) == 0
+    capsys.readouterr()
+
+    assert main(["--store", store, "--curation-store", cur,
+                 "--purge-status"]) == 0
+    marker = json.loads(capsys.readouterr().out)
+    assert marker["status"] == "committed"
+    assert marker["arms"] == ["corpus", "index"]

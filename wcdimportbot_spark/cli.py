@@ -284,6 +284,14 @@ def main(argv=None) -> int:
         "cache-flush contract, crud/delete.py:44-61)",
     )
     parser.add_argument(
+        "--purge-status",
+        action="store_true",
+        help="print --curation-store's purge marker as JSON: 'pending' "
+        "means a purge is running or crashed mid-window — replay it "
+        "with its original inputs (the marker records the input digest "
+        "and every resolution the crashed attempt derived)",
+    )
+    parser.add_argument(
         "--purge-ann-ids",
         metavar="IDS",
         help="with --purge-docs: a parquet of vec_id (optionally "
@@ -523,6 +531,13 @@ def main(argv=None) -> int:
 
             out["ann_codes"] = compact_ann_codes(spark, args.ann_store)
         print(json.dumps(out, sort_keys=True))
+
+    elif args.purge_status:
+        if not args.curation_store:
+            parser.error("--purge-status needs --curation-store <dir>")
+        from wcdimportbot_spark.plans import curation_nightly as cn
+
+        print(json.dumps(cn.purge_state(args.curation_store), sort_keys=True))
 
     elif args.expire_history:
         from wcdimportbot_spark.operators import versioned
