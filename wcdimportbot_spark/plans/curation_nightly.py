@@ -557,15 +557,16 @@ def purge_documents(
         # doomed rows still readable in retained history
         "vacuum": bool(vacuum),
     }
-    if id_form:
-        # record the id->hash resolution NOW, while the corpus rows
-        # still exist: after the corpus arm commits, this marker entry
-        # is the only way an id-form replay can re-derive its hashes.
-        # (Hash-form purges need no recording — their input IS the
-        # resolution; callers purging at scale pass hashes.)
-        pending["doomed_hashes"] = sorted(
-            r["text_hash"] for r in hashes.collect()
-        )
+    # record the resolved hash set NOW, while every store still holds
+    # its rows. For the id form this is the only way a replay can
+    # re-derive its hashes after the corpus arm commits; for the hash
+    # form it lets a caller that LOST its list (curate_refresh derives
+    # it from corpus rows the purge itself deletes) replay from the
+    # marker alone. Bounded by the purge batch — callers purging at
+    # scale stream hashes and keep their own list.
+    pending["doomed_hashes"] = sorted(
+        r["text_hash"] for r in hashes.collect()
+    )
     if prior_match:
         # inherit the crashed attempt's recorded resolutions INTO the
         # initial pending write — a replay that crashed between its own
@@ -786,6 +787,14 @@ def curate_refresh(
     Unchanged re-sent docs (same hash) are untouched: they annotate as
     ``dup_of_history`` exactly like in the plain increment.
 
+    Crash-safe: a refresh that died inside its internal purge is healed
+    on the NEXT refresh call — the stale set is not re-derivable then
+    (the crashed corpus arm deleted the rows it comes from), so the
+    replay runs from the marker's recorded hash set before anything
+    else; a crashed MULTI-ARM purge (not this function's shape) raises
+    instead, because auto-replaying it corpus+index-only would commit a
+    narrower purge than its owner requested.
+
     Returns the :func:`curate_increment` annotation plus a ``refreshed``
     boolean (this doc's old corpus version was purged this call).
     Callers that also maintain an ANN index over document embeddings
@@ -797,6 +806,37 @@ def curate_refresh(
     from wcdimportbot_spark.operators import sinks
 
     spark = batch_docs.sparkSession
+    # a PENDING marker means a purge (possibly this refresh's own, in a
+    # crashed earlier run) died mid-window. Its stale set is NOT
+    # re-derivable here — the crashed corpus arm already deleted the
+    # rows this function computes it from — so replay it from the
+    # marker's recorded hash set FIRST; without this the marker wedges
+    # pending forever (blocking all purges) and the index keeps the old
+    # fingerprints
+    prior = purge_state(base_path)
+    if prior.get("status") == "pending":
+        if prior.get("arms") != ["corpus", "index"] or not prior.get(
+            "doomed_hashes"
+        ):
+            # a crashed MULTI-ARM purge (graph/ann/outputs) must be
+            # replayed by its owner with the full arm set — an
+            # auto-replay here would flip the marker to committed with
+            # those arms unpurged (the narrower-purge hazard the arm
+            # recording exists to prevent)
+            raise RuntimeError(
+                f"a crashed purge with arms {prior.get('arms')} is "
+                f"pending on {base_path}; replay it with its original "
+                f"inputs before refreshing"
+            )
+        purge_documents(
+            spark,
+            spark.createDataFrame(
+                [(h,) for h in prior["doomed_hashes"]], "text_hash string"
+            ),
+            base_path,
+            bands=bands,
+            protocol=protocol,
+        )
     batch = batch_docs.dropDuplicates([id_col])
     new_hashes = batch.select(
         id_col, F.md5(F.col(text_col)).alias("_new_hash")
