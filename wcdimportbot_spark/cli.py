@@ -366,6 +366,16 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    if args.purge_status:
+        # pure driver-side marker read — the remediation probe for a
+        # possibly-wedged purge must not wait out SparkSession startup
+        if not args.curation_store:
+            parser.error("--purge-status needs --curation-store <dir>")
+        from wcdimportbot_spark.plans.curation_nightly import purge_state
+
+        print(json.dumps(purge_state(args.curation_store), sort_keys=True))
+        return 0
+
     from wcdimportbot_spark import get_spark
 
     spark = get_spark(app_name="wcdimportbot-cli")
@@ -531,13 +541,6 @@ def main(argv=None) -> int:
 
             out["ann_codes"] = compact_ann_codes(spark, args.ann_store)
         print(json.dumps(out, sort_keys=True))
-
-    elif args.purge_status:
-        if not args.curation_store:
-            parser.error("--purge-status needs --curation-store <dir>")
-        from wcdimportbot_spark.plans import curation_nightly as cn
-
-        print(json.dumps(cn.purge_state(args.curation_store), sort_keys=True))
 
     elif args.expire_history:
         from wcdimportbot_spark.operators import versioned

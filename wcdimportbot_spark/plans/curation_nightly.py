@@ -54,6 +54,7 @@ the store machinery cites ``crud/create.py:25-45`` idempotence.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,6 +68,12 @@ INDEX_DIR = "dedup_index"
 
 #: the one-shot pipeline's quality threshold (curation_pipeline row)
 MIN_QUALITY = 0.7
+
+#: largest resolved-hash set the purge marker records verbatim (~3 MB of
+#: JSON at the cap). Above it, only the digests land in the marker and
+#: crash replay needs the caller's own hash list — bulk callers streamed
+#: the hashes in and still hold them; the driver never collects the set.
+MARKER_HASHES_CAP = 100_000
 
 
 def _corpus_path(base_path: str) -> str:
@@ -323,6 +330,7 @@ def purge_documents(
     output_dirs: list[str] | None = None,
     vacuum: bool = False,
     force: bool = False,
+    marker_extra: dict | None = None,
     protocol: str | None = None,
 ) -> dict:
     """Composed document PURGE across every store that remembers the
@@ -556,17 +564,30 @@ def purge_documents(
         # vacuum=True would flip the marker to committed with the
         # doomed rows still readable in retained history
         "vacuum": bool(vacuum),
+        # wall-clock of the pending write: 'pending' alone cannot
+        # distinguish a purge RUNNING right now from a crashed one —
+        # operators (and --purge-status readers) discriminate by age
+        "pending_ts": time.time(),
     }
+    if marker_extra:
+        pending.update(marker_extra)
     # record the resolved hash set NOW, while every store still holds
     # its rows. For the id form this is the only way a replay can
     # re-derive its hashes after the corpus arm commits; for the hash
     # form it lets a caller that LOST its list (curate_refresh derives
     # it from corpus rows the purge itself deletes) replay from the
-    # marker alone. Bounded by the purge batch — callers purging at
-    # scale stream hashes and keep their own list.
-    pending["doomed_hashes"] = sorted(
-        r["text_hash"] for r in hashes.collect()
-    )
+    # marker alone. CAPPED: a bulk purge of millions of hashes must not
+    # collect to the driver or bloat the marker — above the cap only
+    # the digests are recorded ("hashes_recorded": false) and crash
+    # replay needs the caller's own list (at that scale the caller
+    # streamed hashes in and still holds them; auto-heal refuses).
+    if n_doomed <= MARKER_HASHES_CAP:
+        pending["doomed_hashes"] = sorted(
+            r["text_hash"] for r in hashes.collect()
+        )
+        pending["hashes_recorded"] = True
+    else:
+        pending["hashes_recorded"] = False
     if prior_match:
         # inherit the crashed attempt's recorded resolutions INTO the
         # initial pending write — a replay that crashed between its own
@@ -835,8 +856,25 @@ def curate_refresh(
             ),
             base_path,
             bands=bands,
+            # the crashed purge's recorded obligations carry over: a
+            # vacuum=True privacy purge healed WITHOUT its vacuum would
+            # commit with the doomed rows still readable in retained
+            # history (review-confirmed), and the refresh doc ids are
+            # what lets the retry report `refreshed` truthfully below
+            vacuum=bool(prior.get("vacuum")),
+            marker_extra={
+                k: prior[k] for k in ("refresh_doc_ids",) if k in prior
+            },
             protocol=protocol,
         )
+        # docs whose stale version the HEAL just purged: their retry
+        # annotation must say refreshed=True even though the stale
+        # computation below finds nothing (the corpus rows were already
+        # gone before this call) — ANN-maintaining callers key their
+        # re-encode + ann_index_upsert on this flag
+        healed_ids = list(prior.get("refresh_doc_ids", []))
+    else:
+        healed_ids = []
     batch = batch_docs.dropDuplicates([id_col])
     new_hashes = batch.select(
         id_col, F.md5(F.col(text_col)).alias("_new_hash")
@@ -859,6 +897,15 @@ def curate_refresh(
             stale.select("text_hash"),
             base_path,
             bands=bands,
+            # record WHICH docs this refresh is replacing: if this purge
+            # crashes, the heal on the next refresh needs the ids to
+            # report `refreshed` truthfully (the hash→id mapping dies
+            # with the corpus rows the purge deletes)
+            marker_extra={
+                "refresh_doc_ids": sorted(
+                    r[id_col] for r in stale.select(id_col).distinct().collect()
+                )
+            },
             protocol=protocol,
         )
     ann = curate_increment(
@@ -872,8 +919,13 @@ def curate_refresh(
         shingle_n=shingle_n,
         protocol=protocol,
     )
+    refreshed_ids = stale.select(id_col).distinct()
+    if healed_ids:
+        refreshed_ids = refreshed_ids.union(
+            spark.createDataFrame([(i,) for i in healed_ids], f"{id_col} long")
+        ).distinct()
     return ann.join(
-        stale.select(id_col).distinct().withColumn("_r", F.lit(True)),
+        refreshed_ids.withColumn("_r", F.lit(True)),
         id_col,
         "left",
     ).withColumn(
