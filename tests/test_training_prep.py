@@ -222,3 +222,51 @@ def test_purge_training_shards_closed_form_prune(spark, tmp_path):
         "partitions_rewritten": 0,
         "partitions_removed": 0,
     }
+
+
+def test_purge_training_shards_key_mismatch_raises(spark, tmp_path):
+    """r12 ADVICE — the (split, shard) assignment is a pure function of
+    the WRITER's key; a purge called with a different key would compute
+    candidate partitions from the wrong column and silently miss doomed
+    rows. The sidecar records the writer's key, so the mismatch must
+    fail loudly (mirroring the dedup index's _record_index_params
+    guard); a legacy sidecar without a recorded key skips the check."""
+    import json
+    import os
+
+    import pytest
+
+    from wcdimportbot_spark.operators.training_prep import (
+        purge_training_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "item_id long, text string"
+    )
+    write_training_shards(docs, out, epoch=0, n_shards=4, key="item_id")
+    doomed = spark.createDataFrame([(3,)], "doc_id long")
+    with pytest.raises(ValueError, match="key='item_id'"):
+        purge_training_shards(doomed, out)  # default key='doc_id'
+    # nothing was touched by the refused purge
+    assert spark.read.parquet(out).count() == 40
+
+    # the matching key works
+    res = purge_training_shards(
+        spark.createDataFrame([(3,)], "item_id long"), out, key="item_id"
+    )
+    assert res["rows_deleted"] == 1
+    assert spark.read.parquet(out).count() == 39
+
+    # legacy sidecar (no recorded key): check skipped, purge proceeds
+    side = os.path.join(out, "_SHARDS.json")
+    with open(side, encoding="ascii") as f:
+        payload = json.load(f)
+    del payload["key"]
+    with open(side, "w", encoding="ascii") as f:
+        json.dump(payload, f)
+    res2 = purge_training_shards(
+        spark.createDataFrame([(5,)], "item_id long"), out, key="item_id"
+    )
+    assert res2["rows_deleted"] == 1

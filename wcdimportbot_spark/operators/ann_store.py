@@ -50,11 +50,15 @@ the batch's touched cluster partitions is exact.
 **Staleness contract.** Codebooks quantize the distribution they were
 trained on. ``meta.n_built`` records the build-time corpus size;
 :func:`ann_index_stats` reports ``growth_ratio`` (stored vectors /
-n_built). Retrain (``ann_index_build`` again — it atomically replaces
-both stores) when growth_ratio exceeds ~2× or when the serving-side
-recall contract (``ann_recall_report`` / ``recall_margin_ok`` over a
-sampled query slice) starts eroding — the margin flag is the designed
-early-warning signal. Until then, added vectors are exactly as
+n_built) and its SYMMETRIC form ``drift_ratio = max(growth_ratio,
+1/growth_ratio)`` — the retrain trigger. Retrain (``ann_index_build``
+again — it atomically replaces both stores) when **drift_ratio**
+exceeds ~2× (growth OR heavy deletion: a mostly-purged index is
+exactly as stale as a doubled one, and growth_ratio alone would never
+flag it) or when the serving-side recall contract
+(``ann_recall_report`` / ``recall_margin_ok`` over a sampled query
+slice) starts eroding — the margin flag is the designed early-warning
+signal. Until then, added vectors are exactly as
 searchable as built ones (same codebooks, same scan), merely quantized
 by a slightly stale model.
 """
@@ -667,9 +671,11 @@ def ann_index_delete(
     pass (vec_id, cluster) pairs directly and skip the lookup scan.
 
     The model store is untouched: deletes never invalidate centroids or
-    codebooks, they only shrink ``growth_ratio`` (a heavily-deleted
-    index retrains on the same staleness contract — n_built still
-    reflects the build corpus)."""
+    codebooks, but they DO count toward staleness — shrinking the store
+    raises ``drift_ratio`` (``ann_index_stats``'s symmetric
+    max(growth, 1/growth) form) even as ``growth_ratio`` falls, so a
+    heavily-deleted index flips the same ~2× retrain trigger as a
+    heavily-grown one (n_built still reflects the build corpus)."""
     from wcdimportbot_spark.operators import sinks
 
     spark = vec_ids.sparkSession

@@ -329,6 +329,24 @@ def purge_training_shards(
             side = json.load(f)
         n_shards = int(side["n_shards"])
         epoch = int(side.get("epoch", epoch))
+        # the layout's KEY is a writer property exactly like n_shards: a
+        # layout written with key='item_id' purged under the default
+        # key='doc_id' computes candidate partitions from the WRONG
+        # column — the pruned semi-join then silently misses doomed rows
+        # outside the candidate set (an incomplete privacy purge). Fail
+        # loudly instead, mirroring the dedup index's
+        # _record_index_params drift guard. Legacy sidecars without a
+        # recorded key skip the check (pre-r12 writers).
+        side_key = side.get("key")
+        if side_key is not None and side_key != key:
+            raise ValueError(
+                f"shard layout at {path} was written with key="
+                f"{side_key!r} but this purge was called with key="
+                f"{key!r}; the (split, shard) assignment is a pure "
+                f"function of the WRITER's key — pass doomed keys in "
+                f"that column (key={side_key!r}) or the purge would "
+                f"prune the wrong partitions and silently miss rows"
+            )
     except OSError:
         shards_on_disk = set()
         for split_dir in os.listdir(path):

@@ -70,9 +70,11 @@ INDEX_DIR = "dedup_index"
 MIN_QUALITY = 0.7
 
 #: largest resolved-hash set the purge marker records verbatim (~3 MB of
-#: JSON at the cap). Above it, only the digests land in the marker and
-#: crash replay needs the caller's own hash list — bulk callers streamed
-#: the hashes in and still hold them; the driver never collects the set.
+#: JSON at the cap). Above it the set SPILLS to a parquet side relation
+#: under ``base/_PURGE_SPILL/<digest>`` (distributed write — the driver
+#: never collects the set) whose path the marker records, so bulk purges
+#: stay crash-replayable from the marker + spill alone; the spill is
+#: removed when the marker commits.
 MARKER_HASHES_CAP = 100_000
 
 
@@ -456,13 +458,29 @@ def purge_documents(
         vacuum_paths.extend(_gp[k] for k in ("items", "claims", "cache"))
 
     def _digest(df, col):
-        return df.agg(
-            F.md5(
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list(F.col(col).cast("string")))
-                )
-            ).alias("d")
-        ).first()["d"]
+        # order-insensitive DISTRIBUTIVE digest of a distinct key set:
+        # per-row xxhash64 fingerprints folded through count + sum +
+        # bit_xor — three single-long partial-aggregating states — then
+        # one driver-side md5 over the fold. The previous
+        # sort_array/collect_list/concat_ws form concentrated the ENTIRE
+        # key set into one executor row (hundreds of MB for a bulk purge
+        # of millions of hashes); this never materializes more than 24
+        # bytes of state per partition. Callers pass distinct relations,
+        # so multiset-vs-set ambiguity cannot arise.
+        import hashlib
+
+        r = (
+            df.select(F.xxhash64(F.col(col).cast("string")).alias("_h"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
+                F.expr("bit_xor(_h)").alias("x"),
+            )
+            .first()
+        )
+        return hashlib.md5(
+            f"{r['n']}:{r['s']}:{r['x']}".encode("ascii")
+        ).hexdigest()
 
     # this purge's IDENTITY is its doomed input set: the marker records
     # its digest so a replay is recognizable and an UNRELATED purge
@@ -491,6 +509,16 @@ def purge_documents(
             f"its original inputs before purging anything else, or pass "
             f"force=True to abandon its recorded state"
         )
+    if prior_pending and not prior_match and force:
+        # force abandons the crashed purge's recorded state — including
+        # its spilled hash relation, which would otherwise orphan
+        import shutil
+
+        if prior_marker.get("hashes_spill"):
+            shutil.rmtree(
+                os.path.join(base_path, prior_marker["hashes_spill"]),
+                ignore_errors=True,
+            )
 
     if not id_form:
         hashes = doomed.select("text_hash").distinct()
@@ -510,19 +538,52 @@ def purge_documents(
                 .select("text_hash")
                 .distinct()
             )
+        # the crashed attempt resolved its hashes while the corpus rows
+        # still existed; without this union an id-form replay after the
+        # corpus arm committed resolves ZERO hashes and silently leaves
+        # the dedup index remembering forever. Sub-cap sets live in the
+        # marker JSON; over-cap sets live in the parquet SPILL relation
+        # the marker points at (r12 verdict Next #2 — bulk purges are
+        # crash-replayable from the spill alone, no caller list needed)
+        prior_hashes = None
         if prior_match and prior_marker.get("doomed_hashes"):
-            # the crashed attempt resolved these ids while the corpus
-            # rows still existed; without this union an id-form replay
-            # after the corpus arm committed resolves ZERO hashes and
-            # silently leaves the dedup index remembering forever
-            hashes = hashes.union(
-                spark.createDataFrame(
-                    [(h,) for h in prior_marker["doomed_hashes"]],
-                    "text_hash string",
+            prior_hashes = spark.createDataFrame(
+                [(h,) for h in prior_marker["doomed_hashes"]],
+                "text_hash string",
+            )
+        elif prior_match and prior_marker.get("hashes_spill"):
+            spill_p = os.path.join(base_path, prior_marker["hashes_spill"])
+            if sinks.has_parquet_data(spill_p):
+                prior_hashes = spark.read.parquet(spill_p).select(
+                    "text_hash"
                 )
-            ).distinct()
+        if prior_hashes is not None:
+            hashes = hashes.union(prior_hashes).distinct()
     hashes = hashes.localCheckpoint(eager=True)
     n_doomed = hashes.count()
+    if (
+        id_form
+        and prior_match
+        and n_doomed == 0
+        and prior_marker.get("hashes_recorded") is False
+        and not prior_marker.get("hashes_spill")
+    ):
+        # LEGACY over-cap marker (pre-spill): the crashed attempt
+        # recorded digests only, the corpus arm already committed, and
+        # this id-form replay therefore resolved nothing. Returning the
+        # swallowed-zero dict here would report success while the marker
+        # stays pending and the index remembers forever — refuse instead
+        # (r12 ADVICE). Markers written by this code always carry a
+        # spill above the cap, so only pre-spill markers reach this.
+        raise RuntimeError(
+            f"the crashed purge pending on {base_path} recorded only "
+            f"digests ({prior_marker.get('n_hashes')} hashes, above the "
+            f"marker cap, no spill relation) and its corpus arm already "
+            f"committed — an id-form replay cannot re-resolve the "
+            f"doomed hashes. Replay in HASH form with the caller's own "
+            f"list (the bulk caller streamed the hashes in and still "
+            f"holds them), or pass force=True to abandon the marker"
+        )
     if n_doomed == 0 and ann_vec_ids is None and item_hashes is None:
         # nothing anywhere remembers these docs: purge-twice (and purge
         # of never-ingested ids) is swallowed without marker churn. The
@@ -550,16 +611,17 @@ def purge_documents(
         arms.append("graph")
     if output_dirs:
         arms.append("outputs")
+    # hash-form input IS its own resolution — same sorted distinct
+    # values, same digest; only the id form needs the extra agg
+    resolved_digest = (
+        _digest(hashes, "text_hash") if id_form else input_digest
+    )
     pending = {
         "status": "pending",
         "n_hashes": int(n_doomed),
         "arms": arms,
         "input_digest": input_digest,
-        # hash-form input IS its own resolution — same sorted distinct
-        # values, same digest; only the id form needs the extra agg
-        "hashes_digest": (
-            _digest(hashes, "text_hash") if id_form else input_digest
-        ),
+        "hashes_digest": resolved_digest,
         # self-describing like the arm list: a crash-replay that omits
         # vacuum=True would flip the marker to committed with the
         # doomed rows still readable in retained history
@@ -576,18 +638,28 @@ def purge_documents(
     # re-derive its hashes after the corpus arm commits; for the hash
     # form it lets a caller that LOST its list (curate_refresh derives
     # it from corpus rows the purge itself deletes) replay from the
-    # marker alone. CAPPED: a bulk purge of millions of hashes must not
-    # collect to the driver or bloat the marker — above the cap only
-    # the digests are recorded ("hashes_recorded": false) and crash
-    # replay needs the caller's own list (at that scale the caller
-    # streamed hashes in and still holds them; auto-heal refuses).
+    # marker alone. CAPPED in the JSON: a bulk purge of millions of
+    # hashes must not collect to the driver or bloat the marker — above
+    # the cap the set SPILLS to a parquet side relation next to the
+    # marker (distributed write, zero driver bytes) whose path + digest
+    # the marker records, so a crashed bulk purge replays from the
+    # spill alone (r12 verdict Next #2). The spill lands BEFORE the
+    # pending marker: a marker that references it can always read it.
+    spill_rel = None
     if n_doomed <= MARKER_HASHES_CAP:
         pending["doomed_hashes"] = sorted(
             r["text_hash"] for r in hashes.collect()
         )
         pending["hashes_recorded"] = True
     else:
+        spill_rel = os.path.join("_PURGE_SPILL", resolved_digest)
+        # hashes is eagerly checkpointed above, so overwriting a prior
+        # replay's spill at the same digest never reads what it replaces
+        hashes.write.mode("overwrite").parquet(
+            os.path.join(base_path, spill_rel)
+        )
         pending["hashes_recorded"] = False
+        pending["hashes_spill"] = spill_rel
     if prior_match:
         # inherit the crashed attempt's recorded resolutions INTO the
         # initial pending write — a replay that crashed between its own
@@ -642,11 +714,7 @@ def purge_documents(
         if "subject_qid" in ih.columns:
             qids = ih.select("subject_qid").distinct()
         elif sinks.has_parquet_data(gpaths["claims"]):
-            g_digest = doomed_hashes.agg(
-                F.md5(
-                    F.concat_ws(",", F.sort_array(F.collect_list("hash")))
-                ).alias("d")
-            ).first()["d"]
+            g_digest = _digest(doomed_hashes, "hash")
             # the pending marker carries the inherited resolution when
             # this call is a matched replay (written above, so a crash
             # anywhere past the initial pending write preserves it)
@@ -718,6 +786,16 @@ def purge_documents(
     _write_purge_marker(
         base_path,
         {"status": "committed", "arms": arms, "vacuum": bool(vacuum), **out},
+    )
+    # the spill is purge-lifetime state: once the marker commits nothing
+    # can need it (replays of a committed purge re-resolve or swallow).
+    # Removing the whole _PURGE_SPILL dir also collects orphans left by
+    # a crash between a prior commit and ITS cleanup — safe because the
+    # pending marker serializes purges, so no other purge is in flight.
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(base_path, "_PURGE_SPILL"), ignore_errors=True
     )
     return out
 
@@ -811,8 +889,9 @@ def curate_refresh(
     Crash-safe: a refresh that died inside its internal purge is healed
     on the NEXT refresh call — the stale set is not re-derivable then
     (the crashed corpus arm deleted the rows it comes from), so the
-    replay runs from the marker's recorded hash set before anything
-    else; a crashed MULTI-ARM purge (not this function's shape) raises
+    replay runs from the marker's recorded hash set (the JSON list
+    below the marker cap, the parquet spill relation above it) before
+    anything else; a crashed MULTI-ARM purge (not this function's shape) raises
     instead, because auto-replaying it corpus+index-only would commit a
     narrower purge than its owner requested.
 
@@ -836,8 +915,12 @@ def curate_refresh(
     # fingerprints
     prior = purge_state(base_path)
     if prior.get("status") == "pending":
-        if prior.get("arms") != ["corpus", "index"] or not prior.get(
-            "doomed_hashes"
+        spill_rel = prior.get("hashes_spill")
+        spill_ok = spill_rel and sinks.has_parquet_data(
+            os.path.join(base_path, spill_rel)
+        )
+        if prior.get("arms") != ["corpus", "index"] or not (
+            prior.get("doomed_hashes") or spill_ok
         ):
             # a crashed MULTI-ARM purge (graph/ann/outputs) must be
             # replayed by its owner with the full arm set — an
@@ -849,11 +932,20 @@ def curate_refresh(
                 f"pending on {base_path}; replay it with its original "
                 f"inputs before refreshing"
             )
-        purge_documents(
-            spark,
+        # sub-cap hash sets live in the marker JSON; over-cap sets live
+        # in the spill relation the marker points at — both heal here
+        healed_doomed = (
             spark.createDataFrame(
                 [(h,) for h in prior["doomed_hashes"]], "text_hash string"
-            ),
+            )
+            if prior.get("doomed_hashes")
+            else spark.read.parquet(
+                os.path.join(base_path, spill_rel)
+            ).select("text_hash")
+        )
+        purge_documents(
+            spark,
+            healed_doomed,
             base_path,
             bands=bands,
             # the crashed purge's recorded obligations carry over: a
@@ -876,6 +968,14 @@ def curate_refresh(
     else:
         healed_ids = []
     batch = batch_docs.dropDuplicates([id_col])
+    # the id type is the BATCH's property, not ours to assume: a
+    # string-keyed corpus (nothing forbids string doc ids — the graph
+    # stores key on string hashes) must union cleanly in the empty and
+    # heal branches below, so both literal relations derive their
+    # schema from the batch instead of hardcoding `long`
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = StructField(id_col, batch_docs.schema[id_col].dataType, True)
     new_hashes = batch.select(
         id_col, F.md5(F.col(text_col)).alias("_new_hash")
     )
@@ -890,7 +990,12 @@ def curate_refresh(
             .localCheckpoint(eager=True)
         )
     else:
-        stale = spark.createDataFrame([], f"{id_col} long, text_hash string")
+        stale = spark.createDataFrame(
+            [],
+            StructType(
+                [id_field, StructField("text_hash", StringType(), True)]
+            ),
+        )
     if stale.count():
         purge_documents(
             spark,
@@ -922,7 +1027,9 @@ def curate_refresh(
     refreshed_ids = stale.select(id_col).distinct()
     if healed_ids:
         refreshed_ids = refreshed_ids.union(
-            spark.createDataFrame([(i,) for i in healed_ids], f"{id_col} long")
+            spark.createDataFrame(
+                [(i,) for i in healed_ids], StructType([id_field])
+            )
         ).distinct()
     return ann.join(
         refreshed_ids.withColumn("_r", F.lit(True)),
