@@ -1718,15 +1718,30 @@ def scrub_plain_partitions(
     ``split=/shard=`` training layout
     (``operators/training_prep.purge_training_shards``).
 
-    Only partitions actually holding doomed rows are rewritten via
-    dynamic partition overwrite (the pruned semi-join decides — a
-    caller-supplied ``candidates_cond`` merely bounds the scan, e.g.
-    the training layout's closed-form candidate set); kept rows are
-    materialized (localCheckpoint) BEFORE the in-place overwrite so the
-    write never reads files it replaces; a partition left empty is
-    removed outright (dynamic overwrite only replaces partitions
-    present in the write). Absent keys touch nothing. A crash
-    mid-rewrite is remediated by replaying the purge (idempotent).
+    Only partitions actually holding doomed rows are rewritten (the
+    pruned semi-join decides — a caller-supplied ``candidates_cond``
+    merely bounds the scan, e.g. the training layout's closed-form
+    candidate set). The kept rows of every touched partition are staged
+    TO DISK under a hidden ``_scrub_staging`` dir inside the dataset
+    (Spark's listing ignores ``_``-prefixed names), then each staged
+    partition dir is swapped into place with two renames through a
+    hidden ``.__doomed_*`` trash twin — so memory is bounded by one
+    write buffer, not touched-partition bytes (the previous
+    localCheckpoint form held ALL surviving rows of every touched
+    partition in the block manager: a coarse layout made one purge
+    pin a shard's full bytes in executor storage — r12 verdict Next
+    #3). A partition left empty is removed outright. Absent keys touch
+    nothing.
+
+    Crash contract: the staging write never touches live dirs; each
+    swap is two atomic renames, and :func:`_heal_crashed_swaps` runs
+    first on every scrub, restoring a trash twin whose live dir is
+    missing (crash between the renames) and discarding one whose
+    swap completed — so replaying the purge converges from ANY crash
+    point. Readers racing the swap window see the documented
+    operational caveat (resolve plans before or after a purge, not
+    across one); the hidden trash/staging names keep partition
+    discovery clean even mid-crash.
 
     Returns ``{"rows_deleted", "partitions_rewritten",
     "partitions_removed"}``."""
@@ -1737,6 +1752,11 @@ def scrub_plain_partitions(
     }
     if not has_parquet_data(path):
         return zero
+    # FIRST: converge any crashed swap from a prior scrub — a trash
+    # twin with no live dir holds that partition's only copy; restoring
+    # it (doomed rows included) lets the scan below re-find and
+    # re-scrub it instead of silently losing the kept rows
+    _heal_crashed_swaps(path)
     doomed_b = F.broadcast(doomed.select(key).distinct())
 
     def _tuples_cond(tuples):
@@ -1764,35 +1784,82 @@ def scrub_plain_partitions(
         return zero
     pairs = {tuple(r[c] for c in partition_cols) for r in touched_stats}
     n_rows = sum(r["n"] for r in touched_stats)
-    kept = (
+    staging = os.path.join(path, "_scrub_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    # stage kept rows of ONLY the touched partitions to disk: reads the
+    # live files, writes a disjoint hidden dir — never reads what it
+    # replaces, never holds more than a write buffer in memory
+    (
         spark.read.parquet(path)
         .filter(_tuples_cond(pairs))
         .join(doomed_b, key, "left_anti")
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(staging)
     )
-    kept_pairs = {
-        tuple(r[c] for c in partition_cols)
-        for r in kept.select(*partition_cols).distinct().collect()
-    }
-    if kept_pairs:
-        (
-            kept.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
+    # enumerate staged partition leaves from the directory tree — a
+    # driver-side listing of touched dirs, no second Spark action
+    staged_rels: set[str] = set()
+
+    def _walk(d: str, depth: int, rel: str) -> None:
+        if depth == len(partition_cols):
+            staged_rels.add(rel)
+            return
+        for name in os.listdir(d):
+            sub = os.path.join(d, name)
+            if "=" in name and os.path.isdir(sub):
+                _walk(sub, depth + 1, os.path.join(rel, name) if rel else name)
+
+    if os.path.isdir(staging):
+        _walk(staging, 0, "")
+    for rel in sorted(staged_rels):
+        dest = os.path.join(path, rel)
+        parent, leaf = os.path.split(dest)
+        os.makedirs(parent, exist_ok=True)
+        trash = os.path.join(parent, f".__doomed_{leaf}")
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(dest):
+            os.rename(dest, trash)
+        os.rename(os.path.join(staging, rel), dest)
+        shutil.rmtree(trash, ignore_errors=True)
     removed = 0
     for t in pairs:
-        if t not in kept_pairs:
-            d = os.path.join(
-                path, *(f"{c}={v}" for c, v in zip(partition_cols, t))
-            )
+        rel = os.path.join(
+            *(f"{c}={v}" for c, v in zip(partition_cols, t))
+        )
+        if rel not in staged_rels:
+            d = os.path.join(path, rel)
             if os.path.isdir(d):
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
+    shutil.rmtree(staging, ignore_errors=True)
     spark.catalog.refreshByPath(path)
     return {
         "rows_deleted": int(n_rows),
-        "partitions_rewritten": len(kept_pairs),
+        "partitions_rewritten": len(staged_rels),
         "partitions_removed": removed,
     }
+
+
+def _heal_crashed_swaps(path: str) -> None:
+    """Converge the two-rename swap windows of a crashed
+    :func:`scrub_plain_partitions`: a ``.__doomed_<dir>`` trash twin
+    whose live ``<dir>`` is MISSING marks a crash between the two
+    renames — the trash holds the partition's only copy (pre-scrub,
+    doomed rows included), so restore it and let the caller's rescan
+    re-scrub; a twin whose live dir EXISTS marks a crash after the
+    second rename — the swap completed, discard the trash. Hidden
+    names (``.`` prefix) keep both invisible to Spark's partition
+    discovery in the interim."""
+    for dirpath, dirnames, _files in os.walk(path):
+        for name in list(dirnames):
+            if not name.startswith(".__doomed_"):
+                continue
+            orig = name[len(".__doomed_"):]
+            trash = os.path.join(dirpath, name)
+            live = os.path.join(dirpath, orig)
+            if os.path.isdir(live):
+                shutil.rmtree(trash, ignore_errors=True)
+            else:
+                os.rename(trash, live)
+            dirnames.remove(name)

@@ -815,21 +815,23 @@ def purge_output_partitions(
     copy-on-write delete cannot serve them.
 
     One column-pruned scan of ``key_col`` finds the touched ``batch_id``
-    partitions; ONLY those are rewritten minus the doomed rows via
-    dynamic partition overwrite — untouched partitions are never read
-    for data nor written, the same O(touched-partitions) write shape as
-    the store deletes. A touched partition left EMPTY is removed
-    outright (dynamic overwrite only replaces partitions present in the
-    write, so an all-doomed batch dir would otherwise survive intact).
-    Absent hashes touch nothing — the swallowed delete-twice contract.
+    partitions; ONLY those are rewritten minus the doomed rows —
+    untouched partitions are never read for data nor written, the same
+    O(touched-partitions) write shape as the store deletes. A touched
+    partition left EMPTY is removed outright. Absent hashes touch
+    nothing — the swallowed delete-twice contract.
 
     Honesty note: plain dirs mean the rewrite is in-place, not a
-    snapshot publish. The kept rows are materialized (localCheckpoint)
-    BEFORE the overwrite so the write never reads files it is
-    replacing, and a crash mid-rewrite is remediated by replaying the
-    purge (idempotent). Readers racing the rewrite should resolve their
-    plans before or after, not across, a purge — the documented
-    operational window for consumer-owned outputs.
+    snapshot publish. The kept rows are STAGED TO DISK (a hidden
+    ``_scrub_staging`` dir Spark's listing ignores) and swapped in
+    per-partition with crash-healing renames
+    (:func:`~wcdimportbot_spark.operators.sinks.scrub_plain_partitions`)
+    — memory stays one write buffer regardless of partition size, and a
+    crash at any point is remediated by replaying the purge
+    (idempotent; the next scrub heals half-finished swaps first).
+    Readers racing the rewrite should resolve their plans before or
+    after, not across, a purge — the documented operational window for
+    consumer-owned outputs.
 
     Returns ``{"rows_deleted", "partitions_rewritten",
     "partitions_removed"}``."""
