@@ -1,0 +1,333 @@
+"""Purge-vs-concurrent-writer race contracts (r12 verdict Next #1).
+
+The per-store publishes were always serialized (lock file or optimistic
+CAS); these tests pin the CROSS-store seams: a purge's arms racing a
+curation increment's two merges, optimistic merges racing optimistic
+deletes on one store, and a gate-style append racing the plain-dir
+scrub. The contract everywhere: the final state equals ONE of the two
+serial orders (purge→ingest ⇒ content back in both stores;
+ingest→purge ⇒ content gone from both) — never a mixed state where the
+corpus holds content the index forgot or the index remembers content
+the corpus dropped (re-sends would then drop as dup_of_history
+forever). Reference contract: conflict-as-success under races,
+``crud/create.py:39-45``.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+T_A = "the quick brown fox jumps over the lazy dog near the river bank"
+T_B = ("Completely different words are written about the spark "
+       "catalyst optimizer plans and how they work in practice.")
+T_D = ("This doomed document describes the history of distributed "
+       "dataflow engines and their shuffle implementations in detail.")
+
+
+def _store_presence(spark, base, text_hash):
+    """(corpus_has, index_hashes_has, index_bands_has) for one hash."""
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    def has(path, col):
+        if not sinks.has_parquet_data(path):
+            return False
+        return (
+            sinks.read_snapshot(spark, path)
+            .filter(F.col(col) == text_hash)
+            .count()
+            > 0
+        )
+
+    return (
+        has(cn._corpus_path(base), "text_hash"),
+        has(os.path.join(cn._index_path(base), "hashes"), "text_hash"),
+        has(os.path.join(cn._index_path(base), "bands"), "text_hash"),
+    )
+
+
+def test_purge_straddling_increment_repairs_to_serial_order(
+    spark, tmp_path
+):
+    """DETERMINISTIC straddle: gate the increment between its corpus
+    merge and its index merge, run a full purge of the batch's own
+    content hash inside that window (the exact interleaving that used
+    to leave corpus-dropped/index-remembered — the worst mixed state),
+    then release. The increment's marker-fingerprint repair must
+    re-assert both merges, landing on the purge→ingest serial order:
+    the content present in corpus AND index together."""
+    import hashlib
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    base = str(tmp_path / "cur")
+    schema = "doc_id long, text string"
+    cn.curate_increment(spark.createDataFrame([(1, T_A)], schema), base)
+    h_d = hashlib.md5(T_D.encode()).hexdigest()
+
+    corpus_merged = threading.Event()
+    purge_done = threading.Event()
+    real_merge = cn.merge_curated_corpus
+    state = {"first": True}
+
+    def gated_merge(spark_, accepted, base_path, protocol=None):
+        out = real_merge(spark_, accepted, base_path, protocol=protocol)
+        if state["first"]:
+            state["first"] = False
+            corpus_merged.set()
+            assert purge_done.wait(120), "purge never ran"
+        return out
+
+    errs = []
+
+    def run_increment():
+        try:
+            batch = spark.createDataFrame(
+                [(10, T_D), (11, T_B)], schema
+            )
+            cn.curate_increment(batch, base)
+        except Exception as e:  # surfaced by the main thread
+            errs.append(e)
+
+    with mock.patch.object(cn, "merge_curated_corpus", gated_merge):
+        t = threading.Thread(target=run_increment)
+        t.start()
+        assert corpus_merged.wait(120), "increment never merged corpus"
+        # full purge of the batch's own content INSIDE the increment's
+        # write window: corpus arm deletes the row the increment just
+        # inserted, index arm runs before the increment's index merge
+        res = cn.purge_documents(
+            spark,
+            spark.createDataFrame([(h_d,)], "text_hash string"),
+            base,
+        )
+        assert res["corpus_deleted"] == 1
+        purge_done.set()
+        t.join(300)
+        assert not t.is_alive() and not errs, errs
+
+    # repair converged on the purge→ingest serial order: content in
+    # corpus AND index together — never the mixed state
+    c, ih, ib = _store_presence(spark, base, h_d)
+    assert (c, ih, ib) == (True, True, True)
+    assert cn.purge_state(base)["status"] == "committed"
+    # the untouched and fresh docs are intact
+    corpus_ids = sorted(
+        r["doc_id"]
+        for r in cn.read_curated_corpus(spark, base).collect()
+    )
+    assert corpus_ids == [1, 10, 11]
+    # and a re-send of the repaired content now dedups as history
+    ann = {
+        r["doc_id"]: r
+        for r in cn.curate_increment(
+            spark.createDataFrame([(20, T_D)], schema), base
+        ).collect()
+    }
+    assert ann[20]["dup_of_history"] and not ann[20]["kept"]
+
+
+def test_purge_vs_increment_threaded_stress(spark, tmp_path):
+    """Unsynchronized threads — a purge of one content hash racing an
+    increment that carries the same content plus a fresh doc, repeated
+    with varied stagger. Whatever interleaving the scheduler picks, the
+    final state must agree across corpus / index hashes / index bands
+    (one of the two serial orders), the marker must settle committed,
+    and the bystander docs must land in both stores."""
+    import hashlib
+
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    schema = "doc_id long, text string"
+    h_d = hashlib.md5(T_D.encode()).hexdigest()
+    for rnd, stagger in enumerate((0.0, 0.15, 0.4)):
+        base = str(tmp_path / f"cur{rnd}")
+        cn.curate_increment(
+            spark.createDataFrame([(1, T_A)], schema), base
+        )
+        errs = []
+
+        def run_increment():
+            try:
+                cn.curate_increment(
+                    spark.createDataFrame(
+                        [(10, T_D), (11, T_B)], schema
+                    ),
+                    base,
+                )
+            except Exception as e:
+                errs.append(e)
+
+        def run_purge():
+            try:
+                time.sleep(stagger)
+                cn.purge_documents(
+                    spark,
+                    spark.createDataFrame(
+                        [(h_d,)], "text_hash string"
+                    ),
+                    base,
+                )
+            except Exception as e:
+                errs.append(e)
+
+        t1 = threading.Thread(target=run_increment)
+        t2 = threading.Thread(target=run_purge)
+        t1.start()
+        t2.start()
+        t1.join(300)
+        t2.join(300)
+        assert not t1.is_alive() and not t2.is_alive()
+        assert not errs, errs
+
+        c, ih, ib = _store_presence(spark, base, h_d)
+        # serializable: all three stores agree about the contested hash
+        assert c == ih == ib, (rnd, c, ih, ib)
+        assert cn.purge_state(base)["status"] == "committed"
+        # bystanders always present in corpus AND index
+        for h in (
+            hashlib.md5(T_A.encode()).hexdigest(),
+            hashlib.md5(T_B.encode()).hexdigest(),
+        ):
+            assert _store_presence(spark, base, h) == (True, True, True)
+
+
+def test_optimistic_merge_vs_delete_single_store(spark, tmp_path):
+    """Store-family stress: optimistic insert-if-absent merges racing
+    optimistic pruned deletes on ONE cache store. The CAS arbiter must
+    serialize every publish: the final snapshot is readable, holds
+    exactly one row per surviving key, bystander keys are never lost,
+    and each contested key is present or absent per SOME serial
+    interleaving of the committed operations (never a torn snapshot)."""
+    from wcdimportbot_spark.operators import cache as cache_ops
+    from wcdimportbot_spark.operators import sinks
+
+    path = str(tmp_path / "cache")
+    rows = [(f"h{i:03d}", f"Q{i}") for i in range(40)]
+    cache_ops.write_cache(
+        spark.createDataFrame(rows, "hash string, qid string"), path
+    )
+    contested = [f"h{i:03d}" for i in range(10)]
+    errs = []
+
+    def do_merges():
+        try:
+            for _ in range(3):
+                cache_ops.merge_write_cache(
+                    spark,
+                    spark.createDataFrame(
+                        [(h, "Qnew") for h in contested],
+                        "hash string, qid string",
+                    ),
+                    path,
+                    protocol="optimistic",
+                )
+        except Exception as e:
+            errs.append(e)
+
+    def do_deletes():
+        try:
+            for _ in range(3):
+                cache_ops.merge_delete_cache(
+                    spark,
+                    spark.createDataFrame(
+                        [(h,) for h in contested], "hash string"
+                    ),
+                    path,
+                    protocol="optimistic",
+                )
+        except Exception as e:
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=do_merges),
+        threading.Thread(target=do_deletes),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+        assert not t.is_alive()
+    assert not errs, errs
+
+    snap = sinks.read_snapshot(spark, path)
+    got = {r["hash"]: r["qid"] for r in snap.collect()}
+    # never torn: one row per key, bystanders intact with their values
+    assert snap.groupBy("hash").count().filter("count > 1").count() == 0
+    for i in range(10, 40):
+        assert got.get(f"h{i:03d}") == f"Q{i}"
+    # contested keys: insert-if-absent never overwrites, so any
+    # surviving row carries a value some serial history allows
+    for h in contested:
+        assert got.get(h) in (None, "Qnew", f"Q{int(h[1:])}")
+
+
+def test_scrub_vs_new_batch_append(spark, tmp_path):
+    """Gate-style appends racing the plain-dir scrub: the scrub only
+    swaps partitions that held doomed rows at scan time, so a NEW
+    batch_id partition being appended concurrently is never touched —
+    every appended row survives, and the doomed rows still leave the
+    old batches."""
+    import os
+
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    out = str(tmp_path / "gate_out")
+    old = [(f"h{i}", i, 100 + (i % 3)) for i in range(60)]
+    spark.createDataFrame(
+        old, "text_hash string, payload long, batch_id long"
+    ).write.partitionBy("batch_id").parquet(out)
+    doomed = spark.createDataFrame(
+        [(f"h{i}",) for i in range(0, 12)], "text_hash string"
+    )
+    errs = []
+    appended = []
+
+    def do_appends():
+        try:
+            for b in range(900, 906):
+                rows = [(f"new{b}_{j}", j, b) for j in range(20)]
+                spark.createDataFrame(
+                    rows, "text_hash string, payload long, batch_id long"
+                ).write.mode("append").partitionBy("batch_id").parquet(out)
+                appended.extend(r[0] for r in rows)
+        except Exception as e:
+            errs.append(e)
+
+    def do_scrub():
+        try:
+            cn.purge_output_partitions(spark, doomed, out)
+        except Exception as e:
+            errs.append(e)
+
+    t1 = threading.Thread(target=do_appends)
+    t2 = threading.Thread(target=do_scrub)
+    t1.start()
+    t2.start()
+    t1.join(300)
+    t2.join(300)
+    assert not t1.is_alive() and not t2.is_alive()
+    assert not errs, errs
+
+    spark.catalog.refreshByPath(out)
+    left = spark.read.parquet(out)
+    survivors = {r["text_hash"] for r in left.collect()}
+    # every concurrently appended row survived the scrub window
+    assert set(appended) <= survivors
+    # doomed rows are gone (replay once if the scrub's scan raced the
+    # appends' directory listing — the documented idempotent remedy)
+    if any(f"h{i}" in survivors for i in range(12)):
+        cn.purge_output_partitions(spark, doomed, out)
+        survivors = {
+            r["text_hash"] for r in spark.read.parquet(out).collect()
+        }
+    assert not any(f"h{i}" in survivors for i in range(12))
+    # untouched old rows intact
+    assert {f"h{i}" for i in range(12, 60)} <= survivors
+    assert not os.path.exists(os.path.join(out, "_scrub_staging"))

@@ -4836,6 +4836,193 @@ def s12_purge_propagation(spark, sf_dir):
 QUERIES["s12_purge_propagation"].oracle = _purge_propagation_oracle()
 
 
+def _purge_race_oracle():
+    from wcdimportbot_spark.operators.text_analysis import document_profile_sql
+
+    profile = document_profile_sql("documents")
+    # the race is resolved IN-ROW (asserts + cleanup purge of both
+    # synthetic docs), so the final corpus is the one-shot closed form
+    # over the seeded documents regardless of which serial order the
+    # scheduler picked — that invariance is exactly the contract
+    return f"""
+    WITH profile AS ({profile}),
+    deduped AS (
+      SELECT d.doc_id, p.quality, p.detected_lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN profile p ON p.doc_id = d.doc_id
+      WHERE d.doc_id <= 1000
+    )
+    SELECT detected_lang,
+           CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           TRUE AS straddle_repaired, TRUE AS bystander_intact,
+           TRUE AS marker_committed
+    FROM deduped GROUP BY detected_lang
+    HAVING SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) > 0
+    """
+
+
+@register(
+    "s13_purge_race",
+    "LLM-ops purge-vs-writer race contract (r12 verdict Next #1)",
+    "serializability of purge_documents racing a concurrent "
+    "curate_increment on the SAME stores: gate the increment between "
+    "its corpus merge and its index merge (the exact straddle that "
+    "used to leave the corpus-dropped/index-remembered mixed state — "
+    "every later re-send of that content would drop as dup_of_history "
+    "forever), run a FULL purge of the batch's own content hash inside "
+    "that window, release, and assert the increment's "
+    "marker-fingerprint repair converged the final state onto the "
+    "purge-then-ingest serial order: the contested content present in "
+    "corpus AND index-hashes AND index-bands TOGETHER (never a mixed "
+    "state), the bystander doc in all three, the marker committed. "
+    "Then a cleanup purge removes both synthetic docs and the corpus "
+    "hash-matches the one-shot closed form over the seeded documents — "
+    "the race left zero residue. Reference contract: conflict-as-"
+    "success under write races, crud/create.py:39-45",
+    None,  # closed-form oracle attached below
+)
+def s13_purge_race(spark, sf_dir):
+    """plans/curation_nightly.curate_increment race repair: the
+    increment settles live purges before writing (marker heartbeats
+    give per-arm liveness), fingerprints the marker across its write
+    window, and re-asserts both idempotent merges when any purge
+    activity landed inside it. Scale shape: the no-race path costs two
+    small file reads; a detected race costs one extra O(batch) merge
+    pair. Threaded stress (tests/test_purge_races.py) covers the
+    unsynchronized interleavings; this row pins the worst one
+    deterministically."""
+    import hashlib
+    import shutil
+    import tempfile
+    import threading
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    t_d = ("This doomed document describes the history of distributed "
+           "dataflow engines and their shuffle implementations.")
+    t_b = ("Completely different words are written about the spark "
+           "catalyst optimizer plans and how they work in practice.")
+    h_d = hashlib.md5(t_d.encode()).hexdigest()
+    h_b = hashlib.md5(t_b.encode()).hexdigest()
+
+    def presence(base, text_hash):
+        import os
+
+        def has(path, col):
+            if not sinks.has_parquet_data(path):
+                return False
+            return (
+                sinks.read_snapshot(spark, path)
+                .filter(F.col(col) == text_hash)
+                .count()
+                > 0
+            )
+
+        return (
+            has(cn._corpus_path(base), "text_hash"),
+            has(os.path.join(cn._index_path(base), "hashes"), "text_hash"),
+            has(os.path.join(cn._index_path(base), "bands"), "text_hash"),
+        )
+
+    # seed subset (doc_id <= 1000, mirrored in the oracle's WHERE): the
+    # race contract needs a REAL store, not a big one — the straddle
+    # and repair mechanics are size-independent
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 1000)
+        .coalesce(4)
+    )
+    base = tempfile.mkdtemp(prefix="wcd-purgerace-")
+    try:
+        cn.curate_increment(docs, base)
+
+        corpus_merged = threading.Event()
+        purge_done = threading.Event()
+        real_merge = cn.merge_curated_corpus
+        gate = {"armed": True}
+
+        def gated_merge(spark_, accepted, base_path, protocol=None):
+            out = real_merge(
+                spark_, accepted, base_path, protocol=protocol
+            )
+            if gate["armed"]:
+                gate["armed"] = False
+                corpus_merged.set()
+                purge_done.wait(120)
+            return out
+
+        errs = []
+
+        def run_increment():
+            try:
+                cn.curate_increment(
+                    spark.createDataFrame(
+                        [(900001, t_d), (900002, t_b)],
+                        "doc_id long, text string",
+                    ),
+                    base,
+                )
+            except Exception as e:
+                errs.append(e)
+
+        with mock.patch.object(cn, "merge_curated_corpus", gated_merge):
+            th = threading.Thread(target=run_increment)
+            th.start()
+            ok_gate = corpus_merged.wait(120)
+            res = cn.purge_documents(
+                spark,
+                spark.createDataFrame([(h_d,)], "text_hash string"),
+                base,
+            )
+            purge_done.set()
+            th.join(300)
+            ok_threads = ok_gate and not th.is_alive() and not errs
+
+        # the repair must have landed the purge→ingest serial order:
+        # contested content in ALL THREE stores, never a mixed state
+        straddle_repaired = (
+            ok_threads
+            and res["corpus_deleted"] == 1
+            and presence(base, h_d) == (True, True, True)
+        )
+        bystander_intact = presence(base, h_b) == (True, True, True)
+        marker_committed = cn.purge_state(base)["status"] == "committed"
+
+        # cleanup purge: both synthetic docs leave every store, so the
+        # final corpus is the seeded one-shot closed form — invariant
+        # across whichever serial order a real scheduler would pick
+        cn.purge_documents(
+            spark,
+            spark.createDataFrame(
+                [(h_d,), (h_b,)], "text_hash string"
+            ),
+            base,
+        )
+        out = (
+            cn.read_curated_corpus(spark, base)
+            .groupBy("detected_lang")
+            .agg(F.count("*").alias("n_kept"))
+            .withColumn(
+                "straddle_repaired", F.lit(bool(straddle_repaired))
+            )
+            .withColumn(
+                "bystander_intact", F.lit(bool(bystander_intact))
+            )
+            .withColumn(
+                "marker_committed", F.lit(bool(marker_committed))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+QUERIES["s13_purge_race"].oracle = _purge_race_oracle()
+
+
 #: the refresh row's text edit — must stay identical in the Spark body
 #: and the DuckDB closed form below
 _REFRESH_EDIT = " Edited again for the refresh contract row."

@@ -78,6 +78,20 @@ MIN_QUALITY = 0.7
 MARKER_HASHES_CAP = 100_000
 
 
+#: how long an increment waits for a LIVE in-flight purge to commit
+#: before treating it as crashed (a crashed purge wedges its marker
+#: pending forever; increments must not wedge with it — its remaining
+#: arms will never run on their own, so proceeding is safe, and a
+#: REPLAY of it during our window changes the marker and triggers the
+#: repair below like any other purge)
+PURGE_WAIT_SECS = 120.0
+
+#: bounded repair attempts when purges keep landing inside one
+#: increment's write window (adversarial scheduling only — each repair
+#: is two idempotent O(batch) merges)
+RACE_REPAIR_ATTEMPTS = 5
+
+
 def _corpus_path(base_path: str) -> str:
     return os.path.join(base_path, CORPUS_DIR)
 
@@ -135,6 +149,46 @@ def merge_curated_corpus(
         read_fn=sinks.read_snapshot,
         write_fn=_write_corpus_unlocked,
     )
+
+
+def _marker_fingerprint(base_path: str) -> str:
+    """Raw bytes of the purge marker file ('' when absent). EVERY purge
+    state transition rewrites the file — the pending write (fresh
+    ``pending_ts``), the graph-qid re-record, the committed flip — so
+    comparing fingerprints across a write window detects any purge
+    activity inside it, including a replay of a crashed purge."""
+    try:
+        with open(
+            os.path.join(base_path, PURGE_MANIFEST), encoding="ascii"
+        ) as f:
+            return f.read()
+    except OSError:
+        return ""
+
+
+def _settle_purges(base_path: str, timeout: float = PURGE_WAIT_SECS) -> str:
+    """Wait until no LIVE purge is in flight on ``base_path`` and
+    return the settled marker fingerprint. "Live" = a pending marker
+    younger than ``timeout``; an older pending marker is a CRASHED
+    purge — its remaining arms will never run on their own, so it does
+    not block (and its eventual replay, like any purge, changes the
+    marker and triggers the caller's repair loop)."""
+    deadline = time.time() + timeout
+    while True:
+        fp = _marker_fingerprint(base_path)
+        state = purge_state(base_path)
+        if state.get("status") != "pending":
+            return fp
+        # liveness from the freshest signal: the pending write or the
+        # last per-arm heartbeat — a purge mid-arms keeps renewing it,
+        # a crashed one goes silent and stops blocking after timeout
+        ts = max(
+            float(state.get("pending_ts") or 0.0),
+            float(state.get("heartbeat_ts") or 0.0),
+        )
+        if time.time() - ts > timeout or time.time() > deadline:
+            return fp
+        time.sleep(0.05)
 
 
 def curate_increment(
@@ -219,29 +273,66 @@ def curate_increment(
     accepted = novel.filter(F.col("quality") >= min_quality).select(
         id_col, "text_hash", "quality", "detected_lang"
     )
-    # OUTPUTS FIRST: corpus append (idempotent by content hash) ...
-    merge_curated_corpus(spark, accepted, base_path, protocol=protocol)
-    # ... THEN the index learns every novel winner (kept or low-quality:
-    # its hash is now history either way), reusing the probe's
-    # already-materialized signature pass
-    dedup_index_merge(
-        novel.select(id_col, text_col),
-        _index_path(base_path),
-        num_hashes,
-        bands,
-        id_col,
-        text_col,
-        shingle_n,
-        protocol=protocol,
-        precomputed=(
-            novel.select("text_hash").distinct(),
-            # ATTRIBUTED band rows (text_hash, band, bucket): the store
-            # keys them by contributing hash so the index can forget
-            new_bands.join(novel.select(id_col, "text_hash"), id_col)
-            .select("text_hash", "band", "bucket")
-            .distinct(),
-        ),
+    # ATTRIBUTED band rows (text_hash, band, bucket): the store keys
+    # them by contributing hash so the index can forget. Built once —
+    # the repair loop below may re-run both merges from these plans
+    # (all ancestors are checkpointed/materialized batch relations)
+    novel_hashes = novel.select("text_hash").distinct()
+    novel_bands = (
+        new_bands.join(novel.select(id_col, "text_hash"), id_col)
+        .select("text_hash", "band", "bucket")
+        .distinct()
     )
+
+    def _mutate() -> None:
+        # OUTPUTS FIRST: corpus append (idempotent by content hash) ...
+        merge_curated_corpus(spark, accepted, base_path, protocol=protocol)
+        # ... THEN the index learns every novel winner (kept or
+        # low-quality: its hash is now history either way), reusing the
+        # probe's already-materialized signature pass
+        dedup_index_merge(
+            novel.select(id_col, text_col),
+            _index_path(base_path),
+            num_hashes,
+            bands,
+            id_col,
+            text_col,
+            shingle_n,
+            protocol=protocol,
+            precomputed=(novel_hashes, novel_bands),
+        )
+
+    # PURGE-RACE CONTRACT (r12 verdict Next #1). The increment's two
+    # store mutations can straddle a concurrent purge's arms (corpus
+    # delete → index hash delete → index band delete), leaving the
+    # MIXED states the serial contract forbids: the corpus holding a
+    # batch whose hashes the index forgot, or — worse — the index
+    # remembering content the purge removed from the corpus, so every
+    # future re-send of it drops as dup_of_history forever. Per-store
+    # publishes are already serialized (lock or optimistic CAS); the
+    # seam is CROSS-store. Pin: settle in-flight purges before writing,
+    # fingerprint the marker across the write window, and if any purge
+    # landed inside it, re-assert BOTH merges (idempotent
+    # insert-if-absent) after it commits — converging the final state
+    # onto the purge→ingest serial order (content back in corpus AND
+    # index together; the reference's conflict-as-success,
+    # crud/create.py:39-45). An ingest→purge outcome needs no repair:
+    # the marker then did not change inside our window. Cost on the
+    # no-race path: two small file reads.
+    start_fp = _settle_purges(base_path)
+    _mutate()
+    for _attempt in range(RACE_REPAIR_ATTEMPTS):
+        end_fp = _settle_purges(base_path)
+        if end_fp == start_fp:
+            break
+        start_fp = end_fp
+        _mutate()
+    else:
+        raise RuntimeError(
+            f"purges kept landing inside one increment's write window "
+            f"on {base_path} ({RACE_REPAIR_ATTEMPTS} repair attempts) — "
+            f"quiesce the purge loop and re-send the batch"
+        )
     out = (
         ranked.select(id_col, "text_hash", "quality", "detected_lang", "rn")
         .join(
@@ -303,6 +394,54 @@ def _write_purge_marker(base_path: str, payload: dict) -> None:
     os.replace(tmp, p)
 
 
+#: store-level ANN binding (r12 verdict Next #5): a sidecar at the
+#: curation base declaring "an ANN store at PATH indexes this corpus,
+#: vec_id = <key column>". With it, purge_documents derives the doomed
+#: vec_ids ITSELF and runs the ANN arm automatically — a doc-purge
+#: caller that maintains an ANN index can no longer silently leave the
+#: doomed vectors behind by forgetting the ann_vec_ids argument (the
+#: marker's arm list records only what was REQUESTED, so no replay
+#: would ever have caught the omission).
+ANN_BINDING = "_ANN_BINDING.json"
+
+
+def bind_ann_store(
+    base_path: str, ann_path: str, key: str = "doc_id"
+) -> None:
+    """Declare that the ANN store at ``ann_path`` indexes this curation
+    base's corpus with ``vec_id`` = the corpus's ``key`` column. From
+    then on every :func:`purge_documents` on ``base_path`` (including
+    :func:`curate_refresh`'s internal purges) derives the doomed
+    vec_ids and removes them from the ANN codes store under the same
+    two-phase marker — no ``ann_vec_ids`` argument needed. Explicit
+    ``ann_path``/``ann_vec_ids`` arguments still win (callers that
+    resolved vec_ids themselves skip the derivation). Relative
+    ``ann_path`` values resolve against ``base_path``."""
+    import json
+
+    os.makedirs(base_path, exist_ok=True)
+    p = os.path.join(base_path, ANN_BINDING)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump({"ann_path": ann_path, "key": key}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def ann_binding(base_path: str) -> dict | None:
+    """The base's ANN binding (``{"ann_path", "key"}``) or None."""
+    import json
+
+    try:
+        with open(
+            os.path.join(base_path, ANN_BINDING), encoding="ascii"
+        ) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
 def purge_state(base_path: str) -> dict:
     """State of the last purge: ``{"status": "none" | "pending" |
     "committed", ...}``. ``pending`` means a purge is running right now
@@ -340,6 +479,16 @@ def purge_documents(
     index exact hashes AND band fingerprints
     (:func:`~wcdimportbot_spark.operators.text_dedup.dedup_index_delete`),
     and optionally the ANN codes store — all under one two-phase marker.
+    The ANN arm runs when the caller passes ``ann_path`` +
+    ``ann_vec_ids`` explicitly, OR automatically when the base carries
+    an ANN BINDING (:func:`bind_ann_store` — r12 verdict Next #5): the
+    binding names the ANN store and the corpus key column that is its
+    ``vec_id``, and the purge derives the doomed vec_ids itself
+    (id-form input maps directly; hash-form resolves through one
+    column-pruned corpus scan run BEFORE the corpus arm and recorded
+    in the marker for crash replay). A caller that maintains an ANN
+    index can therefore no longer leave doomed vectors behind by
+    forgetting the argument.
     After it commits, re-ingesting the same content is ACCEPTED back
     into the corpus (the index forgot), which is the reference's
     delete→re-import contract (``crud/delete.py:44-61``;
@@ -385,6 +534,24 @@ def purge_documents(
     any :func:`curate_refresh`, whose internal purge rides this path —
     raises instead of clobbering the crashed purge's only copy of those
     resolutions; ``force=True`` overrides after manual remediation.
+
+    Concurrency (r12 verdict Next #1 — the purge-vs-writer seam): each
+    per-store publish is already serialized (lock file or optimistic
+    CAS), so the hazard is CROSS-store — a concurrent
+    :func:`curate_increment` whose corpus and index merges straddle
+    this purge's arms could leave a mixed state neither serial order
+    allows (corpus holding content the index forgot, or the index
+    remembering content the corpus dropped — every re-send then drops
+    forever). The pin is cooperative: this function heartbeats the
+    marker after EVERY arm (``arms_done`` + ``heartbeat_ts``), and the
+    increment fingerprints the marker across its own write window,
+    settling live purges before writing and re-asserting both of its
+    merges if any purge activity landed inside the window — converging
+    the final state onto one of the two serial orders
+    (purge→ingest ⇒ the batch's content present in corpus AND index;
+    ingest→purge ⇒ doomed content absent from both). Threaded stress
+    plus the ``s13_purge_race`` registry row pin exactly this
+    serializability.
 
     Boundary — what a purge does NOT forget (deliberate, documented so
     operators compose remediation correctly): (a) derived OUTPUT
@@ -449,6 +616,21 @@ def purge_documents(
         from wcdimportbot_spark.operators.ann_store import _codes_path
 
         vacuum_paths.append(_codes_path(ann_path))
+    # store-level ANN binding (r12 verdict Next #5): when the caller
+    # passed no explicit ANN arguments, the base's _ANN_BINDING.json —
+    # written once by bind_ann_store — makes the purge derive the
+    # doomed vec_ids itself. Explicit args win (the caller resolved).
+    binding = None
+    bound_ann_path = None
+    if ann_path is None and ann_vec_ids is None:
+        binding = ann_binding(base_path)
+        if binding is not None:
+            bound_ann_path = binding["ann_path"]
+            if not os.path.isabs(bound_ann_path):
+                bound_ann_path = os.path.join(base_path, bound_ann_path)
+            from wcdimportbot_spark.operators.ann_store import _codes_path
+
+            vacuum_paths.append(_codes_path(bound_ann_path))
     if graph_store is not None:
         from wcdimportbot_spark.plans.store_import import store_paths as _sp
 
@@ -600,12 +782,79 @@ def purge_documents(
             "outputs_deleted": 0,
             "history_expired": _vacuum_stores(vacuum_paths),
         }
+    # BOUND ANN arm: derive the doomed vec_ids from the binding. Id-form
+    # input maps directly (vec_id = the binding key column, which must
+    # BE the purge's id column); hash-form resolves through one
+    # column-pruned two-column corpus scan — run NOW, before the corpus
+    # arm deletes the lookup rows, and recorded in the marker below so a
+    # crash replay inherits the resolution (same discipline as the
+    # id→hash and hash→qid maps). Quality-gate asymmetry carries over:
+    # a doc that never entered the corpus resolves no vec_id (by
+    # construction it was never encoded either).
+    bound_vec_df = None
+    if bound_ann_path is not None and n_doomed:
+        bkey = binding.get("key", "doc_id")
+        if id_form:
+            if bkey != id_col:
+                raise ValueError(
+                    f"the ANN binding on {base_path} keys vectors by "
+                    f"{bkey!r} but this purge was called with id_col="
+                    f"{id_col!r}; pass doomed ids in the binding's key "
+                    f"column (or explicit ann_vec_ids)"
+                )
+            bound_vec_df = (
+                doomed.select(F.col(id_col).alias("vec_id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        else:
+            parts = []
+            if prior_match and prior_marker.get("ann_vec_ids"):
+                parts.append(
+                    spark.createDataFrame(
+                        [(v,) for v in prior_marker["ann_vec_ids"]],
+                        ["vec_id"],
+                    )
+                )
+            elif prior_match and prior_marker.get("ann_vec_spill"):
+                vspill = os.path.join(
+                    base_path, prior_marker["ann_vec_spill"]
+                )
+                if sinks.has_parquet_data(vspill):
+                    parts.append(
+                        spark.read.parquet(vspill).select("vec_id")
+                    )
+            corpus_path0 = _corpus_path(base_path)
+            if sinks.has_parquet_data(corpus_path0):
+                corpus_rel = read_curated_corpus(spark, base_path)
+                if bkey not in corpus_rel.columns:
+                    raise ValueError(
+                        f"the ANN binding on {base_path} names key "
+                        f"{bkey!r} but the corpus has no such column"
+                    )
+                parts.append(
+                    corpus_rel.select(bkey, "text_hash")
+                    .join(F.broadcast(hashes), "text_hash", "left_semi")
+                    .select(F.col(bkey).alias("vec_id"))
+                    .distinct()
+                )
+            if parts:
+                vec_union = parts[0]
+                for p in parts[1:]:
+                    vec_union = vec_union.union(p)
+                bound_vec_df = vec_union.distinct().localCheckpoint(
+                    eager=True
+                )
+                if bound_vec_df.count() == 0:
+                    bound_vec_df = None
     # the pending marker is self-describing: it records WHICH arms this
     # purge spans, so the remediation that finds it after a crash knows
     # to replay with the same arm set (a replay missing the graph/ANN
     # args would flip the marker to committed with those arms unpurged)
     arms = ["corpus", "index"]
     if ann_path is not None and ann_vec_ids is not None:
+        arms.append("ann")
+    elif bound_vec_df is not None:
         arms.append("ann")
     if graph_store is not None and item_hashes is not None:
         arms.append("graph")
@@ -660,15 +909,61 @@ def purge_documents(
         )
         pending["hashes_recorded"] = False
         pending["hashes_spill"] = spill_rel
+    # binding-derived vec ids ride the same record-or-spill discipline:
+    # a hash-form purge's resolution comes from corpus rows its own
+    # corpus arm then deletes, so the marker (or spill) is the replay's
+    # only source. Id-form purges re-derive from their input — no
+    # record needed.
+    if bound_vec_df is not None:
+        pending["ann_from_binding"] = True
+        if not id_form:
+            n_vecs = bound_vec_df.count()
+            if n_vecs <= MARKER_HASHES_CAP:
+                pending["ann_vec_ids"] = sorted(
+                    r["vec_id"] for r in bound_vec_df.collect()
+                )
+            else:
+                vec_spill = os.path.join(
+                    "_PURGE_SPILL", resolved_digest + ".annvecs"
+                )
+                bound_vec_df.write.mode("overwrite").parquet(
+                    os.path.join(base_path, vec_spill)
+                )
+                pending["ann_vec_spill"] = vec_spill
     if prior_match:
         # inherit the crashed attempt's recorded resolutions INTO the
         # initial pending write — a replay that crashed between its own
         # pending write and the graph arm's re-record would otherwise
-        # lose the qid list permanently (the items rows are gone)
-        for k in ("graph_hash_digest", "graph_subject_qids"):
-            if k in prior_marker:
+        # lose the qid list permanently (the items rows are gone). The
+        # `not in pending` guard keeps a replay's OWN fresher records
+        # (already unions of prior + current) from being clobbered.
+        for k in (
+            "graph_hash_digest",
+            "graph_subject_qids",
+            "ann_vec_ids",
+            "ann_vec_spill",
+            "ann_from_binding",
+        ):
+            if k in prior_marker and k not in pending:
                 pending[k] = prior_marker[k]
     _write_purge_marker(base_path, pending)
+
+    # per-arm marker HEARTBEAT (r12 verdict Next #1): after every arm's
+    # publish commits, the marker is rewritten with the arm appended to
+    # ``arms_done`` and a fresh ``heartbeat_ts``. Two consumers: (a)
+    # concurrent increments fingerprint the marker across their write
+    # window — an arm landing INSIDE the window changes the bytes, so
+    # the increment's race repair triggers even when this purge later
+    # crashes before its commit flip; (b) crash forensics read exactly
+    # how far the purge got (``--purge-status``).
+    arms_done: list = []
+
+    def _arm_done(name: str) -> None:
+        arms_done.append(name)
+        pending["arms_done"] = arms_done
+        pending["heartbeat_ts"] = time.time()
+        _write_purge_marker(base_path, pending)
+
     n_corpus = 0
     corpus_path = _corpus_path(base_path)
     if n_doomed and sinks.has_parquet_data(corpus_path):
@@ -681,17 +976,33 @@ def purge_documents(
             partitions=[sinks.BUCKET_COL],
             protocol=protocol,
         )
+    _arm_done("corpus")
     if n_doomed:
         idx = dedup_index_delete(
             hashes, _index_path(base_path), bands=bands, protocol=protocol
         )
     else:
         idx = {"hashes_deleted": 0, "bands_deleted": 0}
+    _arm_done("index")
     n_ann = 0
     if ann_path is not None and ann_vec_ids is not None:
         from wcdimportbot_spark.operators.ann_store import ann_index_delete
 
         n_ann = ann_index_delete(ann_vec_ids, ann_path, protocol=protocol)
+        _arm_done("ann")
+    elif bound_vec_df is not None:
+        from wcdimportbot_spark.operators.ann_store import (
+            _codes_path,
+            ann_index_delete,
+        )
+
+        # binding-derived arm: absent codes (store not built yet, or
+        # vectors never encoded) is the swallowed delete-twice case
+        if sinks.has_parquet_data(_codes_path(bound_ann_path)):
+            n_ann = ann_index_delete(
+                bound_vec_df, bound_ann_path, protocol=protocol
+            )
+        _arm_done("ann")
     n_items = n_claims = n_cache = 0
     if graph_store is not None and item_hashes is not None:
         from wcdimportbot_spark.operators import cache as cache_ops
@@ -739,14 +1050,12 @@ def purge_documents(
                 qids = spark.createDataFrame(
                     [(q,) for q in q_list], "subject_qid string"
                 )
-                _write_purge_marker(
-                    base_path,
-                    {
-                        **pending,
-                        "graph_hash_digest": g_digest,
-                        "graph_subject_qids": q_list,
-                    },
-                )
+                # update pending IN PLACE: the arm heartbeats rewrite
+                # the same dict, so a merged-copy write here would lose
+                # the qid resolution at the next heartbeat
+                pending["graph_hash_digest"] = g_digest
+                pending["graph_subject_qids"] = q_list
+                _write_purge_marker(base_path, pending)
         if sinks.has_parquet_data(gpaths["items"]):
             n_items = sinks.merge_delete_items(
                 spark, doomed_hashes, gpaths["items"], protocol=protocol
@@ -759,6 +1068,7 @@ def purge_documents(
             n_cache = cache_ops.merge_delete_cache(
                 spark, doomed_hashes, gpaths["cache"], protocol=protocol
             )
+        _arm_done("graph")
     n_outputs = 0
     if output_dirs and n_doomed:
         # consumer-facing gate outputs: scrub the touched batch
@@ -769,6 +1079,7 @@ def purge_documents(
             n_outputs += purge_output_partitions(spark, hashes, d)[
                 "rows_deleted"
             ]
+        _arm_done("outputs")
     out = {
         "corpus_deleted": int(n_corpus),
         "hashes_deleted": int(idx["hashes_deleted"]),
@@ -921,14 +1232,21 @@ def curate_refresh(
         spill_ok = spill_rel and sinks.has_parquet_data(
             os.path.join(base_path, spill_rel)
         )
-        if prior.get("arms") != ["corpus", "index"] or not (
+        # binding-derived ANN arms are auto-replayable: the replay's
+        # plain hash-form purge re-derives the arm from the binding and
+        # inherits the recorded vec-id resolution from the marker
+        replayable_arms = prior.get("arms") == ["corpus", "index"] or (
+            prior.get("arms") == ["corpus", "index", "ann"]
+            and prior.get("ann_from_binding")
+        )
+        if not replayable_arms or not (
             prior.get("doomed_hashes") or spill_ok
         ):
-            # a crashed MULTI-ARM purge (graph/ann/outputs) must be
-            # replayed by its owner with the full arm set — an
-            # auto-replay here would flip the marker to committed with
-            # those arms unpurged (the narrower-purge hazard the arm
-            # recording exists to prevent)
+            # a crashed MULTI-ARM purge (explicit graph/ann/outputs
+            # args) must be replayed by its owner with the full arm set
+            # — an auto-replay here would flip the marker to committed
+            # with those arms unpurged (the narrower-purge hazard the
+            # arm recording exists to prevent)
             raise RuntimeError(
                 f"a crashed purge with arms {prior.get('arms')} is "
                 f"pending on {base_path}; replay it with its original "
