@@ -7,40 +7,37 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  121 queries, all DuckDB-verified — the ANN top-k variants emit an
+  124 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window prioritizes, in round 12: the
-  three new rows (``s12_purge_propagation`` — the composed document
-  purge: corpus + dedup-index hash/band fingerprints + the docs' graph
-  items/claims/cache rows leave under one self-describing two-phase
-  marker (arm set + resolved claim subjects recorded for crash replay),
-  the purged content's re-ingest is ACCEPTED back, and the replay runs
-  the history VACUUM (late r12): every touched store keeps exactly its
-  current tree and a recursive disk scan of all remaining parquet finds
-  zero doomed fingerprints — time travel cannot resurrect purged rows;
-  ``s12_curation_refresh`` — the re-crawl refresh increment: changed
-  re-sends REPLACE their old corpus rows and the store hash-matches the
-  one-shot closed form over latest versions; ``s12_maintenance_
-  composition`` — merge → split → evolve → delete → compact → upsert on
-  ONE store with sidecar/routing/inode pins after every engine), every
-  row whose write path changed in round 12 (the hash-ATTRIBUTED bands
-  store + ``dedup_index_delete`` behind ``dedup_incremental``/
-  ``dedup_incremental_maint``/``curation_incremental_store``; the
-  upsert matched-dir guard and distinct-key counts behind
-  ``s11_upsert_rewrite``; the optimistic touched-list reset behind
-  ``s9_optimistic_commits``/``s11_pruned_delete``; the ANN
-  ``drift_ratio`` + optimistic first-commit stamping behind
-  ``sim_ann_delete`` (extended in-row with the symmetric staleness
-  assert), ``sim_ann_index_maint`` and ``sim_ann_retrain``), the
-  late-r12 ``sim_ann_upsert`` (re-crawl refresh at the ANN layer:
-  matched vec_ids REPLACED and re-clustered — plain add-batch would
-  duplicate a changed vector beside its stale row), the late-r12
-  ``train_shard_purge`` (purge propagation into SHIPPED training
-  shards: touched split=/shard= partitions named CLOSED-FORM from the
-  doomed keys, untouched partition inodes pinned, surviving pos values
-  oracle-verified against the full recomputed epoch permutation), and
-  sentinels — one per operator family already driver-verified in
-  r5-r11 — for the rest.
+  ordered so the driver's 50-query window prioritizes, in round 13: the
+  three new rows (``s13_purge_race`` — the purge-vs-writer race
+  contract: a purge deterministically straddling a concurrent
+  curate_increment's two merges (the interleaving that used to leave
+  the corpus-dropped/index-remembered mixed state) is detected by the
+  increment's marker-fingerprint repair and converges onto the
+  purge→ingest serial order — content in corpus AND index hashes AND
+  index bands TOGETHER, bystanders intact, marker committed, corpus
+  hash-matching the closed form after cleanup; ``s13_purge_spill_
+  replay`` — bulk-purge crash replay above the marker cap: the resolved
+  hash set SPILLS to a parquet side relation the pending marker points
+  at, the purge is crashed between the corpus and index arms, and the
+  id-form replay converges FROM THE SPILL ALONE (index forgets all 5
+  fingerprints, spill removed at commit, re-ingest ACCEPTED back);
+  ``s13_ann_binding`` — the bound ANN purge arm: after bind_ann_store
+  declares which ANN store indexes the corpus, purge_documents derives
+  the doomed vec_ids ITSELF — id-form directly, hash-form through one
+  pre-corpus-arm resolution recorded in the marker, crash-replayable
+  from that record), every row whose write path changed in round 13
+  (the curate_increment race repair + per-arm marker heartbeats +
+  distributive marker digests behind ``s12_purge_propagation``/
+  ``s12_curation_refresh``/``s12_maintenance_composition``/
+  ``curation_incremental_store``; the staged-swap scrub engine — kept
+  rows staged to disk, two-rename partition swaps with crash healing,
+  replacing block-manager materialization — behind
+  ``train_shard_purge``), the round-12 write-path rows re-verified
+  (attributed bands store, upsert/delete inode contracts, optimistic
+  commits, ANN lifecycle + upsert), and sentinels — one per operator
+  family already driver-verified in r5-r12 — for the rest.
   ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
   count so the docs cannot drift from ``len(QUERIES)`` again.
 """

@@ -822,3 +822,61 @@ def test_cli_purge_status(spark, tmp_path, capsys):
     marker = json.loads(capsys.readouterr().out)
     assert marker["status"] == "committed"
     assert marker["arms"] == ["corpus", "index"]
+
+
+def test_cli_bind_ann_and_derived_purge_arm(spark, tmp_path, capsys):
+    """--bind-ann records the ANN binding; a later --purge-docs with NO
+    --purge-ann-ids still prunes the doomed vectors from the codes
+    store (the r12 forgotten-arm hazard, closed)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_build,
+        read_ann_codes,
+    )
+
+    store = str(tmp_path / "store")
+    cur = str(tmp_path / "cur")
+    ann_dir = str(tmp_path / "ann")
+    docs_p = str(tmp_path / "docs.parquet")
+    ids_p = str(tmp_path / "ids.parquet")
+
+    t_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    t_b = ("Completely different words are written about the spark "
+           "catalyst optimizer plans and how they work in practice.")
+    spark.createDataFrame(
+        [(1, t_a), (2, t_b)], "doc_id long, text string"
+    ).write.parquet(docs_p)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--curate-increment", docs_p]) == 0
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(8)
+        .withColumn(
+            "vec_id",
+            F.row_number().over(Window.orderBy("vec_id")).cast("long"),
+        )
+    )
+    ann_index_build(emb, ann_dir)
+    capsys.readouterr()
+
+    assert main(["--store", store, "--curation-store", cur,
+                 "--ann-store", ann_dir, "--bind-ann"]) == 0
+    bound = json.loads(capsys.readouterr().out)
+    assert bound == {"bound": ann_dir, "key": "doc_id"}
+
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(ids_p)
+    assert main(["--store", store, "--curation-store", cur,
+                 "--purge-docs", ids_p]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["corpus_deleted"] == 1
+    assert res["ann_deleted"] == 1
+    assert res["state"] == "committed"
+    assert (
+        read_ann_codes(spark, ann_dir)
+        .filter(F.col("vec_id") == 1)
+        .count()
+        == 0
+    )

@@ -334,6 +334,18 @@ def main(argv=None) -> int:
         "GDPR-complete scrub",
     )
     parser.add_argument(
+        "--bind-ann",
+        metavar="KEY",
+        nargs="?",
+        const="doc_id",
+        help="bind --ann-store to --curation-store's corpus keyed by "
+        "KEY (default doc_id): every later --purge-docs then derives "
+        "the doomed vec_ids ITSELF and prunes the ANN codes store with "
+        "no --purge-ann-ids argument — the binding closes the "
+        "forgotten-arm hazard, and the marker records the resolution "
+        "for crash replay",
+    )
+    parser.add_argument(
         "--bpe-train",
         metavar="DOCS",
         help="train a BPE merge table on a documents parquet and "
@@ -761,6 +773,22 @@ def main(argv=None) -> int:
                 )
             row = ann.agg(*agg).first()
             print(json.dumps({k: int(row[k] or 0) for k in row.asDict()}))
+
+    elif args.bind_ann:
+        if not (args.curation_store and args.ann_store):
+            parser.error(
+                "--bind-ann needs --curation-store and --ann-store"
+            )
+        from wcdimportbot_spark.plans import curation_nightly as cn
+
+        cn.bind_ann_store(
+            args.curation_store, args.ann_store, key=args.bind_ann
+        )
+        print(
+            json.dumps(
+                {"bound": args.ann_store, "key": args.bind_ann}
+            )
+        )
 
     elif (args.ann_build or args.ann_add or args.ann_probe
           or args.ann_retrain or args.ann_delete or args.ann_upsert):

@@ -5023,6 +5023,362 @@ def s13_purge_race(spark, sf_dir):
 QUERIES["s13_purge_race"].oracle = _purge_race_oracle()
 
 
+def _purge_spill_oracle():
+    from wcdimportbot_spark.operators.text_analysis import document_profile_sql
+
+    profile = document_profile_sql("documents")
+    # purge 5 winners → crash → replay from the SPILL → re-ingest them:
+    # the round trip is content-invariant (delete → re-import), so the
+    # final corpus is the one-shot closed form over the seeded subset
+    return f"""
+    WITH profile AS ({profile}),
+    deduped AS (
+      SELECT d.doc_id, p.quality, p.detected_lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN profile p ON p.doc_id = d.doc_id
+      WHERE d.doc_id <= 1000
+    )
+    SELECT detected_lang,
+           CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           TRUE AS spill_recorded, TRUE AS replay_converged,
+           TRUE AS spill_removed, TRUE AS reingest_accepted
+    FROM deduped GROUP BY detected_lang
+    HAVING SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) > 0
+    """
+
+
+@register(
+    "s13_purge_spill_replay",
+    "LLM-ops bulk-purge crash replay from the spill (r12 verdict Next #2)",
+    "a purge whose resolved hash set exceeds MARKER_HASHES_CAP (patched "
+    "to 2 in-row so the contract runs at test scale) SPILLS the set to "
+    "a parquet side relation under base/_PURGE_SPILL/<digest> — a "
+    "distributed write, zero driver bytes — and the pending marker "
+    "records its path. The purge is crashed between the corpus arm and "
+    "the index arm (the corpus rows an id-form replay would re-resolve "
+    "from are then GONE); the replay with the same id input converges "
+    "FROM THE SPILL ALONE: the index forgets all 5 fingerprints, the "
+    "marker commits, the spill dir is removed, and re-ingesting the "
+    "purged content is ACCEPTED back — the corpus hash-matches the "
+    "one-shot closed form over the seeded subset",
+    None,  # closed-form oracle attached below
+)
+def s13_purge_spill_replay(spark, sf_dir):
+    """plans/curation_nightly.purge_documents above the marker cap: the
+    resolved hash set spills to parquet instead of bloating the marker
+    JSON or collecting to the driver. Scale shape: the spill write is
+    one O(doomed) distributed parquet job; replay reads it back as a
+    relation — bulk purges of millions of hashes stay crash-replayable
+    with bounded driver memory."""
+    import os
+    import shutil
+    import tempfile
+    import unittest.mock as mock
+
+    import wcdimportbot_spark.operators.text_dedup as td
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 1000)
+        .coalesce(4)
+    )
+    base = tempfile.mkdtemp(prefix="wcd-purgespill-")
+    cap0 = cn.MARKER_HASHES_CAP
+    try:
+        cn.MARKER_HASHES_CAP = 2
+        ann1 = cn.curate_increment(docs, base)
+        doomed_rows = (
+            ann1.filter(F.col("kept"))
+            .orderBy("doc_id")
+            .limit(5)
+            .select("doc_id", "text_hash")
+            .collect()
+        )
+        doomed_ids = spark.createDataFrame(
+            [(r["doc_id"],) for r in doomed_rows], "doc_id long"
+        )
+        # crash between the corpus arm and the index arm
+        real = td.dedup_index_delete
+        crashed = False
+        try:
+            with mock.patch.object(
+                td,
+                "dedup_index_delete",
+                side_effect=RuntimeError("killed mid-purge"),
+            ):
+                cn.purge_documents(spark, doomed_ids, base)
+        except RuntimeError:
+            crashed = True
+        marker = cn.purge_state(base)
+        spill_p = os.path.join(base, marker.get("hashes_spill") or "_none")
+        spill_recorded = (
+            crashed
+            and td.dedup_index_delete is real
+            and marker["status"] == "pending"
+            and marker.get("hashes_recorded") is False
+            and "doomed_hashes" not in marker
+            and {
+                r["text_hash"]
+                for r in spark.read.parquet(spill_p).collect()
+            }
+            == {r["text_hash"] for r in doomed_rows}
+        )
+        # the corpus arm committed, so the id-form replay resolves
+        # nothing on its own — convergence comes from the spill
+        res = cn.purge_documents(spark, doomed_ids, base)
+        replay_converged = (
+            res["hashes_deleted"] == 5
+            and res["bands_deleted"] == 20
+            and cn.purge_state(base)["status"] == "committed"
+        )
+        spill_removed = not os.path.exists(
+            os.path.join(base, "_PURGE_SPILL")
+        )
+        # the index truly forgot: re-ingest is accepted back
+        resend = docs.join(F.broadcast(doomed_ids), "doc_id", "left_semi")
+        ann2 = cn.curate_increment(resend, base)
+        reingest_accepted = (
+            ann2.filter(F.col("kept") & ~F.col("dup_of_history")).count()
+            == 5
+        )
+        out = (
+            cn.read_curated_corpus(spark, base)
+            .groupBy("detected_lang")
+            .agg(F.count("*").alias("n_kept"))
+            .withColumn("spill_recorded", F.lit(bool(spill_recorded)))
+            .withColumn(
+                "replay_converged", F.lit(bool(replay_converged))
+            )
+            .withColumn("spill_removed", F.lit(bool(spill_removed)))
+            .withColumn(
+                "reingest_accepted", F.lit(bool(reingest_accepted))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cn.MARKER_HASHES_CAP = cap0
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+QUERIES["s13_purge_spill_replay"].oracle = _purge_spill_oracle()
+
+
+def _ann_binding_oracle():
+    from wcdimportbot_spark.operators.text_analysis import document_profile_sql
+
+    profile = document_profile_sql("documents")
+    # 4 winners purged (2 id-form, 1 hash-form, 1 crash-replayed) then
+    # re-ingested: corpus back to the closed form; the binding contract
+    # itself is pinned by the boolean columns
+    return f"""
+    WITH profile AS ({profile}),
+    deduped AS (
+      SELECT d.doc_id, p.quality, p.detected_lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN profile p ON p.doc_id = d.doc_id
+      WHERE d.doc_id <= 600
+    )
+    SELECT detected_lang,
+           CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           TRUE AS id_form_derived, TRUE AS hash_form_resolved,
+           TRUE AS crash_replay_inherited, TRUE AS codes_pruned
+    FROM deduped GROUP BY detected_lang
+    HAVING SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) > 0
+    """
+
+
+@register(
+    "s13_ann_binding",
+    "LLM-ops bound ANN purge arm (r12 verdict Next #5)",
+    "bind_ann_store declares 'the ANN store at PATH indexes this "
+    "corpus, vec_id = doc_id'; from then on purge_documents derives "
+    "the doomed vec_ids ITSELF — a doc-purge caller that maintains an "
+    "ANN index can no longer silently leave vectors behind by "
+    "forgetting the ann_vec_ids argument. In-row: an id-form purge of "
+    "2 docs removes their vectors with no ANN argument (arm list "
+    "records 'ann'); a hash-form purge of 1 doc resolves its vec_id "
+    "through one pre-corpus-arm scan; a hash-form purge CRASHED after "
+    "the index arm (corpus rows gone, codes still holding the vector) "
+    "replays to convergence from the marker's recorded vec-id "
+    "resolution; re-ingesting all 4 docs returns the corpus to the "
+    "one-shot closed form over the seeded subset",
+    None,  # closed-form oracle attached below
+)
+def s13_ann_binding(spark, sf_dir):
+    """plans/curation_nightly.bind_ann_store + the derived ANN arm in
+    purge_documents. Scale shape: id-form derivation is free (the input
+    ids ARE the vec_ids); hash-form adds one column-pruned two-column
+    corpus scan bounded by the broadcast hash set, recorded in the
+    marker (or spilled) for crash replay; the codes delete stays the
+    same partition-pruned copy-on-write rewrite as the explicit arm."""
+    import os
+    import shutil
+    import tempfile
+    import unittest.mock as mock
+
+    from pyspark.sql.window import Window as _W
+
+    import wcdimportbot_spark.operators.text_dedup as td
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_build,
+        read_ann_codes,
+    )
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 600)
+        .coalesce(4)
+    )
+    base = tempfile.mkdtemp(prefix="wcd-annbind-")
+    try:
+        ann1 = cn.curate_increment(docs, base)
+        kept = {
+            r["doc_id"]: r["text_hash"]
+            for r in ann1.filter(F.col("kept"))
+            .orderBy("doc_id")
+            .limit(4)
+            .select("doc_id", "text_hash")
+            .collect()
+        }
+        kept_ids = sorted(kept)
+        # ANN store whose vec_ids ARE corpus doc_ids (the binding key):
+        # deterministic re-key of the embeddings subset
+        emb = (
+            load(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(64)
+            .withColumn(
+                "_rn",
+                F.row_number().over(_W.orderBy("vec_id")).cast("long"),
+            )
+        )
+        id_map = spark.createDataFrame(
+            [(i + 1, int(d)) for i, d in enumerate(kept_ids)],
+            "_rn long, new_id long",
+        )
+        emb = (
+            emb.join(id_map, "_rn", "left")
+            .withColumn(
+                "vec_id",
+                F.coalesce(F.col("new_id"), F.col("_rn") + 1_000_000),
+            )
+            .drop("_rn", "new_id")
+        )
+        ann_path = os.path.join(base, "ann_store")
+        ann_index_build(emb, ann_path)
+        cn.bind_ann_store(base, "ann_store", key="doc_id")
+
+        def codes_has(ids):
+            return (
+                read_ann_codes(spark, ann_path)
+                .filter(F.col("vec_id").isin([int(i) for i in ids]))
+                .count()
+            )
+
+        # id-form: vec_ids derived from the input, no ANN argument
+        res1 = cn.purge_documents(
+            spark,
+            spark.createDataFrame(
+                [(kept_ids[0],), (kept_ids[1],)], "doc_id long"
+            ),
+            base,
+        )
+        id_form_derived = (
+            res1["ann_deleted"] == 2
+            and res1["corpus_deleted"] == 2
+            and cn.purge_state(base)["arms"]
+            == ["corpus", "index", "ann"]
+            and codes_has(kept_ids[:2]) == 0
+        )
+        # hash-form: vec_id resolved through the corpus before its arm
+        res2 = cn.purge_documents(
+            spark,
+            spark.createDataFrame(
+                [(kept[kept_ids[2]],)], "text_hash string"
+            ),
+            base,
+        )
+        hash_form_resolved = (
+            res2["ann_deleted"] == 1 and codes_has([kept_ids[2]]) == 0
+        )
+        # crash after the index arm: corpus rows gone, vector still
+        # stored — the replay inherits the marker's recorded vec_id
+        real = td.dedup_index_delete
+        calls = {"n": 0}
+
+        def crash_once(*a, **k):
+            if calls["n"] == 0:
+                calls["n"] = 1
+                real(*a, **k)
+                raise RuntimeError("killed after index arm")
+            return real(*a, **k)
+
+        crashed = False
+        try:
+            with mock.patch.object(td, "dedup_index_delete", crash_once):
+                cn.purge_documents(
+                    spark,
+                    spark.createDataFrame(
+                        [(kept[kept_ids[3]],)], "text_hash string"
+                    ),
+                    base,
+                )
+        except RuntimeError:
+            crashed = True
+        marker = cn.purge_state(base)
+        res3 = cn.purge_documents(
+            spark,
+            spark.createDataFrame(
+                [(kept[kept_ids[3]],)], "text_hash string"
+            ),
+            base,
+        )
+        crash_replay_inherited = (
+            crashed
+            and marker["status"] == "pending"
+            and marker.get("ann_vec_ids") == [kept_ids[3]]
+            and res3["ann_deleted"] == 1
+            and cn.purge_state(base)["status"] == "committed"
+        )
+        codes_pruned = codes_has(kept_ids) == 0
+        # re-ingest all 4: corpus returns to the closed form (vectors
+        # stay deleted — re-encoding is the refresh caller's upsert)
+        resend = docs.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in kept_ids], "doc_id long"
+                )
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        cn.curate_increment(resend, base)
+        out = (
+            cn.read_curated_corpus(spark, base)
+            .groupBy("detected_lang")
+            .agg(F.count("*").alias("n_kept"))
+            .withColumn("id_form_derived", F.lit(bool(id_form_derived)))
+            .withColumn(
+                "hash_form_resolved", F.lit(bool(hash_form_resolved))
+            )
+            .withColumn(
+                "crash_replay_inherited",
+                F.lit(bool(crash_replay_inherited)),
+            )
+            .withColumn("codes_pruned", F.lit(bool(codes_pruned)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+QUERIES["s13_ann_binding"].oracle = _ann_binding_oracle()
+
+
 #: the refresh row's text edit — must stay identical in the Spark body
 #: and the DuckDB closed form below
 _REFRESH_EDIT = " Edited again for the refresh contract row."
@@ -5715,41 +6071,41 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the three new round-12 rows ---
+    # --- the three new round-13 rows ---
+    "s13_purge_race",            # purge-vs-increment serializability
+    "s13_purge_spill_replay",    # over-cap crash replay from the spill
+    "s13_ann_binding",           # bound ANN arm: derived vec_ids
+    # --- rows whose WRITE PATH changed in round 13 (curate_increment
+    # race repair + marker heartbeats + distributive digests behind
+    # every curation/purge row; the staged-swap scrub engine behind
+    # train_shard_purge): re-verify ---
     "s12_purge_propagation",     # composed purge: index forgets, re-ingest OK
     "s12_curation_refresh",      # re-crawl replaces, no version accumulation
     "s12_maintenance_composition",  # all engines on ONE store, sidecars live
-    # --- rows whose WRITE PATH changed in round 12 (hash-attributed
-    # bands store + dedup_index_delete; upsert matched-dir guard +
-    # distinct-key counts; optimistic touched-list reset; ANN stats
-    # drift_ratio + optimistic first-commit stamp): re-verify ---
-    "sim_ann_delete",            # EXTENDED: + symmetric staleness assert
+    "curation_incremental_store",  # nightly loop == one-shot closed form
+    "train_shard_purge",         # shard purge through the staged-swap scrub
+    # --- round-12 write-path rows (re-verified r12, plans untouched
+    # in r13): keep the recent signal ---
+    "sim_ann_delete",            # + symmetric staleness assert
     "dedup_incremental",         # index merges through attributed engine
     "dedup_incremental_maint",   # two-batch maintenance loop
-    "curation_incremental_store",  # nightly loop == one-shot closed form
     "s11_upsert_rewrite",        # full-MERGE upsert inode contract
     "s11_pruned_delete",         # O(touched-buckets) DELETE inode contract
-    "s11_schema_evolution",      # additive evolution, sidecar reads
-    "s11_bucket_split",          # hot-bucket split inode contract
-    "s10_append_only_merge",     # O(batch) MERGE write-amp contract
     "s9_optimistic_commits",     # lock-free commits (touched-list reset)
     "sim_ann_index_maint",       # add-batch guard + optimistic stamping
     "sim_ann_retrain",           # lifecycle + pair stamps + stats reader
-    "sim_ann_upsert",            # NEW (late r12): re-crawl upsert — matched
-                                 # vec_ids replaced, moved clusters, inode +
-                                 # refreshed-corpus recall contract
-    # --- per-family standing coverage (r11-verified, plans untouched) ---
+    "sim_ann_upsert",            # re-crawl upsert: matched vec_ids replaced
+    # --- per-family standing coverage (plans untouched) ---
     "sim_ann_ivfpq",             # composed ANN + margin contract
     "dedup_embedding_ann",       # bucketed embedding near-dup
     "a15_windowed_sketch_distinct",  # per-window HLL sketch states
     "quality_classifier",        # hashed n-gram linear gate
     "bpe_merge_table",           # learned BPE tokenizer: training
-    # (dedup_semantic / decon_semantic / dedup_canonical_keep rotated
-    # out this round -- r11 driver-verified, plans untouched in r12;
-    # their families stay covered by dedup_embedding_ann and
-    # decon_ngram_overlap. dedup_cc_star rotated out late-r12 to make
-    # room for sim_ann_upsert: r11 driver-verified, plans untouched,
-    # family covered by dedup_cc_clusters)
+    # (s11_schema_evolution / s11_bucket_split / s10_append_only_merge
+    # rotated out this round — r12 driver-verified, plans untouched in
+    # r13; their families stay covered by s12_maintenance_composition,
+    # which runs evolve + split + merge on one store, plus
+    # s11_upsert_rewrite / s11_pruned_delete / s9_optimistic_commits)
     # --- sentinels, at least one per driver-proven family ---
     "s1_scan_pushdown",          # S1/S2 scan pushdown
     "s6_point_lookup",           # S6 KV point lookup
@@ -5777,11 +6133,8 @@ _WINDOW = [
     "dedup_cc_clusters",         # min-label duplicate clustering
     "decon_ngram_overlap",       # decontamination
     "curation_pipeline",         # composed curation pipeline
-    "train_shard_purge",         # NEW (late r12): training prep family —
-                                 # purge into shipped shards, closed-form
-                                 # prune (train_split_assign rotated out:
-                                 # r11-verified, plan untouched, family
-                                 # stays covered by this row)
+    # (train_shard_purge moved up to the r13 write-path section — the
+    # staged-swap scrub engine is its delete path now)
     "multimodal_codec_roundtrip",# multimodal codecs
     "q1_pricing_summary",        # TPC-H planner shapes
 ]
