@@ -331,3 +331,55 @@ def test_scrub_vs_new_batch_append(spark, tmp_path):
     # untouched old rows intact
     assert {f"h{i}" for i in range(12, 60)} <= survivors
     assert not os.path.exists(os.path.join(out, "_scrub_staging"))
+
+
+def test_crashed_pending_marker_does_not_wedge_increments(
+    spark, tmp_path, monkeypatch
+):
+    """A crashed purge's marker stays pending forever; increments must
+    proceed after the liveness timeout (its remaining arms will never
+    run, so no straddle is possible), not block behind it — and the
+    marker must survive untouched for its owner's replay."""
+    import time as _time
+    import unittest.mock as mock
+
+    import wcdimportbot_spark.operators.text_dedup as td
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    monkeypatch.setattr(cn, "PURGE_WAIT_SECS", 0.5)
+    base = str(tmp_path / "cur")
+    schema = "doc_id long, text string"
+    cn.curate_increment(spark.createDataFrame([(1, T_A)], schema), base)
+    with mock.patch.object(
+        td, "dedup_index_delete", side_effect=RuntimeError("killed")
+    ):
+        try:
+            cn.purge_documents(
+                spark,
+                spark.createDataFrame([(1,)], "doc_id long"),
+                base,
+            )
+        except RuntimeError:
+            pass
+    assert cn.purge_state(base)["status"] == "pending"
+    # age the marker past the (patched) liveness window
+    _time.sleep(0.6)
+
+    t0 = _time.time()
+    ann = {
+        r["doc_id"]: r
+        for r in cn.curate_increment(
+            spark.createDataFrame([(2, T_B)], schema), base
+        ).collect()
+    }
+    assert ann[2]["kept"]
+    # bounded wait: two settle calls at most ~2 timeouts plus the
+    # increment's own work — nowhere near a wedge
+    assert _time.time() - t0 < 60
+    marker = cn.purge_state(base)
+    assert marker["status"] == "pending"  # untouched, owner replays it
+    # and the owner's replay still converges afterward
+    cn.purge_documents(
+        spark, spark.createDataFrame([(1,)], "doc_id long"), base
+    )
+    assert cn.purge_state(base)["status"] == "committed"

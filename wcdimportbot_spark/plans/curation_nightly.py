@@ -166,13 +166,17 @@ def _marker_fingerprint(base_path: str) -> str:
         return ""
 
 
-def _settle_purges(base_path: str, timeout: float = PURGE_WAIT_SECS) -> str:
+def _settle_purges(base_path: str, timeout: float | None = None) -> str:
     """Wait until no LIVE purge is in flight on ``base_path`` and
     return the settled marker fingerprint. "Live" = a pending marker
-    younger than ``timeout``; an older pending marker is a CRASHED
+    whose freshest timestamp is younger than ``timeout`` (default: the
+    module's ``PURGE_WAIT_SECS``, resolved at CALL time so operators
+    and tests can retune it); an older pending marker is a CRASHED
     purge — its remaining arms will never run on their own, so it does
     not block (and its eventual replay, like any purge, changes the
     marker and triggers the caller's repair loop)."""
+    if timeout is None:
+        timeout = PURGE_WAIT_SECS
     deadline = time.time() + timeout
     while True:
         fp = _marker_fingerprint(base_path)
