@@ -383,3 +383,151 @@ def test_crashed_pending_marker_does_not_wedge_increments(
         spark, spark.createDataFrame([(1,)], "doc_id long"), base
     )
     assert cn.purge_state(base)["status"] == "committed"
+
+
+def _index_presence(spark, base, text_hash):
+    """(hashes_has, bands_has) for one hash on a standalone index."""
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+
+    def has(path):
+        if not sinks.has_parquet_data(path):
+            return False
+        return (
+            sinks.read_snapshot(spark, path)
+            .filter(F.col("text_hash") == text_hash)
+            .count()
+            > 0
+        )
+
+    return (
+        has(os.path.join(base, "hashes")),
+        has(os.path.join(base, "bands")),
+    )
+
+
+def test_index_delete_straddling_merge_repairs_blind_spot(
+    spark, tmp_path
+):
+    """Standalone-index seam (one level below the curation marker): a
+    dedup_index_delete landing between a merge's bands publish and its
+    hashes publish used to leave hash-present/bands-absent — a
+    PERMANENT near-dup blind spot (re-sends drop as exact dups before
+    reaching the band merge, so the bands can never backfill). The
+    delete-epoch repair must re-assert both publishes."""
+    import hashlib
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.operators import text_dedup as td
+
+    base = str(tmp_path / "idx")
+    schema = "doc_id long, text string"
+    # seed so both stores exist
+    td.dedup_index_ingest(
+        spark.createDataFrame([(1, T_A)], schema), base
+    )
+    h_d = hashlib.md5(T_D.encode()).hexdigest()
+
+    bands_merged = threading.Event()
+    delete_done = threading.Event()
+    real_mw = sinks._merge_write
+    state = {"armed": True}
+
+    def gated_mw(spark_, df, path, **kw):
+        out = real_mw(spark_, df, path, **kw)
+        if state["armed"] and path.endswith("bands"):
+            state["armed"] = False
+            bands_merged.set()
+            assert delete_done.wait(120), "delete never ran"
+        return out
+
+    errs = []
+
+    def run_merge():
+        try:
+            td.dedup_index_ingest(
+                spark.createDataFrame([(10, T_D)], schema), base
+            )
+        except Exception as e:
+            errs.append(e)
+
+    with mock.patch.object(sinks, "_merge_write", gated_mw):
+        t = threading.Thread(target=run_merge)
+        t.start()
+        assert bands_merged.wait(120), "merge never published bands"
+        # full delete INSIDE the merge's two-publish window
+        td.dedup_index_delete(
+            spark.createDataFrame([(h_d,)], "text_hash string"), base
+        )
+        delete_done.set()
+        t.join(300)
+        assert not t.is_alive() and not errs, errs
+
+    # the repair re-asserted both publishes: delete→merge serial order,
+    # content fully indexed — never the hashes-only blind spot
+    assert _index_presence(spark, base, h_d) == (True, True)
+    # near-dup detection actually works for it (the blind spot would
+    # pass this content straight through the band probe)
+    ann, _s = td.dedup_index_probe(
+        spark.createDataFrame([(20, T_D)], schema), base
+    )
+    row = ann.collect()[0]
+    assert row["exact_dup_of_history"] and row["near_dup_of_history"]
+
+
+def test_index_merge_vs_delete_threaded_stress(spark, tmp_path):
+    """Unsynchronized merge-vs-delete on one standalone index: whatever
+    the scheduler picks, hashes and bands must agree about the
+    contested content (one of the two serial orders) and the bystander
+    content stays fully indexed."""
+    import hashlib
+
+    from wcdimportbot_spark.operators import text_dedup as td
+
+    schema = "doc_id long, text string"
+    h_d = hashlib.md5(T_D.encode()).hexdigest()
+    for rnd, stagger in enumerate((0.0, 0.2)):
+        base = str(tmp_path / f"idx{rnd}")
+        td.dedup_index_ingest(
+            spark.createDataFrame([(1, T_A)], schema), base
+        )
+        errs = []
+
+        def run_merge():
+            try:
+                td.dedup_index_ingest(
+                    spark.createDataFrame(
+                        [(10, T_D), (11, T_B)], schema
+                    ),
+                    base,
+                )
+            except Exception as e:
+                errs.append(e)
+
+        def run_delete():
+            try:
+                time.sleep(stagger)
+                td.dedup_index_delete(
+                    spark.createDataFrame(
+                        [(h_d,)], "text_hash string"
+                    ),
+                    base,
+                )
+            except Exception as e:
+                errs.append(e)
+
+        t1 = threading.Thread(target=run_merge)
+        t2 = threading.Thread(target=run_delete)
+        t1.start()
+        t2.start()
+        t1.join(300)
+        t2.join(300)
+        assert not t1.is_alive() and not t2.is_alive()
+        assert not errs, errs
+        hh, bb = _index_presence(spark, base, h_d)
+        assert hh == bb, (rnd, hh, bb)
+        for t_text in (T_A, T_B):
+            h = hashlib.md5(t_text.encode()).hexdigest()
+            assert _index_presence(spark, base, h) == (True, True)

@@ -868,6 +868,59 @@ def _record_index_params(
     os.replace(tmp, p)
 
 
+#: symmetric epoch sidecars (r13, the index-level twin of the curation
+#: purge marker's heartbeat). Each writer BRACKETS its two-publish
+#: window with bumps of its OWN epoch and re-checks the OTHER side's
+#: epoch across that window, re-asserting both of its publishes when
+#: it changed — so every merge-vs-delete interleaving converges on a
+#: serial order without any cross-writer lock. Why both sides: the
+#: merge-side check alone misses the interleaving where the delete's
+#: SECOND sub-delete lands after the merge's re-check (bump1 → e0-read
+#: → M_bands → D_hashes → M_hashes → check-clean → D_bands → bump2 —
+#: final: hash present / bands absent, the permanent near-dup blind
+#: spot, since re-sends drop as exact dups before reaching the band
+#: merge). There the MERGE publishes land inside the DELETE's window,
+#: so the delete-side check catches it and re-runs both deletes
+#: (merge→delete serial). The opposite mixed state (hash absent /
+#: bands present) is impossible by order algebra: it would need
+#: M_h < D_h < D_b < M_b while the merge runs bands first (M_b < M_h).
+#: Re-runs are cheap: insert-if-absent / swallowed-delete no-ops
+#: unless the two writers actually contested the same keys.
+DELETE_EPOCH_FILE = "_DELETE_EPOCH.json"
+MERGE_EPOCH_FILE = "_MERGE_EPOCH.json"
+
+
+def _epoch(base_path: str, fname: str) -> str:
+    """Raw bytes of an epoch sidecar ('' when absent)."""
+    import os
+
+    try:
+        with open(os.path.join(base_path, fname), encoding="ascii") as f:
+            return f.read()
+    except OSError:
+        return ""
+
+
+def _bump_epoch(base_path: str, fname: str) -> None:
+    import json
+    import os
+    import time
+
+    try:
+        with open(os.path.join(base_path, fname), encoding="ascii") as f:
+            n = int(json.load(f).get("epoch", 0))
+    except (OSError, ValueError):
+        n = 0
+    os.makedirs(base_path, exist_ok=True)
+    p = os.path.join(base_path, fname)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump({"epoch": n + 1, "ts": time.time()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
 def dedup_index_ingest(
     new_docs: DataFrame,
     base_path: str,
@@ -1004,7 +1057,20 @@ def dedup_index_merge(
     an annotation nuance (reported near-dup instead of exact-dup), not a
     survivorship hole. The reverse order is a permanent near-dup blind
     spot: hash-present/bands-missing docs are filtered as exact dups on
-    replay and their band buckets can never be backfilled."""
+    replay and their band buckets can never be backfilled.
+
+    Concurrency (r13): a concurrent :func:`dedup_index_delete` landing
+    BETWEEN the two publishes can produce exactly that blind-spot state
+    from the outside (M_bands → D_hashes → D_bands → M_hashes). Both
+    writers bracket their two-publish windows with epoch bumps
+    (``_DELETE_EPOCH.json`` / ``_MERGE_EPOCH.json``) and re-assert both
+    of their publishes when the OTHER side's epoch changed across the
+    window — the last overlap-free pass wins both stores, so every
+    interleaving converges on a serial order (see the
+    ``DELETE_EPOCH_FILE`` note for why one-sided detection is not
+    enough). The opposite mixed state — hash absent / bands present —
+    is impossible by order algebra (it would need the merge's hash
+    publish before its own bands publish)."""
     import os
 
     from wcdimportbot_spark.operators import sinks
@@ -1029,11 +1095,31 @@ def dedup_index_merge(
         s_bands = _attributed_bands(
             survivors, num_hashes, bands, id_col, text_col, shingle_n
         )
-    if sinks._merge_protocol(protocol) == "optimistic":
-        # same bands-before-hashes crash ordering, committed lock-free
-        # through the rename arbiter (versioned.py §optimistic) — the
-        # multi-host form of the production ingest loop
-        sinks._merge_write_optimistic(
+    def _do() -> None:
+        if sinks._merge_protocol(protocol) == "optimistic":
+            # same bands-before-hashes crash ordering, committed
+            # lock-free through the rename arbiter (versioned.py
+            # §optimistic) — the multi-host form of the ingest loop
+            sinks._merge_write_optimistic(
+                spark,
+                _with_band_key(s_bands),
+                os.path.join(base_path, "bands"),
+                bucket_key="bk",
+                anti_key="bk",
+                partitions=[sinks.BUCKET_COL],
+                dedup_key="bk",
+            )
+            sinks._merge_write_optimistic(
+                spark,
+                s_hashes,
+                os.path.join(base_path, "hashes"),
+                bucket_key="text_hash",
+                anti_key="text_hash",
+                partitions=[sinks.BUCKET_COL],
+                dedup_key="text_hash",
+            )
+            return
+        sinks._merge_write(
             spark,
             _with_band_key(s_bands),
             os.path.join(base_path, "bands"),
@@ -1041,8 +1127,10 @@ def dedup_index_merge(
             anti_key="bk",
             partitions=[sinks.BUCKET_COL],
             dedup_key="bk",
+            read_fn=sinks.read_snapshot,
+            write_fn=_write_band_store_unlocked,
         )
-        sinks._merge_write_optimistic(
+        sinks._merge_write(
             spark,
             s_hashes,
             os.path.join(base_path, "hashes"),
@@ -1050,29 +1138,28 @@ def dedup_index_merge(
             anti_key="text_hash",
             partitions=[sinks.BUCKET_COL],
             dedup_key="text_hash",
+            read_fn=sinks.read_snapshot,
+            write_fn=_write_hash_store_unlocked,
         )
-        return
-    sinks._merge_write(
-        spark,
-        _with_band_key(s_bands),
-        os.path.join(base_path, "bands"),
-        bucket_key="bk",
-        anti_key="bk",
-        partitions=[sinks.BUCKET_COL],
-        dedup_key="bk",
-        read_fn=sinks.read_snapshot,
-        write_fn=_write_band_store_unlocked,
-    )
-    sinks._merge_write(
-        spark,
-        s_hashes,
-        os.path.join(base_path, "hashes"),
-        bucket_key="text_hash",
-        anti_key="text_hash",
-        partitions=[sinks.BUCKET_COL],
-        dedup_key="text_hash",
-        read_fn=sinks.read_snapshot,
-        write_fn=_write_hash_store_unlocked,
+
+    # MERGE-vs-DELETE race repair (r13, the index-level twin of the
+    # curation purge repair — see the DELETE_EPOCH_FILE note for the
+    # full interleaving algebra): bracket our own window with
+    # merge-epoch bumps (the delete-side check reads them) and
+    # re-assert both merges whenever a delete bump landed inside it,
+    # converging on the delete→merge serial order. Cost on the no-race
+    # path: two small file reads + two writes.
+    for _attempt in range(5):
+        e0 = _epoch(base_path, DELETE_EPOCH_FILE)
+        _bump_epoch(base_path, MERGE_EPOCH_FILE)
+        _do()
+        _bump_epoch(base_path, MERGE_EPOCH_FILE)
+        if _epoch(base_path, DELETE_EPOCH_FILE) == e0:
+            return
+    raise RuntimeError(
+        f"dedup_index_delete kept landing inside one merge's window on "
+        f"{base_path} (5 repair attempts) — quiesce the delete loop "
+        f"and re-send the batch"
     )
 
 
@@ -1140,35 +1227,68 @@ def dedup_index_delete(
     )
     hpath = os.path.join(base_path, "hashes")
     bpath = os.path.join(base_path, "bands")
-    n_hashes = 0
-    if sinks.has_parquet_data(hpath):
-        n_hashes = sinks.delete_from_store(
-            spark,
-            doomed,
-            hpath,
-            key="text_hash",
-            bucket_key="text_hash",
-            partitions=[sinks.BUCKET_COL],
-            protocol=protocol,
-        )
-    n_bands = 0
-    if sinks.has_parquet_data(bpath):
-        if "text_hash" not in sinks.read_snapshot(spark, bpath).columns:
-            raise ValueError(
-                f"bands store {bpath} predates hash attribution (rows "
-                f"keyed band#bucket carry no text_hash) and cannot be "
-                f"pruned by content hash — rebuild the index to migrate"
+
+    def _do() -> tuple[int, int]:
+        n_h = 0
+        if sinks.has_parquet_data(hpath):
+            n_h = sinks.delete_from_store(
+                spark,
+                doomed,
+                hpath,
+                key="text_hash",
+                bucket_key="text_hash",
+                partitions=[sinks.BUCKET_COL],
+                protocol=protocol,
             )
-        n_bands = sinks.delete_from_store(
-            spark,
-            _band_keys_for_hashes(doomed, bands),
-            bpath,
-            key="bk",
-            bucket_key="bk",
-            partitions=[sinks.BUCKET_COL],
-            protocol=protocol,
-        )
-    return {"hashes_deleted": int(n_hashes), "bands_deleted": int(n_bands)}
+        n_b = 0
+        if sinks.has_parquet_data(bpath):
+            if "text_hash" not in sinks.read_snapshot(
+                spark, bpath
+            ).columns:
+                raise ValueError(
+                    f"bands store {bpath} predates hash attribution "
+                    f"(rows keyed band#bucket carry no text_hash) and "
+                    f"cannot be pruned by content hash — rebuild the "
+                    f"index to migrate"
+                )
+            n_b = sinks.delete_from_store(
+                spark,
+                _band_keys_for_hashes(doomed, bands),
+                bpath,
+                key="bk",
+                bucket_key="bk",
+                partitions=[sinks.BUCKET_COL],
+                protocol=protocol,
+            )
+        return n_h, n_b
+
+    # MERGE-vs-DELETE race repair, delete side (see DELETE_EPOCH_FILE):
+    # bracket our window with delete-epoch bumps (the merge side reads
+    # them) and re-run both deletes whenever a merge's publishes landed
+    # inside it — that covers the interleaving where OUR second
+    # sub-delete lands after the merge's re-check, which the merge side
+    # alone cannot see. Re-runs on already-deleted keys are swallowed
+    # no-ops; actual re-deletes of rows a racing merge re-inserted are
+    # real deletions and accumulate into the returned counts
+    # (merge→delete serial order: the content ends up gone from both).
+    n_hashes = n_bands = 0
+    for _attempt in range(5):
+        m0 = _epoch(base_path, MERGE_EPOCH_FILE)
+        _bump_epoch(base_path, DELETE_EPOCH_FILE)
+        n_h, n_b = _do()
+        _bump_epoch(base_path, DELETE_EPOCH_FILE)
+        n_hashes += n_h
+        n_bands += n_b
+        if _epoch(base_path, MERGE_EPOCH_FILE) == m0:
+            return {
+                "hashes_deleted": int(n_hashes),
+                "bands_deleted": int(n_bands),
+            }
+    raise RuntimeError(
+        f"dedup_index_merge kept landing inside one delete's window on "
+        f"{base_path} (5 repair attempts) — quiesce the ingest loop "
+        f"and replay the delete"
+    )
 
 
 def dedup_index_tables_write(
