@@ -531,3 +531,185 @@ def test_index_merge_vs_delete_threaded_stress(spark, tmp_path):
         for t_text in (T_A, T_B):
             h = hashlib.md5(t_text.encode()).hexdigest()
             assert _index_presence(spark, base, h) == (True, True)
+
+
+def _graph_presence(spark, gpaths, h):
+    """(items_has, cache_has) for one identity hash."""
+    from wcdimportbot_spark.operators import sinks
+
+    def has(path, reader):
+        if not sinks.has_parquet_data(path):
+            return False
+        return reader(spark, path).filter(F.col("hash") == h).count() > 0
+
+    from wcdimportbot_spark.operators.cache import read_cache
+
+    return (
+        has(gpaths["items"], sinks.read_items),
+        has(gpaths["cache"], lambda s, p: read_cache(s, p)),
+    )
+
+
+_PAGES_SCHEMA = (
+    "page_id long, title string, language_code string, "
+    "latest_revision_id long, wikitext string"
+)
+
+
+def _race_pages(spark):
+    wt1 = ("{{cite web |url=https://one.example.com/a |title=A "
+           "|last=Author |first=B. |access-date=2024-01-01}}")
+    wt2 = ("{{cite web |url=https://two.example.com/b |title=B "
+           "|last=Author |first=C. |access-date=2024-01-01}}")
+    return spark.createDataFrame(
+        [(1, "Page One", "en", 1001, wt1), (2, "Page Two", "en", 1002, wt2)],
+        _PAGES_SCHEMA,
+    )
+
+
+def test_purge_straddling_import_repairs_to_serial_order(
+    spark, tmp_path
+):
+    """Graph-store seam: a purge's graph arm landing between an
+    import's claims merge and its cache merge used to leave
+    cache-present/items-absent — the P12 already-uploaded probe then
+    SKIPS every re-import of that page forever. The import's
+    purge-epoch repair must re-assert all three merges (purge→import
+    serial order: the page fully back)."""
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.plans import curation_nightly as cn
+    from wcdimportbot_spark.plans import store_import as si
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    store = str(tmp_path / "graph")
+    cur = str(tmp_path / "cur")
+    gpaths = si.store_paths(store)
+    pages = _race_pages(spark)
+    # the import's item hashes, computed WITHOUT touching the store
+    # (the purge must know its doomed set while the import is mid-air)
+    items_preview = run_import(pages).items.select("hash", "qid").collect()
+    doomed_pairs = [(r["hash"], r["qid"]) for r in items_preview]
+    assert doomed_pairs
+
+    claims_merged = threading.Event()
+    purge_done = threading.Event()
+    real_claims = sinks.merge_write_claims
+    state = {"armed": True}
+
+    def gated_claims(spark_, df, path, **kw):
+        out = real_claims(spark_, df, path, **kw)
+        if state["armed"]:
+            state["armed"] = False
+            claims_merged.set()
+            assert purge_done.wait(120), "purge never ran"
+        return out
+
+    errs = []
+
+    def run_import_thread():
+        try:
+            si.import_pages_to_store(spark, pages, gpaths)
+        except Exception as e:
+            errs.append(e)
+
+    with mock.patch.object(sinks, "merge_write_claims", gated_claims):
+        t = threading.Thread(target=run_import_thread)
+        t.start()
+        assert claims_merged.wait(120), "import never merged claims"
+        # graph-arm purge INSIDE the import's window: items + claims
+        # rows (just merged) leave; the cache rows are not there yet
+        res = cn.purge_documents(
+            spark,
+            spark.createDataFrame([], "text_hash string"),
+            cur,
+            graph_store=store,
+            item_hashes=spark.createDataFrame(
+                doomed_pairs, "hash string, subject_qid string"
+            ),
+        )
+        assert res["items_deleted"] == len(doomed_pairs)
+        purge_done.set()
+        t.join(300)
+        assert not t.is_alive() and not errs, errs
+
+    # the repair re-asserted all three merges: purge→import serial
+    # order — items AND cache agree (the page is importable/probed
+    # consistently), manifest committed
+    for h, _q in doomed_pairs:
+        assert _graph_presence(spark, gpaths, h) == (True, True)
+    assert si.verify_import_consistency(store)["status"] == "consistent"
+    # and the full delete→re-import contract still holds: a clean purge
+    # (no import in flight) removes the pages everywhere, then a fresh
+    # import is ACCEPTED back
+    cn.purge_documents(
+        spark,
+        spark.createDataFrame([], "text_hash string"),
+        cur,
+        graph_store=store,
+        item_hashes=spark.createDataFrame(
+            doomed_pairs, "hash string, subject_qid string"
+        ),
+        force=True,
+    )
+    for h, _q in doomed_pairs:
+        assert _graph_presence(spark, gpaths, h) == (False, False)
+    si.import_pages_to_store(spark, pages, gpaths)
+    for h, _q in doomed_pairs:
+        assert _graph_presence(spark, gpaths, h) == (True, True)
+
+
+def test_import_vs_purge_threaded_stress(spark, tmp_path):
+    """Unsynchronized import-vs-graph-purge: whatever interleaving the
+    scheduler picks, the items and cache stores must agree about every
+    contested identity hash (one of the two serial orders) — never the
+    cache-remembers/items-gone state that permanently skips
+    re-imports."""
+    from wcdimportbot_spark.plans import curation_nightly as cn
+    from wcdimportbot_spark.plans import store_import as si
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    pages = _race_pages(spark)
+    doomed_pairs = [
+        (r["hash"], r["qid"])
+        for r in run_import(pages).items.select("hash", "qid").collect()
+    ]
+    for rnd, stagger in enumerate((0.0, 0.3)):
+        store = str(tmp_path / f"graph{rnd}")
+        cur = str(tmp_path / f"cur{rnd}")
+        gpaths = si.store_paths(store)
+        errs = []
+
+        def do_import():
+            try:
+                si.import_pages_to_store(spark, pages, gpaths)
+            except Exception as e:
+                errs.append(e)
+
+        def do_purge():
+            try:
+                time.sleep(stagger)
+                cn.purge_documents(
+                    spark,
+                    spark.createDataFrame([], "text_hash string"),
+                    cur,
+                    graph_store=store,
+                    item_hashes=spark.createDataFrame(
+                        doomed_pairs, "hash string, subject_qid string"
+                    ),
+                )
+            except Exception as e:
+                errs.append(e)
+
+        t1 = threading.Thread(target=do_import)
+        t2 = threading.Thread(target=do_purge)
+        t1.start()
+        t2.start()
+        t1.join(300)
+        t2.join(300)
+        assert not t1.is_alive() and not t2.is_alive()
+        assert not errs, errs
+        for h, _q in doomed_pairs:
+            ih, ch = _graph_presence(spark, gpaths, h)
+            assert ih == ch, (rnd, h, ih, ch)

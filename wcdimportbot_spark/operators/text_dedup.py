@@ -891,34 +891,15 @@ MERGE_EPOCH_FILE = "_MERGE_EPOCH.json"
 
 
 def _epoch(base_path: str, fname: str) -> str:
-    """Raw bytes of an epoch sidecar ('' when absent)."""
-    import os
+    from wcdimportbot_spark.operators.versioned import epoch_read
 
-    try:
-        with open(os.path.join(base_path, fname), encoding="ascii") as f:
-            return f.read()
-    except OSError:
-        return ""
+    return epoch_read(base_path, fname)
 
 
 def _bump_epoch(base_path: str, fname: str) -> None:
-    import json
-    import os
-    import time
+    from wcdimportbot_spark.operators.versioned import epoch_bump
 
-    try:
-        with open(os.path.join(base_path, fname), encoding="ascii") as f:
-            n = int(json.load(f).get("epoch", 0))
-    except (OSError, ValueError):
-        n = 0
-    os.makedirs(base_path, exist_ok=True)
-    p = os.path.join(base_path, fname)
-    tmp = p + ".tmp"
-    with open(tmp, "w", encoding="ascii") as f:
-        json.dump({"epoch": n + 1, "ts": time.time()}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, p)
+    epoch_bump(base_path, fname)
 
 
 def dedup_index_ingest(

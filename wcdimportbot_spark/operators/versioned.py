@@ -73,6 +73,43 @@ KEEP_VERSIONS = 2
 RETAIN_SECS = float(os.environ.get("WCD_STORE_RETAIN_SECS", "600"))
 
 
+def epoch_read(base_path: str, fname: str) -> str:
+    """Raw bytes of an epoch/marker sidecar ('' when absent) — the
+    cross-writer race-detection primitive (r13): a writer whose
+    multi-store window must be detectable BRACKETS it with
+    :func:`epoch_bump` of its own sidecar, and the opposing writer
+    compares :func:`epoch_read` fingerprints across its own window,
+    re-asserting its idempotent publishes when the bytes changed. Used
+    by the dedup index (merge vs delete), the curation increment
+    (vs the purge marker), and the graph import (vs the purge's graph
+    arm)."""
+    try:
+        with open(os.path.join(base_path, fname), encoding="ascii") as f:
+            return f.read()
+    except OSError:
+        return ""
+
+
+def epoch_bump(base_path: str, fname: str) -> None:
+    """Atomically increment an epoch sidecar (write-temp + rename)."""
+    import json
+    import time
+
+    try:
+        with open(os.path.join(base_path, fname), encoding="ascii") as f:
+            n = int(json.load(f).get("epoch", 0))
+    except (OSError, ValueError):
+        n = 0
+    os.makedirs(base_path, exist_ok=True)
+    p = os.path.join(base_path, fname)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump({"epoch": n + 1, "ts": time.time()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
 def is_transient_read_race(e: Exception) -> bool:
     """True when ``e`` looks like the pruned-base / swept-tree READ race
     the snapshot protocols document (a competitor's publish aged our

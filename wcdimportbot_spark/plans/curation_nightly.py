@@ -1060,17 +1060,51 @@ def purge_documents(
                 pending["graph_hash_digest"] = g_digest
                 pending["graph_subject_qids"] = q_list
                 _write_purge_marker(base_path, pending)
-        if sinks.has_parquet_data(gpaths["items"]):
-            n_items = sinks.merge_delete_items(
-                spark, doomed_hashes, gpaths["items"], protocol=protocol
-            )
-        if qids is not None and sinks.has_parquet_data(gpaths["claims"]):
-            n_claims = sinks.merge_delete_claims(
-                spark, qids, gpaths["claims"], protocol=protocol
-            )
-        if sinks.has_parquet_data(gpaths["cache"]):
-            n_cache = cache_ops.merge_delete_cache(
-                spark, doomed_hashes, gpaths["cache"], protocol=protocol
+        # IMPORT-race repair (r13, the graph twin of the index epochs —
+        # see store_import.PURGE_EPOCH_FILE): bracket the three deletes
+        # with purge-epoch bumps (the import side reads them) and
+        # re-run all three whenever an import's manifest writes landed
+        # inside this window (begin/commit bracket the import). A
+        # straddle would otherwise leave cache-present/items-absent —
+        # the P12 probe then skips every re-import of the page forever.
+        from wcdimportbot_spark.plans.store_import import (
+            MANIFEST_FILE,
+            PURGE_EPOCH_FILE,
+        )
+
+        def _graph_deletes() -> tuple[int, int, int]:
+            ni = nc = nk = 0
+            if sinks.has_parquet_data(gpaths["items"]):
+                ni = sinks.merge_delete_items(
+                    spark, doomed_hashes, gpaths["items"], protocol=protocol
+                )
+            if qids is not None and sinks.has_parquet_data(
+                gpaths["claims"]
+            ):
+                nc = sinks.merge_delete_claims(
+                    spark, qids, gpaths["claims"], protocol=protocol
+                )
+            if sinks.has_parquet_data(gpaths["cache"]):
+                nk = cache_ops.merge_delete_cache(
+                    spark, doomed_hashes, gpaths["cache"], protocol=protocol
+                )
+            return ni, nc, nk
+
+        for _attempt in range(5):
+            m0 = versioned.epoch_read(graph_store, MANIFEST_FILE)
+            versioned.epoch_bump(graph_store, PURGE_EPOCH_FILE)
+            ni, nc, nk = _graph_deletes()
+            versioned.epoch_bump(graph_store, PURGE_EPOCH_FILE)
+            n_items += ni
+            n_claims += nc
+            n_cache += nk
+            if versioned.epoch_read(graph_store, MANIFEST_FILE) == m0:
+                break
+        else:
+            raise RuntimeError(
+                f"imports kept landing inside one purge's graph-arm "
+                f"window on {graph_store} (5 repair attempts) — "
+                f"quiesce the import loop and replay the purge"
             )
         _arm_done("graph")
     n_outputs = 0

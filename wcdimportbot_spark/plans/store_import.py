@@ -45,6 +45,20 @@ def store_paths(store: str) -> dict[str, str]:
 #: a store BEHIND its committed version means rollback / intervention.
 MANIFEST_FILE = "_IMPORT_MANIFEST.json"
 
+#: bumped by purge_documents' graph arm around its items→claims→cache
+#: deletes (r13): an import whose three merges straddle a purge's three
+#: deletes could otherwise leave cache-present/items-absent — the P12
+#: already-uploaded probe then SKIPS every re-import of that page
+#: forever (the cache remembers a qid whose item is gone). The import
+#: fingerprints this epoch across its own window and re-asserts all
+#: three merges when it changed; the purge symmetrically fingerprints
+#: the import manifest (whose begin/commit writes bracket the import
+#: window) and re-runs its deletes. Last overlap-free pass wins all
+#: three stores ⇒ every interleaving is one of the two serial orders
+#: (purge→import: the page fully back; import→purge: fully gone — the
+#: reference's delete→re-import contract either way).
+PURGE_EPOCH_FILE = "_PURGE_EPOCH.json"
+
 _MANIFEST_STORES = ("items", "claims", "cache")
 
 
@@ -187,17 +201,37 @@ def import_pages_to_store(
     new_claims = result.claims.localCheckpoint(eager=True)
     # two-phase marker: pending BEFORE the first publish (see manifest
     # docstring) — crash anywhere below leaves it for --verify-store
-    begin_import_manifest(os.path.dirname(paths["items"]), paths)
-    sinks.merge_write_items(spark, new_items, paths["items"])
-    sinks.merge_write_claims(spark, new_claims, paths["claims"])
-    cache_ops.merge_write_cache(
-        spark, new_items.select("hash", "qid"), paths["cache"]
-    )
+    store_root = os.path.dirname(paths["items"])
+    begin_import_manifest(store_root, paths)
+    # PURGE-race repair (see PURGE_EPOCH_FILE): re-assert all three
+    # idempotent merges whenever a purge's graph arm landed inside this
+    # import's window — re-runs insert nothing unless the purge
+    # actually removed this batch's rows. Two file reads when quiet.
+    from wcdimportbot_spark.operators import versioned
+
+    for _attempt in range(5):
+        p0 = versioned.epoch_read(store_root, PURGE_EPOCH_FILE)
+        sinks.merge_write_items(spark, new_items, paths["items"])
+        sinks.merge_write_claims(spark, new_claims, paths["claims"])
+        cache_ops.merge_write_cache(
+            spark, new_items.select("hash", "qid"), paths["cache"]
+        )
+        if versioned.epoch_read(store_root, PURGE_EPOCH_FILE) == p0:
+            break
+    else:
+        raise RuntimeError(
+            f"purges kept landing inside one import's window on "
+            f"{store_root} (5 repair attempts) — quiesce the purge "
+            f"loop and re-send the batch"
+        )
+    # rejects stays OUTSIDE the repair loop: it is the append-only
+    # diagnostic side-output (purge boundary b2) — a repair re-run must
+    # not append its rows twice
     sinks.write_rejects(result.rejects, paths["rejects"])
     # commit marker: all three stores published (pairs with the pending
     # marker written before the first publish — a crash in between is
     # detectable and replay-safe; merges are idempotent)
-    commit_import_manifest(os.path.dirname(paths["items"]), paths)
+    commit_import_manifest(store_root, paths)
     return n_pages, n_new
 
 
