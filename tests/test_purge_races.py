@@ -713,3 +713,192 @@ def test_import_vs_purge_threaded_stress(spark, tmp_path):
         for h, _q in doomed_pairs:
             ih, ch = _graph_presence(spark, gpaths, h)
             assert ih == ch, (rnd, h, ih, ch)
+
+
+def test_import_epoch_closes_manifest_detection_hole(spark, tmp_path):
+    """The r13 ADVICE schedule, pinned deterministically: the import's
+    begin/commit manifest writes land once OUTSIDE its retry loop, so a
+    purge that fingerprinted the MANIFEST saw identical bytes across a
+    delete window that interleaved with the import's merges, while the
+    import's purge-epoch reads both fell between the purge's two bumps
+    — neither side detected, leaving cache-present/items-absent (the
+    P12 probe then skips every re-import forever). The r14 fix has the
+    import bump _IMPORT_EPOCH.json inside EVERY merge attempt and the
+    purge fingerprint that sidecar: in this exact schedule the purge's
+    second read now observes the import's bumps and re-runs its
+    deletes, converging on the import→purge serial order (page fully
+    gone, re-import accepted)."""
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.operators import sinks, versioned
+    from wcdimportbot_spark.plans import curation_nightly as cn
+    from wcdimportbot_spark.plans import store_import as si
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    store = str(tmp_path / "graph")
+    cur = str(tmp_path / "cur")
+    gpaths = si.store_paths(store)
+    pages = _race_pages(spark)
+    doomed_pairs = [
+        (r["hash"], r["qid"])
+        for r in run_import(pages).items.select("hash", "qid").collect()
+    ]
+    assert doomed_pairs
+
+    bump1_done = threading.Event()
+    items_merged = threading.Event()
+    deletes_done = threading.Event()
+    p1_checked = threading.Event()
+    state = {
+        "import_reads": 0,
+        "purge_bumps": 0,
+        "items_deletes": 0,
+        "items_merges": 0,
+    }
+    real_read = versioned.epoch_read
+    real_bump = versioned.epoch_bump
+    real_mwi = sinks.merge_write_items
+    real_mdi = sinks.merge_delete_items
+
+    def gated_read(base, fname):
+        # the import's FIRST purge-epoch read (p0) happens only after
+        # the purge's first bump; its SECOND (p1) releases the purge's
+        # bump2 — the advice schedule's exact ordering
+        if (
+            fname == si.PURGE_EPOCH_FILE
+            and threading.current_thread().name == "importer"
+        ):
+            state["import_reads"] += 1
+            if state["import_reads"] == 1:
+                assert bump1_done.wait(300), "purge never bumped"
+            out = real_read(base, fname)
+            if state["import_reads"] == 2:
+                p1_checked.set()
+            return out
+        return real_read(base, fname)
+
+    def gated_bump(base, fname):
+        if fname == si.PURGE_EPOCH_FILE and state["purge_bumps"] == 1:
+            # bump2's BYTES must land strictly AFTER the import verified
+            # p1 == p0 (the advice schedule) — gate BEFORE the write
+            assert p1_checked.wait(300), "import never checked p1"
+        real_bump(base, fname)
+        if fname == si.PURGE_EPOCH_FILE:
+            state["purge_bumps"] += 1
+            if state["purge_bumps"] == 1:
+                bump1_done.set()
+                # hold the purge here until the import's items merge
+                # landed, so attempt-1 deletes run INSIDE the import's
+                # merge window (items merged, claims/cache not yet)
+                assert items_merged.wait(300), "import never merged"
+
+    def gated_mwi(spark_, df, path, **kw):
+        out = real_mwi(spark_, df, path, **kw)
+        state["items_merges"] += 1
+        if state["items_merges"] == 1:
+            items_merged.set()
+        return out
+
+    def gated_mdi(spark_, df, path, **kw):
+        state["items_deletes"] += 1
+        if state["items_deletes"] == 1:
+            # attempt-1 deletes run strictly inside the import's merge
+            # window: after its items merge, before its claims merge
+            assert items_merged.wait(300), "import never merged items"
+        return real_mdi(spark_, df, path, **kw)
+
+    # the import's claims merge must wait until attempt-1 deletes ran
+    real_mwc = sinks.merge_write_claims
+
+    def gated_mwc(spark_, df, path, **kw):
+        if threading.current_thread().name == "importer":
+            assert deletes_done.wait(300), "purge deletes never ran"
+        return real_mwc(spark_, df, path, **kw)
+
+    # bump2 is gated on p1_checked; release deletes_done right after the
+    # attempt-1 items delete returns (claims/cache stores hold no data
+    # yet at that point, so their deletes are skipped by has_parquet_data)
+    def gated_mdi_release(spark_, df, path, **kw):
+        out = gated_mdi(spark_, df, path, **kw)
+        if state["items_deletes"] == 1:
+            deletes_done.set()
+        return out
+
+    errs = []
+
+    def run_import_thread():
+        try:
+            si.import_pages_to_store(spark, pages, gpaths)
+        except Exception as e:
+            errs.append(e)
+
+    with mock.patch.object(versioned, "epoch_read", gated_read), \
+         mock.patch.object(versioned, "epoch_bump", gated_bump), \
+         mock.patch.object(sinks, "merge_write_items", gated_mwi), \
+         mock.patch.object(sinks, "merge_write_claims", gated_mwc), \
+         mock.patch.object(sinks, "merge_delete_items", gated_mdi_release):
+        t = threading.Thread(target=run_import_thread, name="importer")
+        t.start()
+        res = cn.purge_documents(
+            spark,
+            spark.createDataFrame([], "text_hash string"),
+            cur,
+            graph_store=store,
+            item_hashes=spark.createDataFrame(
+                doomed_pairs, "hash string, subject_qid string"
+            ),
+        )
+        t.join(600)
+        assert not t.is_alive() and not errs, errs
+        # the purge detected the import's epoch bumps and ran a second
+        # delete attempt (each attempt bumps the purge epoch twice)
+        assert state["purge_bumps"] >= 4, state
+
+    # import→purge serial order: the page fully gone from ALL stores —
+    # never the cache-present/items-absent mixed state
+    for h, _q in doomed_pairs:
+        assert _graph_presence(spark, gpaths, h) == (False, False)
+    assert res["items_deleted"] >= len(doomed_pairs)
+    # delete→re-import contract: a fresh import is accepted back
+    si.import_pages_to_store(spark, pages, gpaths)
+    for h, _q in doomed_pairs:
+        assert _graph_presence(spark, gpaths, h) == (True, True)
+
+
+def test_epoch_bump_concurrent_writers_never_raise(tmp_path):
+    """Two concurrent bumpers of one sidecar must both succeed: the old
+    fixed '.tmp' sibling let one os.replace rename the temp out from
+    under the other (FileNotFoundError failing an innocent merge), and
+    the payload nonce guarantees every bump changes the BYTES even when
+    the lost-update counter writes the same n twice — the fingerprint
+    contract epoch_read consumers rely on."""
+    from wcdimportbot_spark.operators import versioned
+
+    base = str(tmp_path / "store")
+    errs = []
+    seen = set()
+    lock = threading.Lock()
+
+    def bump_many():
+        try:
+            for _ in range(50):
+                versioned.epoch_bump(base, "_MERGE_EPOCH.json")
+                b = versioned.epoch_read(base, "_MERGE_EPOCH.json")
+                with lock:
+                    seen.add(b)
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=bump_many) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errs, errs
+    # no stale temp litter
+    import os
+
+    litter = [f for f in os.listdir(base) if ".tmp" in f]
+    assert not litter, litter
+    # many distinct fingerprints were observed (byte-change contract)
+    assert len(seen) > 10

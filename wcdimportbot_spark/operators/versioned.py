@@ -91,9 +91,26 @@ def epoch_read(base_path: str, fname: str) -> str:
 
 
 def epoch_bump(base_path: str, fname: str) -> None:
-    """Atomically increment an epoch sidecar (write-temp + rename)."""
+    """Rewrite an epoch sidecar with fresh bytes — a FINGERPRINT, not a
+    sequence number. The read-increment-replace below is deliberately
+    lock-free, so two concurrent bumpers can both observe ``n`` and both
+    write ``n+1`` (a lost update): the ``epoch`` field therefore carries
+    NO ordering guarantee and nothing may be built on comparing it
+    numerically. What the protocol actually relies on — and what this
+    function guarantees — is that every bump changes the file's BYTES
+    (the ``nonce`` is a fresh uuid per write, so even same-``n``
+    same-``ts`` collisions produce distinct content), which is exactly
+    what the :func:`epoch_read` fingerprint comparisons consume. The
+    counter and timestamp are kept for human forensics only.
+
+    Concurrency-safe on the filesystem level too: each writer stages to
+    a UNIQUE temp name (pid + uuid suffix) before the atomic
+    ``os.replace`` — a shared ``.tmp`` sibling would let one bumper's
+    replace rename the temp out from under another, failing an innocent
+    merge/delete with FileNotFoundError."""
     import json
     import time
+    import uuid
 
     try:
         with open(os.path.join(base_path, fname), encoding="ascii") as f:
@@ -102,9 +119,11 @@ def epoch_bump(base_path: str, fname: str) -> None:
         n = 0
     os.makedirs(base_path, exist_ok=True)
     p = os.path.join(base_path, fname)
-    tmp = p + ".tmp"
+    tmp = f"{p}.tmp.{os.getpid()}.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="ascii") as f:
-        json.dump({"epoch": n + 1, "ts": time.time()}, f)
+        json.dump(
+            {"epoch": n + 1, "ts": time.time(), "nonce": uuid.uuid4().hex}, f
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, p)

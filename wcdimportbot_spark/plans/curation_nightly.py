@@ -1063,12 +1063,18 @@ def purge_documents(
         # IMPORT-race repair (r13, the graph twin of the index epochs —
         # see store_import.PURGE_EPOCH_FILE): bracket the three deletes
         # with purge-epoch bumps (the import side reads them) and
-        # re-run all three whenever an import's manifest writes landed
-        # inside this window (begin/commit bracket the import). A
-        # straddle would otherwise leave cache-present/items-absent —
-        # the P12 probe then skips every re-import of the page forever.
+        # re-run all three whenever an import's merges landed inside
+        # this window. The fingerprinted signal is IMPORT_EPOCH_FILE —
+        # bumped by the import INSIDE every merge attempt (r14) — not
+        # the manifest: begin/commit land once outside the import's
+        # retry loop, so a manifest fingerprint misses the straddle
+        # where the purge's reads both fall between them while the
+        # import's reads both fall between the purge's bumps (the r13
+        # ADVICE schedule). A straddle would otherwise leave
+        # cache-present/items-absent — the P12 probe then skips every
+        # re-import of the page forever.
         from wcdimportbot_spark.plans.store_import import (
-            MANIFEST_FILE,
+            IMPORT_EPOCH_FILE,
             PURGE_EPOCH_FILE,
         )
 
@@ -1091,14 +1097,14 @@ def purge_documents(
             return ni, nc, nk
 
         for _attempt in range(5):
-            m0 = versioned.epoch_read(graph_store, MANIFEST_FILE)
+            i0 = versioned.epoch_read(graph_store, IMPORT_EPOCH_FILE)
             versioned.epoch_bump(graph_store, PURGE_EPOCH_FILE)
             ni, nc, nk = _graph_deletes()
             versioned.epoch_bump(graph_store, PURGE_EPOCH_FILE)
             n_items += ni
             n_claims += nc
             n_cache += nk
-            if versioned.epoch_read(graph_store, MANIFEST_FILE) == m0:
+            if versioned.epoch_read(graph_store, IMPORT_EPOCH_FILE) == i0:
                 break
         else:
             raise RuntimeError(

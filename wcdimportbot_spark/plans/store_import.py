@@ -52,12 +52,29 @@ MANIFEST_FILE = "_IMPORT_MANIFEST.json"
 #: forever (the cache remembers a qid whose item is gone). The import
 #: fingerprints this epoch across its own window and re-asserts all
 #: three merges when it changed; the purge symmetrically fingerprints
-#: the import manifest (whose begin/commit writes bracket the import
-#: window) and re-runs its deletes. Last overlap-free pass wins all
-#: three stores ⇒ every interleaving is one of the two serial orders
-#: (purge→import: the page fully back; import→purge: fully gone — the
-#: reference's delete→re-import contract either way).
+#: IMPORT_EPOCH_FILE below and re-runs its deletes. Last overlap-free
+#: pass wins all three stores ⇒ every interleaving is one of the two
+#: serial orders (purge→import: the page fully back; import→purge:
+#: fully gone — the reference's delete→re-import contract either way).
 PURGE_EPOCH_FILE = "_PURGE_EPOCH.json"
+
+#: the import's OWN signal to the purge (r14, closing the r13 detection
+#: hole): bumped immediately inside EVERY repair-loop attempt, before
+#: and after the three merges. The manifest's begin/commit writes are
+#: NOT a sound signal — they land once, OUTSIDE the retry loop, so the
+#: schedule begin → purge-reads-m0 → purge-bump1 → import-reads-p0 →
+#: merges/deletes interleave → import-reads-p1(==p0) → purge-bump2 →
+#: purge-reads-m1(==m0) → commit left both checks clean while the
+#: stores diverged (the sound design requires each side's READ window
+#: to contain its own SIGNAL-WRITE window — the text_dedup symmetric
+#: epochs argue the order algebra). With per-attempt bumps: if the
+#: import's merge window overlaps the purge's delete window at all,
+#: either the purge's two bumps land inside the import's [p0, p1]
+#: reads (import re-asserts), or the import's two bumps land inside
+#: the purge's [i0, i1] reads (purge re-deletes) — an undetected
+#: overlap would need both bump pairs strictly outside the other's
+#: read window, which forces the windows disjoint (a serial order).
+IMPORT_EPOCH_FILE = "_IMPORT_EPOCH.json"
 
 _MANIFEST_STORES = ("items", "claims", "cache")
 
@@ -211,11 +228,20 @@ def import_pages_to_store(
 
     for _attempt in range(5):
         p0 = versioned.epoch_read(store_root, PURGE_EPOCH_FILE)
+        # signal-write INSIDE the read window (see IMPORT_EPOCH_FILE):
+        # bracket the three merges with bumps of the import's own epoch
+        # so a concurrent purge whose delete window overlaps this
+        # attempt always observes changed bytes across its own reads —
+        # the manifest alone (written once, outside this loop) misses
+        # the straddle where both sides' reads land inside the other's
+        # quiet stretch
+        versioned.epoch_bump(store_root, IMPORT_EPOCH_FILE)
         sinks.merge_write_items(spark, new_items, paths["items"])
         sinks.merge_write_claims(spark, new_claims, paths["claims"])
         cache_ops.merge_write_cache(
             spark, new_items.select("hash", "qid"), paths["cache"]
         )
+        versioned.epoch_bump(store_root, IMPORT_EPOCH_FILE)
         if versioned.epoch_read(store_root, PURGE_EPOCH_FILE) == p0:
             break
     else:
