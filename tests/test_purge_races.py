@@ -902,3 +902,92 @@ def test_epoch_bump_concurrent_writers_never_raise(tmp_path):
     assert not litter, litter
     # many distinct fingerprints were observed (byte-change contract)
     assert len(seen) > 10
+
+
+def test_increment_inside_slow_purge_arm_is_detected(
+    spark, tmp_path, monkeypatch
+):
+    """The r13 ADVICE liveness hole, pinned deterministically: the
+    purge heartbeats its marker only BETWEEN arms, so an increment
+    whose whole write window fell inside one slow arm saw identical
+    marker bytes at both fingerprint reads (no repair), and the purge
+    never checked for increments — its later index arm then deleted
+    hashes the increment had just merged, leaving corpus-present/
+    index-forgotten (re-sends of OTHER copies of that text would probe
+    novel while the corpus already holds it; worse interleavings leave
+    the index remembering dropped content forever). The r14 two-sided
+    bracket has the increment bump _INCREMENT_EPOCH.json inside every
+    _mutate attempt and the purge re-check that sidecar across its
+    corpus+index arms: here the purge detects the straddle and re-runs
+    both deletes, converging on the ingest→purge serial order (content
+    gone from BOTH stores), and a fresh re-send is accepted back."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    base = str(tmp_path / "cur")
+    monkeypatch.setattr(cn, "PURGE_WAIT_SECS", 0.3)
+    batch = spark.createDataFrame([(1, T_D)], ["doc_id", "text"])
+    ann = cn.curate_increment(batch, base)
+    h = ann.select("text_hash").first()["text_hash"]
+    assert _store_presence(spark, base, h) == (True, True, True)
+
+    corpus_deleted = threading.Event()
+    increment_done = threading.Event()
+    state = {"deletes": 0}
+    real_del = sinks.delete_from_store
+
+    def gated_delete(spark_, doomed, path, **kw):
+        out = real_del(spark_, doomed, path, **kw)
+        state["deletes"] += 1
+        if state["deletes"] == 1:
+            # the corpus arm just deleted; STALL before the marker
+            # heartbeat so the increment's whole window (both merges +
+            # both fingerprint reads) lands inside this quiet stretch
+            corpus_deleted.set()
+            assert increment_done.wait(300), "increment never finished"
+        return out
+
+    errs = []
+
+    def run_increment():
+        try:
+            corpus_deleted.wait(300)
+            cn.curate_increment(
+                spark.createDataFrame([(2, T_D)], ["doc_id", "text"]), base
+            )
+        except Exception as e:
+            errs.append(e)
+        finally:
+            increment_done.set()
+
+    with mock.patch.object(sinks, "delete_from_store", gated_delete):
+        t = threading.Thread(target=run_increment)
+        t.start()
+        res = cn.purge_documents(
+            spark,
+            spark.createDataFrame([(h,)], "text_hash string"),
+            base,
+        )
+        t.join(600)
+        assert not t.is_alive() and not errs, errs
+        # the purge detected the in-arm increment and ran a second
+        # corpus delete (the re-merged contested row)
+        assert state["deletes"] >= 3, state
+
+    # ingest→purge serial order: the content gone from corpus AND both
+    # index stores — never the mixed state
+    assert _store_presence(spark, base, h) == (False, False, False)
+    assert cn.purge_state(base).get("status") == "committed"
+    assert res["corpus_deleted"] >= 1
+    # the delete→re-send contract: fresh content is accepted back as
+    # novel (the index does NOT remember the purged text)
+    ann2 = cn.curate_increment(
+        spark.createDataFrame([(3, T_D)], ["doc_id", "text"]), base
+    )
+    row = ann2.first()
+    assert row["kept"] and not row["dup_of_history"]
+    assert _store_presence(spark, base, h) == (True, True, True)

@@ -91,6 +91,22 @@ PURGE_WAIT_SECS = 120.0
 #: is two idempotent O(batch) merges)
 RACE_REPAIR_ATTEMPTS = 5
 
+#: the increment's OWN signal to the purge (r14, closing the r13 ADVICE
+#: liveness hole): bumped inside EVERY ``_mutate`` attempt, before and
+#: after the corpus+index merges. The marker-fingerprint check alone is
+#: one-sided — the purge rewrites its marker only BETWEEN arms, so an
+#: increment whose whole write window fell inside one slow arm (>120 s
+#: bulk deletes are exactly what the spill path enables) saw identical
+#: marker bytes at both reads while the purge never checked for
+#: increments at all: the purge's later index arm then deleted hashes
+#: the increment had just merged, leaving corpus-present/
+#: index-forgotten undetected. Now the purge brackets its corpus+index
+#: arms with reads of this sidecar (its own signal-writes — the per-arm
+#: marker heartbeats — land inside that window) and re-runs both
+#: deletes when the bytes changed; the same disjoint-or-detected order
+#: algebra as store_import.IMPORT_EPOCH_FILE applies.
+INCREMENT_EPOCH_FILE = "_INCREMENT_EPOCH.json"
+
 
 def _corpus_path(base_path: str) -> str:
     return os.path.join(base_path, CORPUS_DIR)
@@ -289,6 +305,13 @@ def curate_increment(
     )
 
     def _mutate() -> None:
+        # signal-write INSIDE the read window (see INCREMENT_EPOCH_FILE):
+        # bracket both merges with bumps of the increment's own epoch so
+        # a purge whose corpus+index arms overlap this attempt always
+        # observes changed bytes across its own bracket reads — even
+        # when this whole window falls inside ONE slow purge arm, where
+        # the marker fingerprint below stays quiet
+        versioned.epoch_bump(base_path, INCREMENT_EPOCH_FILE)
         # OUTPUTS FIRST: corpus append (idempotent by content hash) ...
         merge_curated_corpus(spark, accepted, base_path, protocol=protocol)
         # ... THEN the index learns every novel winner (kept or
@@ -305,6 +328,7 @@ def curate_increment(
             protocol=protocol,
             precomputed=(novel_hashes, novel_bands),
         )
+        versioned.epoch_bump(base_path, INCREMENT_EPOCH_FILE)
 
     # PURGE-RACE CONTRACT (r12 verdict Next #1). The increment's two
     # store mutations can straddle a concurrent purge's arms (corpus
@@ -963,31 +987,64 @@ def purge_documents(
     arms_done: list = []
 
     def _arm_done(name: str) -> None:
-        arms_done.append(name)
+        # idempotent on the LIST (race re-runs must not duplicate the
+        # forensic entries) but every call still REWRITES the marker
+        # with a fresh heartbeat_ts — the byte change is the signal
+        # concurrent increments fingerprint
+        if name not in arms_done:
+            arms_done.append(name)
         pending["arms_done"] = arms_done
         pending["heartbeat_ts"] = time.time()
         _write_purge_marker(base_path, pending)
 
+    # INCREMENT-race bracket (r14, see INCREMENT_EPOCH_FILE): the
+    # corpus+index arms re-run whenever an increment's merges landed
+    # inside their window. The purge's own signal-writes — the per-arm
+    # marker heartbeats — land inside this same bracket, so every
+    # overlap is detected by at least one side (disjoint-or-detected);
+    # re-runs are swallowed-delete no-ops unless the increment actually
+    # re-merged contested hashes, in which case they converge the final
+    # state onto the ingest→purge serial order (content gone from BOTH
+    # stores — never corpus-present/index-forgotten).
     n_corpus = 0
+    idx = {"hashes_deleted": 0, "bands_deleted": 0}
     corpus_path = _corpus_path(base_path)
-    if n_doomed and sinks.has_parquet_data(corpus_path):
-        n_corpus = sinks.delete_from_store(
-            spark,
-            hashes,
-            corpus_path,
-            key="text_hash",
-            bucket_key="text_hash",
-            partitions=[sinks.BUCKET_COL],
-            protocol=protocol,
-        )
-    _arm_done("corpus")
-    if n_doomed:
-        idx = dedup_index_delete(
-            hashes, _index_path(base_path), bands=bands, protocol=protocol
-        )
+    for _attempt in range(RACE_REPAIR_ATTEMPTS):
+        inc0 = versioned.epoch_read(base_path, INCREMENT_EPOCH_FILE)
+        if n_doomed and sinks.has_parquet_data(corpus_path):
+            n_corpus += sinks.delete_from_store(
+                spark,
+                hashes,
+                corpus_path,
+                key="text_hash",
+                bucket_key="text_hash",
+                partitions=[sinks.BUCKET_COL],
+                protocol=protocol,
+            )
+        _arm_done("corpus")
+        if n_doomed:
+            d = dedup_index_delete(
+                hashes,
+                _index_path(base_path),
+                bands=bands,
+                protocol=protocol,
+            )
+            idx["hashes_deleted"] += d["hashes_deleted"]
+            idx["bands_deleted"] += d["bands_deleted"]
+        _arm_done("index")
+        if not n_doomed:
+            # nothing contested: this purge wrote nothing an increment
+            # could straddle — don't spin on unrelated increment traffic
+            break
+        if versioned.epoch_read(base_path, INCREMENT_EPOCH_FILE) == inc0:
+            break
     else:
-        idx = {"hashes_deleted": 0, "bands_deleted": 0}
-    _arm_done("index")
+        raise RuntimeError(
+            f"increments kept landing inside one purge's corpus+index "
+            f"window on {base_path} ({RACE_REPAIR_ATTEMPTS} repair "
+            f"attempts) — quiesce the increment loop and replay the "
+            f"purge"
+        )
     n_ann = 0
     if ann_path is not None and ann_vec_ids is not None:
         from wcdimportbot_spark.operators.ann_store import ann_index_delete
