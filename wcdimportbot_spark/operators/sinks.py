@@ -1702,6 +1702,34 @@ def compact_cache(spark: SparkSession, path: str) -> dict:
     )
 
 
+#: characters Spark/Hive percent-escape in partition DIRECTORY names
+#: (ExternalCatalogUtils.escapePathName, empirically confirmed against
+#: this image's Spark 4.1: " # % ' * / : = ? [ ] \\ ^ { + control chars
+#: and DEL; space, comma, +, } and non-ASCII pass through). Any
+#: path-level comparison between collected VALUES and on-disk dir
+#: names must go through this mapping — comparing raw f"{col}={value}"
+#: against a listing misclassifies special-char partitions, and an
+#: all-doomed one would rmtree the unescaped (nonexistent) path,
+#: silently leaving the doomed rows on disk (r13 ADVICE).
+_PARTITION_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(c) for c in range(0x20)
+)
+
+
+def escape_partition_value(val) -> str:
+    """Render one partition VALUE exactly as Spark names its directory
+    (``<col>=<this>``): None and '' become ``__HIVE_DEFAULT_PARTITION__``,
+    reserved characters become uppercase ``%XX``. Int/str values only —
+    the layouts this engine scrubs key on batch ids, splits, shards and
+    content hashes."""
+    if val is None or val == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(c):02X}" if c in _PARTITION_ESCAPE_CHARS else c
+        for c in str(val)
+    )
+
+
 def scrub_plain_partitions(
     spark: SparkSession,
     path: str,
@@ -1824,8 +1852,15 @@ def scrub_plain_partitions(
         shutil.rmtree(trash, ignore_errors=True)
     removed = 0
     for t in pairs:
+        # build the rel in the same representation the staged listing
+        # uses — the ESCAPED on-disk form (see escape_partition_value):
+        # raw values here would misclassify special-char partitions and
+        # rmtree a nonexistent unescaped path, leaving doomed rows live
         rel = os.path.join(
-            *(f"{c}={v}" for c, v in zip(partition_cols, t))
+            *(
+                f"{c}={escape_partition_value(v)}"
+                for c, v in zip(partition_cols, t)
+            )
         )
         if rel not in staged_rels:
             d = os.path.join(path, rel)

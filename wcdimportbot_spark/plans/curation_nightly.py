@@ -692,6 +692,26 @@ def purge_documents(
             f"{r['n']}:{r['s']}:{r['x']}".encode("ascii")
         ).hexdigest()
 
+    def _legacy_digest(df, col):
+        # the pre-r13 digest form (sorted-concat md5), kept ONLY to
+        # recognize pending markers written before the digest became
+        # distributive: without it a post-upgrade replay of a crashed
+        # legacy purge could never match (prior_match false → 'unrelated
+        # purge' raise whose suggested remediation — replay with the
+        # original inputs — could never succeed; only force=True, which
+        # abandons the crashed purge's recorded resolutions). The concat
+        # concentrates the whole key set into one executor row — the OOM
+        # the v2 fold fixed — so this runs solely on the one-time
+        # versionless-marker upgrade path, never for v2 markers.
+        return df.agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.col(col).cast("string"))),
+                )
+            ).alias("d")
+        ).first()["d"]
+
     # this purge's IDENTITY is its doomed input set: the marker records
     # its digest so a replay is recognizable and an UNRELATED purge
     # cannot silently clobber a crashed purge's pending marker (and with
@@ -712,6 +732,19 @@ def purge_documents(
         prior_marker.get("input_digest"),
         prior_marker.get("hashes_digest"),
     )
+    # digests are VERSIONED in the marker (v2 = the distributive fold);
+    # a pending marker with no version was written by the legacy
+    # sorted-concat code — compare like-for-like in its own form
+    legacy_prior = prior_pending and "digest_version" not in prior_marker
+    if legacy_prior and not prior_match:
+        legacy_input = _legacy_digest(
+            doomed.select(id_col if id_form else "text_hash").distinct(),
+            id_col if id_form else "text_hash",
+        )
+        prior_match = legacy_input in (
+            prior_marker.get("input_digest"),
+            prior_marker.get("hashes_digest"),
+        )
     if prior_pending and not prior_match and not force:
         raise RuntimeError(
             f"a crashed purge is pending on {base_path} "
@@ -899,6 +932,11 @@ def purge_documents(
         "arms": arms,
         "input_digest": input_digest,
         "hashes_digest": resolved_digest,
+        # versioned so a future digest change can again compare
+        # like-for-like instead of stranding pending markers (r13
+        # ADVICE: the v1→v2 switch made every pre-upgrade replay raise
+        # 'unrelated purge' with an impossible remediation)
+        "digest_version": 2,
         # self-describing like the arm list: a crash-replay that omits
         # vacuum=True would flip the marker to committed with the
         # doomed rows still readable in retained history
@@ -1089,11 +1127,17 @@ def purge_documents(
             g_digest = _digest(doomed_hashes, "hash")
             # the pending marker carries the inherited resolution when
             # this call is a matched replay (written above, so a crash
-            # anywhere past the initial pending write preserves it)
+            # anywhere past the initial pending write preserves it);
+            # a resolution inherited from a LEGACY marker recorded its
+            # digest in the v1 form — compare like-for-like there too,
+            # else a post-upgrade replay whose items arm already
+            # committed would lose the only copy of the qid list
+            gh = pending.get("graph_hash_digest")
+            match_g = gh == g_digest
+            if not match_g and gh is not None and legacy_prior:
+                match_g = gh == _legacy_digest(doomed_hashes, "hash")
             recorded = (
-                pending.get("graph_subject_qids")
-                if pending.get("graph_hash_digest") == g_digest
-                else None
+                pending.get("graph_subject_qids") if match_g else None
             )
             q_list = []
             if sinks.has_parquet_data(gpaths["items"]):
