@@ -754,14 +754,16 @@ def purge_documents(
         )
     if prior_pending and not prior_match and force:
         # force abandons the crashed purge's recorded state — including
-        # its spilled hash relation, which would otherwise orphan
+        # its spilled relations (resolved hashes, ANN vec ids, refresh
+        # doc ids), which would otherwise orphan
         import shutil
 
-        if prior_marker.get("hashes_spill"):
-            shutil.rmtree(
-                os.path.join(base_path, prior_marker["hashes_spill"]),
-                ignore_errors=True,
-            )
+        for k in ("hashes_spill", "ann_vec_spill", "refresh_ids_spill"):
+            if prior_marker.get(k):
+                shutil.rmtree(
+                    os.path.join(base_path, prior_marker[k]),
+                    ignore_errors=True,
+                )
 
     if not id_form:
         hashes = doomed.select("text_hash").distinct()
@@ -1408,6 +1410,26 @@ def curate_refresh(
                 os.path.join(base_path, spill_rel)
             ).select("text_hash")
         )
+        # docs whose stale version the heal is about to purge: their
+        # retry annotation must say refreshed=True even though the
+        # stale computation below finds nothing (the corpus rows were
+        # already gone before this call) — ANN-maintaining callers key
+        # their re-encode + ann_index_upsert on this flag. Over-cap
+        # refreshes recorded the id set in a SPILL relation instead of
+        # the marker JSON (same discipline as the hashes); materialize
+        # it NOW — the replay purge's commit removes _PURGE_SPILL, and
+        # a lazy plan would read a deleted path afterwards.
+        healed_ids = list(prior.get("refresh_doc_ids", []))
+        healed_ids_df = None
+        if not healed_ids and prior.get("refresh_ids_spill"):
+            rspill = os.path.join(base_path, prior["refresh_ids_spill"])
+            if sinks.has_parquet_data(rspill):
+                healed_ids_df = (
+                    spark.read.parquet(rspill)
+                    .select(id_col)
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
         purge_documents(
             spark,
             healed_doomed,
@@ -1420,18 +1442,15 @@ def curate_refresh(
             # what lets the retry report `refreshed` truthfully below
             vacuum=bool(prior.get("vacuum")),
             marker_extra={
-                k: prior[k] for k in ("refresh_doc_ids",) if k in prior
+                k: prior[k]
+                for k in ("refresh_doc_ids", "refresh_ids_spill")
+                if k in prior
             },
             protocol=protocol,
         )
-        # docs whose stale version the HEAL just purged: their retry
-        # annotation must say refreshed=True even though the stale
-        # computation below finds nothing (the corpus rows were already
-        # gone before this call) — ANN-maintaining callers key their
-        # re-encode + ann_index_upsert on this flag
-        healed_ids = list(prior.get("refresh_doc_ids", []))
     else:
         healed_ids = []
+        healed_ids_df = None
     batch = batch_docs.dropDuplicates([id_col])
     # the id type is the BATCH's property, not ours to assume: a
     # string-keyed corpus (nothing forbids string doc ids — the graph
@@ -1462,20 +1481,36 @@ def curate_refresh(
             ),
         )
     if stale.count():
+        # record WHICH docs this refresh is replacing: if this purge
+        # crashes, the heal on the next refresh needs the ids to
+        # report `refreshed` truthfully (the hash→id mapping dies
+        # with the corpus rows the purge deletes). Same cap-or-spill
+        # discipline as the marker's hash set (r13 verdict Next #1 —
+        # this was the one uncapped marker field): a bulk re-crawl
+        # refresh of millions of edited docs must not collect its id
+        # set onto the driver nor write a multi-hundred-MB marker.
+        # The spill lands BEFORE the pending marker references it; the
+        # purge's commit-time _PURGE_SPILL cleanup collects it.
+        stale_ids = stale.select(id_col).distinct()
+        n_stale_ids = stale_ids.count()
+        if n_stale_ids <= MARKER_HASHES_CAP:
+            extra = {
+                "refresh_doc_ids": sorted(
+                    r[id_col] for r in stale_ids.collect()
+                )
+            }
+        else:
+            rel = os.path.join("_PURGE_SPILL", "refresh_ids")
+            stale_ids.write.mode("overwrite").parquet(
+                os.path.join(base_path, rel)
+            )
+            extra = {"refresh_ids_spill": rel}
         purge_documents(
             spark,
             stale.select("text_hash"),
             base_path,
             bands=bands,
-            # record WHICH docs this refresh is replacing: if this purge
-            # crashes, the heal on the next refresh needs the ids to
-            # report `refreshed` truthfully (the hash→id mapping dies
-            # with the corpus rows the purge deletes)
-            marker_extra={
-                "refresh_doc_ids": sorted(
-                    r[id_col] for r in stale.select(id_col).distinct().collect()
-                )
-            },
+            marker_extra=extra,
             protocol=protocol,
         )
     ann = curate_increment(
@@ -1496,6 +1531,8 @@ def curate_refresh(
                 [(i,) for i in healed_ids], StructType([id_field])
             )
         ).distinct()
+    if healed_ids_df is not None:
+        refreshed_ids = refreshed_ids.union(healed_ids_df).distinct()
     return ann.join(
         refreshed_ids.withColumn("_r", F.lit(True)),
         id_col,
