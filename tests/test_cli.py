@@ -880,3 +880,35 @@ def test_cli_bind_ann_and_derived_purge_arm(spark, tmp_path, capsys):
         .count()
         == 0
     )
+
+
+def test_cli_heal_scrub(spark, tmp_path, capsys):
+    """--heal-scrub is the full-tree maintenance lever for crashed
+    scrub state: restores mid-swap trash twins anywhere in the layout
+    and clears a stale _SCRUB_PENDING sentinel (per-scrub heals are
+    scoped; this lever is not). Driver-side only — no Spark needed."""
+    import json
+    import os
+    import time as _time
+
+    from wcdimportbot_spark.operators import sinks
+
+    path = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(f"h{i}", i % 2) for i in range(10)],
+        "text_hash string, batch_id int",
+    ).write.partitionBy("batch_id").parquet(path)
+    # simulate a crash between the two renames + a stale sentinel
+    os.rename(
+        os.path.join(path, "batch_id=1"),
+        os.path.join(path, ".__doomed_batch_id=1"),
+    )
+    sinks._write_scrub_sentinel(
+        path, {"ts": _time.time() - 2 * sinks.SCRUB_STALE_SECS}
+    )
+    assert main(["--store", str(tmp_path / "g"), "--heal-scrub", path]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out) == {"healed": path}
+    assert os.path.isdir(os.path.join(path, "batch_id=1"))
+    assert not os.path.exists(os.path.join(path, sinks.SCRUB_SENTINEL))
+    assert sinks.read_plain_layout(spark, path).count() == 10

@@ -346,6 +346,18 @@ def main(argv=None) -> int:
         "for crash replay",
     )
     parser.add_argument(
+        "--heal-scrub",
+        metavar="DIR",
+        nargs="+",
+        help="maintenance lever: full-tree convergence of crashed "
+        "scrub state on plain layouts (gate outputs / training shards) "
+        "— restores or discards hidden .__doomed_* trash twins at any "
+        "depth and clears a stale _SCRUB_PENDING sentinel, after which "
+        "guarded readers accept the layout again (per-scrub heals are "
+        "scoped to the partitions that scrub targets; this walks "
+        "everything)",
+    )
+    parser.add_argument(
         "--bpe-train",
         metavar="DOCS",
         help="train a BPE merge table on a documents parquet and "
@@ -386,6 +398,15 @@ def main(argv=None) -> int:
         from wcdimportbot_spark.plans.curation_nightly import purge_state
 
         print(json.dumps(purge_state(args.curation_store), sort_keys=True))
+        return 0
+
+    if args.heal_scrub:
+        # pure driver-side rename walk — no SparkSession needed
+        from wcdimportbot_spark.operators.sinks import heal_plain_layout
+
+        for d in args.heal_scrub:
+            heal_plain_layout(d)
+            print(json.dumps({"healed": d}))
         return 0
 
     from wcdimportbot_spark import get_spark

@@ -1730,6 +1730,83 @@ def escape_partition_value(val) -> str:
     )
 
 
+#: scrub-in-progress READ sentinel (r13 verdict Next #3): between a
+#: swap's two renames a racing reader's partition discovery misses that
+#: dir entirely — silently shorter results, not an error. The scrub now
+#: writes this sentinel (atomic temp+rename) before its FIRST swap and
+#: removes it after its last, so plain readers that go through
+#: :func:`read_plain_layout` / :func:`assert_no_scrub_pending` either
+#: wait the window out or fail LOUDLY, never return a short read. On
+#: rename-less object stores (S3) the twin-swap itself is non-atomic —
+#: same caveat as the snapshot pointer, documented in SCALE.md.
+SCRUB_SENTINEL = "_SCRUB_PENDING.json"
+
+#: how long a guarded reader waits for a live scrub's swap window to
+#: close before failing loudly (swap windows are two renames per
+#: touched partition — milliseconds each; the wait covers many)
+SCRUB_WAIT_SECS = 30.0
+
+#: a sentinel older than this marks a CRASHED scrub (its writer renews
+#: nothing): guarded readers refuse the layout until the purge replay
+#: or ``--heal-scrub`` converges it, because crashed swaps may have
+#: live dirs missing — exactly the silent-short-read state
+SCRUB_STALE_SECS = 600.0
+
+
+def assert_no_scrub_pending(path: str, wait: float | None = None) -> None:
+    """Gate a plain-layout read on the scrub sentinel: absent → read
+    freely; fresh (live scrub mid-swap) → poll until it clears, raising
+    TimeoutError after ``wait`` seconds; stale (crashed scrub — some
+    partitions may exist only as hidden trash twins) → raise
+    immediately with the remediation. Never lets a racing read return
+    silently-short results."""
+    if wait is None:
+        wait = SCRUB_WAIT_SECS
+    p = os.path.join(path, SCRUB_SENTINEL)
+    deadline = time.time() + wait
+    while True:
+        try:
+            with open(p, encoding="ascii") as f:
+                data = json.load(f)
+        except OSError:
+            return
+        if time.time() - float(data.get("ts", 0.0)) > SCRUB_STALE_SECS:
+            raise RuntimeError(
+                f"a scrub of {path} crashed mid-swap (stale "
+                f"{SCRUB_SENTINEL}): some partitions may exist only as "
+                f"hidden trash twins, so reads would be silently short "
+                f"— replay the owning purge or run --heal-scrub first"
+            )
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"a scrub of {path} is still swapping partitions after "
+                f"{wait}s — resolve reads before or after a purge, not "
+                f"across one"
+            )
+        time.sleep(0.05)
+
+
+def read_plain_layout(
+    spark: SparkSession, path: str, wait: float | None = None
+) -> DataFrame:
+    """Read a consumer-facing PLAIN partitioned layout (gate outputs,
+    training shards) with the scrub-window guard: the one read path
+    that cannot race a purge's partition swaps into silently-short
+    results (see :data:`SCRUB_SENTINEL`)."""
+    assert_no_scrub_pending(path, wait)
+    return spark.read.parquet(path)
+
+
+def _write_scrub_sentinel(path: str, payload: dict) -> None:
+    p = os.path.join(path, SCRUB_SENTINEL)
+    tmp = f"{p}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
 def scrub_plain_partitions(
     spark: SparkSession,
     path: str,
@@ -1737,6 +1814,7 @@ def scrub_plain_partitions(
     key: str,
     partition_cols: list[str],
     candidates_cond=None,
+    candidate_pairs=None,
 ) -> dict:
     """Shared scrub engine for PLAIN (non-snapshot) partitioned parquet
     dirs — consumer-facing layouts whose downstream contract forbids the
@@ -1763,13 +1841,18 @@ def scrub_plain_partitions(
 
     Crash contract: the staging write never touches live dirs; each
     swap is two atomic renames, and :func:`_heal_crashed_swaps` runs
-    first on every scrub, restoring a trash twin whose live dir is
-    missing (crash between the renames) and discarding one whose
-    swap completed — so replaying the purge converges from ANY crash
-    point. Readers racing the swap window see the documented
-    operational caveat (resolve plans before or after a purge, not
-    across one); the hidden trash/staging names keep partition
-    discovery clean even mid-crash.
+    first on every scrub (scoped to the caller's candidate pairs when
+    known, else a depth-bounded partition-dir walk), restoring a trash
+    twin whose live dir is missing (crash between the renames) and
+    discarding one whose swap completed — so replaying the purge
+    converges from ANY crash point; :func:`heal_plain_layout` is the
+    full-tree maintenance lever. Readers racing the swap window are
+    guarded by the :data:`SCRUB_SENTINEL` written across it: reads
+    through :func:`read_plain_layout` wait the window out or fail
+    loudly, never return a silently-short result (unguarded raw
+    ``spark.read.parquet`` keeps the old resolve-before-or-after
+    caveat); the hidden trash/staging names keep partition discovery
+    clean even mid-crash.
 
     Returns ``{"rows_deleted", "partitions_rewritten",
     "partitions_removed"}``."""
@@ -1783,8 +1866,25 @@ def scrub_plain_partitions(
     # FIRST: converge any crashed swap from a prior scrub — a trash
     # twin with no live dir holds that partition's only copy; restoring
     # it (doomed rows included) lets the scan below re-find and
-    # re-scrub it instead of silently losing the kept rows
-    _heal_crashed_swaps(path)
+    # re-scrub it instead of silently losing the kept rows. Scope: the
+    # caller's candidate pairs when it can name them in closed form
+    # (this scrub cannot touch — and so need not heal — anything else),
+    # else a depth-bounded partition-dir walk (r13 verdict Next #2).
+    _heal_crashed_swaps(
+        path, partition_cols=partition_cols, pairs=candidate_pairs
+    )
+    # a leftover sentinel here is a crashed predecessor's (this engine
+    # is single-writer-per-layout — purges serialize on their marker).
+    # Its unfinished swaps may lie OUTSIDE a pair-scoped heal, so
+    # escalate to the depth-bounded full heal before clearing — a
+    # cleared sentinel promises guarded readers a complete layout.
+    if os.path.exists(os.path.join(path, SCRUB_SENTINEL)):
+        if candidate_pairs is not None:
+            _heal_crashed_swaps(path, partition_cols=partition_cols)
+        try:
+            os.remove(os.path.join(path, SCRUB_SENTINEL))
+        except OSError:
+            pass
     doomed_b = F.broadcast(doomed.select(key).distinct())
 
     def _tuples_cond(tuples):
@@ -1840,6 +1940,18 @@ def scrub_plain_partitions(
 
     if os.path.isdir(staging):
         _walk(staging, 0, "")
+    # swap window OPENS: guarded readers wait behind the sentinel from
+    # here until every rename and removal below has landed (see
+    # SCRUB_SENTINEL — an unguarded racing reader between two renames
+    # would silently miss a partition)
+    _write_scrub_sentinel(
+        path,
+        {
+            "ts": time.time(),
+            "pid": os.getpid(),
+            "n_partitions": len(pairs),
+        },
+    )
     for rel in sorted(staged_rels):
         dest = os.path.join(path, rel)
         parent, leaf = os.path.split(dest)
@@ -1868,6 +1980,11 @@ def scrub_plain_partitions(
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
     shutil.rmtree(staging, ignore_errors=True)
+    # swap window CLOSES: every partition is live again
+    try:
+        os.remove(os.path.join(path, SCRUB_SENTINEL))
+    except OSError:
+        pass
     spark.catalog.refreshByPath(path)
     return {
         "rows_deleted": int(n_rows),
@@ -1876,25 +1993,93 @@ def scrub_plain_partitions(
     }
 
 
-def _heal_crashed_swaps(path: str) -> None:
+def _heal_twin(dirpath: str, name: str) -> None:
+    """Converge ONE crashed swap: a ``.__doomed_<dir>`` trash twin whose
+    live ``<dir>`` is MISSING marks a crash between the two renames —
+    the trash holds the partition's only copy (pre-scrub, doomed rows
+    included), so restore it and let the caller's rescan re-scrub; a
+    twin whose live dir EXISTS marks a crash after the second rename —
+    the swap completed, discard the trash."""
+    orig = name[len(".__doomed_"):]
+    trash = os.path.join(dirpath, name)
+    live = os.path.join(dirpath, orig)
+    if os.path.isdir(live):
+        shutil.rmtree(trash, ignore_errors=True)
+    else:
+        os.rename(trash, live)
+
+
+def _heal_crashed_swaps(
+    path: str,
+    partition_cols: list[str] | None = None,
+    pairs=None,
+) -> None:
     """Converge the two-rename swap windows of a crashed
-    :func:`scrub_plain_partitions`: a ``.__doomed_<dir>`` trash twin
-    whose live ``<dir>`` is MISSING marks a crash between the two
-    renames — the trash holds the partition's only copy (pre-scrub,
-    doomed rows included), so restore it and let the caller's rescan
-    re-scrub; a twin whose live dir EXISTS marks a crash after the
-    second rename — the swap completed, discard the trash. Hidden
-    names (``.`` prefix) keep both invisible to Spark's partition
-    discovery in the interim."""
+    :func:`scrub_plain_partitions` (see :func:`_heal_twin` for the
+    per-twin rule). Hidden names (``.`` prefix) keep crashed state
+    invisible to Spark's partition discovery in the interim.
+
+    Cost is SCOPED to what the caller can prove it needs (r13 verdict
+    Next #2 — the old unconditional ``os.walk`` paid O(all partitions
+    ever) in driver metadata calls per scrub, unbounded for
+    ``batch_id=`` gate-output stores):
+
+    - ``pairs`` given (closed-form candidate layouts, e.g. training
+      shards): O(|pairs|) existence checks on exactly the candidate
+      rels' twins — a crashed twin elsewhere is not this scrub's
+      business (its own purge's replay, or the maintenance lever
+      :func:`heal_plain_layout`, converges it);
+    - ``partition_cols`` given: a DEPTH-BOUNDED walk that descends only
+      into ``=``-named partition dirs above leaf level and never lists
+      leaf contents — O(partition dirs), not O(files);
+    - neither: the full ``os.walk`` (the maintenance lever's scope,
+      finds twins at any depth)."""
+    if pairs is not None and partition_cols is not None:
+        for t in pairs:
+            parts = [
+                f"{c}={escape_partition_value(v)}"
+                for c, v in zip(partition_cols, t)
+            ]
+            parent = os.path.join(path, *parts[:-1])
+            name = f".__doomed_{parts[-1]}"
+            if os.path.isdir(os.path.join(parent, name)):
+                _heal_twin(parent, name)
+        return
+    if partition_cols is not None:
+        depth = len(partition_cols)
+
+        def _level(d: str, lvl: int) -> None:
+            try:
+                names = os.listdir(d)
+            except OSError:
+                return
+            for name in names:
+                sub = os.path.join(d, name)
+                if name.startswith(".__doomed_"):
+                    _heal_twin(d, name)
+                elif (
+                    lvl + 1 < depth and "=" in name and os.path.isdir(sub)
+                ):
+                    _level(sub, lvl + 1)
+
+        _level(path, 0)
+        return
     for dirpath, dirnames, _files in os.walk(path):
         for name in list(dirnames):
             if not name.startswith(".__doomed_"):
                 continue
-            orig = name[len(".__doomed_"):]
-            trash = os.path.join(dirpath, name)
-            live = os.path.join(dirpath, orig)
-            if os.path.isdir(live):
-                shutil.rmtree(trash, ignore_errors=True)
-            else:
-                os.rename(trash, live)
+            _heal_twin(dirpath, name)
             dirnames.remove(name)
+
+
+def heal_plain_layout(path: str) -> None:
+    """Operator maintenance lever (CLI ``--heal-scrub``): full-tree
+    convergence of any crashed scrub state on a plain layout — trash
+    twins at ANY depth (the per-scrub heal is scoped to the partitions
+    that scrub targets) plus a leftover ``_SCRUB_PENDING`` sentinel,
+    after which the layout reads consistently again."""
+    _heal_crashed_swaps(path)
+    try:
+        os.remove(os.path.join(path, SCRUB_SENTINEL))
+    except OSError:
+        pass

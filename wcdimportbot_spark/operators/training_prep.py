@@ -367,11 +367,20 @@ def purge_training_shards(
         for r in assigned.select("split", "shard").distinct().collect()
     }
     # keep only pairs whose dir actually exists (a doomed key that never
-    # shipped — or already purged away its partition — prunes to nothing)
+    # shipped — or already purged away its partition — prunes to
+    # nothing). A hidden trash TWIN counts as existing: a crashed swap
+    # left that partition's only copy under the twin name, and the
+    # scrub's scoped heal must restore it before the doomed scan — the
+    # closed-form assignment guarantees a replayed purge recomputes the
+    # same pair, so dropping it here would strand the doomed rows in
+    # the twin forever
     pairs = {
         (s, sh)
         for (s, sh) in pairs
         if os.path.isdir(os.path.join(path, f"split={s}", f"shard={sh}"))
+        or os.path.isdir(
+            os.path.join(path, f"split={s}", f".__doomed_shard={sh}")
+        )
     }
     if not pairs:
         return zero
@@ -387,5 +396,14 @@ def purge_training_shards(
         c = (F.col("split") == s) & F.col("shard").isin(shs)
         cond = c if cond is None else (cond | c)
     return sinks.scrub_plain_partitions(
-        spark, path, doomed, key, ["split", "shard"], candidates_cond=cond
+        spark,
+        path,
+        doomed,
+        key,
+        ["split", "shard"],
+        candidates_cond=cond,
+        # the closed form names every partition this purge can touch:
+        # the scrub's crash-heal walk is scoped to exactly these pairs
+        # instead of the whole shard tree (r13 verdict Next #2)
+        candidate_pairs=pairs,
     )
