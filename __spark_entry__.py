@@ -7,39 +7,35 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  124 queries, all DuckDB-verified — the ANN top-k variants emit an
+  127 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window prioritizes, in round 13: the
-  three new rows (``s13_purge_race`` — the purge-vs-writer race
-  contract: a purge deterministically straddling a concurrent
-  curate_increment's two merges (the interleaving that used to leave
-  the corpus-dropped/index-remembered mixed state) is detected by the
-  increment's marker-fingerprint repair and converges onto the
-  purge→ingest serial order — content in corpus AND index hashes AND
-  index bands TOGETHER, bystanders intact, marker committed, corpus
-  hash-matching the closed form after cleanup; ``s13_purge_spill_
-  replay`` — bulk-purge crash replay above the marker cap: the resolved
-  hash set SPILLS to a parquet side relation the pending marker points
-  at, the purge is crashed between the corpus and index arms, and the
-  id-form replay converges FROM THE SPILL ALONE (index forgets all 5
-  fingerprints, spill removed at commit, re-ingest ACCEPTED back);
-  ``s13_ann_binding`` — the bound ANN purge arm: after bind_ann_store
-  declares which ANN store indexes the corpus, purge_documents derives
-  the doomed vec_ids ITSELF — id-form directly, hash-form through one
-  pre-corpus-arm resolution recorded in the marker, crash-replayable
-  from that record), every row whose write path changed in round 13
-  (the curate_increment race repair + per-arm marker heartbeats +
-  distributive marker digests behind ``s12_purge_propagation``/
-  ``s12_curation_refresh``/``s12_maintenance_composition``/
-  ``curation_incremental_store``; the staged-swap scrub engine — kept
-  rows staged to disk, two-rename partition swaps with crash healing,
-  replacing block-manager materialization — behind
-  ``train_shard_purge``), the round-12 write-path rows re-verified
-  (attributed bands store, upsert/delete inode contracts, optimistic
-  commits, ANN lifecycle + upsert), and sentinels — one per operator
-  family already driver-verified in r5-r12 — for the rest.
-  ``tests/test_plan_shapes.py::test_registry_size_matches_docs`` pins this
-  count so the docs cannot drift from ``len(QUERIES)`` again.
+  ordered so the driver's 50-query window prioritizes, in round 14: the
+  three new rows (``s14_refresh_spill_heal`` — the bulk-refresh id
+  spill: above the marker cap curate_refresh's stale-id set spills to
+  a parquet side relation instead of a driver collect into the marker
+  JSON; the refresh is crashed inside its internal purge and the next
+  call heals FROM THE SPILLS ALONE, still reporting refreshed=True for
+  every healed doc, then round-trips back to the one-shot closed form;
+  ``s14_import_epoch_race`` — the import-vs-purge detection hole
+  closed: the import bumps ``_IMPORT_EPOCH.json`` inside EVERY merge
+  attempt and the purge's graph arm fingerprints that sidecar instead
+  of the once-written manifest — the row forces the exact r13-ADVICE
+  schedule where neither old check fired, and the purge now detects,
+  re-deletes, and the stores converge on the import→purge serial
+  order with a fresh re-import accepted back to the closed-form item
+  counts; ``s14_scrub_sentinel`` — plain-layout scrub hardening: a
+  crashed prior scrub's stale ``_SCRUB_PENDING`` sentinel makes
+  guarded readers refuse the silently-short layout loudly, the next
+  scrub heals the trash twin with the depth-bounded partition walk
+  and brackets its own swap window with a fresh sentinel), the
+  round-13 contract rows re-verified behind the changed write paths
+  (the two-sided increment/import epoch brackets + versioned marker
+  digests behind ``s13_purge_race``/``s13_purge_spill_replay``/
+  ``s13_ann_binding`` and every s12/curation purge row; the scoped
+  crash-heal + sentinel behind ``train_shard_purge``), and sentinels —
+  one per operator family already driver-verified in r5-r13 — for the
+  rest. ``tests/test_plan_shapes.py::test_registry_size_matches_docs``
+  pins this count so the docs cannot drift from ``len(QUERIES)`` again.
 """
 
 from __future__ import annotations

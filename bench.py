@@ -181,6 +181,25 @@ def main() -> None:
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    # trend reads without manual map alignment (r13 verdict Next #6):
+    # before overwriting the committed artifact, record the subtotal
+    # over the rows COMMON to the previous round's map — new contract
+    # rows then stop inflating round-over-round totals in the headline
+    # comparison (common_prev_sec this run vs prev_common_sec then).
+    try:
+        with open(local_path) as fh:
+            prev_queries = json.load(fh).get("queries") or {}
+    except (OSError, ValueError):
+        prev_queries = {}
+    if prev_queries:
+        common = [n for n in timings if n in prev_queries]
+        out["common_prev_n"] = len(common)
+        out["common_prev_sec"] = round(
+            sum(timings[n] for n in common), 3
+        )
+        out["prev_common_sec"] = round(
+            sum(prev_queries[n] for n in common), 3
+        )
     try:
         with open(local_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
@@ -216,7 +235,9 @@ def _compact_line(out: dict, timings: dict[str, float]) -> dict:
         for k in (
             "metric", "bench_protocol", "value", "unit", "sf", "n_queries",
             "headline39_sec", "cold_pass_sec",
+            "common_prev_n", "common_prev_sec", "prev_common_sec",
         )
+        if k in out
     }
     if out.get("errors"):
         base["n_errors"] = len(out["errors"])

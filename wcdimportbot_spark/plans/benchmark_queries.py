@@ -6055,6 +6055,476 @@ def dedup_incremental_maint(spark, sf_dir):
 QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 
 
+def _refresh_spill_oracle():
+    from wcdimportbot_spark.operators.text_analysis import document_profile_sql
+
+    profile = document_profile_sql("documents")
+    # refresh 5 docs → crash the internal purge → heal from the TWO
+    # spills (hashes + refresh ids) → purge the refreshed versions and
+    # re-ingest the originals: the round trip is content-invariant, so
+    # the final corpus is the one-shot closed form over the seeded
+    # subset; the booleans carry the spill/heal contract
+    return f"""
+    WITH profile AS ({profile}),
+    deduped AS (
+      SELECT d.doc_id, p.quality, p.detected_lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN profile p ON p.doc_id = d.doc_id
+      WHERE d.doc_id <= 1000
+    )
+    SELECT detected_lang,
+           CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           TRUE AS ids_spilled, TRUE AS heal_refreshed,
+           TRUE AS spill_removed, TRUE AS roundtrip_converged
+    FROM deduped GROUP BY detected_lang
+    HAVING SUM(CASE WHEN rn = 1 AND quality >= 0.7 THEN 1 ELSE 0 END) > 0
+    """
+
+
+@register(
+    "s14_refresh_spill_heal",
+    "LLM-ops bulk-refresh crash replay from the id spill (r13 verdict "
+    "Next #1)",
+    "refresh_doc_ids was the ONE uncapped marker field: curate_refresh "
+    "collected every stale id into the marker JSON via a driver "
+    "collect, unbounded for a bulk re-crawl. Above MARKER_HASHES_CAP "
+    "(patched to 2 in-row so the contract runs at test scale) the id "
+    "set now SPILLS to a parquet side relation the marker points at — "
+    "a distributed write, zero driver bytes. The refresh is crashed "
+    "inside its internal purge (after the corpus arm — the id→hash "
+    "rows a retry would recompute from are then GONE); the next "
+    "refresh call heals FROM THE SPILLS ALONE (hashes + refresh ids), "
+    "the healed docs' retry annotation still reports refreshed=True "
+    "for all 5, the marker commits, and the spill dir is collected. "
+    "The refreshed content then round-trips back to the one-shot "
+    "closed form per language",
+    None,  # closed-form oracle attached below
+)
+def s14_refresh_spill_heal(spark, sf_dir):
+    """plans/curation_nightly.curate_refresh above the marker cap: the
+    stale-id set rides the same cap-or-spill discipline as the resolved
+    hashes (curation_nightly.py marker_extra), and the heal path
+    materializes the spilled ids BEFORE the replay purge's commit
+    removes the spill. Scale shape: one O(stale) distributed parquet
+    write; no driver-resident id set at any size."""
+    import os
+    import shutil
+    import tempfile
+    import unittest.mock as mock
+
+    import wcdimportbot_spark.operators.text_dedup as td
+    from wcdimportbot_spark.plans import curation_nightly as cn
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 1000)
+        .coalesce(4)
+    )
+    base = tempfile.mkdtemp(prefix="wcd-refreshspill-")
+    cap0 = cn.MARKER_HASHES_CAP
+    try:
+        cn.MARKER_HASHES_CAP = 2
+        ann1 = cn.curate_increment(docs, base)
+        target_rows = (
+            ann1.filter(F.col("kept"))
+            .orderBy("doc_id")
+            .limit(5)
+            .select("doc_id")
+            .collect()
+        )
+        target_ids = [r["doc_id"] for r in target_rows]
+        # re-crawled versions: same ids, changed text that still passes
+        # the quality gate (appended prose keeps the score profile)
+        refreshed = (
+            docs.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(i,) for i in target_ids], "doc_id long"
+                    )
+                ),
+                "doc_id",
+                "left_semi",
+            )
+            .withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.lit(
+                        " The revised edition adds further analysis and "
+                        "shows the results are consistent."
+                    ),
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # crash the refresh's INTERNAL purge between corpus and index
+        with mock.patch.object(
+            td,
+            "dedup_index_delete",
+            side_effect=RuntimeError("killed mid-refresh"),
+        ):
+            crashed = False
+            try:
+                cn.curate_refresh(refreshed, base)
+            except RuntimeError:
+                crashed = True
+        marker = cn.purge_state(base)
+        rspill = os.path.join(
+            base, marker.get("refresh_ids_spill") or "_none"
+        )
+        ids_spilled = (
+            crashed
+            and marker["status"] == "pending"
+            and "refresh_doc_ids" not in marker
+            and bool(marker.get("refresh_ids_spill"))
+            and {r["doc_id"] for r in spark.read.parquet(rspill).collect()}
+            == set(target_ids)
+        )
+        # the heal: the next refresh call replays the crashed purge
+        # from the spills and reports refreshed=True for every doc
+        ann2 = cn.curate_refresh(refreshed, base)
+        flags = {
+            r["doc_id"]: (r["refreshed"], r["kept"])
+            for r in ann2.filter(
+                F.col("doc_id").isin(target_ids)
+            ).collect()
+        }
+        heal_refreshed = (
+            cn.purge_state(base)["status"] == "committed"
+            and len(flags) == 5
+            and all(v == (True, True) for v in flags.values())
+        )
+        spill_removed = not os.path.exists(
+            os.path.join(base, "_PURGE_SPILL")
+        )
+        # round-trip back: purge the refreshed versions, re-ingest the
+        # originals — the corpus returns to the one-shot closed form
+        new_hashes = refreshed.select(F.md5("text").alias("text_hash"))
+        cn.purge_documents(spark, new_hashes, base)
+        originals = docs.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in target_ids], "doc_id long"
+                )
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        ann3 = cn.curate_increment(originals, base)
+        roundtrip_converged = (
+            ann3.filter(F.col("kept") & ~F.col("dup_of_history")).count()
+            == 5
+        )
+        out = (
+            cn.read_curated_corpus(spark, base)
+            .groupBy("detected_lang")
+            .agg(F.count("*").alias("n_kept"))
+            .withColumn("ids_spilled", F.lit(bool(ids_spilled)))
+            .withColumn("heal_refreshed", F.lit(bool(heal_refreshed)))
+            .withColumn("spill_removed", F.lit(bool(spill_removed)))
+            .withColumn(
+                "roundtrip_converged", F.lit(bool(roundtrip_converged))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cn.MARKER_HASHES_CAP = cap0
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+QUERIES["s14_refresh_spill_heal"].oracle = _refresh_spill_oracle()
+
+
+@register(
+    "s14_import_epoch_race",
+    "graph-store import-vs-purge serializability via per-attempt import "
+    "epochs (r13 ADVICE high)",
+    "the r13 protocol fingerprinted the import MANIFEST, whose "
+    "begin/commit land once OUTSIDE the import's retry loop — the "
+    "schedule begin → purge-reads → purge-bump1 → import-reads-p0 → "
+    "merges/deletes interleave → import-reads-p1(==p0) → purge-bump2 → "
+    "purge-reads(==) left cache-present/items-absent with NEITHER side "
+    "detecting (the P12 probe then skips every re-import forever). The "
+    "import now bumps _IMPORT_EPOCH.json inside EVERY merge attempt and "
+    "the purge fingerprints that sidecar: this row forces the exact "
+    "schedule with one-shot gates — the purge observes the import's "
+    "bumps, re-runs its deletes, and the stores converge on the "
+    "import→purge serial order (page fully gone, manifest consistent); "
+    "a fresh re-import is then ACCEPTED back, matching the closed-form "
+    "item counts for the 20-page subset",
+    """
+    SELECT 'WIKIPEDIA_PAGE' AS instance_of,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS purge_detected, TRUE AS serial_state,
+           TRUE AS manifest_consistent
+    FROM documents WHERE doc_id <= 20
+    UNION ALL
+    SELECT 'WIKIPEDIA_REFERENCE',
+           CAST(COUNT(DISTINCT doc_id) + COUNT(DISTINCT doc_id % 10) AS BIGINT),
+           TRUE, TRUE, TRUE
+    FROM documents WHERE doc_id <= 20
+    UNION ALL
+    SELECT 'WEBSITE_ITEM', CAST(1 AS BIGINT), TRUE, TRUE, TRUE
+    """,
+)
+def s14_import_epoch_race(spark, sf_dir):
+    """plans/store_import.IMPORT_EPOCH_FILE × curation_nightly graph
+    arm: each side's read window contains its own signal-write window,
+    so every overlapping interleaving is detected by at least one side
+    (disjoint-or-detected). No-race cost: two file reads + two tiny
+    sidecar writes per import attempt. Scale shape: unchanged plans —
+    the repair loop re-runs idempotent pruned merges/deletes only when
+    an actual overlap occurred, bounded at 5 attempts, loud on
+    exhaustion."""
+    import os
+    import shutil
+    import tempfile
+    import threading
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.operators import sinks, versioned
+    from wcdimportbot_spark.plans import curation_nightly as cn
+    from wcdimportbot_spark.plans import store_import as si
+    from wcdimportbot_spark.plans.pipeline import run_import
+
+    pages = (
+        _domain_pages(spark, sf_dir)
+        .filter(F.col("page_id") <= 20)
+        .coalesce(2)
+        .localCheckpoint(eager=True)
+    )
+    tmp = tempfile.mkdtemp(prefix="wcd-importrace-")
+    store = os.path.join(tmp, "graph")
+    cur = os.path.join(tmp, "cur")
+    gpaths = si.store_paths(store)
+    try:
+        doomed_pairs = [
+            (r["hash"], r["qid"])
+            for r in run_import(pages)
+            .items.select("hash", "qid")
+            .collect()
+        ]
+        bump1_done = threading.Event()
+        items_merged = threading.Event()
+        deletes_done = threading.Event()
+        p1_checked = threading.Event()
+        state = {"import_reads": 0, "purge_bumps": 0, "deletes": 0}
+        real_read = versioned.epoch_read
+        real_bump = versioned.epoch_bump
+        real_mwi = sinks.merge_write_items
+        real_mwc = sinks.merge_write_claims
+        real_mdi = sinks.merge_delete_items
+
+        def gated_read(b, fname):
+            if (
+                fname == si.PURGE_EPOCH_FILE
+                and threading.current_thread().name == "s14importer"
+            ):
+                state["import_reads"] += 1
+                if state["import_reads"] == 1:
+                    bump1_done.wait(300)
+                out = real_read(b, fname)
+                if state["import_reads"] == 2:
+                    p1_checked.set()
+                return out
+            return real_read(b, fname)
+
+        def gated_bump(b, fname):
+            if (
+                fname == si.PURGE_EPOCH_FILE
+                and state["purge_bumps"] == 1
+            ):
+                p1_checked.wait(300)
+            real_bump(b, fname)
+            if fname == si.PURGE_EPOCH_FILE:
+                state["purge_bumps"] += 1
+                if state["purge_bumps"] == 1:
+                    bump1_done.set()
+                    items_merged.wait(300)
+
+        def gated_mwi(s_, df, path, **kw):
+            out = real_mwi(s_, df, path, **kw)
+            if not items_merged.is_set():
+                items_merged.set()
+            return out
+
+        def gated_mwc(s_, df, path, **kw):
+            if threading.current_thread().name == "s14importer":
+                deletes_done.wait(300)
+            return real_mwc(s_, df, path, **kw)
+
+        def gated_mdi(s_, df, path, **kw):
+            out = real_mdi(s_, df, path, **kw)
+            state["deletes"] += 1
+            if state["deletes"] == 1:
+                deletes_done.set()
+            return out
+
+        errs = []
+
+        def run_import_thread():
+            try:
+                si.import_pages_to_store(spark, pages, gpaths)
+            except Exception as e:  # surfaced via the booleans
+                errs.append(e)
+
+        with mock.patch.object(versioned, "epoch_read", gated_read), \
+             mock.patch.object(versioned, "epoch_bump", gated_bump), \
+             mock.patch.object(sinks, "merge_write_items", gated_mwi), \
+             mock.patch.object(sinks, "merge_write_claims", gated_mwc), \
+             mock.patch.object(sinks, "merge_delete_items", gated_mdi):
+            th = threading.Thread(
+                target=run_import_thread, name="s14importer"
+            )
+            th.start()
+            cn.purge_documents(
+                spark,
+                spark.createDataFrame([], "text_hash string"),
+                cur,
+                graph_store=store,
+                item_hashes=spark.createDataFrame(
+                    doomed_pairs, "hash string, subject_qid string"
+                ),
+            )
+            th.join(600)
+            ok = not th.is_alive() and not errs
+        # the purge observed the import epochs and ran a second delete
+        # attempt (each attempt bumps the purge epoch twice)
+        purge_detected = ok and state["purge_bumps"] >= 4
+        # import→purge serial order: items AND cache both forgot
+        from wcdimportbot_spark.operators.cache import read_cache
+
+        def gone(path, reader):
+            return (not sinks.has_parquet_data(path)) or reader(
+                spark, path
+            ).count() == 0
+
+        serial_state = gone(gpaths["items"], sinks.read_items) and gone(
+            gpaths["cache"], read_cache
+        )
+        manifest_consistent = (
+            si.verify_import_consistency(store)["status"] == "consistent"
+        )
+        # the delete→re-import contract: a clean import is accepted back
+        si.import_pages_to_store(spark, pages, gpaths)
+        out = (
+            sinks.read_items(spark, gpaths["items"])
+            .groupBy("instance_of")
+            .agg(F.count("*").alias("n"))
+            .withColumn("purge_detected", F.lit(bool(purge_detected)))
+            .withColumn("serial_state", F.lit(bool(serial_state)))
+            .withColumn(
+                "manifest_consistent", F.lit(bool(manifest_consistent))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "s14_scrub_sentinel",
+    "plain-layout scrub: guarded readers + scoped crash heal (r13 "
+    "verdict Next #2/#3)",
+    "a gate-output layout with a CRASHED prior scrub (one partition "
+    "existing only as its hidden .__doomed_* trash twin, a stale "
+    "_SCRUB_PENDING sentinel on disk): the guarded reader REFUSES the "
+    "silently-short layout loudly instead of returning it (asserted "
+    "in-row); the next scrub heals the twin with the depth-bounded "
+    "partition walk (no leaf listing), clears the sentinel, rewrites "
+    "only touched partitions minus the doomed rows, and brackets its "
+    "own swap window with a fresh sentinel — after which the guarded "
+    "read returns the complete layout, hash-matching the closed form "
+    "(all docs ≤ 200 minus every row sharing a doomed doc's text hash)",
+    """
+    SELECT CAST(doc_id % 4 AS INT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS stale_read_refused, TRUE AS twin_healed,
+           TRUE AS sentinel_cleared
+    FROM documents
+    WHERE doc_id <= 200
+      AND md5(text) NOT IN (
+        SELECT md5(text) FROM documents WHERE doc_id <= 10
+      )
+    GROUP BY doc_id % 4
+    """,
+)
+def s14_scrub_sentinel(spark, sf_dir):
+    """operators/sinks.SCRUB_SENTINEL + scoped _heal_crashed_swaps: the
+    swap window between a partition's two renames is bracketed by a
+    sentinel guarded readers honor (wait-or-fail-loud, never a short
+    read), and the crash-heal walk costs O(partition dirs) — bounded
+    depth, no leaf listing — instead of os.walking every file of every
+    batch dir ever shipped."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from wcdimportbot_spark.operators import sinks
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    path = tempfile.mkdtemp(prefix="wcd-scrubsent-") + "/out"
+    try:
+        (
+            docs.select(
+                F.md5("text").alias("text_hash"),
+                (F.col("doc_id") % 4).cast("int").alias("batch_id"),
+            )
+            .coalesce(2)
+            .write.partitionBy("batch_id")
+            .parquet(path)
+        )
+        # simulate a prior scrub crashed between its two renames: one
+        # partition survives only as its trash twin, sentinel left stale
+        os.rename(
+            os.path.join(path, "batch_id=3"),
+            os.path.join(path, ".__doomed_batch_id=3"),
+        )
+        sinks._write_scrub_sentinel(
+            path, {"ts": _time.time() - 2 * sinks.SCRUB_STALE_SECS}
+        )
+        try:
+            sinks.read_plain_layout(spark, path)
+            stale_read_refused = False
+        except RuntimeError:
+            stale_read_refused = True
+        doomed = (
+            docs.filter(F.col("doc_id") <= 10)
+            .select(F.md5("text").alias("text_hash"))
+            .distinct()
+        )
+        sinks.scrub_plain_partitions(
+            spark, path, doomed, "text_hash", ["batch_id"]
+        )
+        twin_healed = os.path.isdir(
+            os.path.join(path, "batch_id=3")
+        ) and not os.path.isdir(
+            os.path.join(path, ".__doomed_batch_id=3")
+        )
+        sentinel_cleared = not os.path.exists(
+            os.path.join(path, sinks.SCRUB_SENTINEL)
+        )
+        out = (
+            sinks.read_plain_layout(spark, path)
+            .groupBy("batch_id")
+            .agg(F.count("*").alias("n"))
+            .withColumn(
+                "stale_read_refused", F.lit(bool(stale_read_refused))
+            )
+            .withColumn("twin_healed", F.lit(bool(twin_healed)))
+            .withColumn(
+                "sentinel_cleared", F.lit(bool(sentinel_cleared))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registry entries. Across r5 ∪ r6 every pre-round-7 registry row EXCEPT
@@ -6071,11 +6541,19 @@ QUERIES["dedup_incremental_maint"].oracle = _maint_oracle()
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the three new round-13 rows ---
+    # --- the three new round-14 rows ---
+    "s14_refresh_spill_heal",    # bulk-refresh id spill + heal
+    "s14_import_epoch_race",     # per-attempt import epochs close the
+                                 # manifest detection hole (ADVICE high)
+    "s14_scrub_sentinel",        # guarded readers + scoped crash heal
+    # --- round-13 rows whose WRITE PATH changed in round 14 (the
+    # two-sided increment/import epoch brackets + digest versioning
+    # behind every purge row; the sentinel + scoped heal behind the
+    # scrub rows): re-verify ---
     "s13_purge_race",            # purge-vs-increment serializability
     "s13_purge_spill_replay",    # over-cap crash replay from the spill
     "s13_ann_binding",           # bound ANN arm: derived vec_ids
-    # --- rows whose WRITE PATH changed in round 13 (curate_increment
+    # --- rows whose WRITE PATH changed in rounds 13-14 (curate_increment
     # race repair + marker heartbeats + distributive digests behind
     # every curation/purge row; the staged-swap scrub engine behind
     # train_shard_purge): re-verify ---
@@ -6096,9 +6574,11 @@ _WINDOW = [
     "sim_ann_retrain",           # lifecycle + pair stamps + stats reader
     "sim_ann_upsert",            # re-crawl upsert: matched vec_ids replaced
     # --- per-family standing coverage (plans untouched) ---
-    "sim_ann_ivfpq",             # composed ANN + margin contract
-    "dedup_embedding_ann",       # bucketed embedding near-dup
-    "a15_windowed_sketch_distinct",  # per-window HLL sketch states
+    # (sim_ann_ivfpq / dedup_embedding_ann / a15_windowed_sketch_distinct
+    # rotated out this round — r13 driver-verified, plans untouched in
+    # r14; ANN stays covered by the four sim_ann_* lifecycle rows,
+    # embedding near-dup by the dedup family + ANN rows, windowed
+    # sketches by a7_windowed_event_counts + the full-sweep a11/a15)
     "quality_classifier",        # hashed n-gram linear gate
     "bpe_merge_table",           # learned BPE tokenizer: training
     # (s11_schema_evolution / s11_bucket_split / s10_append_only_merge
