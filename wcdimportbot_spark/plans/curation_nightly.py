@@ -570,12 +570,18 @@ def purge_documents(
     this purge's arms could leave a mixed state neither serial order
     allows (corpus holding content the index forgot, or the index
     remembering content the corpus dropped — every re-send then drops
-    forever). The pin is cooperative: this function heartbeats the
-    marker after EVERY arm (``arms_done`` + ``heartbeat_ts``), and the
+    forever). The pin is cooperative and TWO-SIDED (r14 closed the
+    one-sided liveness hole): this function heartbeats the marker
+    after EVERY arm (``arms_done`` + ``heartbeat_ts``) and the
     increment fingerprints the marker across its own write window,
     settling live purges before writing and re-asserting both of its
-    merges if any purge activity landed inside the window — converging
-    the final state onto one of the two serial orders
+    merges if any purge activity landed inside the window; SYMMETRICALLY
+    the increment bumps :data:`INCREMENT_EPOCH_FILE` inside every
+    mutate attempt and this function brackets its corpus+index arms
+    with reads of that sidecar, re-running both deletes when the bytes
+    changed — so an increment whose whole window fell inside one slow
+    arm (where the marker stays byte-quiet) is still detected, by the
+    purge. Every overlap converges onto one of the two serial orders
     (purge→ingest ⇒ the batch's content present in corpus AND index;
     ingest→purge ⇒ doomed content absent from both). Threaded stress
     plus the ``s13_purge_race`` registry row pin exactly this
