@@ -83,7 +83,12 @@ MARKER_HASHES_CAP = 100_000
 #: pending forever; increments must not wedge with it — its remaining
 #: arms will never run on their own, so proceeding is safe, and a
 #: REPLAY of it during our window changes the marker and triggers the
-#: repair below like any other purge)
+#: repair below like any other purge). Misjudging a SLOW-but-live
+#: purge as crashed is also safe since r14: the increment then writes
+#: during the purge's arms, but its INCREMENT_EPOCH_FILE bumps land
+#: inside the purge's bracket reads and the purge re-runs its
+#: corpus+index deletes — the timeout is a liveness/latency knob, not
+#: a correctness one.
 PURGE_WAIT_SECS = 120.0
 
 #: bounded repair attempts when purges keep landing inside one
@@ -1017,6 +1022,12 @@ def purge_documents(
             "ann_vec_ids",
             "ann_vec_spill",
             "ann_from_binding",
+            # a crashed REFRESH purge replayed out-of-band (CLI hash
+            # form) must not lose the refresh's recorded doc ids — the
+            # retry refresh reads them from the marker to report
+            # `refreshed` truthfully
+            "refresh_doc_ids",
+            "refresh_ids_spill",
         ):
             if k in prior_marker and k not in pending:
                 pending[k] = prior_marker[k]
