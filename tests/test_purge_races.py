@@ -991,3 +991,97 @@ def test_increment_inside_slow_purge_arm_is_detected(
     row = ann2.first()
     assert row["kept"] and not row["dup_of_history"]
     assert _store_presence(spark, base, h) == (True, True, True)
+
+
+def test_cli_delete_page_straddling_import(spark, tmp_path):
+    """Every cross-store delete path rides the import-race bracket, not
+    only purge_documents' graph arm: a CLI --delete-page whose
+    items/claims/cache deletes straddle a concurrent import's merges
+    used to leave cache-present/items-absent undetected (the P12 probe
+    then skips every re-import of that page forever). The shared
+    run_deletes_with_import_repair bracket re-runs the delete set when
+    an import's epoch bumps landed inside its window; the import side
+    symmetrically re-merges when the delete's purge-epoch bumps landed
+    inside its own — whatever the interleaving, items and cache agree."""
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.cli import main
+    from wcdimportbot_spark.operators import sinks
+    from wcdimportbot_spark.plans import store_import as si
+
+    store = str(tmp_path / "graph")
+    gpaths = si.store_paths(store)
+    pages = _race_pages(spark)
+    si.import_pages_to_store(spark, pages, gpaths)
+    hashes = [
+        r["hash"]
+        for r in sinks.read_items(spark, gpaths["items"])
+        .select("hash")
+        .collect()
+    ]
+
+    # deterministic straddle: the delete's items arm runs right after
+    # the re-import's items merge, before its claims/cache merges
+    items_merged = threading.Event()
+    delete_done = threading.Event()
+    state = {"merges": 0, "deletes": 0}
+    real_mwi = sinks.merge_write_items
+    real_mdi = sinks.merge_delete_items
+    real_mwc = sinks.merge_write_claims
+
+    def gated_mwi(s_, df, path, **kw):
+        out = real_mwi(s_, df, path, **kw)
+        state["merges"] += 1
+        if state["merges"] == 1:
+            items_merged.set()
+        return out
+
+    def gated_mdi(s_, df, path, **kw):
+        state["deletes"] += 1
+        if state["deletes"] == 1:
+            assert items_merged.wait(300), "import never merged items"
+        return real_mdi(s_, df, path, **kw)
+
+    def gated_mwc(s_, df, path, **kw):
+        if threading.current_thread().name == "cli-importer":
+            assert delete_done.wait(300), "delete never ran"
+        return real_mwc(s_, df, path, **kw)
+
+    errs = []
+
+    def run_reimport():
+        try:
+            # purge the pages first so the re-import has real work —
+            # done INSIDE the thread before the gates arm so the
+            # delete below contests freshly-merging rows
+            si.import_pages_to_store(spark, pages, gpaths)
+        except Exception as e:
+            errs.append(e)
+
+    # empty the store so the threaded import re-merges everything
+    rc = main(["--store", store, "--delete-page", "Page One"])
+    assert rc in (0, None)
+    rc = main(["--store", store, "--delete-page", "Page Two"])
+    assert rc in (0, None)
+
+    with mock.patch.object(sinks, "merge_write_items", gated_mwi), \
+         mock.patch.object(sinks, "merge_delete_items", gated_mdi), \
+         mock.patch.object(sinks, "merge_write_claims", gated_mwc):
+        t = threading.Thread(target=run_reimport, name="cli-importer")
+        t.start()
+        rc = main(["--store", store, "--delete-page", "Page One"])
+        delete_done.set()
+        t.join(600)
+        assert rc in (0, None)
+        assert not t.is_alive() and not errs, errs
+
+    # serializable outcome for every contested hash: items and cache
+    # agree (one of the two serial orders, never the mixed state)
+    for h in hashes:
+        ih, ch = _graph_presence(spark, gpaths, h)
+        assert ih == ch, (h, ih, ch)
+    # delete→re-import contract still converges: a fresh import brings
+    # both pages fully back
+    si.import_pages_to_store(spark, pages, gpaths)
+    for h in hashes:
+        assert _graph_presence(spark, gpaths, h) == (True, True)

@@ -628,9 +628,25 @@ def main(argv=None) -> int:
         doomed_paths = list(paths.values()) + [
             os.path.join(args.store, "_checkpoint")
         ]
-        for p in doomed_paths:
-            if os.path.exists(p):
-                shutil.rmtree(p)
+        # the wholesale wipe is a cross-store delete like any other: an
+        # import straddling it could re-merge cache rows after the wipe
+        # removed their items (the P12-forever state) — run under the
+        # shared import-race bracket (r14), which re-wipes if an
+        # import's merges landed inside the window (the epoch sidecars
+        # live at the store root, outside the wiped subdirs)
+        from wcdimportbot_spark.plans.store_import import (
+            run_deletes_with_import_repair,
+        )
+
+        def _rinse():
+            removed = 0
+            for p in doomed_paths:
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                    removed += 1
+            return (removed,)
+
+        run_deletes_with_import_repair(args.store, _rinse)
         print("rinsed: all items, claims, cache, rejects")
 
     elif args.delete_page:
@@ -664,22 +680,40 @@ def main(argv=None) -> int:
         # dirs survive as hardlinks in the new snapshot; only buckets
         # actually holding the doomed page are rewritten. Deleting an
         # already-deleted page is swallowed (n == 0), the reference's
-        # tolerant delete (crud/delete.py:44-61).
-        n = sinks.merge_delete_items(spark, doomed.select("hash"), paths["items"])
-        if claims is not None:
-            sinks.merge_delete_claims(
-                spark,
-                doomed.select(F.col("qid").alias("subject_qid")),
-                paths["claims"],
+        # tolerant delete (crud/delete.py:44-61). The three deletes run
+        # under the shared import-race bracket (r14): a delete whose
+        # window straddles a concurrent import's merges would otherwise
+        # leave cache-present/items-absent — the P12 probe then skips
+        # every re-import of that page forever.
+        from wcdimportbot_spark.plans.store_import import (
+            run_deletes_with_import_repair,
+        )
+
+        def _page_deletes():
+            ni = sinks.merge_delete_items(
+                spark, doomed.select("hash"), paths["items"]
             )
-        # the reference also deletes the page hash from the cache
-        # (src/__init__.py:181); without this the import path's P12
-        # already-uploaded anti-join sees the stale hash and a deleted page
-        # can never be re-imported ("0 new items" forever)
-        if n > 0 and sinks.has_parquet_data(paths["cache"]):
-            cache_ops.merge_delete_cache(
-                spark, doomed.select("hash"), paths["cache"]
-            )
+            if claims is not None:
+                sinks.merge_delete_claims(
+                    spark,
+                    doomed.select(F.col("qid").alias("subject_qid")),
+                    paths["claims"],
+                )
+            # the reference also deletes the page hash from the cache
+            # (src/__init__.py:181); without this the import path's P12
+            # already-uploaded anti-join sees the stale hash and a
+            # deleted page can never be re-imported ("0 new items"
+            # forever). Unconditional on the repair path: a re-run
+            # whose items delete found nothing may still need to clear
+            # cache rows an interleaved import just re-merged.
+            nk = 0
+            if sinks.has_parquet_data(paths["cache"]):
+                nk = cache_ops.merge_delete_cache(
+                    spark, doomed.select("hash"), paths["cache"]
+                )
+            return ni, nk
+
+        n, _nk = run_deletes_with_import_repair(args.store, _page_deletes)
         print(f"deleted {n} page item(s) titled {args.delete_page!r}")
 
     elif args.dedup_ingest:

@@ -1180,22 +1180,17 @@ def purge_documents(
                 pending["graph_hash_digest"] = g_digest
                 pending["graph_subject_qids"] = q_list
                 _write_purge_marker(base_path, pending)
-        # IMPORT-race repair (r13, the graph twin of the index epochs —
-        # see store_import.PURGE_EPOCH_FILE): bracket the three deletes
-        # with purge-epoch bumps (the import side reads them) and
-        # re-run all three whenever an import's merges landed inside
-        # this window. The fingerprinted signal is IMPORT_EPOCH_FILE —
-        # bumped by the import INSIDE every merge attempt (r14) — not
-        # the manifest: begin/commit land once outside the import's
-        # retry loop, so a manifest fingerprint misses the straddle
-        # where the purge's reads both fall between them while the
-        # import's reads both fall between the purge's bumps (the r13
-        # ADVICE schedule). A straddle would otherwise leave
-        # cache-present/items-absent — the P12 probe then skips every
-        # re-import of the page forever.
+        # IMPORT-race repair (r13/r14, the graph twin of the index
+        # epochs): run the three deletes under the shared bracket —
+        # purge-epoch bumps on both sides (the import reads them) and a
+        # re-run whenever an import's merges (visible as
+        # IMPORT_EPOCH_FILE byte changes, bumped INSIDE every import
+        # merge attempt — the once-written manifest missed the r13
+        # ADVICE straddle) landed inside this window. A straddle would
+        # otherwise leave cache-present/items-absent — the P12 probe
+        # then skips every re-import of the page forever.
         from wcdimportbot_spark.plans.store_import import (
-            IMPORT_EPOCH_FILE,
-            PURGE_EPOCH_FILE,
+            run_deletes_with_import_repair,
         )
 
         def _graph_deletes() -> tuple[int, int, int]:
@@ -1216,22 +1211,12 @@ def purge_documents(
                 )
             return ni, nc, nk
 
-        for _attempt in range(5):
-            i0 = versioned.epoch_read(graph_store, IMPORT_EPOCH_FILE)
-            versioned.epoch_bump(graph_store, PURGE_EPOCH_FILE)
-            ni, nc, nk = _graph_deletes()
-            versioned.epoch_bump(graph_store, PURGE_EPOCH_FILE)
-            n_items += ni
-            n_claims += nc
-            n_cache += nk
-            if versioned.epoch_read(graph_store, IMPORT_EPOCH_FILE) == i0:
-                break
-        else:
-            raise RuntimeError(
-                f"imports kept landing inside one purge's graph-arm "
-                f"window on {graph_store} (5 repair attempts) — "
-                f"quiesce the import loop and replay the purge"
-            )
+        ni, nc, nk = run_deletes_with_import_repair(
+            graph_store, _graph_deletes
+        )
+        n_items += ni
+        n_claims += nc
+        n_cache += nk
         _arm_done("graph")
     n_outputs = 0
     if output_dirs and n_doomed:

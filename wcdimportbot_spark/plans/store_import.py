@@ -166,6 +166,42 @@ def verify_import_consistency(store_root: str) -> dict:
     return {"status": "consistent", "detail": {}}
 
 
+def run_deletes_with_import_repair(store_root: str, deletes_fn):
+    """Run one cross-store delete set (items/claims/cache in any
+    combination) under the import-race bracket: bump PURGE_EPOCH_FILE
+    on both sides of the deletes (the import's repair loop reads it)
+    and re-run the whole set whenever an import's merges — visible as
+    IMPORT_EPOCH_FILE byte changes — landed inside this window. EVERY
+    cross-store delete path must ride this bracket, not only
+    purge_documents' graph arm: a CLI ``--delete-page`` whose three
+    deletes straddle a concurrent import's three merges leaves the
+    same cache-present/items-absent state (the P12 probe then skips
+    every re-import of that page forever). ``deletes_fn`` must be
+    idempotent (the pruned deletes swallow absent keys) and is invoked
+    up to 5 times; per-delete counts are summed across attempts.
+    Returns the summed tuple ``deletes_fn`` yields."""
+    from wcdimportbot_spark.operators import versioned
+
+    totals = None
+    for _attempt in range(5):
+        i0 = versioned.epoch_read(store_root, IMPORT_EPOCH_FILE)
+        versioned.epoch_bump(store_root, PURGE_EPOCH_FILE)
+        out = tuple(deletes_fn())
+        versioned.epoch_bump(store_root, PURGE_EPOCH_FILE)
+        totals = (
+            out
+            if totals is None
+            else tuple(a + b for a, b in zip(totals, out))
+        )
+        if versioned.epoch_read(store_root, IMPORT_EPOCH_FILE) == i0:
+            return totals
+    raise RuntimeError(
+        f"imports kept landing inside one delete window on "
+        f"{store_root} (5 repair attempts) — quiesce the import loop "
+        f"and replay the delete"
+    )
+
+
 def import_pages_to_store(
     spark: SparkSession, pages: DataFrame, paths: dict[str, str]
 ) -> tuple[int, int]:
