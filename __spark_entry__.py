@@ -7,10 +7,10 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  127 queries, all DuckDB-verified — the ANN top-k variants emit an
+  128 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
   ordered so the driver's 50-query window prioritizes, in round 14: the
-  three new rows (``s14_refresh_spill_heal`` — the bulk-refresh id
+  four new rows (``s14_refresh_spill_heal`` — the bulk-refresh id
   spill: above the marker cap curate_refresh's stale-id set spills to
   a parquet side relation instead of a driver collect into the marker
   JSON; the refresh is crashed inside its internal purge and the next
@@ -27,7 +27,11 @@
   crashed prior scrub's stale ``_SCRUB_PENDING`` sentinel makes
   guarded readers refuse the silently-short layout loudly, the next
   scrub heals the trash twin with the depth-bounded partition walk
-  and brackets its own swap window with a fresh sentinel), the
+  and brackets its own swap window with a fresh sentinel;
+  ``s14_output_retention`` — the rotation the purge-boundary docs
+  defer to: gate-output batch_id= partitions expire by keep_last /
+  age through atomic .__expired_* renames, rejects logs rotate by
+  file age, crashed-expiry twins are collected), the
   round-13 contract rows re-verified behind the changed write paths
   (the two-sided increment/import epoch brackets + versioned marker
   digests behind ``s13_purge_race``/``s13_purge_spill_replay``/

@@ -912,3 +912,48 @@ def test_cli_heal_scrub(spark, tmp_path, capsys):
     assert os.path.isdir(os.path.join(path, "batch_id=1"))
     assert not os.path.exists(os.path.join(path, sinks.SCRUB_SENTINEL))
     assert sinks.read_plain_layout(spark, path).count() == 10
+
+
+def test_cli_output_retention(spark, tmp_path, capsys):
+    """--expire-outputs / --rotate-rejects: the operational retention
+    levers for the two unbounded plain stores (gate batch_id= outputs,
+    per-rule rejects logs). Driver-side only."""
+    import json
+    import os
+
+    from wcdimportbot_spark.operators import sinks
+
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(f"h{i}", b) for b in range(5) for i in range(2)],
+        "text_hash string, batch_id int",
+    ).write.partitionBy("batch_id").parquet(out)
+    assert (
+        main(
+            ["--store", str(tmp_path / "g"), "--expire-outputs", out,
+             "--keep-last", "2"]
+        )
+        == 0
+    )
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["partitions_expired"] == 3 and rec["partitions_kept"] == 2
+    spark.catalog.refreshByPath(out)
+    assert sinks.read_plain_layout(spark, out).count() == 4
+
+    store = str(tmp_path / "g2")
+    rej = os.path.join(store, "rejects")
+    sinks.write_rejects(
+        spark.createDataFrame([("r1", "u1")], "rule string, url string"),
+        rej,
+    )
+    for d in os.listdir(rej):
+        dd = os.path.join(rej, d)
+        if os.path.isdir(dd):
+            for f in os.listdir(dd):
+                os.utime(os.path.join(dd, f), (1, 1))
+    assert (
+        main(["--store", store, "--rotate-rejects", "--older-than", "60"])
+        == 0
+    )
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["files_removed"] >= 1 and rec["dirs_removed"] == 1

@@ -358,6 +358,37 @@ def main(argv=None) -> int:
         "everything)",
     )
     parser.add_argument(
+        "--expire-outputs",
+        metavar="DIR",
+        nargs="+",
+        help="retention for batch_id=-partitioned gate-output dirs "
+        "(they grow one partition per micro-batch forever): keep the "
+        "newest --keep-last partitions and/or drop ones older than "
+        "--older-than seconds; removal renames each doomed dir to a "
+        "hidden .__expired_* twin first (atomic disappearance from "
+        "partition discovery), so racing readers never see a "
+        "half-deleted partition",
+    )
+    parser.add_argument(
+        "--keep-last",
+        type=int,
+        help="with --expire-outputs: newest N partitions to keep",
+    )
+    parser.add_argument(
+        "--older-than",
+        type=float,
+        help="with --expire-outputs/--rotate-rejects: age threshold "
+        "in seconds",
+    )
+    parser.add_argument(
+        "--rotate-rejects",
+        action="store_true",
+        help="rotate the graph store's rejects side-output (the "
+        "reference's per-rule *.log files as parquet): remove data "
+        "files older than --older-than seconds; empty rule dirs are "
+        "removed",
+    )
+    parser.add_argument(
         "--bpe-train",
         metavar="DOCS",
         help="train a BPE merge table on a documents parquet and "
@@ -407,6 +438,37 @@ def main(argv=None) -> int:
         for d in args.heal_scrub:
             heal_plain_layout(d)
             print(json.dumps({"healed": d}))
+        return 0
+
+    if args.expire_outputs:
+        # pure driver-side retention — no SparkSession needed
+        if args.keep_last is None and args.older_than is None:
+            parser.error(
+                "--expire-outputs needs --keep-last and/or --older-than"
+            )
+        from wcdimportbot_spark.operators.sinks import (
+            expire_plain_partitions,
+        )
+
+        for d in args.expire_outputs:
+            res = expire_plain_partitions(
+                d,
+                keep_last=args.keep_last,
+                older_than_secs=args.older_than,
+            )
+            print(json.dumps({"dir": d, **res}, sort_keys=True))
+        return 0
+
+    if args.rotate_rejects:
+        if args.older_than is None:
+            parser.error("--rotate-rejects needs --older-than SECONDS")
+        from wcdimportbot_spark.operators.sinks import rotate_reject_logs
+        from wcdimportbot_spark.plans.store_import import store_paths as _sp
+
+        res = rotate_reject_logs(
+            _sp(args.store)["rejects"], args.older_than
+        )
+        print(json.dumps(res, sort_keys=True))
         return 0
 
     from wcdimportbot_spark import get_spark

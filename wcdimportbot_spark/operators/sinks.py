@@ -1993,6 +1993,108 @@ def scrub_plain_partitions(
     }
 
 
+def expire_plain_partitions(
+    path: str,
+    partition_col: str = "batch_id",
+    keep_last: int | None = None,
+    older_than_secs: float | None = None,
+) -> dict:
+    """Retention for CONSUMER-FACING plain partitioned layouts — the
+    streaming gates' ``batch_id=`` outputs, whose partition count grows
+    without bound (one dir per micro-batch, forever). This is the
+    rotation the purge-boundary docs defer to: keep the newest
+    ``keep_last`` partitions (numeric order of the partition value)
+    and/or drop partitions older than ``older_than_secs`` (dir mtime);
+    both given → a partition is expired when EITHER rule says so.
+
+    Removal is reader-safe on a rename-capable filesystem: each doomed
+    dir is atomically renamed to a hidden ``.__expired_*`` twin (gone
+    from partition discovery in one step — readers never see a
+    half-deleted dir) and then deleted; a crash in between leaves only
+    the hidden twin, collected by the next expiry or
+    :func:`heal_plain_layout`. Pure driver-side file ops — no Spark
+    jobs, O(partition dirs) listing cost.
+
+    Returns ``{"partitions_expired", "partitions_kept"}``."""
+    if keep_last is None and older_than_secs is None:
+        raise ValueError("pass keep_last and/or older_than_secs")
+    if not os.path.isdir(path):
+        return {"partitions_expired": 0, "partitions_kept": 0}
+    prefix = f"{partition_col}="
+    # collect leftover twins from a prior crashed expiry first
+    for name in os.listdir(path):
+        if name.startswith(".__expired_"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    parts = []
+    for name in os.listdir(path):
+        p = os.path.join(path, name)
+        if name.startswith(prefix) and os.path.isdir(p):
+            raw = name[len(prefix):]
+            try:
+                order = (0, float(raw))
+            except ValueError:
+                order = (1, raw)  # non-numeric values sort after, lexically
+            parts.append((order, name, p))
+    parts.sort(key=lambda t: t[0])
+    doomed = set()
+    if keep_last is not None and keep_last < len(parts):
+        doomed.update(name for _o, name, _p in parts[: len(parts) - keep_last])
+    if older_than_secs is not None:
+        cutoff = time.time() - older_than_secs
+        doomed.update(
+            name
+            for _o, name, p in parts
+            if os.path.getmtime(p) < cutoff
+        )
+    for name in doomed:
+        live = os.path.join(path, name)
+        twin = os.path.join(path, f".__expired_{name}")
+        try:
+            os.rename(live, twin)
+        except OSError:
+            continue  # concurrently removed — expiry is idempotent
+        shutil.rmtree(twin, ignore_errors=True)
+    return {
+        "partitions_expired": len(doomed),
+        "partitions_kept": len(parts) - len(doomed),
+    }
+
+
+def rotate_reject_logs(path: str, older_than_secs: float) -> dict:
+    """Retention for the rejects side-output — the append-only
+    per-rule diagnostic logs (:func:`write_rejects`), the analog of the
+    reference's ``*.log`` files, which accumulate one parquet file per
+    import batch per rule forever. Removes data FILES older than
+    ``older_than_secs`` (file mtime — atomic per-file ``os.remove``,
+    so racing readers see a consistent subset, exactly the log-rotation
+    contract); a ``rule=`` dir left empty is removed. Pure driver-side,
+    no Spark jobs.
+
+    Returns ``{"files_removed", "dirs_removed"}``."""
+    if not os.path.isdir(path):
+        return {"files_removed": 0, "dirs_removed": 0}
+    cutoff = time.time() - older_than_secs
+    n_files = n_dirs = 0
+    for name in os.listdir(path):
+        d = os.path.join(path, name)
+        if not (name.startswith("rule=") and os.path.isdir(d)):
+            continue
+        for f in os.listdir(d):
+            fp = os.path.join(d, f)
+            if os.path.isfile(fp) and os.path.getmtime(fp) < cutoff:
+                try:
+                    os.remove(fp)
+                    n_files += 1
+                except OSError:
+                    pass
+        if not any(
+            e.endswith(".parquet") for e in os.listdir(d)
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+            n_dirs += 1
+    return {"files_removed": n_files, "dirs_removed": n_dirs}
+
+
 def _heal_twin(dirpath: str, name: str) -> None:
     """Converge ONE crashed swap: a ``.__doomed_<dir>`` trash twin whose
     live ``<dir>`` is MISSING marks a crash between the two renames —
@@ -2074,11 +2176,21 @@ def _heal_crashed_swaps(
 
 def heal_plain_layout(path: str) -> None:
     """Operator maintenance lever (CLI ``--heal-scrub``): full-tree
-    convergence of any crashed scrub state on a plain layout — trash
-    twins at ANY depth (the per-scrub heal is scoped to the partitions
-    that scrub targets) plus a leftover ``_SCRUB_PENDING`` sentinel,
-    after which the layout reads consistently again."""
+    convergence of any crashed scrub/expiry state on a plain layout —
+    restores-or-discards ``.__doomed_*`` trash twins at ANY depth (the
+    per-scrub heal is scoped to the partitions that scrub targets),
+    collects ``.__expired_*`` twins a crashed retention expiry left
+    (those are ALWAYS garbage — the rename itself was the removal),
+    and clears a leftover ``_SCRUB_PENDING`` sentinel, after which the
+    layout reads consistently again."""
     _heal_crashed_swaps(path)
+    for dirpath, dirnames, _files in os.walk(path):
+        for name in list(dirnames):
+            if name.startswith(".__expired_"):
+                shutil.rmtree(
+                    os.path.join(dirpath, name), ignore_errors=True
+                )
+                dirnames.remove(name)
     try:
         os.remove(os.path.join(path, SCRUB_SENTINEL))
     except OSError:

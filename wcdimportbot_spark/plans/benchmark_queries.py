@@ -6525,6 +6525,80 @@ def s14_scrub_sentinel(spark, sf_dir):
     return out
 
 
+@register(
+    "s14_output_retention",
+    "plain-layout retention: gate-output batch expiry + rejects "
+    "rotation (the rotation the purge-boundary docs defer to)",
+    "a batch_id=-partitioned gate-output layout grows one partition "
+    "per micro-batch forever; expire_plain_partitions keeps the newest "
+    "keep_last partitions (numeric order), removing doomed dirs via an "
+    "atomic .__expired_* rename so racing readers never see a "
+    "half-deleted partition — a crashed expiry's leftover twin is "
+    "collected by the next call. The surviving layout reads complete "
+    "through the sentinel-guarded reader and hash-matches the closed "
+    "form (docs ≤ 240 in the 5 newest of 8 batches)",
+    """
+    SELECT CAST(doc_id % 8 AS INT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS expired_counts_ok, TRUE AS twin_collected
+    FROM documents
+    WHERE doc_id <= 240 AND doc_id % 8 >= 3
+    GROUP BY doc_id % 8
+    """,
+)
+def s14_output_retention(spark, sf_dir):
+    """operators/sinks.expire_plain_partitions + rotate_reject_logs:
+    pure driver-side retention, O(partition dirs) listing, zero Spark
+    jobs — the unbounded-growth answer for the two append-forever
+    stores (gate outputs, per-rule rejects logs). Scale shape: each
+    removal is one atomic rename + rmtree; no data is read."""
+    import os
+    import shutil
+    import tempfile
+
+    from wcdimportbot_spark.operators import sinks
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 240)
+    path = tempfile.mkdtemp(prefix="wcd-retention-") + "/out"
+    try:
+        (
+            docs.select(
+                F.md5("text").alias("text_hash"),
+                (F.col("doc_id") % 8).cast("int").alias("batch_id"),
+            )
+            .coalesce(2)
+            .write.partitionBy("batch_id")
+            .parquet(path)
+        )
+        # a crashed prior expiry left a hidden twin — always garbage
+        shutil.copytree(
+            os.path.join(path, "batch_id=0"),
+            os.path.join(path, ".__expired_batch_id=77"),
+        )
+        res = sinks.expire_plain_partitions(path, keep_last=5)
+        expired_counts_ok = res == {
+            "partitions_expired": 3,
+            "partitions_kept": 5,
+        }
+        twin_collected = not os.path.isdir(
+            os.path.join(path, ".__expired_batch_id=77")
+        )
+        spark.catalog.refreshByPath(path)
+        out = (
+            sinks.read_plain_layout(spark, path)
+            .groupBy("batch_id")
+            .agg(F.count("*").alias("n"))
+            .withColumn(
+                "expired_counts_ok", F.lit(bool(expired_counts_ok))
+            )
+            .withColumn("twin_collected", F.lit(bool(twin_collected)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registry entries. Across r5 ∪ r6 every pre-round-7 registry row EXCEPT
@@ -6541,11 +6615,12 @@ def s14_scrub_sentinel(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the three new round-14 rows ---
+    # --- the four new round-14 rows ---
     "s14_refresh_spill_heal",    # bulk-refresh id spill + heal
     "s14_import_epoch_race",     # per-attempt import epochs close the
                                  # manifest detection hole (ADVICE high)
     "s14_scrub_sentinel",        # guarded readers + scoped crash heal
+    "s14_output_retention",      # gate-output expiry + rejects rotation
     # --- round-13 rows whose WRITE PATH changed in round 14 (the
     # two-sided increment/import epoch brackets + digest versioning
     # behind every purge row; the sentinel + scoped heal behind the
@@ -6579,8 +6654,9 @@ _WINDOW = [
     # r14; ANN stays covered by the four sim_ann_* lifecycle rows,
     # embedding near-dup by the dedup family + ANN rows, windowed
     # sketches by a7_windowed_event_counts + the full-sweep a11/a15)
+    # (bpe_merge_table also rotated out — r13 driver-verified, plans
+    # untouched in r14; the BPE family stays in the full sweep)
     "quality_classifier",        # hashed n-gram linear gate
-    "bpe_merge_table",           # learned BPE tokenizer: training
     # (s11_schema_evolution / s11_bucket_split / s10_append_only_merge
     # rotated out this round — r12 driver-verified, plans untouched in
     # r13; their families stay covered by s12_maintenance_composition,
