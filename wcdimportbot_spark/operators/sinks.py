@@ -2041,10 +2041,15 @@ def expire_plain_partitions(
         doomed.update(name for _o, name, _p in parts[: len(parts) - keep_last])
     if older_than_secs is not None:
         cutoff = time.time() - older_than_secs
+
+        def _mtime(p: str) -> float:
+            try:
+                return os.path.getmtime(p)
+            except OSError:  # vanished under us — treat as fresh, skip
+                return float("inf")
+
         doomed.update(
-            name
-            for _o, name, p in parts
-            if os.path.getmtime(p) < cutoff
+            name for _o, name, p in parts if _mtime(p) < cutoff
         )
     for name in doomed:
         live = os.path.join(path, name)
@@ -2081,12 +2086,13 @@ def rotate_reject_logs(path: str, older_than_secs: float) -> dict:
             continue
         for f in os.listdir(d):
             fp = os.path.join(d, f)
-            if os.path.isfile(fp) and os.path.getmtime(fp) < cutoff:
-                try:
+            try:
+                aged = os.path.isfile(fp) and os.path.getmtime(fp) < cutoff
+                if aged:
                     os.remove(fp)
                     n_files += 1
-                except OSError:
-                    pass
+            except OSError:  # vanished under us — nothing to rotate
+                pass
         if not any(
             e.endswith(".parquet") for e in os.listdir(d)
         ):
