@@ -1085,3 +1085,234 @@ def test_cli_delete_page_straddling_import(spark, tmp_path):
     si.import_pages_to_store(spark, pages, gpaths)
     for h in hashes:
         assert _graph_presence(spark, gpaths, h) == (True, True)
+
+
+def _ann_two_sided(spark):
+    """20 well-separated vectors: ids 0-9 on the + side, 100-109 on the
+    − side, so a 2-cluster build puts each side in its own cluster and
+    NEGATING a vector deterministically moves it across clusters."""
+    rows = [(i, [10.0 + i, 1.0, 0.0, 0.0]) for i in range(10)]
+    rows += [(100 + i, [-10.0 - i, -1.0, 0.0, 0.0]) for i in range(10)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _negated(emb, vec_id):
+    return emb.filter(F.col("vec_id") == vec_id).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+
+
+def test_ann_delete_straddling_add_reresolves_moved_vector(
+    spark, tmp_path
+):
+    """The r14 verdict's last open store pair (What's wrong #3), exact
+    schedule forced: ann_index_delete resolves its (vec_id, cluster)
+    pair set, then — INSIDE its scan-to-publish window — a concurrent
+    add_batch inserts the doomed id's CHANGED embedding into a cluster
+    the pair set never named. Without the epoch bracket the pruned
+    publish misses it and the vector stays SERVED after a "complete"
+    privacy purge. The delete-side repair must detect the merge bump,
+    RE-RESOLVE from the live store, and re-delete — merge→delete
+    serial order, the id gone from every cluster."""
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.operators import ann_store as ann
+    from wcdimportbot_spark.operators import sinks
+
+    base = str(tmp_path / "ann")
+    emb = _ann_two_sided(spark)
+    ann.ann_index_build(emb, base, num_clusters=2, m=2, n_codes=4)
+
+    resolved = threading.Event()
+    add_done = threading.Event()
+    real_del = sinks.delete_from_store
+    state = {"armed": True}
+
+    def gated_delete(spark_, pairs, path, **kw):
+        # first publish = the delete's attempt-0 pruned CoW; hold it
+        # open until the racing add has fully landed
+        if state["armed"]:
+            state["armed"] = False
+            resolved.set()
+            assert add_done.wait(120), "racing add never ran"
+        return real_del(spark_, pairs, path, **kw)
+
+    errs, out = [], {}
+
+    def run_delete():
+        try:
+            out["n"] = ann.ann_index_delete(
+                spark.createDataFrame([(0,)], "vec_id long"), base
+            )
+        except Exception as e:
+            errs.append(e)
+
+    with mock.patch.object(sinks, "delete_from_store", gated_delete):
+        t = threading.Thread(target=run_delete)
+        t.start()
+        assert resolved.wait(120), "delete never reached its publish"
+        # the racing add: id 0's negated embedding — nearest centroid
+        # is the OTHER side, and add_batch's cluster-pruned
+        # insert-if-absent probe never sees the stored (0, c+) row
+        ann.ann_index_add_batch(_negated(emb, 0), base)
+        add_done.set()
+        t.join(300)
+        assert not t.is_alive() and not errs, errs
+
+    codes = ann.read_ann_codes(spark, base)
+    # the doomed id is gone from EVERY cluster (stale pair + the moved
+    # row the re-resolve found), bystanders untouched
+    assert codes.filter(F.col("vec_id") == 0).count() == 0
+    assert codes.count() == 19
+    assert out["n"] == 2  # attempt-0 stale pair + repaired moved row
+
+
+def test_ann_delete_caller_pairs_stale_token_reresolves(spark, tmp_path):
+    """The upsert-scan arm of the same contract: a caller that resolved
+    (vec_id, cluster) pairs ITSELF (ann_index_upsert's matched-row
+    scan) passes the merge-epoch fingerprint it read before that scan;
+    an add_batch landing after the scan makes the token stale and the
+    delete must ignore the caller's pairs, re-resolve, and sweep the
+    row the racer inserted. Pairs WITHOUT a token are only a hint —
+    the delete re-resolves in-window regardless."""
+    from wcdimportbot_spark.operators import ann_store as ann
+
+    base = str(tmp_path / "ann")
+    emb = _ann_two_sided(spark)
+    ann.ann_index_build(emb, base, num_clusters=2, m=2, n_codes=4)
+
+    # caller's scan (the upsert's matched-row resolve), token first
+    m0 = ann.ann_merge_epoch(base)
+    pairs = (
+        ann.read_ann_codes(spark, base)
+        .filter(F.col("vec_id") == 0)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    # racing add lands AFTER the scan: id 0 moved to the other cluster
+    ann.ann_index_add_batch(_negated(emb, 0), base)
+    assert ann.ann_merge_epoch(base) != m0  # the bump is visible
+
+    n = ann.ann_index_delete(pairs, base, merge_epoch0=m0)
+    codes = ann.read_ann_codes(spark, base)
+    assert codes.filter(F.col("vec_id") == 0).count() == 0
+    assert codes.count() == 19
+    assert n == 2  # caller's stale pair + the re-resolved moved row
+
+
+def test_ann_add_batch_straddled_by_delete_converges_serial(
+    spark, tmp_path
+):
+    """Merge-side detection (the containment direction): a delete runs
+    ENTIRELY inside one add_batch's bracketed window. The add's
+    post-window check must see the delete-epoch bump and re-assert its
+    idempotent merge — converging on the delete→merge serial order:
+    batch ids the delete swept or predated end up present, ids only
+    the delete named stay gone."""
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.operators import ann_store as ann
+    from wcdimportbot_spark.operators import sinks
+
+    base = str(tmp_path / "ann")
+    emb = _ann_two_sided(spark)
+    ann.ann_index_build(emb, base, num_clusters=2, m=2, n_codes=4)
+
+    merge_open = threading.Event()
+    delete_done = threading.Event()
+    real_mw = sinks._merge_write
+    calls = {"n": 0}
+    state = {"armed": True}
+
+    def gated_mw(spark_, df, path, **kw):
+        calls["n"] += 1
+        if state["armed"]:
+            # inside the add's epoch window, BEFORE its probe/publish:
+            # hold here while the full delete runs
+            state["armed"] = False
+            merge_open.set()
+            assert delete_done.wait(120), "delete never ran"
+        return real_mw(spark_, df, path, **kw)
+
+    batch = spark.createDataFrame(
+        [(20, [14.0, 1.0, 0.0, 0.0]), (21, [-14.0, -1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    errs, out = [], {}
+
+    def run_add():
+        try:
+            out["res"] = ann.ann_index_add_batch(batch, base)
+        except Exception as e:
+            errs.append(e)
+
+    with mock.patch.object(sinks, "_merge_write", gated_mw):
+        t = threading.Thread(target=run_add)
+        t.start()
+        assert merge_open.wait(120), "add never reached its merge"
+        # full delete INSIDE the add's window: one stored bystander id
+        # (5) plus one batch id (20, not yet published — swallowed)
+        ann.ann_index_delete(
+            spark.createDataFrame([(5,), (20,)], "vec_id long"), base
+        )
+        delete_done.set()
+        t.join(300)
+        assert not t.is_alive() and not errs, errs
+
+    # detection fired: the post-window check re-ran the merge
+    assert calls["n"] >= 2
+    codes = ann.read_ann_codes(spark, base)
+    # delete→merge serial: batch ids present (20 re-asserted), the
+    # delete-only id permanently gone, no duplicate rows anywhere
+    assert codes.filter(F.col("vec_id") == 20).count() == 1
+    assert codes.filter(F.col("vec_id") == 21).count() == 1
+    assert codes.filter(F.col("vec_id") == 5).count() == 0
+    assert codes.count() == 21  # 20 built − 1 deleted + 2 added
+    assert (
+        codes.groupBy("vec_id").count().filter("count > 1").count() == 0
+    )
+
+
+def test_ann_merge_vs_delete_threaded_stress(spark, tmp_path):
+    """Unsynchronized add_batch vs delete on one codes store: whatever
+    the scheduler picks, the final state is one of the two serial
+    orders per contested id (present exactly once, or absent), never a
+    duplicate row, and bystanders stay intact."""
+    from wcdimportbot_spark.operators import ann_store as ann
+
+    for rnd, stagger in enumerate((0.0, 0.2)):
+        base = str(tmp_path / f"ann{rnd}")
+        emb = _ann_two_sided(spark)
+        ann.ann_index_build(emb, base, num_clusters=2, m=2, n_codes=4)
+        errs = []
+
+        def run_add():
+            try:
+                ann.ann_index_add_batch(_negated(emb, 0), base)
+            except Exception as e:
+                errs.append(e)
+
+        def run_delete():
+            try:
+                time.sleep(stagger)
+                ann.ann_index_delete(
+                    spark.createDataFrame([(0,)], "vec_id long"), base
+                )
+            except Exception as e:
+                errs.append(e)
+
+        t1 = threading.Thread(target=run_add)
+        t2 = threading.Thread(target=run_delete)
+        t1.start()
+        t2.start()
+        t1.join(300)
+        t2.join(300)
+        assert not t1.is_alive() and not t2.is_alive()
+        assert not errs, errs
+        codes = ann.read_ann_codes(spark, base)
+        assert codes.filter(F.col("vec_id") == 0).count() <= 1
+        assert codes.filter(F.col("vec_id") != 0).count() == 19
+        assert (
+            codes.groupBy("vec_id").count().filter("count > 1").count()
+            == 0
+        )

@@ -92,6 +92,51 @@ CODES_SCHEMA = "vec_id long, cluster int, codes array<int>"
 #: files, and merge hardlinking carries the stamp forward unchanged.
 MODEL_STAMP = "_MODEL_VERSION.json"
 
+#: symmetric epoch sidecars (r15) — the ANN-codes twin of the dedup
+#: index's merge-vs-delete bracket (text_dedup.DELETE_EPOCH_FILE). The
+#: codes store has ONE relation, but the same mixed-state algebra
+#: applies because its two writers each have a two-step window the
+#: store's snapshot lock does not cover:
+#:
+#:   DELETE = resolve (vec_id → cluster scan) → publish (pruned CoW).
+#:     An add/upsert landing between them can insert (or move, via
+#:     upsert) a DOOMED vec_id into a cluster the resolved pair set
+#:     never named — the pruned publish misses it and the vector stays
+#:     SERVED after a "complete" privacy purge.
+#:   MERGE = anti-join probe → publish (insert-if-absent). A delete
+#:     landing between them removes a row the probe just saw, so the
+#:     merge SKIPS re-inserting it — content the merge claims to have
+#:     added is absent, which matches neither serial order when the
+#:     delete's pair set simultaneously missed the merge's new rows.
+#:
+#: Each writer brackets its window with bumps of its OWN sidecar and
+#: compares the OTHER side's bytes across the window, re-asserting its
+#: idempotent work when they changed: the delete RE-RESOLVES from the
+#: live store and re-deletes (converging on merge→delete: the doomed
+#: vector is gone no matter which cluster the racer put it in), and
+#: the merge re-runs its insert-if-absent publish (converging on
+#: delete→merge: rows the delete swept mid-probe are re-inserted).
+#: Both directions are needed for the same containment reason as the
+#: dedup index: one side's whole window can sit strictly inside the
+#: other's, where only the OUTER writer's check sees a bump.
+#: ``ann_index_build`` (full-rewrite retrain) only BUMPS the merge
+#: side — its codes publish replaces the whole store from the corpus
+#: input, so either serial order yields exactly its output and a
+#: racing delete just needs to notice and re-resolve against the new
+#: snapshot. No-race cost per writer: two file reads + two tiny
+#: writes. Files live at the store root, next to model/ and codes/.
+ANN_DELETE_EPOCH_FILE = "_ANN_DELETE_EPOCH.json"
+ANN_MERGE_EPOCH_FILE = "_ANN_MERGE_EPOCH.json"
+
+
+def ann_merge_epoch(base_path: str) -> str:
+    """Fingerprint of the add/upsert side's epoch sidecar — callers
+    that resolve (vec_id, cluster) pairs THEMSELVES before handing them
+    to :func:`ann_index_delete` (the upsert's matched-row scan) must
+    read this BEFORE their scan and pass it as ``merge_epoch0`` so the
+    delete's race window covers the caller's scan too."""
+    return versioned.epoch_read(base_path, ANN_MERGE_EPOCH_FILE)
+
 
 class StaleModelError(RuntimeError):
     """A batch was encoded under a model version the codes store no
@@ -267,6 +312,14 @@ def ann_index_build(
     mpath = _model_path(base_path)
     cpath = _codes_path(base_path)
     optimistic = sinks._merge_protocol(protocol) == "optimistic"
+    # bump the merge-side epoch around the codes publish so a racing
+    # ann_index_delete notices the store changed under its resolved
+    # pair set and re-resolves against the NEW snapshot (whose cluster
+    # assignments may differ entirely). A full rebuild needs no
+    # delete-epoch CHECK of its own: the codes publish replaces the
+    # whole store from the corpus input, so either serial order yields
+    # exactly this output (see ANN_DELETE_EPOCH_FILE).
+    versioned.epoch_bump(base_path, ANN_MERGE_EPOCH_FILE)
     if optimistic:
         version = versioned.publish_full_optimistic(
             mpath, lambda vdir: _populate_model(vdir, centroids, books, meta)
@@ -290,6 +343,7 @@ def ann_index_build(
             versioned.publish(mpath, version)
         with versioned.writer_lock(cpath):
             _write_codes_unlocked(codes_out, cpath, model_version=version)
+    versioned.epoch_bump(base_path, ANN_MERGE_EPOCH_FILE)
     return {"n_built": int(n_built), "model_version": version, **meta}
 
 
@@ -505,7 +559,19 @@ def ann_index_add_batch(
     still matches the one this batch was encoded under, and RE-ENCODES
     under the new model when it changed (a rebase alone re-runs only the
     anti-join, never the encode, so it cannot heal this). Returns
-    {added, skipped}."""
+    {added, skipped}.
+
+    **Merge-vs-delete race bracket (r15, see ANN_DELETE_EPOCH_FILE):**
+    a concurrent :func:`ann_index_delete` can sweep rows between this
+    call's anti-join probe and its publish — the probe saw them, so the
+    insert-if-absent skip leaves content this call claims to have added
+    absent from the store. Each pass brackets the whole
+    encode-probe-publish attempt with merge-epoch bumps (the delete
+    side reads them) and RE-RUNS the idempotent merge when the delete
+    side's bytes changed across the window, converging on the
+    delete→merge serial order. Under a detected race the returned
+    counts reflect the final re-assert pass (rows a racing delete
+    removed mid-probe count as added when the re-run inserts them)."""
     from wcdimportbot_spark.operators import sinks
 
     spark = new_embeddings.sparkSession
@@ -518,60 +584,85 @@ def ann_index_add_batch(
         prune_col="cluster",
         sort_key="vec_id",
     )
-    for _attempt in range(4):  # each retry RE-ENCODES under a newer model
-        mv = versioned.current_version(_model_path(base_path))
-        cent, books, _meta = load_ann_model(spark, base_path, version=mv)
 
-        def guard(base_dir: str, _mv=mv) -> None:
-            stamp = _read_model_stamp(base_dir)
-            if stamp is not None and stamp != _mv:
-                raise StaleModelError(
-                    f"batch encoded under model {_mv} but the codes store "
-                    f"now records {stamp}; re-encode required"
+    def _do() -> dict:
+        for _attempt in range(4):  # each retry RE-ENCODES under a newer model
+            mv = versioned.current_version(_model_path(base_path))
+            cent, books, _meta = load_ann_model(spark, base_path, version=mv)
+
+            def guard(base_dir: str, _mv=mv) -> None:
+                stamp = _read_model_stamp(base_dir)
+                if stamp is not None and stamp != _mv:
+                    raise StaleModelError(
+                        f"batch encoded under model {_mv} but the codes "
+                        f"store now records {stamp}; re-encode required"
+                    )
+
+            enc = (
+                _encode_with_model(
+                    new_embeddings, cent, books, id_col, vec_col
                 )
-
-        enc = (
-            _encode_with_model(new_embeddings, cent, books, id_col, vec_col)
-            .dropDuplicates(["vec_id"])
-            .localCheckpoint(eager=True)  # encode once: batch count + merge
+                .dropDuplicates(["vec_id"])
+                .localCheckpoint(eager=True)  # encode once: count + merge
+            )
+            n_batch = enc.count()
+            try:
+                if sinks._merge_protocol(protocol) == "optimistic":
+                    n_fresh = sinks._merge_write_optimistic(
+                        spark, enc, cpath, base_guard=guard, **merge_kwargs
+                    )
+                    # the optimistic FIRST-commit path writes the store
+                    # body itself (no write_fn hook), so a codes store
+                    # born from an optimistic add-batch would carry no
+                    # _MODEL_VERSION and load_ann_pair would silently
+                    # degrade to the unverified current-of-each pairing
+                    # (r11 ADVICE). Stamp post-commit when absent:
+                    # purely additive metadata the guard treats as
+                    # unverified until it lands, racing add-batches
+                    # under the same model converge on the same stamp,
+                    # and link_tree carries it into every later
+                    # snapshot.
+                    if versioned.current_version(cpath) is not None:
+                        cur = versioned.data_dir(cpath)
+                        if _read_model_stamp(cur) is None:
+                            _write_model_stamp(cur, mv)
+                else:
+                    n_fresh = sinks._merge_write(
+                        spark,
+                        enc,
+                        cpath,
+                        read_fn=sinks.read_snapshot,
+                        write_fn=lambda df, p, _mv=mv: _write_codes_unlocked(
+                            df, p, model_version=_mv
+                        ),
+                        base_guard=guard,
+                        **merge_kwargs,
+                    )
+            except StaleModelError:
+                continue
+            return {"added": int(n_fresh), "skipped": int(n_batch - n_fresh)}
+        raise StaleModelError(
+            f"add-batch into {base_path} lost 4 consecutive retrain races"
         )
-        n_batch = enc.count()
-        try:
-            if sinks._merge_protocol(protocol) == "optimistic":
-                n_fresh = sinks._merge_write_optimistic(
-                    spark, enc, cpath, base_guard=guard, **merge_kwargs
-                )
-                # the optimistic FIRST-commit path writes the store body
-                # itself (no write_fn hook), so a codes store born from
-                # an optimistic add-batch would carry no _MODEL_VERSION
-                # and load_ann_pair would silently degrade to the
-                # unverified current-of-each pairing (r11 ADVICE). Stamp
-                # post-commit when absent: purely additive metadata the
-                # guard treats as unverified until it lands, racing
-                # add-batches under the same model converge on the same
-                # stamp, and link_tree carries it into every later
-                # snapshot.
-                if versioned.current_version(cpath) is not None:
-                    cur = versioned.data_dir(cpath)
-                    if _read_model_stamp(cur) is None:
-                        _write_model_stamp(cur, mv)
-            else:
-                n_fresh = sinks._merge_write(
-                    spark,
-                    enc,
-                    cpath,
-                    read_fn=sinks.read_snapshot,
-                    write_fn=lambda df, p, _mv=mv: _write_codes_unlocked(
-                        df, p, model_version=_mv
-                    ),
-                    base_guard=guard,
-                    **merge_kwargs,
-                )
-        except StaleModelError:
-            continue
-        return {"added": int(n_fresh), "skipped": int(n_batch - n_fresh)}
-    raise StaleModelError(
-        f"add-batch into {base_path} lost 4 consecutive retrain races"
+
+    # merge-vs-delete race repair (r15, see ANN_DELETE_EPOCH_FILE):
+    # bracket our own window with merge-epoch bumps (the delete side
+    # reads them) and re-assert the idempotent merge whenever a delete
+    # bump landed inside it — the re-run's anti-join probes the
+    # post-delete snapshot, so rows the racer swept mid-probe are
+    # re-inserted (delete→merge serial order). No-race cost: two file
+    # reads + two tiny writes.
+    for _repair in range(5):
+        d0 = versioned.epoch_read(base_path, ANN_DELETE_EPOCH_FILE)
+        versioned.epoch_bump(base_path, ANN_MERGE_EPOCH_FILE)
+        res = _do()
+        versioned.epoch_bump(base_path, ANN_MERGE_EPOCH_FILE)
+        if versioned.epoch_read(base_path, ANN_DELETE_EPOCH_FILE) == d0:
+            return res
+    raise RuntimeError(
+        f"ann_index_delete kept landing inside one add-batch's window "
+        f"on {base_path} (5 repair attempts) — quiesce the delete loop "
+        f"and re-send the batch"
     )
 
 
@@ -623,6 +714,12 @@ def ann_index_upsert(
     )
     n_matched = 0
     if sinks.has_parquet_data(_codes_path(base_path)):
+        # read the merge-side epoch BEFORE the matched-row scan, so the
+        # delete's race window covers this scan too (see
+        # ANN_DELETE_EPOCH_FILE) — an add-batch landing between this
+        # scan and the delete's publish is detected and the delete
+        # re-resolves from the live store
+        m0 = ann_merge_epoch(base_path)
         pairs = (
             read_ann_codes(spark, base_path)
             .select("vec_id", "cluster")
@@ -634,7 +731,9 @@ def ann_index_upsert(
         # the changed-content hazard in ann_index_add_batch's docstring)
         n_matched = pairs.select("vec_id").distinct().count()
         if n_matched:
-            ann_index_delete(pairs, base_path, protocol=protocol)
+            ann_index_delete(
+                pairs, base_path, protocol=protocol, merge_epoch0=m0
+            )
     res = ann_index_add_batch(
         new_embeddings,
         base_path,
@@ -653,6 +752,7 @@ def ann_index_delete(
     vec_ids: DataFrame,
     base_path: str,
     protocol: str | None = None,
+    merge_epoch0: str | None = None,
 ) -> int:
     """Propagate document deletes into the ANN index (r10 verdict Next
     #4): remove the given ``vec_id`` rows from the codes store via the
@@ -667,8 +767,29 @@ def ann_index_delete(
     vector (the doc may be gone), so the touched clusters come from ONE
     column-pruned scan of (vec_id, cluster) semi-joined against the
     BROADCAST id list — read O(store) on two int columns, write
-    O(touched clusters). When the caller still has the vectors it can
-    pass (vec_id, cluster) pairs directly and skip the lookup scan.
+    O(touched clusters). When the caller still has the pairs it can
+    pass (vec_id, cluster) rows directly together with the
+    ``merge_epoch0`` fingerprint it read (:func:`ann_merge_epoch`)
+    BEFORE its own scan, skipping the lookup on the no-race path.
+
+    **Delete-vs-add race bracket (r15, the last store pair without
+    one).** The resolve-then-publish shape is exactly the dedup index's
+    two-step window: a concurrent :func:`ann_index_add_batch` /
+    :func:`ann_index_upsert` landing between the scan and the pruned
+    publish can insert (or move) a doomed ``vec_id`` into a cluster
+    the pair set never named — the vector stays served after this call
+    returns "complete", the privacy-purge hole class r13/r14 closed on
+    every other store. The bracket (see ``ANN_DELETE_EPOCH_FILE``):
+    each attempt re-reads the merge side's epoch, bumps its own around
+    resolve+publish, and RE-RESOLVES FROM THE LIVE STORE + re-deletes
+    whenever the merge side's bytes changed across the window —
+    converging on the merge→delete serial order (the vector is gone,
+    whichever cluster the racer put it in). Caller-supplied pairs are
+    honored only on the first attempt and only when the caller's
+    ``merge_epoch0`` proves its scan sits inside this window; pairs
+    without the token are treated as a hint and re-resolved. Returned
+    count accumulates across repair attempts (re-deletes of rows a
+    racing merge re-inserted are real deletions).
 
     The model store is untouched: deletes never invalidate centroids or
     codebooks, but they DO count toward staleness — shrinking the store
@@ -679,25 +800,58 @@ def ann_index_delete(
     from wcdimportbot_spark.operators import sinks
 
     spark = vec_ids.sparkSession
+    caller_pairs = None
     if "cluster" in vec_ids.columns:
-        pairs = vec_ids.select("vec_id", "cluster")
-    else:
+        caller_pairs = vec_ids.select("vec_id", "cluster")
+    ids = vec_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+
+    def _resolve() -> DataFrame | None:
+        if not sinks.has_parquet_data(_codes_path(base_path)):
+            return None  # nothing built yet — swallowed delete-twice case
         codes = read_ann_codes(spark, base_path).select("vec_id", "cluster")
-        pairs = codes.join(
-            F.broadcast(vec_ids.select("vec_id").distinct()),
-            "vec_id",
-            "left_semi",
+        return codes.join(
+            F.broadcast(ids), "vec_id", "left_semi"
         ).localCheckpoint(eager=True)
-    return sinks.delete_from_store(
-        spark,
-        pairs,
-        _codes_path(base_path),
-        key="vec_id",
-        bucket_key=None,
-        partitions=["cluster"],
-        prune_col="cluster",
-        sort_key="vec_id",
-        protocol=protocol,
+
+    def _publish(pairs: DataFrame | None) -> int:
+        if pairs is None or not sinks.has_parquet_data(
+            _codes_path(base_path)
+        ):
+            return 0
+        return sinks.delete_from_store(
+            spark,
+            pairs,
+            _codes_path(base_path),
+            key="vec_id",
+            bucket_key=None,
+            partitions=["cluster"],
+            prune_col="cluster",
+            sort_key="vec_id",
+            protocol=protocol,
+        )
+
+    total = 0
+    for attempt in range(5):
+        if attempt == 0 and caller_pairs is not None and merge_epoch0 is not None:
+            # the caller read merge_epoch0 BEFORE its own resolve scan,
+            # so the check below covers that scan too — skip re-reading
+            m0 = merge_epoch0
+            versioned.epoch_bump(base_path, ANN_DELETE_EPOCH_FILE)
+            pairs = caller_pairs
+        else:
+            m0 = versioned.epoch_read(base_path, ANN_MERGE_EPOCH_FILE)
+            versioned.epoch_bump(base_path, ANN_DELETE_EPOCH_FILE)
+            # resolve INSIDE the bracketed window — a pair set computed
+            # before the m0 read could go stale undetectably
+            pairs = _resolve()
+        total += _publish(pairs)
+        versioned.epoch_bump(base_path, ANN_DELETE_EPOCH_FILE)
+        if versioned.epoch_read(base_path, ANN_MERGE_EPOCH_FILE) == m0:
+            return int(total)
+    raise RuntimeError(
+        f"ann_index_add_batch/upsert kept landing inside one delete's "
+        f"window on {base_path} (5 repair attempts) — quiesce the "
+        f"ingest loop and replay the delete"
     )
 
 
