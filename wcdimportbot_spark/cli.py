@@ -362,9 +362,12 @@ def main(argv=None) -> int:
         metavar="DIR",
         nargs="+",
         help="retention for batch_id=-partitioned gate-output dirs "
-        "(they grow one partition per micro-batch forever): keep the "
-        "newest --keep-last partitions and/or drop ones older than "
-        "--older-than seconds; removal renames each doomed dir to a "
+        "(they grow one partition per micro-batch forever): the newest "
+        "--keep-last partitions are a protection floor (never expired, "
+        "by either rule); below it the count rule and/or the "
+        "--older-than age rule expire. Pass --curation-store to also "
+        "refuse while that store's purge marker is pending. Removal "
+        "renames each doomed dir to a "
         "hidden .__expired_* twin first (atomic disappearance from "
         "partition discovery), so racing readers never see a "
         "half-deleted partition",
@@ -455,6 +458,7 @@ def main(argv=None) -> int:
                 d,
                 keep_last=args.keep_last,
                 older_than_secs=args.older_than,
+                owner_base=args.curation_store,
             )
             print(json.dumps({"dir": d, **res}, sort_keys=True))
         return 0
@@ -466,7 +470,9 @@ def main(argv=None) -> int:
         from wcdimportbot_spark.plans.store_import import store_paths as _sp
 
         res = rotate_reject_logs(
-            _sp(args.store)["rejects"], args.older_than
+            _sp(args.store)["rejects"],
+            args.older_than,
+            owner_base=args.curation_store,
         )
         print(json.dumps(res, sort_keys=True))
         return 0

@@ -374,12 +374,24 @@ def purge_training_shards(
     # closed-form assignment guarantees a replayed purge recomputes the
     # same pair, so dropping it here would strand the doomed rows in
     # the twin forever
+    # dir names via the same escape mapping the scrub and the scoped
+    # heal use (r14 ADVICE): splits/shards are train|val|test and ints
+    # today, but a reserved char in a partition value would otherwise
+    # make these existence probes miss the on-disk (percent-escaped)
+    # name, silently pruning the pair and leaving doomed rows live
+    def _esc(v) -> str:
+        return sinks.escape_partition_value(v)
+
     pairs = {
         (s, sh)
         for (s, sh) in pairs
-        if os.path.isdir(os.path.join(path, f"split={s}", f"shard={sh}"))
+        if os.path.isdir(
+            os.path.join(path, f"split={_esc(s)}", f"shard={_esc(sh)}")
+        )
         or os.path.isdir(
-            os.path.join(path, f"split={s}", f".__doomed_shard={sh}")
+            os.path.join(
+                path, f"split={_esc(s)}", f".__doomed_shard={_esc(sh)}"
+            )
         )
     }
     if not pairs:
