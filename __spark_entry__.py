@@ -7,37 +7,29 @@
   ``__print_hash_statistics__``).
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
-  128 queries, all DuckDB-verified — the ANN top-k variants emit an
+  129 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window prioritizes, in round 14: the
-  four new rows (``s14_refresh_spill_heal`` — the bulk-refresh id
-  spill: above the marker cap curate_refresh's stale-id set spills to
-  a parquet side relation instead of a driver collect into the marker
-  JSON; the refresh is crashed inside its internal purge and the next
-  call heals FROM THE SPILLS ALONE, still reporting refreshed=True for
-  every healed doc, then round-trips back to the one-shot closed form;
-  ``s14_import_epoch_race`` — the import-vs-purge detection hole
-  closed: the import bumps ``_IMPORT_EPOCH.json`` inside EVERY merge
-  attempt and the purge's graph arm fingerprints that sidecar instead
-  of the once-written manifest — the row forces the exact r13-ADVICE
-  schedule where neither old check fired, and the purge now detects,
-  re-deletes, and the stores converge on the import→purge serial
-  order with a fresh re-import accepted back to the closed-form item
-  counts; ``s14_scrub_sentinel`` — plain-layout scrub hardening: a
-  crashed prior scrub's stale ``_SCRUB_PENDING`` sentinel makes
-  guarded readers refuse the silently-short layout loudly, the next
-  scrub heals the trash twin with the depth-bounded partition walk
-  and brackets its own swap window with a fresh sentinel;
-  ``s14_output_retention`` — the rotation the purge-boundary docs
-  defer to: gate-output batch_id= partitions expire by keep_last /
-  age through atomic .__expired_* renames, rejects logs rotate by
-  file age, crashed-expiry twins are collected), the
-  round-13 contract rows re-verified behind the changed write paths
-  (the two-sided increment/import epoch brackets + versioned marker
-  digests behind ``s13_purge_race``/``s13_purge_spill_replay``/
-  ``s13_ann_binding`` and every s12/curation purge row; the scoped
-  crash-heal + sentinel behind ``train_shard_purge``), and sentinels —
-  one per operator family already driver-verified in r5-r13 — for the
+  ordered so the driver's 50-query window prioritizes, in round 15: the
+  new row (``s15_ann_epoch_race`` — the last store pair joins the
+  disjoint-or-detected contract: ``ann_index_delete`` resolved its
+  (vec_id, cluster) pair set by scan and then published, so an
+  add/upsert landing between them could insert a doomed id into a
+  cluster the pair set never named and the vector stayed served after
+  a "complete" privacy purge; both writers now bracket their windows
+  with symmetric ``_ANN_DELETE_EPOCH``/``_ANN_MERGE_EPOCH`` bumps —
+  the row forces the exact schedule with a one-shot gate, the delete
+  re-resolves from the live store and re-deletes, and the
+  delete→re-ingest contract accepts the ids back to the closed-form
+  count), the rows whose write paths changed this round re-verified
+  behind them (the epoch bracket behind all four ``sim_ann_*``
+  lifecycle rows and ``s13_ann_binding``; the scrub sentinel
+  HEARTBEAT + the epoch-bracketed ``read_plain_layout`` listing +
+  rename-first all-doomed removal + contract-aware retention levers
+  with keep_last as a protection floor behind ``s14_scrub_sentinel``/
+  ``s14_output_retention``/``train_shard_purge``), the round-13/14
+  two-sided epoch contract rows (``s14_import_epoch_race``,
+  ``s13_purge_race``, the purge/refresh family), and sentinels — one
+  per operator family already driver-verified in r5-r14 — for the
   rest. ``tests/test_plan_shapes.py::test_registry_size_matches_docs``
   pins this count so the docs cannot drift from ``len(QUERIES)`` again.
 """

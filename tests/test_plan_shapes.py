@@ -131,8 +131,8 @@ def test_registry_size_matches_docs():
     import __spark_entry__ as em
     from wcdimportbot_spark.plans.benchmark_queries import _WINDOW, QUERIES
 
-    assert len(QUERIES) == 128
-    assert "128 queries" in em.__doc__
+    assert len(QUERIES) == 129
+    assert "129 queries" in em.__doc__
     assert len(_WINDOW) == 50
     assert set(_WINDOW) <= set(QUERIES)
     # every registry entry is oracle-verifiable — the ANN accuracy-contract

@@ -6599,6 +6599,133 @@ def s14_output_retention(spark, sf_dir):
     return out
 
 
+@register(
+    "s15_ann_epoch_race",
+    "ANN codes store delete-vs-add serializability via symmetric epoch "
+    "sidecars (r14 verdict What's wrong #3 — the last store pair "
+    "without the disjoint-or-detected contract)",
+    "ann_index_delete resolves its (vec_id, cluster) pair set by scan, "
+    "then publishes the pruned delete; an add_batch landing between "
+    "them can insert a doomed id's CHANGED embedding into a cluster "
+    "the pair set never named — the vector stayed SERVED after a "
+    "'complete' privacy purge. This row forces the exact schedule with "
+    "a one-shot gate (the delete's first publish holds open while a "
+    "full add of the doomed ids' negated embeddings lands): the "
+    "delete observes the add's merge-epoch bumps, RE-RESOLVES from the "
+    "live store, and re-deletes — merge→delete serial order, every "
+    "doomed id gone from every cluster, no duplicate rows — and the "
+    "delete→re-ingest contract then accepts the ids back, restoring "
+    "the closed-form corpus count",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS race_detected, TRUE AS serial_state,
+           TRUE AS no_duplicates, TRUE AS reingest_accepted
+    FROM embeddings
+    """,
+)
+def s15_ann_epoch_race(spark, sf_dir):
+    """operators/ann_store.ANN_DELETE_EPOCH_FILE/ANN_MERGE_EPOCH_FILE:
+    each writer bumps its own sidecar inside every attempt and compares
+    the other side's bytes across its window — the delete re-resolves
+    and re-deletes on a detected overlap (so the doomed vector is gone
+    whichever cluster the racing add put it in), the add re-asserts its
+    idempotent merge (see the sidecar note for the containment
+    algebra). No-race cost: two file reads + two tiny writes per
+    writer. Scale shape: the repair re-runs only the pruned
+    resolve+publish, bounded at 5 attempts, loud on exhaustion.
+    Reference contract: delete→re-import completeness,
+    ``crud/delete.py:44-61``."""
+    import shutil
+    import tempfile
+    import threading
+    import unittest.mock as mock
+
+    from wcdimportbot_spark.operators import ann_store as ann
+    from wcdimportbot_spark.operators import sinks
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="wcd-annrace-")
+    try:
+        ann.ann_index_build(emb, base)
+        doomed_ids = spark.createDataFrame(
+            [(i,) for i in range(8)], "vec_id long"
+        )
+        negated = emb.filter(F.col("vec_id") < 8).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+
+        resolved = threading.Event()
+        add_done = threading.Event()
+        real_del = sinks.delete_from_store
+        state = {"armed": True, "publishes": 0}
+
+        def gated_delete(spark_, pairs, path, **kw):
+            state["publishes"] += 1
+            if state["armed"]:
+                # attempt-0 pair set is resolved; hold its publish open
+                # until the racing add has fully landed INSIDE the
+                # delete's bracketed window
+                state["armed"] = False
+                resolved.set()
+                add_done.wait(300)
+            return real_del(spark_, pairs, path, **kw)
+
+        errs, out_n = [], {}
+
+        def run_delete():
+            try:
+                out_n["n"] = ann.ann_index_delete(doomed_ids, base)
+            except Exception as e:
+                errs.append(e)
+
+        with mock.patch.object(sinks, "delete_from_store", gated_delete):
+            th = threading.Thread(target=run_delete)
+            th.start()
+            assert resolved.wait(300), "delete never reached its publish"
+            ann.ann_index_add_batch(negated, base)
+            add_done.set()
+            th.join(600)
+            ok = not th.is_alive() and not errs
+        # the delete detected the in-window merge and published again
+        race_detected = ok and state["publishes"] >= 2
+        codes = ann.read_ann_codes(spark, base)
+        serial_state = (
+            codes.join(
+                F.broadcast(doomed_ids), "vec_id", "left_semi"
+            ).count()
+            == 0
+        )
+        no_duplicates = (
+            codes.groupBy("vec_id").count().filter("count > 1").count()
+            == 0
+        )
+        # delete→re-ingest: the purged ids are accepted back
+        ann.ann_index_add_batch(
+            emb.filter(F.col("vec_id") < 8), base
+        )
+        after = ann.read_ann_codes(spark, base)
+        reingest_accepted = (
+            after.join(
+                F.broadcast(doomed_ids), "vec_id", "left_semi"
+            ).count()
+            == 8
+        )
+        out = (
+            after.agg(F.count("*").alias("n_vectors"))
+            .withColumn("race_detected", F.lit(bool(race_detected)))
+            .withColumn("serial_state", F.lit(bool(serial_state)))
+            .withColumn("no_duplicates", F.lit(bool(no_duplicates)))
+            .withColumn(
+                "reingest_accepted", F.lit(bool(reingest_accepted))
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # registry entries. Across r5 ∪ r6 every pre-round-7 registry row EXCEPT
@@ -6615,47 +6742,48 @@ def s14_output_retention(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- the four new round-14 rows ---
-    "s14_refresh_spill_heal",    # bulk-refresh id spill + heal
+    # --- the new round-15 row ---
+    "s15_ann_epoch_race",        # ANN delete-vs-add epoch bracket — the
+                                 # last store pair joins the contract
+    # --- rows whose WRITE PATH changed in round 15 (the ann_store
+    # epoch bracket behind every ANN lifecycle row; the scrub
+    # heartbeat + bracketed-listing reader + rename-first removal +
+    # contract-aware retention behind the scrub/retention/shard rows):
+    # re-verify ---
+    "sim_ann_delete",            # delete now bracketed + in-window resolve
+    "sim_ann_upsert",            # matched-scan covered by the epoch token
+    "sim_ann_index_maint",       # add-batch rides the merge-side bracket
+    "sim_ann_retrain",           # rebuild bumps the merge epoch
+    "s13_ann_binding",           # bound ANN arm rides the bracketed delete
+    "s14_scrub_sentinel",        # + heartbeat, epoch-bracketed reader
+    "s14_output_retention",      # + keep_last floor, race-aware levers
+    "train_shard_purge",         # scrub engine heartbeat + escaped probes
+    # --- round-14 rows still carrying the two-sided epoch story
+    # (purge/increment/import paths untouched in r15): keep the recent
+    # signal on the heaviest contracts ---
     "s14_import_epoch_race",     # per-attempt import epochs close the
-                                 # manifest detection hole (ADVICE high)
-    "s14_scrub_sentinel",        # guarded readers + scoped crash heal
-    "s14_output_retention",      # gate-output expiry + rejects rotation
-    # --- round-13 rows whose WRITE PATH changed in round 14 (the
-    # two-sided increment/import epoch brackets + digest versioning
-    # behind every purge row; the sentinel + scoped heal behind the
-    # scrub rows): re-verify ---
+                                 # manifest detection hole (r13 ADVICE high)
+    # (s14_refresh_spill_heal rotated out — r14 driver-verified, plans
+    # untouched in r15; the refresh family stays covered in-window by
+    # s12_curation_refresh and in the full sweep)
     "s13_purge_race",            # purge-vs-increment serializability
     "s13_purge_spill_replay",    # over-cap crash replay from the spill
-    "s13_ann_binding",           # bound ANN arm: derived vec_ids
-    # --- rows whose WRITE PATH changed in rounds 13-14 (curate_increment
-    # race repair + marker heartbeats + distributive digests behind
-    # every curation/purge row; the staged-swap scrub engine behind
-    # train_shard_purge): re-verify ---
     "s12_purge_propagation",     # composed purge: index forgets, re-ingest OK
     "s12_curation_refresh",      # re-crawl replaces, no version accumulation
     "s12_maintenance_composition",  # all engines on ONE store, sidecars live
     "curation_incremental_store",  # nightly loop == one-shot closed form
-    "train_shard_purge",         # shard purge through the staged-swap scrub
-    # --- round-12 write-path rows (re-verified r12, plans untouched
-    # in r13): keep the recent signal ---
-    "sim_ann_delete",            # + symmetric staleness assert
+    # --- round-12 write-path rows (re-verified r12-r14, plans
+    # untouched since): keep the recent signal ---
     "dedup_incremental",         # index merges through attributed engine
     "dedup_incremental_maint",   # two-batch maintenance loop
     "s11_upsert_rewrite",        # full-MERGE upsert inode contract
     "s11_pruned_delete",         # O(touched-buckets) DELETE inode contract
     "s9_optimistic_commits",     # lock-free commits (touched-list reset)
-    "sim_ann_index_maint",       # add-batch guard + optimistic stamping
-    "sim_ann_retrain",           # lifecycle + pair stamps + stats reader
-    "sim_ann_upsert",            # re-crawl upsert: matched vec_ids replaced
     # --- per-family standing coverage (plans untouched) ---
     # (sim_ann_ivfpq / dedup_embedding_ann / a15_windowed_sketch_distinct
-    # rotated out this round — r13 driver-verified, plans untouched in
-    # r14; ANN stays covered by the four sim_ann_* lifecycle rows,
-    # embedding near-dup by the dedup family + ANN rows, windowed
-    # sketches by a7_windowed_event_counts + the full-sweep a11/a15)
-    # (bpe_merge_table also rotated out — r13 driver-verified, plans
-    # untouched in r14; the BPE family stays in the full sweep)
+    # / bpe_merge_table stay rotated out — driver-verified r13, plans
+    # untouched since; their families stay covered by the in-window
+    # ANN/dedup rows and the full sweep)
     "quality_classifier",        # hashed n-gram linear gate
     # (s11_schema_evolution / s11_bucket_split / s10_append_only_merge
     # rotated out this round — r12 driver-verified, plans untouched in
