@@ -1860,6 +1860,35 @@ def read_plain_layout(
     )
 
 
+def partition_tuples_cond(partition_cols: list[str], tuples):
+    """Filter condition selecting exactly the given partition-value
+    tuples — SHAPE matters at scale (r15 sf1 rehearsal finding): the
+    naive left-nested OR fold builds an expression tree whose DEPTH is
+    the touched-partition count, and ~500 touched partitions already
+    ``StackOverflowError``'d Catalyst's recursive analyzer on a scrub
+    of a many-partition gate-output layout. A single partition column
+    (the ``batch_id=`` layouts) compiles to one flat ``IN``
+    (partition-prunable); composite keys fold the per-tuple AND chains
+    (depth = |partition_cols|, tiny) into a BALANCED OR tree — depth
+    ``log2(|touched|)``, partition-prunable all the same."""
+    tuples = list(tuples)
+    if len(partition_cols) == 1:
+        return F.col(partition_cols[0]).isin([t[0] for t in tuples])
+    conds = []
+    for t in tuples:
+        c = None
+        for col, val in zip(partition_cols, t):
+            e = F.col(col) == val
+            c = e if c is None else (c & e)
+        conds.append(c)
+    while len(conds) > 1:
+        folded = [a | b for a, b in zip(conds[0::2], conds[1::2])]
+        if len(conds) % 2:
+            folded.append(conds[-1])
+        conds = folded
+    return conds[0]
+
+
 def _write_scrub_sentinel(path: str, payload: dict) -> None:
     p = os.path.join(path, SCRUB_SENTINEL)
     tmp = f"{p}.tmp.{os.getpid()}"
@@ -1951,14 +1980,7 @@ def scrub_plain_partitions(
     doomed_b = F.broadcast(doomed.select(key).distinct())
 
     def _tuples_cond(tuples):
-        cond = None
-        for t in tuples:
-            c = None
-            for col, val in zip(partition_cols, t):
-                e = F.col(col) == val
-                c = e if c is None else (c & e)
-            cond = c if cond is None else (cond | c)
-        return cond
+        return partition_tuples_cond(partition_cols, tuples)
 
     def _scan():
         df = spark.read.parquet(path)
