@@ -363,11 +363,12 @@ def main(argv=None) -> int:
         nargs="+",
         help="retention for batch_id=-partitioned gate-output dirs "
         "(they grow one partition per micro-batch forever): the newest "
-        "--keep-last partitions are a protection floor (never expired, "
-        "by either rule); below it the count rule and/or the "
-        "--older-than age rule expire. Pass --curation-store to also "
-        "refuse while that store's purge marker is pending. Removal "
-        "renames each doomed dir to a "
+        "--keep-last partitions are a protection floor (never "
+        "expired); --keep-last alone drops everything below the "
+        "floor, --older-than alone rotates by age, and together the "
+        "age rule governs below the floor. Pass --curation-store to "
+        "also refuse while that store's purge marker is pending. "
+        "Removal renames each doomed dir to a "
         "hidden .__expired_* twin first (atomic disappearance from "
         "partition discovery), so racing readers never see a "
         "half-deleted partition",

@@ -803,14 +803,27 @@ def ann_index_delete(
     caller_pairs = None
     if "cluster" in vec_ids.columns:
         caller_pairs = vec_ids.select("vec_id", "cluster")
-    ids = vec_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    # materialized lazily: the token fast path (upsert's common no-race
+    # case) publishes the caller's pairs and never needs the id set —
+    # an eager checkpoint here would spend a Spark job per upsert whose
+    # result is unread, belying the advertised no-race cost
+    memo: dict = {}
+
+    def _ids() -> DataFrame:
+        if "ids" not in memo:
+            memo["ids"] = (
+                vec_ids.select("vec_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        return memo["ids"]
 
     def _resolve() -> DataFrame | None:
         if not sinks.has_parquet_data(_codes_path(base_path)):
             return None  # nothing built yet — swallowed delete-twice case
         codes = read_ann_codes(spark, base_path).select("vec_id", "cluster")
         return codes.join(
-            F.broadcast(ids), "vec_id", "left_semi"
+            F.broadcast(_ids()), "vec_id", "left_semi"
         ).localCheckpoint(eager=True)
 
     def _publish(pairs: DataFrame | None) -> int:

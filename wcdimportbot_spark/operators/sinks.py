@@ -1754,26 +1754,35 @@ SCRUB_WAIT_SECS = 30.0
 #: guarded readers refuse the layout until the purge replay or
 #: ``--heal-scrub`` converges it, because crashed swaps may have live
 #: dirs missing — exactly the silent-short-read state. A LIVE scrub
-#: renews the sentinel's ``ts`` every :data:`SCRUB_HEARTBEAT_EVERY`
-#: swapped/removed partitions (r14 verdict What's wrong #1 — the
+#: renews the sentinel's ``ts`` whenever :data:`SCRUB_HEARTBEAT_SECS`
+#: have passed since the last stamp (r14 verdict What's wrong #1 — the
 #: once-stamped form misdiagnosed any >600 s live swap loop as
 #: crashed), so only a writer that actually died goes silent.
 SCRUB_STALE_SECS = 600.0
 
-#: renew the scrub sentinel's timestamp after this many partition
-#: swaps/removals — same heartbeat discipline as the purge marker's
-#: per-arm rewrites. Renames are ~ms each, so the renewal cadence is
-#: orders of magnitude tighter than SCRUB_STALE_SECS on any filesystem.
-SCRUB_HEARTBEAT_EVERY = 64
+#: renew the scrub sentinel's timestamp when this many SECONDS have
+#: passed since the last stamp — same heartbeat discipline as the purge
+#: marker's per-arm rewrites, but TIME-based rather than count-based:
+#: a count cadence re-opens the misdiagnosis window on a filesystem
+#: where each swap is slow (an object-store shim's rename is a
+#: copy+delete — 64 × 10 s swaps between renewals would outlast
+#: SCRUB_STALE_SECS again). The clock check is one time.time() per
+#: swap; 15 s keeps the renewal ~40× tighter than the staleness
+#: horizon regardless of per-swap cost.
+SCRUB_HEARTBEAT_SECS = 15.0
 
 #: scrub GENERATION sidecar (r15, the ADVICE check-then-read fix):
 #: bumped (versioned.epoch_bump — bytes-change fingerprint) right
-#: before the sentinel opens each swap window. ``read_plain_layout``
-#: brackets its file-index construction with sentinel checks AND an
-#: epoch comparison: a scrub whose whole window opened and closed
-#: inside the reader's check-list-check gap leaves no sentinel at
-#: either check, but its open bump makes the epoch differ — the reader
-#: rebuilds its listing instead of returning a possibly-short result.
+#: before the sentinel opens each swap window AND right before the
+#: sentinel clears at close. ``read_plain_layout`` brackets its
+#: file-index construction with sentinel checks and an epoch
+#: comparison: a scrub whose whole window opened and closed inside the
+#: reader's check-list-check gap leaves no sentinel at either check,
+#: but its bumps make the epoch differ; and because the sentinel holds
+#: the reader's second check until AFTER the close bump, a reader
+#: whose e0 landed between the open bump and the swaps still sees the
+#: close bump at e1 — every listing that overlapped a swap window is
+#: detected and rebuilt, never returned possibly-short.
 SCRUB_EPOCH_FILE = "_SCRUB_EPOCH.json"
 
 
@@ -1799,18 +1808,23 @@ def assert_no_scrub_pending(path: str, wait: float | None = None) -> None:
         try:
             with open(p, encoding="ascii") as f:
                 data = json.load(f)
+            if not isinstance(data, dict):
+                raise ValueError("sentinel payload is not an object")
+            ts = float(data.get("ts", 0.0))
         except OSError:
             return
-        except ValueError:
-            # corrupt/truncated sentinel: can't tell live from crashed,
-            # and crashed swaps may hide partitions — same refusal (and
-            # remediation) as the stale case, never a raw decode error
+        except (ValueError, TypeError):
+            # corrupt/truncated/mis-shaped sentinel (non-atomic
+            # object-store copy, manual edit): can't tell live from
+            # crashed, and crashed swaps may hide partitions — same
+            # refusal (and remediation) as the stale case, never a raw
+            # decode/attribute error
             raise RuntimeError(
                 f"the {SCRUB_SENTINEL} sentinel on {path} is unparseable "
                 f"(truncated copy or manual edit) — if no scrub is live, "
                 f"run --heal-scrub to converge the layout and clear it"
             )
-        if time.time() - float(data.get("ts", 0.0)) > SCRUB_STALE_SECS:
+        if time.time() - ts > SCRUB_STALE_SECS:
             raise RuntimeError(
                 f"a scrub of {path} crashed mid-swap (stale "
                 f"{SCRUB_SENTINEL}): some partitions may exist only as "
@@ -1872,6 +1886,8 @@ def partition_tuples_cond(partition_cols: list[str], tuples):
     (depth = |partition_cols|, tiny) into a BALANCED OR tree — depth
     ``log2(|touched|)``, partition-prunable all the same."""
     tuples = list(tuples)
+    if not tuples:
+        return F.lit(False)  # select nothing, on both branches alike
     if len(partition_cols) == 1:
         return F.col(partition_cols[0]).isin([t[0] for t in tuples])
     conds = []
@@ -2041,20 +2057,26 @@ def scrub_plain_partitions(
         },
     )
     # heartbeat discipline (r14 verdict What's wrong #1): the swap loop
-    # is O(touched partitions) driver renames — a coarse layout can
+    # is O(touched partitions) driver renames — a coarse layout (or a
+    # slow object-store shim where each rename is a copy+delete) can
     # hold the window open past SCRUB_STALE_SECS, and a once-stamped
     # sentinel would misdiagnose this LIVE scrub as crashed. Renew the
-    # timestamp every SCRUB_HEARTBEAT_EVERY partitions.
+    # timestamp whenever SCRUB_HEARTBEAT_SECS have passed since the
+    # last stamp — time-based, so the renewal gap is bounded no matter
+    # how slow an individual swap is.
     progressed = 0
+    last_stamp = time.time()
 
     def _heartbeat() -> None:
-        nonlocal progressed
+        nonlocal progressed, last_stamp
         progressed += 1
-        if progressed % SCRUB_HEARTBEAT_EVERY == 0:
+        now = time.time()
+        if now - last_stamp >= SCRUB_HEARTBEAT_SECS:
+            last_stamp = now
             _write_scrub_sentinel(
                 path,
                 {
-                    "ts": time.time(),
+                    "ts": now,
                     "pid": os.getpid(),
                     "n_partitions": len(pairs),
                     "progressed": progressed,
@@ -2104,7 +2126,16 @@ def scrub_plain_partitions(
                 removed += 1
                 _heartbeat()
     shutil.rmtree(staging, ignore_errors=True)
-    # swap window CLOSES: every partition is live again
+    # swap window CLOSES: bump the generation AGAIN before clearing the
+    # sentinel. The open bump alone leaves one gap (review r15): a
+    # reader that passed its first sentinel check, then read e0 AFTER
+    # our open bump, lists mid-swap, and waits out the sentinel at its
+    # second check would compare e1 == e0 and keep the short listing.
+    # With the close bump, any reader whose listing overlapped the swap
+    # window necessarily reads its final epoch AFTER this bump (the
+    # sentinel holds it until then) while its e0 predates it.
+    versioned.epoch_bump(path, SCRUB_EPOCH_FILE)
+    # swap window CLOSED: every partition is live again
     try:
         os.remove(os.path.join(path, SCRUB_SENTINEL))
     except OSError:
@@ -2147,13 +2178,14 @@ def expire_plain_partitions(
     without bound (one dir per micro-batch, forever). This is the
     rotation the purge-boundary docs defer to: the newest ``keep_last``
     partitions (numeric order of the partition value) are a PROTECTION
-    FLOOR — never expired by either rule (r14 ADVICE: the old OR
-    semantics let an aggressive ``older_than_secs`` expire every
-    partition including the newest N, while the CLI help read like a
-    guarantee) — and everything below the floor expires when the count
-    rule or the age rule (dir mtime older than ``older_than_secs``)
-    says so. ``keep_last`` alone expires all but the newest N;
-    ``older_than_secs`` alone is pure age-based rotation.
+    FLOOR — never expired (r14 ADVICE: the old OR semantics let an
+    aggressive ``older_than_secs`` expire every partition including
+    the newest N, while the CLI help read like a guarantee).
+    ``keep_last`` alone expires all but the newest N;
+    ``older_than_secs`` alone is pure age-based rotation; BOTH
+    together mean "protect the newest N, and of the rest expire only
+    those older than the age threshold" — the age knob governs below
+    the floor, it is not overridden by the count rule.
 
     Ordering is NUMERIC on the partition value (micro-batch ids): a
     non-numeric value sorts after every numeric one — i.e. counts as
@@ -2217,16 +2249,16 @@ def expire_plain_partitions(
             stacklevel=2,
         )
     # the protection floor: the newest keep_last partitions are exempt
-    # from BOTH rules
+    # from expiry entirely
     protected = set()
     if keep_last is not None and keep_last > 0:
         protected = {name for _o, name, _p in parts[-keep_last:]}
     doomed = set()
-    if keep_last is not None:
-        doomed.update(
-            name for _o, name, _p in parts if name not in protected
-        )
     if older_than_secs is not None:
+        # age rule governs below the floor (review r15: dooming
+        # everything below the floor whenever keep_last was ALSO given
+        # made the age knob a no-op — fresh partitions ranked N+1
+        # would expire the minute they were written)
         cutoff = time.time() - older_than_secs
 
         def _mtime(p: str) -> float:
@@ -2239,6 +2271,11 @@ def expire_plain_partitions(
             name
             for _o, name, p in parts
             if name not in protected and _mtime(p) < cutoff
+        )
+    else:
+        # count-only: keep exactly the newest keep_last
+        doomed.update(
+            name for _o, name, _p in parts if name not in protected
         )
     for name in doomed:
         live = os.path.join(path, name)
