@@ -276,16 +276,18 @@ def read_claims(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _partition_values_predicate(rows, cols: list[str]):
-    """OR of partition-tuple equalities — a driver-side list bounded by the
-    partition SCHEMA (types × buckets / properties × buckets), never by the
-    batch or store size."""
-    cond = F.lit(False)
-    for r in rows:
-        match = F.lit(True)
-        for c in cols:
-            match = match & (F.col(c) == F.lit(r[c]))
-        cond = cond | match
-    return cond
+    """Partition-tuple selection predicate — a driver-side list bounded
+    by the partition SCHEMA (types × buckets / properties × buckets),
+    never by the batch or store size. Schema-bounded is NOT
+    small-bounded at 100 TB (N_BUCKETS scales with the store), so the
+    expression SHAPE comes from :func:`partition_tuples_cond` — flat
+    ``IN`` for one column, balanced OR tree for composite keys — not a
+    left-nested fold whose depth would overflow Catalyst's recursive
+    analyzer at a few hundred tuples (r15 sf1 rehearsal finding on the
+    scrub's identical predicate)."""
+    return partition_tuples_cond(
+        cols, [tuple(r[c] for c in cols) for r in rows]
+    )
 
 
 def _matched_keys(existing: DataFrame, new_b: DataFrame, anti_key: str):
