@@ -1316,3 +1316,57 @@ def test_ann_merge_vs_delete_threaded_stress(spark, tmp_path):
             codes.groupBy("vec_id").count().filter("count > 1").count()
             == 0
         )
+
+
+def test_ann_merge_vs_delete_optimistic_stress(spark, tmp_path):
+    """The lock-free (cross-host) form of the same contract: under
+    protocol="optimistic" both writers commit through the rename
+    arbiter instead of the writer lock, but the delete's resolve still
+    happens OUTSIDE any serialization — the epoch bracket is what
+    converges the pair. Same serializability asserts as the locked
+    stress."""
+    from wcdimportbot_spark.operators import ann_store as ann
+
+    for rnd, stagger in enumerate((0.0, 0.2)):
+        base = str(tmp_path / f"annopt{rnd}")
+        emb = _ann_two_sided(spark)
+        ann.ann_index_build(
+            emb, base, num_clusters=2, m=2, n_codes=4,
+            protocol="optimistic",
+        )
+        errs = []
+
+        def run_add():
+            try:
+                ann.ann_index_add_batch(
+                    _negated(emb, 0), base, protocol="optimistic"
+                )
+            except Exception as e:
+                errs.append(e)
+
+        def run_delete():
+            try:
+                time.sleep(stagger)
+                ann.ann_index_delete(
+                    spark.createDataFrame([(0,)], "vec_id long"),
+                    base,
+                    protocol="optimistic",
+                )
+            except Exception as e:
+                errs.append(e)
+
+        t1 = threading.Thread(target=run_add)
+        t2 = threading.Thread(target=run_delete)
+        t1.start()
+        t2.start()
+        t1.join(300)
+        t2.join(300)
+        assert not t1.is_alive() and not t2.is_alive()
+        assert not errs, errs
+        codes = ann.read_ann_codes(spark, base)
+        assert codes.filter(F.col("vec_id") == 0).count() <= 1
+        assert codes.filter(F.col("vec_id") != 0).count() == 19
+        assert (
+            codes.groupBy("vec_id").count().filter("count > 1").count()
+            == 0
+        )
