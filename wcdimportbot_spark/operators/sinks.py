@@ -2019,11 +2019,19 @@ def scrub_plain_partitions(
     shutil.rmtree(staging, ignore_errors=True)
     # stage kept rows of ONLY the touched partitions to disk: reads the
     # live files, writes a disjoint hidden dir — never reads what it
-    # replaces, never holds more than a write buffer in memory
+    # replaces, never holds more than a write buffer in memory. The
+    # repartition on the partition columns routes each partition VALUE
+    # to exactly one task, so every staged dir holds one file instead
+    # of (tasks × partitions) shards — without it a 512-partition sf1
+    # scrub staged ~tasks files per dir, inflating the layout's file
+    # count (and every later reader's footer opens) on each purge. The
+    # shuffle moves only the kept rows of touched partitions — bytes
+    # the write was moving anyway.
     (
         spark.read.parquet(path)
         .filter(_tuples_cond(pairs))
         .join(doomed_b, key, "left_anti")
+        .repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(staging)
