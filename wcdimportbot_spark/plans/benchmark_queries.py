@@ -6671,11 +6671,11 @@ def s15_ann_epoch_race(spark, sf_dir):
                 add_done.wait(300)
             return real_del(spark_, pairs, path, **kw)
 
-        errs, out_n = [], {}
+        errs = []
 
         def run_delete():
             try:
-                out_n["n"] = ann.ann_index_delete(doomed_ids, base)
+                ann.ann_index_delete(doomed_ids, base)
             except Exception as e:
                 errs.append(e)
 
