@@ -2141,3 +2141,33 @@ def test_dedup_index_params_sidecar(spark, tmp_path):
     assert res == {"hashes_deleted": 1, "bands_deleted": 8}
     left = sinks.read_snapshot(spark, base + "/bands")
     assert left.filter(F.col("text_hash") == h).count() == 0
+
+
+def test_ann_delete_resolve_scan_is_column_pruned(spark, sf_dir, tmp_path):
+    """The delete's in-window resolve (r15 epoch bracket) advertises a
+    column-pruned scan: the codes relation carries a corpus-scale
+    ``codes array<int>`` payload per row, and the resolve must read
+    ONLY ``vec_id`` from file bytes (``cluster`` is the partition
+    column — directory metadata, not data pages) broadcast-semi-joined
+    against the id set. Pin both properties so a future reader change
+    cannot silently drag the code arrays through the purge path."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators.ann_store import (
+        ann_index_build,
+        read_ann_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = str(tmp_path / "ann")
+    ann_index_build(emb, base, num_clusters=4, m=4, n_codes=8)
+    ids = spark.range(0, 4).withColumnRenamed("id", "vec_id")
+    resolve = (
+        read_ann_codes(spark, base)
+        .select("vec_id", "cluster")
+        .join(F.broadcast(ids), "vec_id", "left_semi")
+    )
+    plan = resolve._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<vec_id:bigint>" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
