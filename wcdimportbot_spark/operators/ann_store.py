@@ -215,6 +215,7 @@ def _populate_model(vdir: str, centroids, books, meta: dict) -> None:
     two Spark write JOBS for 2k tiny rows (measured ~8s of pure job
     overhead vs ~10ms here; the corpus-scale codes artifact still goes
     through the distributed writer)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -224,7 +225,11 @@ def _populate_model(vdir: str, centroids, books, meta: dict) -> None:
             {
                 "cluster": pa.array(range(len(centroids)), type=pa.int32()),
                 "centroid": pa.array(
-                    [[float(x) for x in c] for c in centroids],
+                    # centroids arrive as list-of-lists (ivf_index) or an
+                    # ndarray (retrain) — np.asarray(...).tolist() yields
+                    # the exact same float values either way without the
+                    # per-element float() loop
+                    np.asarray(centroids, dtype=np.float64).tolist(),
                     type=pa.list_(pa.float64()),
                 ),
             }
@@ -245,11 +250,8 @@ def _populate_model(vdir: str, centroids, books, meta: dict) -> None:
                     type=pa.int32(),
                 ),
                 "center": pa.array(
-                    [
-                        [float(x) for x in books[j, kk]]
-                        for j in range(n_sub)
-                        for kk in range(n_cd)
-                    ],
+                    # same (j, kk) row order as the explicit double loop
+                    books.reshape(n_sub * n_cd, books.shape[2]).tolist(),
                     type=pa.list_(pa.float64()),
                 ),
             }

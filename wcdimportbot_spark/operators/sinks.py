@@ -1876,6 +1876,25 @@ def read_plain_layout(
     )
 
 
+def _sql_literal(val) -> str | None:
+    """SQL-text literal for a partition value, or None for types the
+    text builder does not handle (caller falls back to Column algebra).
+    bool before int: bool is an int subclass."""
+    if val is None:
+        return "NULL"  # `col = NULL` is null → filters out, same as ==
+    if isinstance(val, bool):
+        return "TRUE" if val else "FALSE"
+    if isinstance(val, int):
+        return str(val)
+    if isinstance(val, float):
+        return repr(float(val))
+    if isinstance(val, str):
+        # Spark's default string literals are C-escaped: double the
+        # backslashes first, then escape the quote
+        return "'" + val.replace("\\", "\\\\").replace("'", "''") + "'"
+    return None
+
+
 def partition_tuples_cond(partition_cols: list[str], tuples):
     """Filter condition selecting exactly the given partition-value
     tuples — SHAPE matters at scale (r15 sf1 rehearsal finding): the
@@ -1886,12 +1905,42 @@ def partition_tuples_cond(partition_cols: list[str], tuples):
     (the ``batch_id=`` layouts) compiles to one flat ``IN``
     (partition-prunable); composite keys fold the per-tuple AND chains
     (depth = |partition_cols|, tiny) into a BALANCED OR tree — depth
-    ``log2(|touched|)``, partition-prunable all the same."""
+    ``log2(|touched|)``, partition-prunable all the same.
+
+    CONSTRUCTION cost matters too (r15 optimization round): the Column
+    fold made ~5 py4j round-trips per tuple (~1.4s of pure driver wall
+    at 150 tuples, in every composite delete/scrub), so the balanced
+    tree is built as ONE parenthesized SQL string — same expression
+    after parsing (depth log2(n), partition-prunable), one ``F.expr``
+    round-trip. Exotic value types fall back to the Column fold."""
     tuples = list(tuples)
     if not tuples:
         return F.lit(False)  # select nothing, on both branches alike
     if len(partition_cols) == 1:
         return F.col(partition_cols[0]).isin([t[0] for t in tuples])
+    leaves = []
+    for t in tuples:
+        lits = [_sql_literal(v) for v in t]
+        if any(lit is None and v is not None for lit, v in zip(lits, t)):
+            leaves = None  # unhandled literal type → Column fallback
+            break
+        leaves.append(
+            "("
+            + " AND ".join(
+                f"`{col}` = {lit}"
+                for col, lit in zip(partition_cols, lits)
+            )
+            + ")"
+        )
+    if leaves is not None:
+        while len(leaves) > 1:
+            folded = [
+                f"({a} OR {b})" for a, b in zip(leaves[0::2], leaves[1::2])
+            ]
+            if len(leaves) % 2:
+                folded.append(leaves[-1])
+            leaves = folded
+        return F.expr(leaves[0])
     conds = []
     for t in tuples:
         c = None
