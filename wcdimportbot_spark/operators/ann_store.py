@@ -892,6 +892,8 @@ def ann_index_probe(
     injected). ``embeddings`` supplies the raw vectors for the query
     side and the exact-refine rescan — the corpus table the index was
     built over."""
+    import numpy as np
+
     from wcdimportbot_spark.operators.similarity import (
         _probe_clusters,
         ivfpq_residual_topk,
@@ -899,7 +901,7 @@ def ann_index_probe(
 
     spark = embeddings.sparkSession
     cent, books, _meta, codes, _mv = load_ann_pair(spark, base_path)
-    cent_list = [[float(x) for x in c] for c in cent]
+    cent_list = np.asarray(cent, dtype=np.float64).tolist()
     queries = embeddings.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

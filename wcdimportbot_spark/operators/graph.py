@@ -45,6 +45,7 @@ from wcdimportbot_spark.functions.columns import (
     underscored_title,
     wikibase_time,
 )
+from wcdimportbot_spark.functions.expr_memo import memo_expr
 from wcdimportbot_spark.functions.hashing import DEFAULT_WIKIBASE_TITLE, page_hash
 
 #: item QID standing for the source language edition
@@ -314,12 +315,34 @@ def reference_claims(
     refs: DataFrame, retrieved_date: Column | None = None
 ) -> DataFrame:
     """Claims for unique hashed reference items (F24)."""
-    retrieved_date = (
-        retrieved_date if retrieved_date is not None else F.current_date()
-    )
+    # the 30-claim array + person transform is ~500 py4j constructions
+    # (~1 s of driver wall); the tree depends only on retrieved_date, so
+    # the default-date form (every store-import path) is built once per
+    # JVM (functions/expr_memo.py) — an explicit date builds fresh
+    if retrieved_date is None:
+        all_claims = memo_expr(
+            ("reference_all_claims",), lambda: _reference_all_claims(None)
+        )
+        retrieved_date = F.current_date()
+    else:
+        all_claims = _reference_all_claims(retrieved_date)
     hashed = _with_provenance(
         refs.filter(F.col("md5hash").isNotNull()).dropDuplicates(["md5hash"]),
         retrieved_date,
+    )
+    return _explode_claims(
+        hashed.withColumn("_all", all_claims),
+        qid_from_hash(F.col("md5hash")),
+        F.col("_all"),
+    )
+
+
+def _reference_all_claims(retrieved_date: Column | None) -> Column:
+    """The full F24 claims-array expression for one normalized reference
+    row (persons + singles). Pure tree over ``F.col``/literals except
+    ``retrieved_date`` (``None`` → ``current_date()``)."""
+    retrieved_date = (
+        retrieved_date if retrieved_date is not None else F.current_date()
     )
     url_len_ok = lambda c: F.length(c) <= 500  # noqa: E731
     archive_qual = F.when(
@@ -371,12 +394,7 @@ def reference_claims(
         _claim("TRANSCRIPT_URL", F.col("transcripturl"), when=url_len_ok(F.col("transcripturl"))),
     )
     persons = _person_claims_array(F.col("persons"), has_url_scheme)
-    all_claims = F.concat(F.array_compact(persons), F.array_compact(single))
-    return _explode_claims(
-        hashed.withColumn("_all", all_claims),
-        qid_from_hash(F.col("md5hash")),
-        F.col("_all"),
-    )
+    return F.concat(F.array_compact(persons), F.array_compact(single))
 
 
 def website_claims(
@@ -453,7 +471,13 @@ def page_claims(
     retrieved_date: Column | None = None,
 ) -> DataFrame:
     """Page-item claims: CITATIONS edges (J5), string citations (F25), and
-    single-value page claims (crud/__init__.py:834-890)."""
+    single-value page claims (crud/__init__.py:834-890).
+
+    The two big claim trees (string-citation qualifiers, single-value
+    array) are pure over ``F.col``/literals (+ wikibase_title /
+    retrieved_date), so the default-date form — every store-import path —
+    is built once per JVM (functions/expr_memo.py)."""
+    default_date = retrieved_date is None
     retrieved_date = (
         retrieved_date if retrieved_date is not None else F.current_date()
     )
@@ -491,12 +515,15 @@ def page_claims(
         .join(unhashed, "page_id")
         .withColumn(
             "_all",
-            F.array(
-                _claim(
-                    "STRING_CITATIONS",
-                    F.col("template_name"),
-                    qualifiers=_string_citation_qualifiers(has_url_scheme),
-                )
+            memo_expr(
+                ("string_citation_claim_array",),
+                lambda: F.array(
+                    _claim(
+                        "STRING_CITATIONS",
+                        F.col("template_name"),
+                        qualifiers=_string_citation_qualifiers(has_url_scheme),
+                    )
+                ),
             ),
         )
     )
@@ -507,6 +534,23 @@ def page_claims(
     )
 
     # single-value page claims
+    if default_date:
+        page_singles = memo_expr(
+            ("page_single_claims", wikibase_title),
+            lambda: _page_single_claims(wikibase_title, F.current_date()),
+        )
+    else:
+        page_singles = _page_single_claims(wikibase_title, retrieved_date)
+    singles = pages_h.withColumn("_all", page_singles)
+    single_claims = _explode_claims(
+        _with_provenance(singles, retrieved_date), F.col("_page_qid"), F.col("_all")
+    )
+    return citation_claims.unionByName(string_claims).unionByName(single_claims)
+
+
+def _page_single_claims(wikibase_title: str, retrieved_date: Column) -> Column:
+    """The single-value page-claims array for one page row — pure tree
+    over ``F.col``/literals + (wikibase_title, retrieved_date)."""
     absolute_url = F.concat(
         F.lit("https://"),
         F.col("language_code"),
@@ -516,22 +560,15 @@ def page_claims(
     page_hash_col = page_hash(
         F.col("title"), F.col("language_code"), F.col("page_id"), wikibase_title
     )
-    singles = pages_h.withColumn(
-        "_all",
-        F.array(
-            _claim("URL", absolute_url),
-            _claim("HASH", page_hash_col),
-            _claim("INSTANCE_OF", F.lit("WIKIPEDIA_PAGE")),
-            _claim("LAST_UPDATE", wikibase_time(retrieved_date)),
-            _claim("MEDIAWIKI_PAGE_ID", F.col("page_id").cast("string")),
-            _claim("PUBLISHED_IN", F.lit(ENGLISH_WIKIPEDIA_QID)),
-            _claim("TITLE", F.col("title")),
-        ),
+    return F.array(
+        _claim("URL", absolute_url),
+        _claim("HASH", page_hash_col),
+        _claim("INSTANCE_OF", F.lit("WIKIPEDIA_PAGE")),
+        _claim("LAST_UPDATE", wikibase_time(retrieved_date)),
+        _claim("MEDIAWIKI_PAGE_ID", F.col("page_id").cast("string")),
+        _claim("PUBLISHED_IN", F.lit(ENGLISH_WIKIPEDIA_QID)),
+        _claim("TITLE", F.col("title")),
     )
-    single_claims = _explode_claims(
-        _with_provenance(singles, retrieved_date), F.col("_page_qid"), F.col("_all")
-    )
-    return citation_claims.unionByName(string_claims).unionByName(single_claims)
 
 
 def build_items(

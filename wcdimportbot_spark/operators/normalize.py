@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from wcdimportbot_spark.functions import columns as C
 from wcdimportbot_spark.functions import hashing as H
+from wcdimportbot_spark.functions.expr_memo import memo_expr
 from wcdimportbot_spark.functions.template_fields import DATE_FIELDS
 from wcdimportbot_spark.operators.persons import (
     parsed_person_entries,
@@ -105,16 +106,51 @@ def build_references(
     cheap regex evaluations for an order of magnitude fewer analyzer runs.
 
     The only non-projection steps are the F5 broadcast suffix-table joins
-    (functions/psl.py) — still shuffle-free."""
-    p = F.col("params")
+    (functions/psl.py) — still shuffle-free.
 
+    Each pass's expression set is a PURE tree over ``F.col``/literals (+
+    the ``wikibase_title`` string), so construction is memoized per JVM
+    (functions/expr_memo.py): building these ~600 nodes costs ~1-2 s of
+    driver py4j wall per call, and import-heavy scenario rows call this
+    several times per run."""
     # --- pass 1 (select): promote strings + F20 disambiguation -------------
+    df = raw_valid.select(*memo_expr(("br_pass1",), _br_pass1_cols))
+
+    # --- pass 2: F7 google-books url rewrite + F6/P11 scheme guard ---------
+    df = df.withColumns(memo_expr(("br_pass2",), _br_pass2_cols))
+
+    # --- pass 2b: flds (F5) — per-arity broadcast suffix joins -------------
+    df = C.with_first_level_domain(df, "url", "first_level_domain_of_url")
+    df = C.with_first_level_domain(
+        df, "archive_url", "first_level_domain_of_archive_url"
+    )
+
+    # --- pass 3: isbn (F10), dates (F12), publisher markup (F11),
+    # lang/place merges (F18/F19), person-key parse (F15) -------------------
+    df = df.withColumns(memo_expr(("br_pass3",), _br_pass3_cols))
+
+    # --- pass 4: archive detect (J7), external ids (F8/F9), isbn split,
+    # persons assembly (F15), hashes (F3/F4, last like the reference) -------
+    df = df.withColumns(
+        memo_expr(
+            ("br_pass4", wikibase_title), lambda: _br_pass4_cols(wikibase_title)
+        )
+    )
+
+    # --- pass 5: presence flags (P9/P10) -----------------------------------
+    df = df.withColumns(memo_expr(("br_pass5",), _br_pass5_cols))
+    # keep the raw isbn string param and parse scratch out of the surface
+    return df.drop("isbn_raw", "_gb_template_id", "_pparsed")
+
+
+def _br_pass1_cols() -> tuple:
+    p = F.col("params")
     tn = F.col("template_name")
     fp = p["first_parameter"]
     # F20: {{url}} first parameter is the url (if it looks like one)
     url0 = F.when(tn == "url", F.when(fp.contains("://"), fp)).otherwise(p["url"])
     promote = [p[f].alias(f) for f in PROMOTED_STRING_FIELDS if f != "url"]
-    df = raw_valid.select(
+    return (
         "page_id",
         "template_name",
         "template_ordinal",
@@ -132,28 +168,22 @@ def build_references(
         F.when(tn == "isbn", fp).otherwise(p["isbn"]).alias("isbn_raw"),
     )
 
-    # --- pass 2: F7 google-books url rewrite + F6/P11 scheme guard ---------
+
+def _br_pass2_cols() -> dict:
     gb_tpl_id = C.google_books_template_id(F.col("url"))
     url1 = F.when(
         gb_tpl_id.isNotNull(), C.canonical_google_books_url(gb_tpl_id)
     ).otherwise(F.col("url"))
-    df = df.withColumns(
-        {
-            "_gb_template_id": gb_tpl_id,
-            "_url_missing_scheme": url1.isNotNull() & ~C.has_url_scheme(url1),
-            # reference nulls only self.url on a missing scheme (F6/P11)
-            "url": C.url_with_scheme_or_null(url1),
-        }
-    )
+    return {
+        "_gb_template_id": gb_tpl_id,
+        "_url_missing_scheme": url1.isNotNull() & ~C.has_url_scheme(url1),
+        # reference nulls only self.url on a missing scheme (F6/P11)
+        "url": C.url_with_scheme_or_null(url1),
+    }
 
-    # --- pass 2b: flds (F5) — per-arity broadcast suffix joins -------------
-    df = C.with_first_level_domain(df, "url", "first_level_domain_of_url")
-    df = C.with_first_level_domain(
-        df, "archive_url", "first_level_domain_of_archive_url"
-    )
 
-    # --- pass 3: isbn (F10), dates (F12), publisher markup (F11),
-    # lang/place merges (F18/F19), person-key parse (F15) -------------------
+def _br_pass3_cols() -> dict:
+    p = F.col("params")
     pass3 = {
         "isbn": C.isbn_normalized(F.col("isbn_raw")),
         "publisher": C.clean_wiki_markup(F.col("publisher")),
@@ -167,67 +197,62 @@ def build_references(
     }
     for field in DATE_FIELDS:
         pass3[field] = C.parse_multiformat_date(p[field])
-    df = df.withColumns(pass3)
+    return pass3
 
-    # --- pass 4: archive detect (J7), external ids (F8/F9), isbn split,
-    # persons assembly (F15), hashes (F3/F4, last like the reference) -------
-    df = df.withColumns(
-        {
-            "detected_archive_of_archive_url": C.detect_archive(
-                F.col("first_level_domain_of_archive_url")
-            ),
-            "detected_archive_of_url": C.detect_archive(
-                F.col("first_level_domain_of_url")
-            ),
-            "internet_archive_id": C.internet_archive_id_from_path(
+
+def _br_pass4_cols(wikibase_title: str) -> dict:
+    return {
+        "detected_archive_of_archive_url": C.detect_archive(
+            F.col("first_level_domain_of_archive_url")
+        ),
+        "detected_archive_of_url": C.detect_archive(
+            F.col("first_level_domain_of_url")
+        ),
+        "internet_archive_id": C.internet_archive_id_from_path(
+            F.col("url"), F.col("first_level_domain_of_url")
+        ),
+        "google_books_id": F.coalesce(
+            F.col("_gb_template_id"),
+            C.google_books_id_from_query(
                 F.col("url"), F.col("first_level_domain_of_url")
             ),
-            "google_books_id": F.coalesce(
-                F.col("_gb_template_id"),
-                C.google_books_id_from_query(
-                    F.col("url"), F.col("first_level_domain_of_url")
-                ),
+        ),
+        # the reference builds a GoogleBooks entity (with its own
+        # md5hash, google_books.py:47-54) ONLY for template-parsed ids
+        # (__parse_google_books_template__) — ids detected from the
+        # ?id= query param (__detect_google_books_id__) stay unhashed
+        "google_books_hash": H.google_books_hash(
+            F.col("_gb_template_id"), wikibase_title
+        ),
+        "isbn_13": C.isbn_13(F.col("isbn")),
+        "isbn_10": C.isbn_10(F.col("isbn")),
+        "persons": persons_from_parsed(
+            F.col("_pparsed"), sorted_person_pairs(F.col("_pparsed"))
+        ),
+        "md5hash": H.reference_hash(
+            H.reference_hash_key(
+                F.col("doi"),
+                F.col("pmid"),
+                F.col("isbn"),
+                F.col("oclc"),
+                F.col("url"),
+                F.col("first_parameter"),
             ),
-            # the reference builds a GoogleBooks entity (with its own
-            # md5hash, google_books.py:47-54) ONLY for template-parsed ids
-            # (__parse_google_books_template__) — ids detected from the
-            # ?id= query param (__detect_google_books_id__) stay unhashed
-            "google_books_hash": H.google_books_hash(
-                F.col("_gb_template_id"), wikibase_title
-            ),
-            "isbn_13": C.isbn_13(F.col("isbn")),
-            "isbn_10": C.isbn_10(F.col("isbn")),
-            "persons": persons_from_parsed(
-                F.col("_pparsed"), sorted_person_pairs(F.col("_pparsed"))
-            ),
-            "md5hash": H.reference_hash(
-                H.reference_hash_key(
-                    F.col("doi"),
-                    F.col("pmid"),
-                    F.col("isbn"),
-                    F.col("oclc"),
-                    F.col("url"),
-                    F.col("first_parameter"),
-                ),
-                wikibase_title,
-            ),
-            "first_level_domain_of_url_hash": H.website_hash(
-                F.col("first_level_domain_of_url"), wikibase_title
-            ),
-        }
-    )
+            wikibase_title,
+        ),
+        "first_level_domain_of_url_hash": H.website_hash(
+            F.col("first_level_domain_of_url"), wikibase_title
+        ),
+    }
 
-    # --- pass 5: presence flags (P9/P10) -----------------------------------
-    df = df.withColumns(
-        {
-            "has_hash": F.col("md5hash").isNotNull(),
-            "has_first_level_domain_url_hash": F.col(
-                "first_level_domain_of_url_hash"
-            ).isNotNull(),
-        }
-    )
-    # keep the raw isbn string param and parse scratch out of the surface
-    return df.drop("isbn_raw", "_gb_template_id", "_pparsed")
+
+def _br_pass5_cols() -> dict:
+    return {
+        "has_hash": F.col("md5hash").isNotNull(),
+        "has_first_level_domain_url_hash": F.col(
+            "first_level_domain_of_url_hash"
+        ).isNotNull(),
+    }
 
 
 #: S11 — rejects rules derivable from a normalized references row

@@ -1409,7 +1409,11 @@ def _probe_clusters(spark, queries: DataFrame, centroids, nprobe: int) -> DataFr
     centroids by cosine — the query→probed-cluster fan-out, |Q| × nprobe
     rows, built from a broadcast cross join against the (tiny) centroid
     table."""
-    centroid_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    import numpy as np
+
+    centroid_rows = [
+        (i, c) for i, c in enumerate(np.asarray(centroids, dtype=np.float64).tolist())
+    ]
     centroid_df = spark.createDataFrame(
         centroid_rows, "cluster int, centroid array<double>"
     )

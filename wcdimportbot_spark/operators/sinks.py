@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -451,6 +452,38 @@ def _append_fresh(
     )
 
 
+#: analyzed-plan node names whose recomputation pays a shuffle or a
+#: Python stage — see _maybe_materialize_batch
+_WIDE_PLAN_RE = re.compile(
+    r"^[\s+:\-]*(Join|Aggregate|Window|Generate|Deduplicate|Sort|"
+    r"MapInPandas|PythonMapInArrow|FlatMapGroupsInPandas)\b",
+    re.MULTILINE,
+)
+
+
+def _maybe_materialize_batch(df: DataFrame) -> DataFrame:
+    """Materialize the batch relation ONCE when its plan contains wide
+    (shuffle/Python) nodes. The merge engines evaluate the batch three
+    times — touched-partition collect, matched-keys broadcast build,
+    anti-join staging — and separate actions never share shuffle
+    stages, so a batch plan with joins/windows/dedups re-runs its
+    exchanges per action (measured: ~66 jobs per curate_increment,
+    most of them re-derivations of the same batch-side plan). One
+    eager localCheckpoint turns those recomputes into cached-block
+    scans; narrow batches (a projection over an already-checkpointed
+    relation or a raw scan — the import path) skip it, their recompute
+    being cheaper than the extra materialization job. Plan inspection
+    rides a private surface, so any failure degrades to the old
+    recompute behavior."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 - private-API drift → old behavior
+        return df
+    if _WIDE_PLAN_RE.search(plan):
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def _merge_write(
     spark: SparkSession,
     new_df: DataFrame,
@@ -490,6 +523,9 @@ def _merge_write(
     if dedup_key is not None:
         new_df = new_df.dropDuplicates([dedup_key])
     new_b = with_bucket(new_df, bucket_key) if bucket_key else new_df
+    # one evaluation of the batch side, OUTSIDE the lock (shrinks the
+    # lock window too) — see _maybe_materialize_batch
+    new_b = _maybe_materialize_batch(new_b)
     # The writer lock covers the WHOLE read → anti-join → stage → publish
     # sequence, not just the staging write: a merge computed against a
     # snapshot resolved outside the lock would race a concurrent writer's
@@ -503,7 +539,8 @@ def _merge_write(
         # a concurrent writer may have created the store between our
         # caller's check and lock acquisition — re-check under the lock
         if not has_parquet_data(path):
-            staged = new_b.localCheckpoint(eager=True)
+            staged = new_b  # already materialized above when wide; a
+            # narrow batch stages straight from its (cheap) source plan
             n = staged.count()
             if n:
                 write_fn(staged, path)
@@ -603,6 +640,9 @@ def _merge_write_optimistic(
     if dedup_key is not None:
         new_df = new_df.dropDuplicates([dedup_key])
     new_b = with_bucket(new_df, bucket_key) if bucket_key else new_df
+    # one evaluation of the batch side for every attempt/rebase — see
+    # _maybe_materialize_batch
+    new_b = _maybe_materialize_batch(new_b)
     # doubles as the empty-batch guard: no touched partitions == no rows
     # (saves the separate isEmpty job per commit)
     touched = [
@@ -636,7 +676,7 @@ def _merge_write_optimistic(
                 # first commit: never write a legacy root — the store is
                 # born versioned, and two racing first-writers are
                 # arbitrated on v00000001 like any other number
-                staged = new_b.localCheckpoint(eager=True)
+                staged = new_b  # wide batches were materialized above
                 n = staged.count()
                 vdir = versioned.stage_optimistic(path, target)
                 (
@@ -910,6 +950,12 @@ def delete_from_store(
         if bucket_key
         else doomed_keys.select(key, prune_col)
     )
+    # the key relation is evaluated 3-4x per delete (touched-prune
+    # collect, rebucket, the broadcast build in the stats probe AND in
+    # the kept rewrite — separate actions share no stages), and purge
+    # callers pass doomed_keys that are themselves joins/aggregates —
+    # evaluate wide key plans ONCE (see _maybe_materialize_batch)
+    keys_b = _maybe_materialize_batch(keys_b)
     touched_prunes = [
         r[prune_col] for r in keys_b.select(prune_col).distinct().collect()
     ]

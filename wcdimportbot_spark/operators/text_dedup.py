@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wcdimportbot_spark.functions.expr_memo import memo_expr
 from wcdimportbot_spark.functions.partitioning import fan_out
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
@@ -146,31 +147,62 @@ def minhash_signatures(
     deduplicated first — that removes an entire shuffle; the one remaining
     shuffle (groupBy doc) is map-side combinable. The input is fanned out
     before the explode so a few large input files cannot serialize the
-    shingling work."""
-    base = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_PRIME
-    )
+    shingling work.
+
+    The K aggregation expressions and the shingle-hash base are pure
+    trees over fixed constants, memoized per (JVM, num_hashes/shingle_n)
+    — the dedup index rebuilds this plan on every probe/ingest/delete
+    (functions/expr_memo.py)."""
     long = (
         fan_out(docs, id_col)
         .select(id_col, tokens(F.col("text")).alias("_ts"))
         .select(
             id_col,
-            F.explode(ngrams_from_tokens(F.col("_ts"), shingle_n)).alias("token"),
+            F.explode(
+                memo_expr(
+                    ("mh_shingles", shingle_n),
+                    lambda: ngrams_from_tokens(F.col("_ts"), shingle_n),
+                )
+            ).alias("token"),
         )
-        .select(id_col, base.alias("_hx"))
+        .select(
+            id_col, memo_expr(("mh_base",), _minhash_base).alias("_hx")
+        )
     )
-    aggs = [
+    aggs = memo_expr(
+        ("mh_aggs", num_hashes), lambda: _minhash_aggs(num_hashes)
+    )
+    return long.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_base() -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME
+    )
+
+
+def _minhash_aggs(num_hashes: int) -> tuple:
+    return tuple(
         F.min((F.lit(a) * F.col("_hx") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    return long.groupBy(id_col).agg(*aggs)
+    )
 
 
 def lsh_bands(
     signatures: DataFrame, num_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
     """Signature → (doc_id, band, bucket): bucket = md5 of the band's rows."""
+    bb = memo_expr(
+        ("lsh_band_array", num_hashes, bands),
+        lambda: _lsh_band_array(num_hashes, bands),
+    )
+    return signatures.select(id_col, F.explode(bb).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _lsh_band_array(num_hashes: int, bands: int) -> Column:
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -180,9 +212,7 @@ def lsh_bands(
                 F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")
             )
         )
-    return signatures.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return F.array(*band_cols)
 
 
 def lsh_candidate_pairs(

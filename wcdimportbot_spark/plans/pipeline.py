@@ -118,6 +118,15 @@ def run_import(
     # (one parquet file) would run the whole extraction on ONE core
     pages = fan_out(pages, "page_id")
     raw = extract_raw_templates(pages)
+    if persist:
+        # persist the PYTHON stage's output, not just the normalized
+        # references below: the rejects channel branches off BEFORE
+        # build_references (schema_rejects comes from raw), so without
+        # this the Arrow extraction re-runs for every import's rejects
+        # write — the one stage whose recompute pays the JVM↔Python
+        # boundary twice (guide §4). Populated en route by whichever
+        # downstream branch acts first; O(batch) like the refs persist.
+        raw = raw.persist()
     raw = filter_supported_templates(raw)
     raw = fix_param_keys(raw)
     valid, schema_rejects = split_valid_and_rejects(raw)
