@@ -119,6 +119,9 @@ def main() -> None:
     for pass_no in (1, 2):
         for name in order:
             spec = QUERIES[name]
+            # §1.5: label the query's jobs in the UI/event log; set OUTSIDE
+            # the timed region (one py4j call)
+            spark.sparkContext.setJobDescription(f"bench:{name}:p{pass_no}")
             t0 = time.time()
             try:
                 df = spec.fn(spark, sf_dir)

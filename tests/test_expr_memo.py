@@ -89,6 +89,46 @@ def test_page_claims_default_matches_explicit_date(pages, valid_raw):
     assert memoized.count() > 0
 
 
+def test_text_analysis_memo_matches_bound_column(spark):
+    from wcdimportbot_spark.operators.text_analysis import (
+        detect_language,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is on the hill with a dog"),
+            (2, "le chat est dans la maison pour la nuit et le jour"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    # name form → memoized tree; a Column argument builds fresh (old
+    # behavior)
+    memoized = docs.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        detect_language("text").alias("l"),
+    )
+    fresh = docs.select(
+        "doc_id",
+        quality_score(docs["text"]).alias("q"),
+        detect_language(docs["text"]).alias("l"),
+    )
+    assert sorted(map(tuple, memoized.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # second memoized call (guaranteed hit) still resolves per-plan
+    again = docs.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        detect_language("text").alias("l"),
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, memoized.collect())
+    )
+
+
 def test_minhash_lsh_memo_hit_identical(spark):
     docs = spark.createDataFrame(
         [

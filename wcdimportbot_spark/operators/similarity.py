@@ -1401,7 +1401,7 @@ def ivf_index(
         vecs.schema.fields + [T.StructField("cluster", T.IntegerType())]
     )
     assigned = vecs.mapInPandas(assign, schema)
-    return assigned, [c.tolist() for c in cent]
+    return assigned, cent.tolist()
 
 
 def _probe_clusters(spark, queries: DataFrame, centroids, nprobe: int) -> DataFrame:

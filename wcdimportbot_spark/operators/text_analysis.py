@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wcdimportbot_spark.functions.expr_memo import memo_expr
 from wcdimportbot_spark.functions.partitioning import fan_out
 
 from wcdimportbot_spark.operators.text_dedup import TOKEN_SPLIT_RE, tokens
@@ -49,9 +50,22 @@ def punct_ratio(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality proxy: length band + low punctuation +
-    healthy stopword density (C4/Gopher-style rule scoring, simplified)."""
+    healthy stopword density (C4/Gopher-style rule scoring, simplified).
+
+    Pass a column NAME to memoize tree construction per (JVM, name) —
+    the resulting tree is pure over ``F.col(name)`` so reuse across
+    plans is safe; a Column argument (possibly bound to a specific
+    DataFrame) always builds fresh (functions/expr_memo.py)."""
+    if isinstance(text, str):
+        return memo_expr(
+            ("quality_score", text), lambda: _quality_score(F.col(text))
+        )
+    return _quality_score(text)
+
+
+def _quality_score(text: Column) -> Column:
     n_tok = token_count(text)
     length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
@@ -59,10 +73,22 @@ def quality_score(text: Column) -> Column:
     return F.round(length_ok + punct_ok + stop_ok, 4)
 
 
-def detect_language(text: Column) -> Column:
+def detect_language(text: Column | str) -> Column:
     """Stopword-vote language heuristic: the language whose stopword list
     scores the most token hits wins; ties break alphabetically; zero hits →
-    'und' (undetermined)."""
+    'und' (undetermined).
+
+    Pass a column NAME to memoize tree construction (12+ higher-order
+    filters, ~0.2-0.3s of driver py4j per call) per (JVM, name); a
+    Column argument always builds fresh."""
+    if isinstance(text, str):
+        return memo_expr(
+            ("detect_language", text), lambda: _detect_language(F.col(text))
+        )
+    return _detect_language(text)
+
+
+def _detect_language(text: Column) -> Column:
     t = tokens(text)
 
     def stopword_filter(stoplist: tuple[str, ...]):
@@ -112,8 +138,9 @@ def document_profile(docs: DataFrame, include_subwords: bool = False) -> DataFra
     text = F.col("text")
     cols = [
         token_count(text).alias("n_tokens"),
-        quality_score(text).alias("quality"),
-        detect_language(text).alias("detected_lang"),
+        # name form → memoized tree construction (expr_memo)
+        quality_score("text").alias("quality"),
+        detect_language("text").alias("detected_lang"),
         fingerprint(text).alias("fingerprint"),
     ]
     if include_subwords:

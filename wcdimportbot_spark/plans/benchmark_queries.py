@@ -4428,8 +4428,9 @@ def curation_pipeline(spark, sf_dir):
     profiled = docs.select(
         "doc_id",
         F.md5(text).alias("_text_hash"),
-        quality_score(text).alias("quality"),
-        detect_language(text).alias("detected_lang"),
+        # name form → memoized tree construction (expr_memo)
+        quality_score("text").alias("quality"),
+        detect_language("text").alias("detected_lang"),
     )
     w = W.partitionBy("_text_hash").orderBy("doc_id")
     ranked = profiled.withColumn("rn", F.row_number().over(w))

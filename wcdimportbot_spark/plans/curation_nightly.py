@@ -258,8 +258,9 @@ def curate_increment(
         id_col,
         text_col,
         F.md5(text).alias("text_hash"),
-        quality_score(text).alias("quality"),
-        detect_language(text).alias("detected_lang"),
+        # name form → memoized tree construction (expr_memo)
+        quality_score(text_col).alias("quality"),
+        detect_language(text_col).alias("detected_lang"),
     )
     w = Window.partitionBy("text_hash").orderBy(id_col)
     # materialize ONCE: the profile expressions + window feed four

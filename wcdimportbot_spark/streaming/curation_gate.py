@@ -85,7 +85,7 @@ def curate_stream(
     eval_grams = eval_gram_rel.agg(F.collect_list("g").alias("gs"))
     annotated = (
         docs.withColumn("n_tokens", token_count(F.col(text_col)))
-        .withColumn("quality", quality_score(F.col(text_col)))
+        .withColumn("quality", quality_score(text_col))
         # materialize the token array in its own projection before the
         # n-gram lambda (ngrams_from_tokens docstring: inlining the split
         # is O(len²) per doc)
