@@ -870,16 +870,26 @@ def _delete_plan(
 
     Scale shape: the store is read ONCE, partition-pruned to the buckets
     the key list can possibly live in; the doomed-row probe is the
-    round-10 inversion (store scanned stream-side, semi-joined against
+    round-10 inversion (store scanned stream-side, LEFT-joined against
     the BROADCAST key list), so every hash table is bounded by the key
-    list, never the store."""
+    list, never the store. The single annotated scan is materialized and
+    BOTH the per-partition doomed stats and the kept rewrite content are
+    derived from its cached blocks — the previous shape scanned the
+    pruned store twice (a semi-join stats pass, then an anti-join kept
+    pass), doubling store reads per delete."""
     snap = _read_tree(spark, base_dir)
     pruned = snap.filter(F.col(prune_col).isin(touched_prunes))
     keys_only = F.broadcast(keys_b.select(key).distinct())
-    # one pass gives both the touched partition tuples (bounded by the
-    # partition schema) and the doomed-row count
+    # one annotated pass over the candidate buckets: _doomed marks rows
+    # whose key is in the broadcast list (keys_only is distinct, so the
+    # left join cannot duplicate store rows); checkpointing here both
+    # decouples the rewrite content from the base files pre-stage and
+    # lets the stats collect + kept filter below run off cached blocks
+    marked = pruned.join(
+        keys_only.withColumn("_doomed", F.lit(True)), key, "left"
+    ).localCheckpoint(eager=True)
     stats = (
-        pruned.join(keys_only, key, "left_semi")
+        marked.filter(F.col("_doomed"))
         .groupBy(*partitions)
         .agg(F.count("*").alias("_n_doomed"))
         .collect()
@@ -895,9 +905,11 @@ def _delete_plan(
             f"value escaping mismatch; refusing an unpruned delete"
         )
     kept = (
-        pruned.filter(_partition_values_predicate(stats, partitions))
-        .join(keys_only, key, "left_anti")
-        .localCheckpoint(eager=True)  # decouple from base files pre-stage
+        marked.filter(_partition_values_predicate(stats, partitions))
+        .filter(F.col("_doomed").isNull())
+        # the USING join moved `key` first — restore the snapshot's
+        # column order so rewritten files match the hardlinked ones
+        .select(*pruned.columns)
     )
     return n_doomed, stats, exclude, kept
 
@@ -1182,9 +1194,16 @@ def _stage_upsert(
     ]
     pruned = snap.filter(F.col(prune_col).isin(touched_prunes))
     keys_only = F.broadcast(batch.select(key).distinct())
+    # one annotated pass over the candidate buckets (see _delete_plan):
+    # the matched stats, the matched-key count, and the kept rewrite
+    # content below all derive from this one materialized scan — the
+    # previous shape read the pruned store three times
+    marked = pruned.join(
+        keys_only.withColumn("_matched", F.lit(True)), key, "left"
+    ).localCheckpoint(eager=True)
+    matched_rows = marked.filter(F.col("_matched"))
     matched_stats = (
-        pruned.join(keys_only, key, "left_semi")
-        .groupBy(*partitions)
+        matched_rows.groupBy(*partitions)
         .agg(F.count("*").alias("_n"))
         .collect()
     )
@@ -1195,12 +1214,7 @@ def _stage_upsert(
     # negative (r11 ADVICE). matched_stats stays row-grained — it feeds
     # only the touched-partition set.
     n_matched_keys = (
-        int(
-            pruned.join(keys_only, key, "left_semi")
-            .select(key)
-            .distinct()
-            .count()
-        )
+        int(matched_rows.select(key).distinct().count())
         if matched_stats
         else 0
     )
@@ -1228,9 +1242,11 @@ def _stage_upsert(
                 f" — value escaping mismatch; refusing an unpruned upsert"
             )
     kept = (
-        pruned.filter(_partition_values_predicate(touched_rows, partitions))
-        .join(keys_only, key, "left_anti")
-        .localCheckpoint(eager=True)
+        marked.filter(_partition_values_predicate(touched_rows, partitions))
+        .filter(F.col("_matched").isNull())
+        # the USING join moved `key` first — restore the snapshot's
+        # column order so rewritten files match the hardlinked ones
+        .select(*pruned.columns)
     )
     if new_cols:
         # evolved columns: old kept rows read null via the base sidecar
