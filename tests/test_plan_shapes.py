@@ -226,3 +226,56 @@ def test_bpe_encode_scan_pruned_and_broadcast(spark):
         assert col not in scan, f"{col} leaked into the documents scan"
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_delete_probe_single_annotated_scan(spark, tmp_path):
+    """The fused delete probe (sinks._delete_plan): ONE store scan,
+    LEFT-joined against the BROADCAST key list (store stream-side —
+    never built into a hash table, never shuffled), with stats and kept
+    both derived from it. Pins the r15 single-scan shape AND the r10
+    join inversion it must preserve."""
+    from pyspark.sql import functions as F
+
+    from wcdimportbot_spark.operators import sinks, versioned
+
+    store = str(tmp_path / "delplan")
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("hash"), (F.col("id") % 7).alias("v")
+    )
+    sinks.upsert_into_store(
+        spark, df, store, key="hash", bucket_key="hash",
+        partitions=[sinks.BUCKET_COL],
+    )
+    doomed = spark.range(20).select(F.col("id").cast("string").alias("hash"))
+    keys_b = sinks.with_bucket(doomed.select("hash"), "hash")
+    touched = [
+        r[sinks.BUCKET_COL]
+        for r in keys_b.select(sinks.BUCKET_COL).distinct().collect()
+    ]
+    base_dir = versioned.data_dir(store)
+    snap = sinks._read_tree(spark, base_dir)
+    pruned = snap.filter(F.col(sinks.BUCKET_COL).isin(touched))
+    keys_only = F.broadcast(keys_b.select("hash").distinct())
+    marked = pruned.join(
+        keys_only.withColumn("_doomed", F.lit(True)), "hash", "left"
+    )
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+    assert "SortMergeJoin" not in plan
+    # the store side must not shuffle: the only shuffle Exchange allowed
+    # is the KEY LIST's distinct (bounded by the doomed-key count); a
+    # store-side shuffle would appear as a second one
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) <= 1, shuffles
+    # end-to-end: the fused path deletes and tolerates a re-delete
+    assert sinks.delete_from_store(
+        spark, doomed, store, key="hash", bucket_key="hash",
+        partitions=[sinks.BUCKET_COL],
+    ) == 20
+    assert sinks.delete_from_store(
+        spark, doomed, store, key="hash", bucket_key="hash",
+        partitions=[sinks.BUCKET_COL],
+    ) == 0
