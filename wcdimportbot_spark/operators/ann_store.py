@@ -605,7 +605,9 @@ def ann_index_add_batch(
                     new_embeddings, cent, books, id_col, vec_col
                 )
                 .dropDuplicates(["vec_id"])
-                .localCheckpoint(eager=True)  # encode once: count + merge
+                # encode once for count + merge; the count below runs
+                # the lazy checkpoint (one job, not two)
+                .localCheckpoint(eager=False)
             )
             n_batch = enc.count()
             try:
@@ -726,7 +728,9 @@ def ann_index_upsert(
             read_ann_codes(spark, base_path)
             .select("vec_id", "cluster")
             .join(F.broadcast(batch_ids), "vec_id", "left_semi")
-            .localCheckpoint(eager=True)
+            # the count below runs the lazy checkpoint — materialized
+            # BEFORE the delete half mutates the store, in one job
+            .localCheckpoint(eager=False)
         )
         # updated counts matched IDS; pairs stays row-grained so the
         # delete also heals a store that already duplicated an id (see
@@ -813,10 +817,11 @@ def ann_index_delete(
 
     def _ids() -> DataFrame:
         if "ids" not in memo:
+            # lazy: materialized inside the first pairs computation
             memo["ids"] = (
                 vec_ids.select("vec_id")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         return memo["ids"]
 
@@ -824,9 +829,13 @@ def ann_index_delete(
         if not sinks.has_parquet_data(_codes_path(base_path)):
             return None  # nothing built yet — swallowed delete-twice case
         codes = read_ann_codes(spark, base_path).select("vec_id", "cluster")
+        # lazy: the delete engine's touched-cluster collect (its first
+        # action, before any mutation) runs this checkpoint; the epoch
+        # bracket's soundness covers the whole resolve→publish window
+        # regardless of where inside it the materialization lands
         return codes.join(
             F.broadcast(_ids()), "vec_id", "left_semi"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     def _publish(pairs: DataFrame | None) -> int:
         if pairs is None or not sinks.has_parquet_data(

@@ -462,17 +462,23 @@ _WIDE_PLAN_RE = re.compile(
 
 
 def _maybe_materialize_batch(df: DataFrame) -> DataFrame:
-    """Materialize the batch relation ONCE when its plan contains wide
+    """Checkpoint the batch relation ONCE when its plan contains wide
     (shuffle/Python) nodes. The merge engines evaluate the batch three
     times — touched-partition collect, matched-keys broadcast build,
     anti-join staging — and separate actions never share shuffle
     stages, so a batch plan with joins/windows/dedups re-runs its
     exchanges per action (measured: ~66 jobs per curate_increment,
     most of them re-derivations of the same batch-side plan). One
-    eager localCheckpoint turns those recomputes into cached-block
-    scans; narrow batches (a projection over an already-checkpointed
-    relation or a raw scan — the import path) skip it, their recompute
-    being cheaper than the extra materialization job. Plan inspection
+    localCheckpoint turns those recomputes into cached-block scans;
+    narrow batches (a projection over an already-checkpointed relation
+    or a raw scan — the import path) skip it, their recompute being
+    cheaper than an extra materialization.
+
+    The checkpoint is LAZY (r15): every engine's very next step is the
+    touched-partition collect over this relation, which materializes
+    the blocks — fusing the former separate eager-checkpoint job into
+    that collect. Callers MUST act on the result before any store
+    mutation (they all do: the collect is adjacent). Plan inspection
     rides a private surface, so any failure degrades to the old
     recompute behavior."""
     try:
@@ -480,7 +486,7 @@ def _maybe_materialize_batch(df: DataFrame) -> DataFrame:
     except Exception:  # noqa: BLE001 - private-API drift → old behavior
         return df
     if _WIDE_PLAN_RE.search(plan):
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=False)
     return df
 
 
@@ -526,6 +532,16 @@ def _merge_write(
     # one evaluation of the batch side, OUTSIDE the lock (shrinks the
     # lock window too) — see _maybe_materialize_batch
     new_b = _maybe_materialize_batch(new_b)
+    # default-map touched set, collected OUTSIDE the lock: materializes
+    # the lazy checkpoint above in the same job and doubles as the
+    # empty-batch guard. Valid whenever the base is unsplit (the common
+    # case — _rebucket_for_base is then a no-op); a split base
+    # recomputes under the lock, exactly like the optimistic path.
+    default_touched = [
+        r[prune_col] for r in new_b.select(prune_col).distinct().collect()
+    ]
+    if not default_touched:
+        return 0
     # The writer lock covers the WHOLE read → anti-join → stage → publish
     # sequence, not just the staging write: a merge computed against a
     # snapshot resolved outside the lock would race a concurrent writer's
@@ -552,22 +568,27 @@ def _merge_write(
         # a SPLIT store's layout is defined by its snapshot's bucket map:
         # re-bucket the batch under it so the touched-partition probe and
         # the appended dirs match the base exactly (no-op when unsplit)
-        new_b, _leaves = _rebucket_for_base(new_b, bucket_key, current_dir)
-        touched = [
-            r[prune_col] for r in new_b.select(prune_col).distinct().collect()
-        ]
-        if not touched:
-            return 0
+        new_b, leaves = _rebucket_for_base(new_b, bucket_key, current_dir)
+        if leaves is not None:
+            touched = [
+                r[prune_col]
+                for r in new_b.select(prune_col).distinct().collect()
+            ]
+            if not touched:
+                return 0
+        else:
+            touched = default_touched
         existing = read_fn(spark, path).filter(F.col(prune_col).isin(touched))
         new_cols = _check_merge_schema(
             new_b.columns, existing.columns, allow_additive=allow_additive
         )
         # materialize before staging: the plan reads the current snapshot
+        # (the count below runs the lazy checkpoint — one job, not two)
         fresh = new_b.join(
             F.broadcast(_matched_keys(existing, new_b, anti_key)),
             anti_key,
             "left_anti",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_fresh = fresh.count()
         if not n_fresh:
             return 0
@@ -710,14 +731,15 @@ def _merge_write_optimistic(
             new_cols = _check_merge_schema(
                 batch_b.columns, existing.columns, allow_additive=allow_additive
             )
-            # materialize BEFORE staging: after this the data lives in the
-            # block manager, decoupled from base files a competitor's
-            # prune might remove
+            # materialize BEFORE staging: after the count below (which
+            # runs the lazy checkpoint — one job, not two) the data
+            # lives in the block manager, decoupled from base files a
+            # competitor's prune might remove
             fresh = batch_b.join(
                 F.broadcast(_matched_keys(existing, batch_b, anti_key)),
                 anti_key,
                 "left_anti",
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             n_fresh = fresh.count()
             if not n_fresh:
                 # every row already present in base — and merges never
@@ -882,12 +904,13 @@ def _delete_plan(
     keys_only = F.broadcast(keys_b.select(key).distinct())
     # one annotated pass over the candidate buckets: _doomed marks rows
     # whose key is in the broadcast list (keys_only is distinct, so the
-    # left join cannot duplicate store rows); checkpointing here both
-    # decouples the rewrite content from the base files pre-stage and
-    # lets the stats collect + kept filter below run off cached blocks
+    # left join cannot duplicate store rows); the lazy checkpoint runs
+    # inside the stats collect below (one job) — decoupling the rewrite
+    # content from the base files pre-stage and letting the kept filter
+    # run off cached blocks
     marked = pruned.join(
         keys_only.withColumn("_doomed", F.lit(True)), key, "left"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     stats = (
         marked.filter(F.col("_doomed"))
         .groupBy(*partitions)
@@ -1133,8 +1156,8 @@ def upsert_into_store(
         )
     with versioned.writer_lock(path):
         if not has_parquet_data(path):
-            staged = new_b.localCheckpoint(eager=True)
-            n = staged.count()
+            staged = new_b.localCheckpoint(eager=False)
+            n = staged.count()  # runs the lazy checkpoint — one job
             if n:
                 version, vdir = versioned.stage_new(path)
                 (
@@ -1187,41 +1210,65 @@ def _stage_upsert(
     new_cols = _check_merge_schema(
         new_b.columns, snap.columns, allow_additive=allow_additive
     )
-    batch = new_b.localCheckpoint(eager=True)
-    n_batch = batch.count()
-    touched_prunes = [
-        r[prune_col] for r in batch.select(prune_col).distinct().collect()
-    ]
+    batch = new_b.localCheckpoint(eager=False)
+    # ONE grouped pass (which runs the lazy checkpoint) yields the batch
+    # row count, the touched buckets, and the batch's partition tuples —
+    # previously three separate jobs (r15). prune_col is one of the
+    # partition columns for every store layout this engine serves; the
+    # generic fallback keeps the old per-question jobs.
+    if prune_col in partitions:
+        batch_rows = (
+            batch.groupBy(*partitions).agg(F.count("*").alias("_n")).collect()
+        )
+        n_batch = int(sum(r["_n"] for r in batch_rows))
+        touched_prunes = sorted({r[prune_col] for r in batch_rows})
+    else:
+        n_batch = batch.count()
+        touched_prunes = [
+            r[prune_col]
+            for r in batch.select(prune_col).distinct().collect()
+        ]
+        batch_rows = batch.select(*partitions).distinct().collect()
     pruned = snap.filter(F.col(prune_col).isin(touched_prunes))
-    keys_only = F.broadcast(batch.select(key).distinct())
+    # the batch is deduped on `key` upstream (both protocol entry
+    # points), so select(key) is already distinct — no extra exchange
+    # inside the broadcast build
+    keys_only = F.broadcast(batch.select(key))
     # one annotated pass over the candidate buckets (see _delete_plan):
     # the matched stats, the matched-key count, and the kept rewrite
     # content below all derive from this one materialized scan — the
     # previous shape read the pruned store three times
     marked = pruned.join(
         keys_only.withColumn("_matched", F.lit(True)), key, "left"
-    ).localCheckpoint(eager=True)
-    matched_rows = marked.filter(F.col("_matched"))
-    matched_stats = (
-        matched_rows.groupBy(*partitions)
-        .agg(F.count("*").alias("_n"))
-        .collect()
-    )
+    ).localCheckpoint(eager=False)
     # the updated/inserted split counts matched BATCH KEYS, not matched
     # store rows: a layout whose key is not unique per row (the
     # claims-shaped stores this generic API accepts) holds several rows
     # per key, which would inflate "updated" and skew "inserted"
-    # negative (r11 ADVICE). matched_stats stays row-grained — it feeds
-    # only the touched-partition set.
+    # negative (r11 ADVICE). The rollup folds the row-grained
+    # per-partition stats (grouping level 0 — they feed only the
+    # touched-partition set) and the global distinct-key count into ONE
+    # aggregation pass, which also runs the marked scan's lazy
+    # checkpoint (r15; two jobs before).
+    grouped = (
+        marked.filter(F.col("_matched"))
+        .rollup(*partitions)
+        .agg(
+            F.count("*").alias("_n"),
+            F.countDistinct(key).alias("_k"),
+            F.grouping_id().alias("_g"),
+        )
+        .collect()
+    )
+    matched_stats = [r for r in grouped if r["_g"] == 0]
     n_matched_keys = (
-        int(matched_rows.select(key).distinct().count())
+        int(next(r["_k"] for r in grouped if r["_g"] == 2 ** len(partitions) - 1))
         if matched_stats
         else 0
     )
-    batch_tuples = batch.select(*partitions).distinct().collect()
     matched_tuples = {tuple(r[c] for c in partitions) for r in matched_stats}
     touched = matched_tuples | {
-        tuple(r[c] for c in partitions) for r in batch_tuples
+        tuple(r[c] for c in partitions) for r in batch_rows
     }
     touched_rows = [dict(zip(partitions, t)) for t in sorted(touched)]
     exclude = set()
@@ -1307,8 +1354,8 @@ def _upsert_into_store_optimistic(
                     f"optimistic upserts need a versioned store; migrate "
                     f"the legacy root {path} with one locked write first"
                 )
-            staged = new_b.localCheckpoint(eager=True)
-            n = staged.count()
+            staged = new_b.localCheckpoint(eager=False)
+            n = staged.count()  # runs the lazy checkpoint — one job
             vdir = versioned.stage_optimistic(path, target)
             (
                 staged.sortWithinPartitions(*partitions, sort_key)
@@ -1449,7 +1496,7 @@ def _stage_split(
         snap.filter(F.col(BUCKET_COL) == bucket)
         .drop(BUCKET_COL)
         .withColumn(BUCKET_COL, _bucket_column(key, new_leaves))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # the count below runs it
     )
     n = rows.count()
     exclude = set()
@@ -1658,10 +1705,14 @@ def compact_store(
         # dynamic-partition writer's required ordering, so it inserts NO
         # sort of its own and the lookup-key order inside each file
         # survives for row-group pruning.
+        # no checkpoint: under the writer lock the base tree is stable,
+        # the write below is the plan's only consumer, and it reads the
+        # CURRENT version dir while writing into the staged one — one
+        # job instead of materialize + write (r15)
         staged = (
             touched.repartition(*[F.col(c) for c in partitions])
             .sortWithinPartitions(*partitions, sort_key)
-        ).localCheckpoint(eager=True)
+        )
         version, vdir = versioned.stage_new(path)
         versioned.link_tree(current_dir, vdir)
         (

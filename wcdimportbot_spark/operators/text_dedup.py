@@ -1028,12 +1028,15 @@ def dedup_index_probe(
         shingle_n = recorded["shingle_n"]
     spark = new_docs.sparkSession
     hashes, bands_rel = read_dedup_index(spark, base_path)
+    # one signature pass serves probe AND merge; lazy — ann's eager
+    # checkpoint below consumes new_bands, so its materialization job
+    # persists these blocks too (one job instead of two, r15)
     new_bands = lsh_bands(
         minhash_signatures(new_docs, num_hashes, id_col, shingle_n),
         num_hashes,
         bands,
         id_col,
-    ).localCheckpoint(eager=True)  # one signature pass: probe AND merge
+    ).localCheckpoint(eager=False)
     ann = incremental_dedup(
         new_docs, hashes, bands_rel, num_hashes, bands, id_col, text_col,
         shingle_n, new_bands=new_bands,
@@ -1233,8 +1236,11 @@ def dedup_index_delete(
     if recorded is not None:
         bands = recorded["bands"]
     spark = doomed_hashes.sparkSession
+    # lazy: the first delete's touched-bucket collect (its first action,
+    # before any store mutation in this call) runs the checkpoint; the
+    # bands delete and any race-repair re-run then reuse the blocks
     doomed = (
-        doomed_hashes.select("text_hash").distinct().localCheckpoint(eager=True)
+        doomed_hashes.select("text_hash").distinct().localCheckpoint(eager=False)
     )
     hpath = os.path.join(base_path, "hashes")
     bpath = os.path.join(base_path, "bands")

@@ -263,13 +263,15 @@ def curate_increment(
         detect_language(text_col).alias("detected_lang"),
     )
     w = Window.partitionBy("text_hash").orderBy(id_col)
-    # materialize ONCE: the profile expressions + window feed four
+    # checkpoint ONCE: the profile expressions + window feed four
     # separate actions below (probe bands, corpus merge, index merge,
     # annotation) — without the checkpoint each action re-runs the
-    # whole scoring chain over the batch (measured 4× the increment)
+    # whole scoring chain over the batch (measured 4× the increment).
+    # Lazy: the probe's eager `ann` checkpoint consumes this relation
+    # (pre-mutation), so one job materializes both (r15).
     ranked = (
         profiled.withColumn("rn", F.row_number().over(w))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     winners = ranked.filter(F.col("rn") == 1).drop("rn")
     # read-only probe against the PRE-increment index snapshot; ann is
@@ -816,8 +818,8 @@ def purge_documents(
                 )
         if prior_hashes is not None:
             hashes = hashes.union(prior_hashes).distinct()
-    hashes = hashes.localCheckpoint(eager=True)
-    n_doomed = hashes.count()
+    hashes = hashes.localCheckpoint(eager=False)
+    n_doomed = hashes.count()  # runs the lazy checkpoint — one job
     if (
         id_form
         and prior_match

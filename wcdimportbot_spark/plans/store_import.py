@@ -248,10 +248,14 @@ def import_pages_to_store(
     # lazy plans still reference (read-then-overwrite-then-reread trap)
     n_new = result.new_cache_mappings.count()
     n_pages = pages.count()
-    # materialize the batch once: the merge writers overwrite store
-    # partitions their own inputs may lazily read
-    new_items = result.items.localCheckpoint(eager=True)
-    new_claims = result.claims.localCheckpoint(eager=True)
+    # checkpoint the batch once: the merge writers overwrite store
+    # partitions their own inputs may lazily read. Lazy — each relation
+    # is materialized by its own merge's touched-bucket collect, which
+    # happens BEFORE that store (or any store the plan reads) publishes;
+    # both plans derive from run_import's persisted extraction, so the
+    # deferred run is a cached-block projection, not a re-extraction
+    new_items = result.items.localCheckpoint(eager=False)
+    new_claims = result.claims.localCheckpoint(eager=False)
     # two-phase marker: pending BEFORE the first publish (see manifest
     # docstring) — crash anywhere below leaves it for --verify-store
     store_root = os.path.dirname(paths["items"])
