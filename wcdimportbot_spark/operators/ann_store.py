@@ -582,7 +582,8 @@ def ann_index_add_batch(
         bucket_key=None,  # partition layout is the domain-derived cluster
         anti_key="vec_id",
         partitions=["cluster"],
-        dedup_key=None,  # already deduped above
+        dedup_key=None,  # already deduped above ...
+        batch_distinct=True,  # ... so the probe skips its re-distinct
         prune_col="cluster",
         sort_key="vec_id",
     )

@@ -291,7 +291,12 @@ def _partition_values_predicate(rows, cols: list[str]):
     )
 
 
-def _matched_keys(existing: DataFrame, new_b: DataFrame, anti_key: str):
+def _matched_keys(
+    existing: DataFrame,
+    new_b: DataFrame,
+    anti_key: str,
+    batch_distinct: bool = False,
+):
     """The batch keys ALREADY present in the store, computed with the
     store on the STREAM side (round-10 join inversion, same reasoning as
     the dedup probe, text_dedup.incremental_dedup): the naive
@@ -302,14 +307,17 @@ def _matched_keys(existing: DataFrame, new_b: DataFrame, anti_key: str):
     (column-pruned to the key), semi-joined against the BROADCAST batch
     keys, and deduped — every hash table and the result are bounded by
     the batch. The caller anti-joins the batch against the broadcast of
-    this ≤|batch|-row relation."""
+    this ≤|batch|-row relation.
+
+    ``batch_distinct=True`` declares the batch already unique on
+    ``anti_key`` (the engine deduped it on exactly that column), which
+    drops the exchange inside the broadcast build (r15)."""
+    keys = new_b.select(anti_key)
+    if not batch_distinct:
+        keys = keys.distinct()
     return (
         existing.select(anti_key)
-        .join(
-            F.broadcast(new_b.select(anti_key).distinct()),
-            anti_key,
-            "left_semi",
-        )
+        .join(F.broadcast(keys), anti_key, "left_semi")
         .distinct()
     )
 
@@ -505,6 +513,7 @@ def _merge_write(
     sort_key: str | None = None,
     base_guard=None,
     allow_additive: bool = False,
+    batch_distinct: bool | None = None,
 ) -> int:
     """Shared bucket-level MERGE engine (insert-if-absent, existing rows
     win). ``anti_key`` must determine ``prune_col`` (it does for every
@@ -528,6 +537,8 @@ def _merge_write(
     sort_key = sort_key or anti_key
     if dedup_key is not None:
         new_df = new_df.dropDuplicates([dedup_key])
+    if batch_distinct is None:
+        batch_distinct = dedup_key == anti_key
     new_b = with_bucket(new_df, bucket_key) if bucket_key else new_df
     # one evaluation of the batch side, OUTSIDE the lock (shrinks the
     # lock window too) — see _maybe_materialize_batch
@@ -585,7 +596,14 @@ def _merge_write(
         # materialize before staging: the plan reads the current snapshot
         # (the count below runs the lazy checkpoint — one job, not two)
         fresh = new_b.join(
-            F.broadcast(_matched_keys(existing, new_b, anti_key)),
+            F.broadcast(
+                _matched_keys(
+                    existing,
+                    new_b,
+                    anti_key,
+                    batch_distinct=batch_distinct,
+                )
+            ),
             anti_key,
             "left_anti",
         ).localCheckpoint(eager=False)
@@ -639,6 +657,7 @@ def _merge_write_optimistic(
     sort_key: str | None = None,
     base_guard=None,
     allow_additive: bool = False,
+    batch_distinct: bool | None = None,
 ) -> int:
     """Lock-free MERGE under the optimistic commit protocol
     (versioned.py §optimistic): resolve the base from the version LOG,
@@ -660,6 +679,8 @@ def _merge_write_optimistic(
     sort_key = sort_key or anti_key
     if dedup_key is not None:
         new_df = new_df.dropDuplicates([dedup_key])
+    if batch_distinct is None:
+        batch_distinct = dedup_key == anti_key
     new_b = with_bucket(new_df, bucket_key) if bucket_key else new_df
     # one evaluation of the batch side for every attempt/rebase — see
     # _maybe_materialize_batch
@@ -736,7 +757,14 @@ def _merge_write_optimistic(
             # lives in the block manager, decoupled from base files a
             # competitor's prune might remove
             fresh = batch_b.join(
-                F.broadcast(_matched_keys(existing, batch_b, anti_key)),
+                F.broadcast(
+                    _matched_keys(
+                        existing,
+                        batch_b,
+                        anti_key,
+                        batch_distinct=batch_distinct,
+                    )
+                ),
                 anti_key,
                 "left_anti",
             ).localCheckpoint(eager=False)
