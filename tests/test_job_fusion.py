@@ -165,6 +165,65 @@ def test_upsert_batch_only_and_matched_only_partitions(spark, tmp_path):
     assert rows == {("k1", "book", 2), ("k2", "book", 1)}
 
 
+def test_schema_sidecar_read_repair(spark, tmp_path):
+    """The first read of a sidecar-less snapshot records the inferred
+    schema (incl. partition columns) in the version dir; later reads
+    take the explicit-schema path (no per-read inference job) and see
+    identical schema and rows; link_tree carries the sidecar into the
+    next published version; schema evolution still rewrites it."""
+    import os
+
+    from wcdimportbot_spark.operators import versioned
+
+    store = str(tmp_path / "items")
+    sinks.merge_write_items(spark, _items(spark, 0, 30), store)
+    vdir = versioned.data_dir(store)
+    assert not os.path.exists(os.path.join(vdir, sinks.SCHEMA_SIDECAR))
+    first = sinks.read_items(spark, store)
+    schema1 = first.schema
+    # read-repair landed, and it recorded exactly what inference saw
+    assert os.path.exists(os.path.join(vdir, sinks.SCHEMA_SIDECAR))
+    assert sinks._sidecar_schema(vdir) == schema1
+    second = sinks.read_items(spark, store)
+    assert second.schema == schema1
+    assert second.count() == 30
+    # the next publish inherits the sidecar via link_tree
+    sinks.merge_write_items(spark, _items(spark, 30, 40), store)
+    vdir2 = versioned.data_dir(store)
+    assert vdir2 != vdir
+    assert sinks._sidecar_schema(vdir2) == schema1
+    assert sinks.read_items(spark, store).count() == 40
+    # additive evolution still grows the recorded schema
+    evolved = _items(spark, 40, 45).withColumn("lang", F.lit("en"))
+    sinks.merge_write_items(spark, evolved, store, allow_additive=True)
+    vdir3 = versioned.data_dir(store)
+    s3 = sinks._sidecar_schema(vdir3)
+    assert "lang" in s3.fieldNames()
+    rows = sinks.read_items(spark, store)
+    assert rows.count() == 45
+    assert rows.filter(F.col("lang").isNull()).count() == 40
+
+
+def test_torn_schema_sidecar_degrades_to_inference(spark, tmp_path):
+    """An unparseable sidecar (torn copy, manual edit) must never fail a
+    read: the reader falls back to inference and repairs the file."""
+    import os
+
+    from wcdimportbot_spark.operators import versioned
+
+    store = str(tmp_path / "items")
+    sinks.merge_write_items(spark, _items(spark, 0, 10), store)
+    sinks.read_items(spark, store).count()
+    vdir = versioned.data_dir(store)
+    p = os.path.join(vdir, sinks.SCHEMA_SIDECAR)
+    os.unlink(p)  # break the hardlink before corrupting
+    with open(p, "w") as f:
+        f.write('{"type":"struct","fi')  # torn JSON
+    df = sinks.read_items(spark, store)
+    assert df.count() == 10
+    assert sinks._sidecar_schema(vdir) == df.schema  # repaired
+
+
 def test_merge_empty_batch_short_circuits_without_lock_work(spark, tmp_path):
     """An empty batch returns 0 from the pre-lock touched probe."""
     store = str(tmp_path / "items")

@@ -460,8 +460,11 @@ def load_ann_pair(spark: SparkSession, base_path: str, retries: int = 4):
         stamp = _read_model_stamp(codes_dir)
         try:
             cent, books, meta = load_ann_model(spark, base_path, version=stamp)
-            spark.catalog.refreshByPath(codes_dir)
-            codes = spark.read.parquet(codes_dir).select(
+            from wcdimportbot_spark.operators import sinks
+
+            # _read_tree refreshes the listing cache and rides the
+            # schema sidecar (skips the per-read inference job, r15)
+            codes = sinks._read_tree(spark, codes_dir).select(
                 "vec_id", F.col("cluster").cast("int").alias("cluster"), "codes"
             )
             return cent, books, meta, codes, stamp

@@ -336,19 +336,25 @@ SCHEMA_SIDECAR = "_SCHEMA.json"
 
 def _write_schema_sidecar(vdir: str, schema) -> None:
     """Record ``schema`` (a StructType) as the staged version's logical
-    schema. Unlink-then-write: the file may be a HARDLINK shared with
-    retained older versions (link_tree carries it forward); writing in
-    place would corrupt the immutable snapshots' copy."""
+    schema. Unlink-then-write-temp-then-rename: the file may be a
+    HARDLINK shared with retained older versions (link_tree carries it
+    forward), so writing in place would corrupt the immutable
+    snapshots' copy — and a reader racing the (rare) in-place repair
+    must see the old file or the complete new one, never a torn
+    JSON."""
     p = os.path.join(vdir, SCHEMA_SIDECAR)
+    tmp = p + f".tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(schema.json())
     if os.path.exists(p):
         os.unlink(p)
-    with open(p, "w", encoding="utf-8") as f:
-        f.write(schema.json())
+    os.replace(tmp, p)
 
 
 def _sidecar_schema(snapshot_dir: str):
-    """The snapshot's recorded logical schema, or None for stores that
-    never evolved (single-footer inference is then exact)."""
+    """The snapshot's recorded logical schema, or None when absent or
+    unreadable (a torn legacy copy degrades to single-footer inference,
+    which then read-repairs it — see _read_tree)."""
     from pyspark.sql import types as T
 
     try:
@@ -356,7 +362,7 @@ def _sidecar_schema(snapshot_dir: str):
             os.path.join(snapshot_dir, SCHEMA_SIDECAR), encoding="utf-8"
         ) as f:
             return T.StructType.fromJson(json.loads(f.read()))
-    except OSError:
+    except (OSError, ValueError):
         return None
 
 
@@ -377,12 +383,38 @@ def _read_tree(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Read an already-resolved snapshot directory, honoring the schema
     sidecar when present — EVERY reader of store bytes (merge base,
     compaction, delete, read_snapshot) must come through here or an
-    evolved column silently vanishes for old files."""
+    evolved column silently vanishes for old files.
+
+    Sidecar READ-REPAIR (r15): passing an explicit schema skips the
+    one-task footer-inference Spark job ``spark.read.parquet`` runs per
+    call — measured as one job on EVERY engine-call store read. The
+    first reader of a sidecar-less snapshot pays that inference once
+    and records the result (exactly what inference returned, partition
+    columns included) in the version dir; ``link_tree`` then carries
+    the file into every later version, so a store pays inference once
+    in its lifetime, not once per read. Writing additive metadata into
+    a published dir follows the ann_store `_MODEL_VERSION` precedent:
+    the content is deterministic (concurrent repairers write identical
+    bytes, atomically via temp+rename), readers pinned to the dir see
+    the file absent (infer again — same schema) or complete. Schema
+    CHANGES keep their existing channels: evolution rewrites the
+    sidecar explicitly, and full rewrites stage FRESH dirs that inherit
+    nothing. The repair is best-effort — a read-only tree (time-travel
+    archive on frozen media) just keeps inferring."""
     spark.catalog.refreshByPath(snapshot_dir)
     schema = _sidecar_schema(snapshot_dir)
     if schema is not None:
         return spark.read.schema(schema).parquet(snapshot_dir)
-    return spark.read.parquet(snapshot_dir)
+    df = spark.read.parquet(snapshot_dir)
+    if versioned.is_version_name(os.path.basename(snapshot_dir)):
+        # IMMUTABLE snapshots only: a legacy root is rewritten in place,
+        # where a recorded schema could silently go stale — it keeps
+        # paying inference until one locked merge migrates it
+        try:
+            _write_schema_sidecar(snapshot_dir, df.schema)
+        except OSError:
+            pass  # read-only tree: keep inferring, never fail a read
+    return df
 
 
 def _check_merge_schema(
