@@ -9,28 +9,25 @@
   SURVEY.md §2 (registry: ``wcdimportbot_spark/plans/benchmark_queries.py``,
   129 queries, all DuckDB-verified — the ANN top-k variants emit an
   epsilon-recall accuracy contract the oracle predicts in closed form),
-  ordered so the driver's 50-query window prioritizes, in round 15: the
-  new row (``s15_ann_epoch_race`` — the last store pair joins the
-  disjoint-or-detected contract: ``ann_index_delete`` resolved its
-  (vec_id, cluster) pair set by scan and then published, so an
-  add/upsert landing between them could insert a doomed id into a
-  cluster the pair set never named and the vector stayed served after
-  a "complete" privacy purge; both writers now bracket their windows
-  with symmetric ``_ANN_DELETE_EPOCH``/``_ANN_MERGE_EPOCH`` bumps —
-  the row forces the exact schedule with a one-shot gate, the delete
-  re-resolves from the live store and re-deletes, and the
-  delete→re-ingest contract accepts the ids back to the closed-form
-  count), the rows whose write paths changed this round re-verified
-  behind them (the epoch bracket behind all four ``sim_ann_*``
-  lifecycle rows and ``s13_ann_binding``; the scrub sentinel
-  HEARTBEAT + the epoch-bracketed ``read_plain_layout`` listing +
-  rename-first all-doomed removal + contract-aware retention levers
-  with keep_last as a protection floor behind ``s14_scrub_sentinel``/
-  ``s14_output_retention``/``train_shard_purge``), the round-13/14
-  two-sided epoch contract rows (``s14_import_epoch_race``,
-  ``s13_purge_race``, the purge/refresh family), and sentinels — one
-  per operator family already driver-verified in r5-r14 — for the
-  rest. ``tests/test_plan_shapes.py::test_registry_size_matches_docs``
+  ordered so the driver's 50-query window carries, in round 16:
+  ``s14_refresh_spill_heal`` RESTORED (the r15 verdict's Next #1 — its
+  r15 rotation-out tripped the queries_dropped gate; it is also the row
+  this round re-profiles for anti-scaling), the r15 epoch-bracket rows
+  (``s15_ann_epoch_race`` and the ``sim_ann_*`` lifecycle/
+  ``s13_ann_binding`` rows behind the symmetric
+  ``_ANN_DELETE_EPOCH``/``_ANN_MERGE_EPOCH`` bracket; the scrub
+  sentinel heartbeat/retention rows), the round-13/14 two-sided epoch
+  contract rows (``s14_import_epoch_race``, ``s13_purge_race``, the
+  purge/refresh family — the paths this optimization round touches),
+  and sentinels — one per operator family already driver-verified in
+  r5-r15 — for the rest. The window is pinned at 50 by the driver, so
+  the restore displaced exactly one row: ``dedup_incremental_maint``,
+  which runs the SAME attributed-merge engine and plans as the staying
+  ``dedup_incremental`` looped over a second batch (minimal
+  information loss; named here for verdict sign-off). WINDOW POLICY
+  from r16 on: additive-only — a driver-verified row leaves the window
+  only with explicit verdict sign-off naming it.
+  ``tests/test_plan_shapes.py::test_registry_size_matches_docs``
   pins this count so the docs cannot drift from ``len(QUERIES)`` again.
 """
 

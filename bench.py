@@ -233,25 +233,40 @@ def _shorten_keys(names: list[str], cap: int) -> dict[str, str]:
     return short
 
 def _compact_line(out: dict, timings: dict[str, float]) -> dict:
+    # r15 PERF blindness fix: with 129 rows the old line (cap-6 keys,
+    # 2-decimal values, cold/common totals in the base) exceeded the 1900
+    # budget and fell back to "queries":{} — two rounds of driver-side
+    # per-query and scaling comparison were blind. The compact line now
+    # carries ONLY the fields the driver needs per run (the cold/common
+    # totals live in BENCH_LOCAL.json) and degrades value precision to 1
+    # decimal before ever dropping the map. Values are clamped to one
+    # least-significant unit so a sub-resolution row reports 0.1/0.01,
+    # never 0.0 (a zero would poison the driver's speedup ratios); full
+    # 3-decimal timings remain in BENCH_LOCAL.json.
     base = {
         k: out[k]
         for k in (
             "metric", "bench_protocol", "value", "unit", "sf", "n_queries",
-            "headline39_sec", "cold_pass_sec",
-            "common_prev_n", "common_prev_sec", "prev_common_sec",
+            "headline39_sec",
         )
         if k in out
     }
     if out.get("errors"):
         base["n_errors"] = len(out["errors"])
-    for cap in (99, 14, 12, 10, 8, 6):
+    for cap, nd in (
+        (99, 2), (14, 2), (12, 2), (10, 2), (8, 2), (6, 2),
+        (8, 1), (7, 1), (6, 1), (5, 1),
+    ):
         smap = _shorten_keys(list(timings), cap)
         compact = dict(
             base,
             key_cap=cap,
-            queries={smap[n]: round(v, 2) for n, v in timings.items()},
+            queries={
+                smap[n]: max(round(v, nd), 10 ** -nd)
+                for n, v in timings.items()
+            },
         )
-        if len(json.dumps(compact, separators=(",", ":"))) <= 1900:
+        if len(json.dumps(compact, separators=(",", ":"))) <= 1950:
             return compact
     compact["queries"] = {}  # last resort: totals always fit
     return compact

@@ -48,6 +48,7 @@ the writers for Delta MERGE — the function contracts are unchanged.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -344,6 +345,14 @@ def _write_schema_sidecar(vdir: str, schema) -> None:
     JSON."""
     p = os.path.join(vdir, SCHEMA_SIDECAR)
     tmp = p + f".tmp.{os.getpid()}"
+    # sweep stale temps from crashed repairers (link_tree also skips
+    # them, but unlinking here stops the accumulation at the source)
+    for stale in glob.glob(p + ".tmp.*"):
+        if stale != tmp:
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(schema.json())
     if os.path.exists(p):
@@ -411,7 +420,13 @@ def _read_tree(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         # where a recorded schema could silently go stale — it keeps
         # paying inference until one locked merge migrates it
         try:
+            # the repair write refreshes the dir mtime that _prune's
+            # RETAIN_SECS age floor keys on — restore it so a
+            # time-travel read of an old snapshot cannot silently
+            # extend its retention window (observer-independent prune)
+            st = os.stat(snapshot_dir)
             _write_schema_sidecar(snapshot_dir, df.schema)
+            os.utime(snapshot_dir, (st.st_atime, st.st_mtime))
         except OSError:
             pass  # read-only tree: keep inferring, never fail a read
     return df

@@ -378,11 +378,28 @@ def link_tree(
         out = dst if rel == "." else os.path.join(dst, rel)
         os.makedirs(out, exist_ok=True)
         for f in files:
+            if f.startswith("_") and ".tmp." in f:
+                # in-flight metadata-sidecar temp (e.g. _SCHEMA.json.tmp.<pid>
+                # staged by a repairer that crashed mid-rename): never valid
+                # content; carrying it forward would hardlink the stray into
+                # every later version forever
+                continue
             target = os.path.join(out, f)
             try:
                 os.link(os.path.join(root, f), target)
             except OSError:
-                shutil.copy2(os.path.join(root, f), target)
+                try:
+                    shutil.copy2(os.path.join(root, f), target)
+                except OSError:
+                    # the file vanished between the os.walk listing and the
+                    # link/copy — only regenerable metadata sidecars can do
+                    # that (a concurrent reader's read-repair replacing a
+                    # torn _SCHEMA.json); data files never vanish under a
+                    # held lock, so skipping is safe and the sidecar is
+                    # rebuilt by the next reader
+                    if os.path.exists(os.path.join(root, f)):
+                        raise
+
 
 
 # ---------------------------------------------------------------------------

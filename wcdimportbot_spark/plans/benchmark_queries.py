@@ -6764,9 +6764,10 @@ _WINDOW = [
     # signal on the heaviest contracts ---
     "s14_import_epoch_race",     # per-attempt import epochs close the
                                  # manifest detection hole (r13 ADVICE high)
-    # (s14_refresh_spill_heal rotated out — r14 driver-verified, plans
-    # untouched in r15; the refresh family stays covered in-window by
-    # s12_curation_refresh and in the full sweep)
+    "s14_refresh_spill_heal",    # RESTORED per the r15 verdict (Next #1):
+                                 # its r15 rotation-out tripped the
+                                 # queries_dropped gate; it is also the
+                                 # row r16 re-profiles (anti-scaling fix)
     "s13_purge_race",            # purge-vs-increment serializability
     "s13_purge_spill_replay",    # over-cap crash replay from the spill
     "s12_purge_propagation",     # composed purge: index forgets, re-ingest OK
@@ -6776,7 +6777,14 @@ _WINDOW = [
     # --- round-12 write-path rows (re-verified r12-r14, plans
     # untouched since): keep the recent signal ---
     "dedup_incremental",         # index merges through attributed engine
-    "dedup_incremental_maint",   # two-batch maintenance loop
+    # (dedup_incremental_maint displaced for the r16 restoration of
+    # s14_refresh_spill_heal — the window is pinned at 50 by the driver,
+    # so the verdict-ordered restore forces exactly one row out; maint
+    # runs the SAME attributed-merge engine and plans as
+    # dedup_incremental, just looped over a second batch, so it is the
+    # minimal-information-loss displacement. WINDOW POLICY from r16 on
+    # (r15 verdict Next #1): additive-only — a driver-verified row
+    # leaves only with explicit verdict sign-off naming it.)
     "s11_upsert_rewrite",        # full-MERGE upsert inode contract
     "s11_pruned_delete",         # O(touched-buckets) DELETE inode contract
     "s9_optimistic_commits",     # lock-free commits (touched-list reset)
