@@ -102,6 +102,26 @@ def main() -> None:
         j0 = jobs()
         cn.purge_documents(spark, doomed_hashes.localCheckpoint(), cbase)
         results["purge_documents"] = jobs() - j0
+
+        # ANN build + retrain (r16: the assigned relation materializes
+        # once — job count drops by the re-run assign passes)
+        from wcdimportbot_spark.operators import ann_store as ann
+
+        emb = spark.range(0, 400).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: ((F.col("id") * 31 + i) % 97).cast("double")
+                / 97.0,
+            ).alias("embedding"),
+        )
+        ann_base = os.path.join(base, "ann")
+        j0 = jobs()
+        ann.ann_index_build(emb, ann_base)
+        results["ann_build"] = jobs() - j0
+        j0 = jobs()
+        ann.ann_retrain(emb, ann_base)
+        results["ann_retrain"] = jobs() - j0
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

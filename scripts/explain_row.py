@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for registry rows into plans/r15/.
+"""Capture .explain("formatted") for registry rows into plans/$WCD_PLANS_ROUND (default r16)..
 
 Usage: python scripts/explain_row.py before|after ROW [ROW...]
 
@@ -20,7 +20,7 @@ def main() -> None:
     rows = sys.argv[2:]
     assert tag in ("before", "after"), tag
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("WCD_PLANS_ROUND", "r16"))
     os.makedirs(outdir, exist_ok=True)
 
     from wcdimportbot_spark import get_spark

@@ -296,9 +296,12 @@ def ann_index_build(
         embeddings, ivf, m, n_codes, id_col, vec_col, seed=seed
     )
     _assigned, centroids = ivf
+    # lazy: the count below is the adjacent action that materializes the
+    # blocks (one job instead of checkpoint-then-count — the r15 fusion
+    # rule), still BEFORE any store mutation
     codes_out = codes_df.select(
         F.col(id_col).alias("vec_id"), "cluster", "codes"
-    ).localCheckpoint(eager=True)  # materialize before any store mutates
+    ).localCheckpoint(eager=False)
     n_built = codes_out.count()
     meta = {
         "num_clusters": int(num_clusters),
@@ -661,6 +664,7 @@ def ann_index_add_batch(
     # re-inserted (delete→merge serial order). No-race cost: two file
     # reads + two tiny writes.
     for _repair in range(5):
+        versioned.race_backoff(_repair, 1.0)
         d0 = versioned.epoch_read(base_path, ANN_DELETE_EPOCH_FILE)
         versioned.epoch_bump(base_path, ANN_MERGE_EPOCH_FILE)
         res = _do()
@@ -860,6 +864,7 @@ def ann_index_delete(
 
     total = 0
     for attempt in range(5):
+        versioned.race_backoff(attempt, 1.6)
         if attempt == 0 and caller_pairs is not None and merge_epoch0 is not None:
             # the caller read merge_epoch0 BEFORE its own resolve scan,
             # so the check below covers that scan too — skip re-reading

@@ -1400,7 +1400,17 @@ def ivf_index(
     schema = T.StructType(
         vecs.schema.fields + [T.StructField("cluster", T.IntegerType())]
     )
-    assigned = vecs.mapInPandas(assign, schema)
+    # materialize the assignment ONCE (lazy — the caller's first action
+    # runs it): every caller consumes `assigned` from several actions
+    # (ivfpq_residual_index counts it, samples it for codebook training,
+    # and encodes it; the top-k paths derive queries AND candidates from
+    # it), and without the checkpoint each action re-ran this full-corpus
+    # Arrow mapInPandas stage — the one stage whose recompute is never
+    # cheap (guide §4). Measured: 3 full Python assign passes per
+    # ann_index_build/retrain → 1. The blocks are memory+disk and freed
+    # on RDD GC; values are unchanged (the checkpoint pins the same
+    # deterministic execution every re-run would produce).
+    assigned = vecs.mapInPandas(assign, schema).localCheckpoint(eager=False)
     return assigned, cent.tolist()
 
 

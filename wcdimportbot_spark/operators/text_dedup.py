@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from wcdimportbot_spark.functions.expr_memo import memo_expr
 from wcdimportbot_spark.functions.partitioning import fan_out
+from wcdimportbot_spark.operators import versioned
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
@@ -1164,6 +1165,7 @@ def dedup_index_merge(
     # converging on the delete→merge serial order. Cost on the no-race
     # path: two small file reads + two writes.
     for _attempt in range(5):
+        versioned.race_backoff(_attempt, 1.0)
         e0 = _epoch(base_path, DELETE_EPOCH_FILE)
         _bump_epoch(base_path, MERGE_EPOCH_FILE)
         _do()
@@ -1290,6 +1292,7 @@ def dedup_index_delete(
     # (merge→delete serial order: the content ends up gone from both).
     n_hashes = n_bands = 0
     for _attempt in range(5):
+        versioned.race_backoff(_attempt, 1.6)
         m0 = _epoch(base_path, MERGE_EPOCH_FILE)
         _bump_epoch(base_path, DELETE_EPOCH_FILE)
         n_h, n_b = _do()

@@ -90,6 +90,30 @@ def epoch_read(base_path: str, fname: str) -> str:
         return ""
 
 
+def race_backoff(attempt: int, scale: float = 1.0) -> None:
+    """Desynchronizing pause before a race-repair RE-attempt (never the
+    first attempt — the no-race path costs nothing). The bracket loops
+    (dedup merge-vs-delete, ANN add-vs-delete, purge-vs-increment,
+    import-vs-purge) retry back-to-back, so two live writers whose
+    windows keep overlapping re-run in LOCKSTEP: each side's epoch
+    bumps always land inside the other's next window and both exhaust
+    their 5 attempts — a livelock the loud failure was designed for
+    adversarial schedules, not for two innocent writers on a starved
+    host (observed: the threaded merge-vs-delete stress exhausting both
+    sides when CPU contention stretched every engine window to
+    seconds). An exponentially growing pause creates bump-free gaps in
+    which the OTHER side's window can complete clean; callers pass
+    different ``scale`` values per side (e.g. merge 1.0, delete 1.6) so
+    the two sides' gaps interleave instead of re-aligning."""
+    if attempt <= 0:
+        return
+    # the gap must eventually exceed the OTHER side's whole re-run
+    # window (seconds under CPU starvation) or the lockstep never
+    # breaks — grow fast, cap high; this sleeps only when a repair is
+    # already re-running, never on the first attempt
+    time.sleep(min(8.0 * scale, 0.05 * scale * (4 ** attempt)))
+
+
 def epoch_bump(base_path: str, fname: str) -> None:
     """Rewrite an epoch sidecar with fresh bytes — a FINGERPRINT, not a
     sequence number. The read-increment-replace below is deliberately

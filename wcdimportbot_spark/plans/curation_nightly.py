@@ -358,6 +358,7 @@ def curate_increment(
     start_fp = _settle_purges(base_path)
     _mutate()
     for _attempt in range(RACE_REPAIR_ATTEMPTS):
+        versioned.race_backoff(_attempt, 1.0)
         end_fp = _settle_purges(base_path)
         if end_fp == start_fp:
             break
@@ -681,7 +682,7 @@ def purge_documents(
         _gp = _sp(graph_store)
         vacuum_paths.extend(_gp[k] for k in ("items", "claims", "cache"))
 
-    def _digest(df, col):
+    def _digest_n(df, col):
         # order-insensitive DISTRIBUTIVE digest of a distinct key set:
         # per-row xxhash64 fingerprints folded through count + sum +
         # bit_xor — three single-long partial-aggregating states — then
@@ -690,7 +691,13 @@ def purge_documents(
         # key set into one executor row (hundreds of MB for a bulk purge
         # of millions of hashes); this never materializes more than 24
         # bytes of state per partition. Callers pass distinct relations,
-        # so multiset-vs-set ambiguity cannot arise.
+        # so multiset-vs-set ambiguity cannot arise. Returns
+        # ``(digest, count)`` — the fold already carries the exact count,
+        # so callers that need both never schedule a separate count job
+        # (r15 verdict Next #4: the purge ran count + digest as two jobs
+        # over the same cached blocks). The digest BYTES are unchanged
+        # from the two-job form (same fold, same formatting) — a byte
+        # change here would strand every pre-upgrade pending marker.
         import hashlib
 
         r = (
@@ -702,9 +709,13 @@ def purge_documents(
             )
             .first()
         )
-        return hashlib.md5(
+        digest = hashlib.md5(
             f"{r['n']}:{r['s']}:{r['x']}".encode("ascii")
         ).hexdigest()
+        return digest, int(r["n"])
+
+    def _digest(df, col):
+        return _digest_n(df, col)[0]
 
     def _legacy_digest(df, col):
         # the pre-r13 digest form (sorted-concat md5), kept ONLY to
@@ -732,10 +743,18 @@ def purge_documents(
     # it the recorded id->hash / hash->qid resolutions — the only copies
     # once the lookup-source rows are deleted)
     id_form = "text_hash" not in doomed.columns
-    input_digest = _digest(
-        doomed.select(id_col if id_form else "text_hash").distinct(),
-        id_col if id_form else "text_hash",
-    )
+    # hash form: the doomed input IS the resolved hash set — build the
+    # checkpointed relation up front so ONE fused job yields the input
+    # digest, the doomed count, and the materialized blocks every arm
+    # below reuses (the id form cannot: its hash set depends on the
+    # prior-marker resolution, which needs input_digest first)
+    if not id_form:
+        hashes = (
+            doomed.select("text_hash").distinct().localCheckpoint(eager=False)
+        )
+        input_digest, n_doomed = _digest_n(hashes, "text_hash")
+    else:
+        input_digest = _digest(doomed.select(id_col).distinct(), id_col)
     prior_marker = purge_state(base_path)
     prior_pending = prior_marker.get("status") == "pending"
     # a replay matches by the input digest (same form, same values) OR —
@@ -779,9 +798,7 @@ def purge_documents(
                     ignore_errors=True,
                 )
 
-    if not id_form:
-        hashes = doomed.select("text_hash").distinct()
-    else:
+    if id_form:
         corpus_path = _corpus_path(base_path)
         if not sinks.has_parquet_data(corpus_path):
             hashes = spark.createDataFrame([], "text_hash string")
@@ -818,8 +835,15 @@ def purge_documents(
                 )
         if prior_hashes is not None:
             hashes = hashes.union(prior_hashes).distinct()
-    hashes = hashes.localCheckpoint(eager=False)
-    n_doomed = hashes.count()  # runs the lazy checkpoint — one job
+        hashes = hashes.localCheckpoint(eager=False)
+        # ONE fused job (runs the lazy checkpoint): the resolved-set
+        # digest and the doomed count come from the same fold — the
+        # count ran as a separate second job before (r15 verdict Next #4)
+        resolved_digest, n_doomed = _digest_n(hashes, "text_hash")
+    else:
+        # hash-form input IS its own resolution — same distinct values,
+        # same digest (hashes/n_doomed fused into input_digest above)
+        resolved_digest = input_digest
     if (
         id_form
         and prior_match
@@ -937,11 +961,6 @@ def purge_documents(
         arms.append("graph")
     if output_dirs:
         arms.append("outputs")
-    # hash-form input IS its own resolution — same sorted distinct
-    # values, same digest; only the id form needs the extra agg
-    resolved_digest = (
-        _digest(hashes, "text_hash") if id_form else input_digest
-    )
     pending = {
         "status": "pending",
         "n_hashes": int(n_doomed),
@@ -1069,29 +1088,67 @@ def purge_documents(
     n_corpus = 0
     idx = {"hashes_deleted": 0, "bands_deleted": 0}
     corpus_path = _corpus_path(base_path)
+    # the corpus and index arms run CONCURRENTLY (guide §2.6 — submit
+    # independent jobs from a thread pool so the second arm's tasks
+    # back-fill the first's stragglers): they mutate disjoint stores,
+    # both read the already-materialized `hashes` blocks, and every
+    # partial-crash interleaving is replay-convergent from the pending
+    # marker (the recorded hash set + swallowed delete-twice), which is
+    # exactly the property the serial order relied on too. The
+    # hashes-BEFORE-bands order INSIDE dedup_index_delete stays serial —
+    # that one is a real crash-ordering contract (bands-gone/
+    # hash-present = can-never-re-enter). Both arms stay inside the
+    # increment-race bracket; arm heartbeats land after each arm
+    # completes (arms_done still records exactly which arms committed).
+    from concurrent.futures import ThreadPoolExecutor
+
     for _attempt in range(RACE_REPAIR_ATTEMPTS):
+        versioned.race_backoff(_attempt, 1.6)
         inc0 = versioned.epoch_read(base_path, INCREMENT_EPOCH_FILE)
-        if n_doomed and sinks.has_parquet_data(corpus_path):
-            n_corpus += sinks.delete_from_store(
-                spark,
-                hashes,
-                corpus_path,
-                key="text_hash",
-                bucket_key="text_hash",
-                partitions=[sinks.BUCKET_COL],
-                protocol=protocol,
-            )
-        _arm_done("corpus")
-        if n_doomed:
-            d = dedup_index_delete(
-                hashes,
-                _index_path(base_path),
-                bands=bands,
-                protocol=protocol,
-            )
-            idx["hashes_deleted"] += d["hashes_deleted"]
-            idx["bands_deleted"] += d["bands_deleted"]
-        _arm_done("index")
+
+        def _corpus_arm() -> int:
+            if n_doomed and sinks.has_parquet_data(corpus_path):
+                return sinks.delete_from_store(
+                    spark,
+                    hashes,
+                    corpus_path,
+                    key="text_hash",
+                    bucket_key="text_hash",
+                    partitions=[sinks.BUCKET_COL],
+                    protocol=protocol,
+                )
+            return 0
+
+        def _index_arm() -> dict:
+            if n_doomed:
+                return dedup_index_delete(
+                    hashes,
+                    _index_path(base_path),
+                    bands=bands,
+                    protocol=protocol,
+                )
+            return {"hashes_deleted": 0, "bands_deleted": 0}
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_corpus = pool.submit(_corpus_arm)
+            f_index = pool.submit(_index_arm)
+            err = None
+            try:
+                n_corpus += f_corpus.result()
+            except BaseException as exc:  # noqa: BLE001 - joined below
+                err = exc
+            else:
+                _arm_done("corpus")
+            try:
+                d = f_index.result()
+            except BaseException as exc:  # noqa: BLE001
+                err = err or exc
+            else:
+                idx["hashes_deleted"] += d["hashes_deleted"]
+                idx["bands_deleted"] += d["bands_deleted"]
+                _arm_done("index")
+        if err is not None:
+            raise err
         if not n_doomed:
             # nothing contested: this purge wrote nothing an increment
             # could straddle — don't spin on unrelated increment traffic
@@ -1197,22 +1254,49 @@ def purge_documents(
         )
 
         def _graph_deletes() -> tuple[int, int, int]:
-            ni = nc = nk = 0
-            if sinks.has_parquet_data(gpaths["items"]):
-                ni = sinks.merge_delete_items(
-                    spark, doomed_hashes, gpaths["items"], protocol=protocol
-                )
-            if qids is not None and sinks.has_parquet_data(
-                gpaths["claims"]
-            ):
-                nc = sinks.merge_delete_claims(
-                    spark, qids, gpaths["claims"], protocol=protocol
-                )
-            if sinks.has_parquet_data(gpaths["cache"]):
-                nk = cache_ops.merge_delete_cache(
-                    spark, doomed_hashes, gpaths["cache"], protocol=protocol
-                )
-            return ni, nc, nk
+            # three disjoint stores, qids already resolved and recorded
+            # in the marker BEFORE any delete — each delete is an
+            # idempotent swallowed no-op on replay, so the set is
+            # replay-convergent from ANY partial-crash interleaving and
+            # the three can run concurrently (guide §2.6). The
+            # import-race bracket around this function re-runs the whole
+            # set on a detected overlap, parallel or not.
+            def _items() -> int:
+                if sinks.has_parquet_data(gpaths["items"]):
+                    return sinks.merge_delete_items(
+                        spark,
+                        doomed_hashes,
+                        gpaths["items"],
+                        protocol=protocol,
+                    )
+                return 0
+
+            def _claims() -> int:
+                if qids is not None and sinks.has_parquet_data(
+                    gpaths["claims"]
+                ):
+                    return sinks.merge_delete_claims(
+                        spark, qids, gpaths["claims"], protocol=protocol
+                    )
+                return 0
+
+            def _cache() -> int:
+                if sinks.has_parquet_data(gpaths["cache"]):
+                    return cache_ops.merge_delete_cache(
+                        spark,
+                        doomed_hashes,
+                        gpaths["cache"],
+                        protocol=protocol,
+                    )
+                return 0
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = [
+                    pool.submit(f) for f in (_items, _claims, _cache)
+                ]
+                return tuple(f.result() for f in futures)
 
         ni, nc, nk = run_deletes_with_import_repair(
             graph_store, _graph_deletes

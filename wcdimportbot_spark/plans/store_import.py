@@ -184,6 +184,7 @@ def run_deletes_with_import_repair(store_root: str, deletes_fn):
 
     totals = None
     for _attempt in range(5):
+        versioned.race_backoff(_attempt, 1.6)
         i0 = versioned.epoch_read(store_root, IMPORT_EPOCH_FILE)
         versioned.epoch_bump(store_root, PURGE_EPOCH_FILE)
         out = tuple(deletes_fn())
@@ -267,6 +268,7 @@ def import_pages_to_store(
     from wcdimportbot_spark.operators import versioned
 
     for _attempt in range(5):
+        versioned.race_backoff(_attempt, 1.0)
         p0 = versioned.epoch_read(store_root, PURGE_EPOCH_FILE)
         # signal-write INSIDE the read window (see IMPORT_EPOCH_FILE):
         # bracket the three merges with bumps of the import's own epoch
