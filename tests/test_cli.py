@@ -1,3 +1,4 @@
+import pytest
 """CLI command-surface tests (in-process main() to reuse the session)."""
 
 import json
@@ -5,6 +6,7 @@ import json
 from wcdimportbot_spark.cli import main
 
 
+@pytest.mark.slow
 def test_cli_roundtrip(spark, tmp_path, capsys):
     store = str(tmp_path / "store")
 
@@ -100,6 +102,7 @@ def test_cli_reimport_preserves_qualifier_distinct_claims(spark, tmp_path, capsy
     assert read_snapshot(spark, claims_path).count() == n0 + 1
 
 
+@pytest.mark.slow
 def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys):
     """Importing one page over a populated store must rewrite EXACTLY the
     ``(instance_of, hb)`` partitions that gain rows — every other file of
@@ -179,6 +182,7 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, capsys
     assert items.filter(items.instance_of == "WIKIPEDIA_PAGE").count() == 13
 
 
+@pytest.mark.slow
 def test_empty_import_does_not_poison_store(spark, tmp_path, capsys):
     """An import that selects zero pages must leave the store readable
     (writers skip empty batches; readers treat data-less dirs as absent)
@@ -210,6 +214,7 @@ def test_empty_import_does_not_poison_store(spark, tmp_path, capsys):
     assert '"WIKIPEDIA_PAGE": 1' in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_cli_import_events_stream(spark, tmp_path, capsys):
     """--import-events consumes a JSON event directory into the store via
     the streaming sink; re-running on the same checkpoint is a no-op."""
@@ -270,6 +275,7 @@ def test_cli_import_events_cap_and_rinse(spark, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out)["items"]["WIKIPEDIA_PAGE"] == 2
 
 
+@pytest.mark.slow
 def test_cli_delete_page_allows_reimport(spark, tmp_path, capsys):
     """Deleting a page must also remove its hash from the cache (the
     reference deletes the cache key, src/__init__.py:181) — otherwise the
@@ -313,6 +319,7 @@ def test_cli_import_events_surfaces_stream_failure(spark, tmp_path, monkeypatch)
         main(["--store", store, "--import-events", str(src)])
 
 
+@pytest.mark.slow
 def test_cli_curate_report(spark, tmp_path, capsys):
     """--curate prints an aggregate-only JSON curation report; with
     --eval-docs it adds the decontamination section, with --token-budget
@@ -542,6 +549,7 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     assert out["retrained_from"] == "v00000001"
 
 
+@pytest.mark.slow
 def test_import_manifest_detects_crash_between_publishes(spark, tmp_path, monkeypatch, capsys):
     """Cross-store commit manifest (r10 verdict Next #6): one import
     publishes items → claims → cache sequentially; a crash inside that
@@ -607,6 +615,7 @@ def test_import_manifest_detects_crash_between_publishes(spark, tmp_path, monkey
     assert verify_import_consistency(store)["status"] == "behind"
 
 
+@pytest.mark.slow
 def test_cli_purge_docs_with_graph_arm(spark, tmp_path, capsys):
     """--purge-docs + --purge-item-hashes: one CLI call purges the
     curated corpus, the dedup index, AND the doomed items/claims/cache
@@ -702,6 +711,7 @@ def test_cli_split_corpus_bucket_composes_with_increment(spark, tmp_path, capsys
     assert cn.read_curated_corpus(spark, cur).count() == 1
 
 
+@pytest.mark.slow
 def test_cli_expire_history(spark, tmp_path, capsys):
     """--expire-history: the standalone history vacuum after ad-hoc
     deletes — old snapshots go, the current one keeps serving, deleted

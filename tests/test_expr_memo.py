@@ -71,6 +71,7 @@ def test_build_references_memo_hit_identical(valid_raw):
     assert second.count() > 0
 
 
+@pytest.mark.slow
 def test_reference_claims_default_matches_explicit_date(valid_raw):
     refs = build_references(valid_raw)
     memoized = reference_claims(refs)  # default date → memoized tree
@@ -80,6 +81,7 @@ def test_reference_claims_default_matches_explicit_date(valid_raw):
     assert memoized.count() > 0
 
 
+@pytest.mark.slow
 def test_page_claims_default_matches_explicit_date(pages, valid_raw):
     refs = build_references(valid_raw)
     memoized = page_claims(pages, refs)  # default date → memoized trees

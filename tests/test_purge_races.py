@@ -15,6 +15,8 @@ forever). Reference contract: conflict-as-success under races,
 
 from __future__ import annotations
 
+import pytest
+
 import threading
 import time
 
@@ -51,6 +53,7 @@ def _store_presence(spark, base, text_hash):
     )
 
 
+@pytest.mark.slow
 def test_purge_straddling_increment_repairs_to_serial_order(
     spark, tmp_path
 ):
@@ -133,6 +136,7 @@ def test_purge_straddling_increment_repairs_to_serial_order(
     assert ann[20]["dup_of_history"] and not ann[20]["kept"]
 
 
+@pytest.mark.slow
 def test_purge_vs_increment_threaded_stress(spark, tmp_path):
     """Unsynchronized threads — a purge of one content hash racing an
     increment that carries the same content plus a fresh doc, repeated
@@ -333,6 +337,7 @@ def test_scrub_vs_new_batch_append(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "_scrub_staging"))
 
 
+@pytest.mark.slow
 def test_crashed_pending_marker_does_not_wedge_increments(
     spark, tmp_path, monkeypatch
 ):
@@ -477,6 +482,7 @@ def test_index_delete_straddling_merge_repairs_blind_spot(
     assert row["exact_dup_of_history"] and row["near_dup_of_history"]
 
 
+@pytest.mark.slow
 def test_index_merge_vs_delete_threaded_stress(spark, tmp_path):
     """Unsynchronized merge-vs-delete on one standalone index: whatever
     the scheduler picks, hashes and bands must agree about the
@@ -567,6 +573,7 @@ def _race_pages(spark):
     )
 
 
+@pytest.mark.slow
 def test_purge_straddling_import_repairs_to_serial_order(
     spark, tmp_path
 ):
@@ -660,6 +667,7 @@ def test_purge_straddling_import_repairs_to_serial_order(
         assert _graph_presence(spark, gpaths, h) == (True, True)
 
 
+@pytest.mark.slow
 def test_import_vs_purge_threaded_stress(spark, tmp_path):
     """Unsynchronized import-vs-graph-purge: whatever interleaving the
     scheduler picks, the items and cache stores must agree about every
@@ -715,6 +723,7 @@ def test_import_vs_purge_threaded_stress(spark, tmp_path):
             assert ih == ch, (rnd, h, ih, ch)
 
 
+@pytest.mark.slow
 def test_import_epoch_closes_manifest_detection_hole(spark, tmp_path):
     """The r13 ADVICE schedule, pinned deterministically: the import's
     begin/commit manifest writes land once OUTSIDE its retry loop, so a
@@ -904,6 +913,7 @@ def test_epoch_bump_concurrent_writers_never_raise(tmp_path):
     assert len(seen) > 10
 
 
+@pytest.mark.slow
 def test_increment_inside_slow_purge_arm_is_detected(
     spark, tmp_path, monkeypatch
 ):
@@ -993,6 +1003,7 @@ def test_increment_inside_slow_purge_arm_is_detected(
     assert _store_presence(spark, base, h) == (True, True, True)
 
 
+@pytest.mark.slow
 def test_cli_delete_page_straddling_import(spark, tmp_path):
     """Every cross-store delete path rides the import-race bracket, not
     only purge_documents' graph arm: a CLI --delete-page whose
@@ -1273,6 +1284,7 @@ def test_ann_add_batch_straddled_by_delete_converges_serial(
     )
 
 
+@pytest.mark.slow
 def test_ann_merge_vs_delete_threaded_stress(spark, tmp_path):
     """Unsynchronized add_batch vs delete on one codes store: whatever
     the scheduler picks, the final state is one of the two serial
@@ -1318,6 +1330,7 @@ def test_ann_merge_vs_delete_threaded_stress(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ann_merge_vs_delete_optimistic_stress(spark, tmp_path):
     """The lock-free (cross-host) form of the same contract: under
     protocol="optimistic" both writers commit through the rename

@@ -1,3 +1,4 @@
+import pytest
 """Atomic snapshot publication (operators/versioned.py): a reader resolved
 before a write keeps seeing its snapshot; a reader resolved after sees the
 whole new state; the pointer flip is the only mutation readers observe."""
@@ -310,6 +311,7 @@ def test_writer_lock_file_not_hardlinked_into_snapshots(spark, tmp_path):
     assert versioned.LOCK_FILE not in os.listdir(os.path.join(path, cur))
 
 
+@pytest.mark.slow
 def test_multiwriter_merge_serializes_across_processes(spark, tmp_path):
     """Two OS processes race merge_write_items into ONE store. The writer
     lock must serialize the whole read->merge->publish sequence: no lost

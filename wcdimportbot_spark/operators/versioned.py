@@ -184,26 +184,43 @@ def is_transient_read_race(e: Exception) -> bool:
 def writer_lock(path: str, timeout: float = 120.0, poll: float = 0.1):
     """Advisory single-writer lock for one store table.
 
-    O_CREAT|O_EXCL is atomic on POSIX: exactly one process creates the
-    lock file. The holder's pid is written into it so a contender can
-    distinguish a live writer (wait, then ``TimeoutError``) from a
-    crashed one (lock stolen by unlink + retry; the subsequent O_EXCL
-    race between multiple stealers again has exactly one winner)."""
+    The lock file is created WITH its pid content in one atomic step —
+    ``os.link`` from a pre-written unique temp (link fails EEXIST when
+    the lock exists; exactly one linker wins). The old
+    open(O_EXCL)-then-write form had a takeover hole: a contender
+    reading the file in the gap between the holder's create and its pid
+    write saw empty bytes, parsed pid 0, declared the holder dead and
+    STOLE a live lock — observed as a staging-dir collision when a CPU-
+    starved full-suite run stretched that gap (two writers staging the
+    same version number). The holder's pid lets a contender distinguish
+    a live writer (wait, then ``TimeoutError``) from a crashed one
+    (lock stolen by unlink + retry; the link race between multiple
+    stealers again has exactly one winner). A lock with UNPARSEABLE
+    content (only writable by pre-fix code crashing mid-write, or
+    manual damage) is stolen only after a grace age, never instantly."""
+    import uuid as _uuid
+
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, LOCK_FILE)
     deadline = time.monotonic() + timeout
     while True:
+        tmp = f"{lock}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(os.getpid()))
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode("ascii"))
-            os.close(fd)
+            os.link(tmp, lock)
+            os.unlink(tmp)
             break
         except FileExistsError:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
             try:
                 with open(lock, encoding="ascii") as f:
                     pid = int(f.read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
+            except ValueError:
+                pid = 0  # unparseable: legacy crash mid-write, or damage
+            except OSError:
+                continue  # released between link and read: re-race
             alive = False
             if pid:
                 try:
@@ -211,6 +228,14 @@ def writer_lock(path: str, timeout: float = 120.0, poll: float = 0.1):
                     alive = True
                 except OSError:
                     alive = False
+            else:
+                # no pid to probe — steal only once the file is old
+                # enough that no live pre-fix holder could still be
+                # between its create and its pid write
+                try:
+                    alive = (time.time() - os.path.getmtime(lock)) < 5.0
+                except OSError:
+                    continue  # vanished: re-race
             if not alive:
                 with contextlib.suppress(OSError):
                     os.unlink(lock)
