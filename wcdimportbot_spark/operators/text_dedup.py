@@ -998,6 +998,7 @@ def dedup_index_probe(
     text_col: str = "text",
     shingle_n: int = 3,
     with_bands: bool = False,
+    eager: bool = True,
 ):
     """Read-only half of the ingest loop: annotate the batch against the
     current index snapshot, WITHOUT mutating the store. Returns
@@ -1021,7 +1022,15 @@ def dedup_index_probe(
     Signature parameters come from the store's ``_INDEX.json`` sidecar
     when present (the WRITER's recorded values — a probe under guessed
     parameters silently probes the wrong buckets); the arguments apply
-    only to sidecar-less stores (bootstrap, legacy)."""
+    only to sidecar-less stores (bootstrap, legacy).
+
+    ``eager=False`` returns ``ann`` as a LAZY checkpoint for callers
+    that build one more pre-mutation relation ON TOP of the annotation
+    and materialize THAT instead (curate_increment's batch report):
+    one job then pins both plans to the pre-merge snapshot instead of
+    two. The caller owns the contract the default otherwise enforces —
+    it MUST run an action over ``ann`` (or a consumer) before any
+    store mutation."""
     recorded = _index_params(base_path)
     if recorded is not None:
         num_hashes = recorded["num_hashes"]
@@ -1041,7 +1050,7 @@ def dedup_index_probe(
     ann = incremental_dedup(
         new_docs, hashes, bands_rel, num_hashes, bands, id_col, text_col,
         shingle_n, new_bands=new_bands,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=eager)
     survivors = new_docs.join(
         ann.filter(F.col("fresh")).select(id_col), id_col, "left_semi"
     )

@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from wcdimportbot_spark.functions.partitioning import fan_out
 from wcdimportbot_spark.operators import sinks, versioned
 
 #: store layout under the curation base path
@@ -253,6 +254,12 @@ def curate_increment(
     )
 
     spark = batch_docs.sparkSession
+    # a nightly batch often arrives as ONE small file (one scan split):
+    # without the fan-out the quality/language expression pass — the
+    # costliest per-row compute in the loop — runs on a single core.
+    # minhash_signatures fans its own input out already; this puts the
+    # scoring pass on the same footing (no-op at scale, see fan_out).
+    batch_docs = fan_out(batch_docs, id_col)
     text = F.col(text_col)
     profiled = batch_docs.select(
         id_col,
@@ -279,6 +286,10 @@ def curate_increment(
     # with_bands: the batch's minhash signature pass is the expensive
     # part of the loop — reuse it for the index merge below instead of
     # re-shingling the novel docs
+    # eager=False: the batch report `out` below is built on top of the
+    # annotation and materialized BEFORE any store mutates — that one
+    # job pins ann + ranked + new_bands to the pre-increment snapshot
+    # (the probe's default would spend a second full pass on it)
     ann, _fresh, new_bands = dedup_index_probe(
         winners.select(id_col, text_col),
         _index_path(base_path),
@@ -288,6 +299,7 @@ def curate_increment(
         text_col,
         shingle_n,
         with_bands=True,
+        eager=False,
     )
     flags = winners.join(
         ann.select(
@@ -310,6 +322,41 @@ def curate_increment(
         new_bands.join(novel.select(id_col, "text_hash"), id_col)
         .select("text_hash", "band", "bucket")
         .distinct()
+    )
+    # the batch report references only PRE-increment state (ann probes
+    # the pre-merge snapshot; ranked is batch-local), so it is built and
+    # materialized HERE, before any store mutates: this one job also
+    # materializes the lazy ann/ranked/new_bands checkpoints (the r15
+    # fusion rule), so the merge plans below run off cached blocks
+    out = (
+        ranked.select(id_col, "text_hash", "quality", "detected_lang", "rn")
+        .join(
+            flags.select(
+                id_col, "dup_of_history", "near_dup_of_history"
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "text_hash",
+            "quality",
+            "detected_lang",
+            (F.col("rn") > 1).alias("dup_of_batch"),
+            F.coalesce(F.col("dup_of_history"), F.lit(False)).alias(
+                "dup_of_history"
+            ),
+            F.coalesce(F.col("near_dup_of_history"), F.lit(False)).alias(
+                "near_dup_of_history"
+            ),
+            (F.col("quality") < min_quality).alias("low_quality"),
+            (
+                (F.col("rn") == 1)
+                & F.coalesce(~F.col("dup_of_history"), F.lit(True))
+                & (F.col("quality") >= min_quality)
+            ).alias("kept"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def _mutate() -> None:
@@ -370,40 +417,7 @@ def curate_increment(
             f"on {base_path} ({RACE_REPAIR_ATTEMPTS} repair attempts) — "
             f"quiesce the purge loop and re-send the batch"
         )
-    out = (
-        ranked.select(id_col, "text_hash", "quality", "detected_lang", "rn")
-        .join(
-            flags.select(
-                id_col, "dup_of_history", "near_dup_of_history"
-            ),
-            id_col,
-            "left",
-        )
-        .select(
-            id_col,
-            "text_hash",
-            "quality",
-            "detected_lang",
-            (F.col("rn") > 1).alias("dup_of_batch"),
-            F.coalesce(F.col("dup_of_history"), F.lit(False)).alias(
-                "dup_of_history"
-            ),
-            F.coalesce(F.col("near_dup_of_history"), F.lit(False)).alias(
-                "near_dup_of_history"
-            ),
-            (F.col("quality") < min_quality).alias("low_quality"),
-            (
-                (F.col("rn") == 1)
-                & F.coalesce(~F.col("dup_of_history"), F.lit(True))
-                & (F.col("quality") >= min_quality)
-            ).alias("kept"),
-        )
-    )
-    # the annotation references only pre-increment snapshots (ann was
-    # materialized by the probe; ranked is batch-local), so no further
-    # checkpoint is needed — but localCheckpoint keeps the contract
-    # obvious for callers that mutate stores next
-    return out.localCheckpoint(eager=True)
+    return out
 
 
 #: two-phase purge marker (the store_import.py:74 manifest pattern): a
