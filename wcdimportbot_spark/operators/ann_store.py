@@ -860,6 +860,9 @@ def ann_index_delete(
             prune_col="cluster",
             sort_key="vec_id",
             protocol=protocol,
+            # the codes store is key-unique on vec_id (engine
+            # invariant), so its semi-join against distinct ids is too
+            keys_unique=True,
         )
 
     total = 0

@@ -297,6 +297,7 @@ def _matched_keys(
     new_b: DataFrame,
     anti_key: str,
     batch_distinct: bool = False,
+    store_unique: bool = False,
 ):
     """The batch keys ALREADY present in the store, computed with the
     store on the STREAM side (round-10 join inversion, same reasoning as
@@ -312,15 +313,26 @@ def _matched_keys(
 
     ``batch_distinct=True`` declares the batch already unique on
     ``anti_key`` (the engine deduped it on exactly that column), which
-    drops the exchange inside the broadcast build (r15)."""
+    drops the exchange inside the broadcast build (r15).
+
+    ``store_unique=True`` declares the STORE unique on ``anti_key``,
+    dropping the outer distinct's exchange too (r16). The invariant
+    holds for every store consistently written by this engine with
+    ``dedup_key == anti_key``: the bootstrap write dedupes the batch,
+    merges insert only absent keys, upserts replace matched rows from a
+    deduped batch, and deletes only remove — so uniqueness is
+    preserved by induction. Either way the caller's anti-join is
+    key-membership (duplicate matched keys could only widen the
+    broadcast, never change results)."""
     keys = new_b.select(anti_key)
     if not batch_distinct:
         keys = keys.distinct()
-    return (
-        existing.select(anti_key)
-        .join(F.broadcast(keys), anti_key, "left_semi")
-        .distinct()
+    out = existing.select(anti_key).join(
+        F.broadcast(keys), anti_key, "left_semi"
     )
+    if not store_unique:
+        out = out.distinct()
+    return out
 
 
 #: per-snapshot sidecar recording the store's CURRENT logical schema —
@@ -649,6 +661,7 @@ def _merge_write(
                     new_b,
                     anti_key,
                     batch_distinct=batch_distinct,
+                    store_unique=batch_distinct,
                 )
             ),
             anti_key,
@@ -810,6 +823,7 @@ def _merge_write_optimistic(
                         batch_b,
                         anti_key,
                         batch_distinct=batch_distinct,
+                        store_unique=batch_distinct,
                     )
                 ),
                 anti_key,
@@ -955,6 +969,7 @@ def _delete_plan(
     partitions: list[str],
     prune_col: str,
     touched_prunes: list,
+    keys_unique: bool = False,
 ):
     """Shared read-side body of both delete protocols, against an
     already-resolved immutable snapshot: returns ``(n_doomed,
@@ -976,7 +991,14 @@ def _delete_plan(
     pass), doubling store reads per delete."""
     snap = _read_tree(spark, base_dir)
     pruned = snap.filter(F.col(prune_col).isin(touched_prunes))
-    keys_only = F.broadcast(keys_b.select(key).distinct())
+    # the distinct is CORRECTNESS here, not a size guard: a duplicated
+    # key on the broadcast side would duplicate matched store rows
+    # through the left join below. ``keys_unique=True`` callers passed
+    # a provably-deduped relation and skip the exchange (r16).
+    keys_only = keys_b.select(key)
+    if not keys_unique:
+        keys_only = keys_only.distinct()
+    keys_only = F.broadcast(keys_only)
     # one annotated pass over the candidate buckets: _doomed marks rows
     # whose key is in the broadcast list (keys_only is distinct, so the
     # left join cannot duplicate store rows); the lazy checkpoint runs
@@ -1037,6 +1059,7 @@ def delete_from_store(
     prune_col: str = BUCKET_COL,
     sort_key: str | None = None,
     protocol: str | None = None,
+    keys_unique: bool = False,
 ) -> int:
     """``DELETE FROM store WHERE key IN (doomed_keys)`` as a partition-
     pruned copy-on-write snapshot: every UNTOUCHED partition dir is
@@ -1082,6 +1105,7 @@ def delete_from_store(
             prune_col=prune_col,
             sort_key=sort_key,
             touched_prunes=touched_prunes,
+            keys_unique=keys_unique,
         )
     with versioned.writer_lock(path):
         if not has_parquet_data(path):
@@ -1103,6 +1127,7 @@ def delete_from_store(
             partitions=partitions,
             prune_col=prune_col,
             touched_prunes=touched_prunes,
+            keys_unique=keys_unique,
         )
         if not n_doomed:
             return 0
@@ -1124,6 +1149,7 @@ def _delete_from_store_optimistic(
     prune_col: str,
     sort_key: str,
     touched_prunes: list,
+    keys_unique: bool = False,
 ) -> int:
     """Lock-free :func:`delete_from_store` body: same pruned
     copy-on-write, committed through the rename arbiter. A lost race
@@ -1165,6 +1191,7 @@ def _delete_from_store_optimistic(
                 partitions=partitions,
                 prune_col=prune_col,
                 touched_prunes=touched_prunes,
+                keys_unique=keys_unique,
             )
             if not n_doomed:
                 return 0

@@ -651,6 +651,7 @@ def incremental_dedup(
     text_col: str = "text",
     shingle_n: int = 3,
     new_bands: DataFrame | None = None,
+    batch_hash_unique: bool = False,
 ) -> DataFrame:
     """Annotate a NEW batch against the stored index: per new doc, its
     text hash, ``exact_dup_of_history``, ``near_dup_of_history`` (shares
@@ -673,8 +674,15 @@ def incremental_dedup(
     # keeps the store a pure streamed SCAN (no Exchange on it, ever)
     # with both hash tables bounded by the batch. Same membership
     # semantics; plan-pinned in tests/test_llm_ops.py.
+    batch_keys = hashed.select("text_hash")
+    if not batch_hash_unique:
+        # ``batch_hash_unique=True`` declares one row per text in the
+        # batch (e.g. an in-batch window already picked hash winners),
+        # dropping this exchange from the broadcast build; a duplicated
+        # key would only repeat semi-join probes, never change results
+        batch_keys = batch_keys.distinct()
     matched_hashes = history_hashes.join(
-        F.broadcast(hashed.select("text_hash").distinct()),
+        F.broadcast(batch_keys),
         "text_hash",
         "left_semi",
     )
@@ -999,6 +1007,7 @@ def dedup_index_probe(
     shingle_n: int = 3,
     with_bands: bool = False,
     eager: bool = True,
+    batch_hash_unique: bool = False,
 ):
     """Read-only half of the ingest loop: annotate the batch against the
     current index snapshot, WITHOUT mutating the store. Returns
@@ -1049,7 +1058,7 @@ def dedup_index_probe(
     ).localCheckpoint(eager=False)
     ann = incremental_dedup(
         new_docs, hashes, bands_rel, num_hashes, bands, id_col, text_col,
-        shingle_n, new_bands=new_bands,
+        shingle_n, new_bands=new_bands, batch_hash_unique=batch_hash_unique,
     ).localCheckpoint(eager=eager)
     survivors = new_docs.join(
         ann.filter(F.col("fresh")).select(id_col), id_col, "left_semi"
@@ -1193,6 +1202,7 @@ def dedup_index_delete(
     base_path: str,
     bands: int = 4,
     protocol: str | None = None,
+    keys_unique: bool = False,
 ) -> dict:
     """Make the dedup index FORGET the given content hashes (r11
     verdict weak #1): remove their ``text_hash`` rows from the hashes
@@ -1250,9 +1260,13 @@ def dedup_index_delete(
     # lazy: the first delete's touched-bucket collect (its first action,
     # before any store mutation in this call) runs the checkpoint; the
     # bands delete and any race-repair re-run then reuse the blocks
-    doomed = (
-        doomed_hashes.select("text_hash").distinct().localCheckpoint(eager=False)
-    )
+    doomed = doomed_hashes.select("text_hash")
+    if not keys_unique:
+        # ``keys_unique=True`` callers pass a provably-distinct hash
+        # set (the purge's resolved relation) — correctness-critical
+        # for the pruned deletes' broadcast side, see _delete_plan
+        doomed = doomed.distinct()
+    doomed = doomed.localCheckpoint(eager=False)
     hpath = os.path.join(base_path, "hashes")
     bpath = os.path.join(base_path, "bands")
 
@@ -1267,6 +1281,7 @@ def dedup_index_delete(
                 bucket_key="text_hash",
                 partitions=[sinks.BUCKET_COL],
                 protocol=protocol,
+                keys_unique=True,  # doomed is distinct above
             )
         n_b = 0
         if sinks.has_parquet_data(bpath):
@@ -1287,6 +1302,8 @@ def dedup_index_delete(
                 bucket_key="bk",
                 partitions=[sinks.BUCKET_COL],
                 protocol=protocol,
+                # distinct hashes x distinct band indices -> unique bk
+                keys_unique=True,
             )
         return n_h, n_b
 

@@ -300,6 +300,9 @@ def curate_increment(
         shingle_n,
         with_bands=True,
         eager=False,
+        # winners carry exactly one row per text_hash (the rn==1 window
+        # filter above) — the probe can skip its batch-key distinct
+        batch_hash_unique=True,
     )
     flags = winners.join(
         ann.select(
@@ -1130,6 +1133,7 @@ def purge_documents(
                     bucket_key="text_hash",
                     partitions=[sinks.BUCKET_COL],
                     protocol=protocol,
+                    keys_unique=True,  # hashes is distinct (both forms)
                 )
             return 0
 
@@ -1140,6 +1144,7 @@ def purge_documents(
                     _index_path(base_path),
                     bands=bands,
                     protocol=protocol,
+                    keys_unique=True,  # hashes is distinct (both forms)
                 )
             return {"hashes_deleted": 0, "bands_deleted": 0}
 
