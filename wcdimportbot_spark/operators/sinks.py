@@ -573,6 +573,7 @@ def _merge_write(
     base_guard=None,
     allow_additive: bool = False,
     batch_distinct: bool | None = None,
+    publish_gate=None,
 ) -> int:
     """Shared bucket-level MERGE engine (insert-if-absent, existing rows
     win). ``anti_key`` must determine ``prune_col`` (it does for every
@@ -612,6 +613,14 @@ def _merge_write(
     ]
     if not default_touched:
         return 0
+    # ``publish_gate`` (see versioned.run_publish_ordered) runs BEFORE
+    # the lock: everything above is read-only batch evaluation that may
+    # overlap other arms; everything below (lock, resolve, stage,
+    # publish) starts only after the upstream arm fully committed — and
+    # no lock is ever held while waiting, so opposite-order writer
+    # chains cannot deadlock.
+    if publish_gate is not None:
+        publish_gate()
     # The writer lock covers the WHOLE read → anti-join → stage → publish
     # sequence, not just the staging write: a merge computed against a
     # snapshot resolved outside the lock would race a concurrent writer's
@@ -718,6 +727,7 @@ def _merge_write_optimistic(
     base_guard=None,
     allow_additive: bool = False,
     batch_distinct: bool | None = None,
+    publish_gate=None,
 ) -> int:
     """Lock-free MERGE under the optimistic commit protocol
     (versioned.py §optimistic): resolve the base from the version LOG,
@@ -787,6 +797,8 @@ def _merge_write_optimistic(
                     .partitionBy(*partitions)
                     .parquet(vdir)
                 )
+                if publish_gate is not None:
+                    publish_gate()  # lock-free: gate only the commit
                 if versioned.try_publish(path, target, vdir):
                     return int(n)
                 continue
@@ -843,6 +855,8 @@ def _merge_write_optimistic(
                     vdir,
                     _evolved_schema(existing.schema, batch_b.schema, new_cols),
                 )
+            if publish_gate is not None:
+                publish_gate()  # lock-free: gate only the commit
             if versioned.try_publish(path, target, vdir):
                 return int(n_fresh)
         except Exception as e:
@@ -1060,6 +1074,7 @@ def delete_from_store(
     sort_key: str | None = None,
     protocol: str | None = None,
     keys_unique: bool = False,
+    publish_gate=None,
 ) -> int:
     """``DELETE FROM store WHERE key IN (doomed_keys)`` as a partition-
     pruned copy-on-write snapshot: every UNTOUCHED partition dir is
@@ -1106,7 +1121,12 @@ def delete_from_store(
             sort_key=sort_key,
             touched_prunes=touched_prunes,
             keys_unique=keys_unique,
+            publish_gate=publish_gate,
         )
+    # see _merge_write: the gate runs BEFORE the lock (overlap the
+    # batch-side evaluation above; never hold a lock while waiting)
+    if publish_gate is not None:
+        publish_gate()
     with versioned.writer_lock(path):
         if not has_parquet_data(path):
             return 0
@@ -1150,6 +1170,7 @@ def _delete_from_store_optimistic(
     sort_key: str,
     touched_prunes: list,
     keys_unique: bool = False,
+    publish_gate=None,
 ) -> int:
     """Lock-free :func:`delete_from_store` body: same pruned
     copy-on-write, committed through the rename arbiter. A lost race
@@ -1198,6 +1219,8 @@ def _delete_from_store_optimistic(
             vdir = versioned.stage_optimistic(path, target)
             versioned.link_tree(base_dir, vdir, exclude_rel_dirs=exclude)
             _write_kept(kept, vdir, partitions, sort_key)
+            if publish_gate is not None:
+                publish_gate()  # lock-free: gate only the commit
             if versioned.try_publish(path, target, vdir):
                 return n_doomed
         except Exception as e:

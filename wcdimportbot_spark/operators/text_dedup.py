@@ -1078,6 +1078,7 @@ def dedup_index_merge(
     shingle_n: int = 3,
     protocol: str | None = None,
     precomputed: tuple[DataFrame, DataFrame] | None = None,
+    publish_gate=None,
 ) -> None:
     """Merge a batch's surviving documents into the persistent index.
 
@@ -1128,11 +1129,25 @@ def dedup_index_merge(
         s_bands = _attributed_bands(
             survivors, num_hashes, bands, id_col, text_col, shingle_n
         )
+    def _chain(*gates):
+        gates = [g for g in gates if g is not None]
+        if not gates:
+            return None
+
+        def g() -> None:
+            for x in gates:
+                x()
+
+        return g
+
     def _do() -> None:
         if sinks._merge_protocol(protocol) == "optimistic":
             # same bands-before-hashes crash ordering, committed
             # lock-free through the rename arbiter (versioned.py
-            # §optimistic) — the multi-host form of the ingest loop
+            # §optimistic) — the multi-host form of the ingest loop.
+            # Kept serial; the caller's publish_gate still guards BOTH
+            # commits (an empty bands batch must not let the hashes
+            # commit jump the external order).
             sinks._merge_write_optimistic(
                 spark,
                 _with_band_key(s_bands),
@@ -1141,6 +1156,7 @@ def dedup_index_merge(
                 anti_key="bk",
                 partitions=[sinks.BUCKET_COL],
                 dedup_key="bk",
+                publish_gate=publish_gate,
             )
             sinks._merge_write_optimistic(
                 spark,
@@ -1150,30 +1166,46 @@ def dedup_index_merge(
                 anti_key="text_hash",
                 partitions=[sinks.BUCKET_COL],
                 dedup_key="text_hash",
+                publish_gate=publish_gate,
             )
             return
-        sinks._merge_write(
-            spark,
-            _with_band_key(s_bands),
-            os.path.join(base_path, "bands"),
-            bucket_key="bk",
-            anti_key="bk",
-            partitions=[sinks.BUCKET_COL],
-            dedup_key="bk",
-            read_fn=sinks.read_snapshot,
-            write_fn=_write_band_store_unlocked,
-        )
-        sinks._merge_write(
-            spark,
-            s_hashes,
-            os.path.join(base_path, "hashes"),
-            bucket_key="text_hash",
-            anti_key="text_hash",
-            partitions=[sinks.BUCKET_COL],
-            dedup_key="text_hash",
-            read_fn=sinks.read_snapshot,
-            write_fn=_write_hash_store_unlocked,
-        )
+
+        # the two merges OVERLAP their batch-side evaluation while the
+        # bands-before-hashes publish ORDER is pinned by the gate chain
+        # (versioned.run_publish_ordered: gates run before any lock is
+        # taken, so no deadlock against the delete's opposite order).
+        # The external publish_gate is chained into BOTH arms: an
+        # empty-bands early return must not let the hashes publish jump
+        # the caller's ordering.
+        def _bands_arm(gate):
+            return sinks._merge_write(
+                spark,
+                _with_band_key(s_bands),
+                os.path.join(base_path, "bands"),
+                bucket_key="bk",
+                anti_key="bk",
+                partitions=[sinks.BUCKET_COL],
+                dedup_key="bk",
+                read_fn=sinks.read_snapshot,
+                write_fn=_write_band_store_unlocked,
+                publish_gate=_chain(publish_gate, gate),
+            )
+
+        def _hashes_arm(gate):
+            return sinks._merge_write(
+                spark,
+                s_hashes,
+                os.path.join(base_path, "hashes"),
+                bucket_key="text_hash",
+                anti_key="text_hash",
+                partitions=[sinks.BUCKET_COL],
+                dedup_key="text_hash",
+                read_fn=sinks.read_snapshot,
+                write_fn=_write_hash_store_unlocked,
+                publish_gate=_chain(publish_gate, gate),
+            )
+
+        versioned.run_publish_ordered([_bands_arm, _hashes_arm])
 
     # MERGE-vs-DELETE race repair (r13, the index-level twin of the
     # curation purge repair — see the DELETE_EPOCH_FILE note for the
@@ -1271,9 +1303,15 @@ def dedup_index_delete(
     bpath = os.path.join(base_path, "bands")
 
     def _do() -> tuple[int, int]:
-        n_h = 0
-        if sinks.has_parquet_data(hpath):
-            n_h = sinks.delete_from_store(
+        # the two deletes OVERLAP their batch-side evaluation; the
+        # hashes-BEFORE-bands publish ORDER (the mirror of the merge's
+        # crash contract) is pinned by the gate chain. Gates run before
+        # any lock is taken (versioned.run_publish_ordered), so this
+        # cannot deadlock against a concurrent merge's opposite order.
+        def _hashes_arm(gate) -> int:
+            if not sinks.has_parquet_data(hpath):
+                return 0
+            return sinks.delete_from_store(
                 spark,
                 doomed,
                 hpath,
@@ -1282,9 +1320,12 @@ def dedup_index_delete(
                 partitions=[sinks.BUCKET_COL],
                 protocol=protocol,
                 keys_unique=True,  # doomed is distinct above
+                publish_gate=gate,
             )
-        n_b = 0
-        if sinks.has_parquet_data(bpath):
+
+        def _bands_arm(gate) -> int:
+            if not sinks.has_parquet_data(bpath):
+                return 0
             if "text_hash" not in sinks.read_snapshot(
                 spark, bpath
             ).columns:
@@ -1294,7 +1335,7 @@ def dedup_index_delete(
                     f"cannot be pruned by content hash — rebuild the "
                     f"index to migrate"
                 )
-            n_b = sinks.delete_from_store(
+            return sinks.delete_from_store(
                 spark,
                 _band_keys_for_hashes(doomed, bands),
                 bpath,
@@ -1304,7 +1345,10 @@ def dedup_index_delete(
                 protocol=protocol,
                 # distinct hashes x distinct band indices -> unique bk
                 keys_unique=True,
+                publish_gate=gate,
             )
+
+        n_h, n_b = versioned.run_publish_ordered([_hashes_arm, _bands_arm])
         return n_h, n_b
 
     # MERGE-vs-DELETE race repair, delete side (see DELETE_EPOCH_FILE):

@@ -114,6 +114,77 @@ def race_backoff(attempt: int, scale: float = 1.0) -> None:
     time.sleep(min(8.0 * scale, 0.05 * scale * (4 ** attempt)))
 
 
+def run_publish_ordered(arms: list) -> list:
+    """Run store-mutation arms CONCURRENTLY while their publishes land
+    in list order (guide §2.6 overlap + the store crash-order
+    contracts, r16).
+
+    Each arm is a callable taking one ``publish_gate`` argument — a
+    zero-arg callable (or ``None`` for the first arm) the arm must pass
+    through to its engine call (``_merge_write``/``delete_from_store``
+    ``publish_gate=``). The engines invoke the gate BEFORE acquiring
+    the store's writer lock, which gives two properties:
+
+    - **publish order**: arm ``i``'s gate returns only after arm
+      ``i-1`` has fully completed (its publish included), so the
+      crash-window ordering every serial caller relied on is
+      preserved byte-for-byte; what overlaps is only the arms'
+      batch-side evaluation (materialization + touched-partition
+      collects), which reads no mutable state.
+    - **no deadlock**: an arm waiting on a gate holds NO lock, so every
+      lock in the system is held only by arms already past their gates,
+      which run to completion without waiting on anything — lock-wait
+      chains terminate even when concurrent chains order the same
+      stores oppositely (merge bands→hashes vs delete hashes→bands).
+
+    An arm that fails makes every later arm's gate raise (their
+    engines then abort BEFORE mutating; any already-staged snapshot
+    dirs are unpublished garbage the normal pruning removes), and the
+    first failure in publish order is re-raised here. Returns the arm
+    results in order."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    done = [threading.Event() for _ in arms]
+    ok = [False] * len(arms)
+
+    def _gate_for(i: int):
+        if i == 0:
+            return None
+
+        def gate() -> None:
+            done[i - 1].wait()
+            if not ok[i - 1]:
+                raise RuntimeError(
+                    "upstream arm failed — publish aborted to preserve "
+                    "the store crash-ordering contract"
+                )
+
+        return gate
+
+    def _run(i: int):
+        try:
+            r = arms[i](_gate_for(i))
+            ok[i] = True
+            return r
+        finally:
+            done[i].set()
+
+    with ThreadPoolExecutor(max_workers=len(arms)) as pool:
+        futures = [pool.submit(_run, i) for i in range(len(arms))]
+        results, first_err = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except BaseException as exc:  # noqa: BLE001 - re-raised below
+                if first_err is None:
+                    first_err = exc
+                results.append(None)
+        if first_err is not None:
+            raise first_err
+    return results
+
+
 def epoch_bump(base_path: str, fname: str) -> None:
     """Rewrite an epoch sidecar with fresh bytes — a FINGERPRINT, not a
     sequence number. The read-increment-replace below is deliberately
