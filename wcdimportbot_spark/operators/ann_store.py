@@ -926,13 +926,16 @@ def ann_index_probe(
     queries = embeddings.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probed = sorted(
-        int(r["cluster"])
-        for r in _probe_clusters(spark, queries, cent_list, nprobe)
-        .select("cluster")
-        .distinct()
+    # ONE evaluation of the query->cluster fan-out: the collected
+    # pairs drive the partition pruning here AND are injected into
+    # ivfpq_residual_topk below (which re-ran _probe_clusters twice
+    # more before — r16)
+    probe_pairs = (
+        _probe_clusters(spark, queries, cent_list, nprobe)
+        .select("query_id", "cluster")
         .collect()
     )
+    probed = sorted({int(r["cluster"]) for r in probe_pairs})
     # partition pruning: `cluster` is the store's partition column, so
     # this filter reaches the scan as a PartitionFilter — unprobed
     # clusters' files are never opened (plan-pinned in tests)
@@ -952,6 +955,7 @@ def ann_index_probe(
         vec_col=vec_col,
         ivf=(embeddings, cent_list),
         rindex=(codes_pruned, books),
+        probe_pairs=probe_pairs,
     )
 
 

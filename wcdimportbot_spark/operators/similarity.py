@@ -1882,6 +1882,7 @@ def ivfpq_residual_topk(
     seed: int = 42,
     ivf=None,
     rindex=None,
+    probe_pairs=None,
 ) -> DataFrame:
     """Canonical IVFPQ top-k: probe ``nprobe`` clusters, ADC-scan their
     RESIDUAL byte codes, exact-refine the survivors.
@@ -1912,14 +1913,26 @@ def ivfpq_residual_topk(
     queries = assigned.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probes = _probe_clusters(spark, queries, centroids, nprobe)
+    # ONE evaluation of the query->cluster fan-out: the collected
+    # (query_id, cluster) pairs feed the distinct-cluster cross tables
+    # AND the per-probe LUT rows below (this ran as three separate
+    # Spark evaluations before — r16); ``probe_pairs`` lets
+    # ann_index_probe inject the pairs it already collected for its
+    # partition pruning, removing the re-evaluation entirely. Same
+    # Spark-computed values either way — bit-identical results.
+    if probe_pairs is None:
+        probe_pairs = (
+            _probe_clusters(spark, queries, centroids, nprobe)
+            .select("query_id", "cluster")
+            .collect()
+        )
     qvecs = {
         int(r["query_id"]): np.asarray(r["qvec"], dtype=np.float64)
         for r in queries.collect()
     }
     # per-cluster cross table (query-independent): cross[c][j][k]
     cross_by_cluster = {}
-    for c in {int(r["cluster"]) for r in probes.select("cluster").collect()}:
+    for c in {int(r["cluster"]) for r in probe_pairs}:
         cross_by_cluster[c] = [
             [
                 float(
@@ -1931,7 +1944,7 @@ def ivfpq_residual_topk(
             for j in range(books.shape[0])
         ]
     probe_rows = []
-    for r in probes.select("query_id", "cluster").collect():
+    for r in probe_pairs:
         qid, c = int(r["query_id"]), int(r["cluster"])
         q = qvecs[qid]
         lut = [
