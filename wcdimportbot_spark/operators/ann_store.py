@@ -291,9 +291,16 @@ def ann_index_build(
     )
 
     spark = embeddings.sparkSession
-    ivf = ivf_index(embeddings, num_clusters, id_col, vec_col, seed)
+    # ONE cardinality count for the whole build: ivf_index and
+    # ivfpq_residual_index each re-counted the (row-preserving) corpus
+    # to size their training-sample fractions (r16)
+    n_vec = embeddings.count()
+    ivf = ivf_index(
+        embeddings, num_clusters, id_col, vec_col, seed, n_vectors=n_vec
+    )
     codes_df, books = ivfpq_residual_index(
-        embeddings, ivf, m, n_codes, id_col, vec_col, seed=seed
+        embeddings, ivf, m, n_codes, id_col, vec_col, seed=seed,
+        n_vectors=n_vec,
     )
     _assigned, centroids = ivf
     # lazy: the count below is the adjacent action that materializes the

@@ -1348,6 +1348,7 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train_vectors: int = 262_144,
+    n_vectors: int | None = None,
 ):
     """Train the IVF coarse quantizer and assign every vector to its
     nearest centroid — the inverted-file partitioning.
@@ -1369,7 +1370,11 @@ def ivf_index(
     from pyspark.sql import types as T
 
     vecs = fan_out(embeddings, id_col)
-    n = vecs.count()
+    # the count only sizes the training-sample fraction; callers that
+    # already know the corpus cardinality pass it (repartition and the
+    # assign pass below are row-preserving, so one count serves the
+    # whole build — r16)
+    n = vecs.count() if n_vectors is None else int(n_vectors)
     train = vecs
     if n > max_train_vectors:
         train = vecs.sample(
@@ -1805,6 +1810,7 @@ def ivfpq_residual_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train_vectors: int = 65_536,
+    n_vectors: int | None = None,
 ):
     """RESIDUAL-encoded PQ index over an IVF partitioning — the canonical
     IVFPQ (FAISS IndexIVFPQ): codebooks are trained on ``x − c(x)`` (the
@@ -1824,7 +1830,9 @@ def ivfpq_residual_index(
     vecs = assigned.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cluster"
     )
-    n = vecs.count()
+    # see ivf_index: one count serves the whole build when the caller
+    # knows the cardinality (the assignment is row-preserving)
+    n = vecs.count() if n_vectors is None else int(n_vectors)
     train = vecs
     if n > max_train_vectors:
         train = vecs.sample(False, max_train_vectors / n, seed=seed).limit(
