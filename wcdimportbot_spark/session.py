@@ -71,4 +71,42 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_late_accumulator_noise(spark)
     return spark
+
+
+def _silence_late_accumulator_noise(spark) -> None:
+    """Raise the log level of DAGScheduler's ``updateAccumulators``
+    failure to what it is: noise. When a completed task's metric
+    update arrives AFTER its query's SQL-metric accumulators were
+    cleaned (AQE cancels obsolete stage jobs mid-query; short fused
+    engine jobs finish while cancelled-stage stragglers drain),
+    DAGScheduler logs ``Failed to update accumulator ... (Unknown
+    class)`` + a stack trace AT ERROR — hundreds of lines per bench on
+    a busy host, zero effect on results (the full DuckDB oracle sweep
+    and every suite stay green with and without the noise; only the
+    already-dead query's UI metrics are lost). Spark has no narrower
+    switch, so DENY exactly this message pattern (the filter lands on
+    the root logger config since DAGScheduler has no dedicated one;
+    the pattern only ever matches this event) — every other
+    DAGScheduler error still logs, verified with a sentinel."""
+    try:
+        jvm = spark.sparkContext._jvm
+        log_manager = jvm.org.apache.logging.log4j.LogManager
+        ctx = log_manager.getContext(False)
+        config = ctx.getConfiguration()
+        logger_cfg = config.getLoggerConfig(
+            "org.apache.spark.scheduler.DAGScheduler"
+        )
+        regex_filter = jvm.org.apache.logging.log4j.core.filter.RegexFilter
+        deny = regex_filter.createFilter(
+            r"Failed to update accumulator .*",
+            None,
+            False,
+            jvm.org.apache.logging.log4j.core.Filter.Result.DENY,
+            jvm.org.apache.logging.log4j.core.Filter.Result.NEUTRAL,
+        )
+        logger_cfg.addFilter(deny)
+        ctx.updateLoggers()
+    except Exception:  # noqa: BLE001 - logging cosmetics must never fail a job
+        pass
